@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed readers for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All operators take an `sfDir` and read parquet lazily so Catalyst can
+  * push filters/projections into the scan; nothing is cached here —
+  * callers decide materialisation.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark refuses by default; read them as raw nano longs and convert to
+    * microsecond TIMESTAMP (floor — matches DuckDB's µs comparisons to
+    * within 1 µs, and all oracle queries truncate coarser than that). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

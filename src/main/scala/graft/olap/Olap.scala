@@ -1,0 +1,140 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Core OLAP surface on the TPC-H-shaped testdata. These are the engine's
+  * bread-and-butter relational operators (grouped aggregation, multi-way
+  * joins, top-k, window functions, time bucketing, sessionization) — the
+  * same shapes the reference's Cypher queries reduce to.
+  *
+  * Oracle-parity discipline: every monetary sum is accumulated as
+  * DECIMAL (order-independent, exact) after a per-row double compute,
+  * then surfaced as double, so shuffle order can never flip a hash
+  * compare against DuckDB.
+  */
+object Olap {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(24,4)")
+
+  // Exact decimal money algebra: inputs have <=2 decimals, so casting the
+  // raw columns (not derived doubles) to decimal is exact, and products /
+  // sums of decimals are exact and order-independent — bit-identical to
+  // DuckDB regardless of shuffle order or rounding mode.
+  private def price  = col("l_extendedprice").cast("decimal(14,2)")
+  private def disc1  = lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
+  private def tax1   = lit(1.0).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")
+
+  /** TPC-H Q1 shape: pricing summary report. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(price * disc1).cast("double").as("sum_disc_price"),
+        sum(price * disc1 * tax1).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 shape: top-10 unshipped orders by revenue for a segment. */
+  def q3TopkJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(price * disc1).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by nation for one region (6-way star join).
+    * Dimensions (region, nation, supplier) broadcast; the fact join
+    * orders⋈lineitem shuffles on orderkey.
+    * Note: testdata has no s_suppkey↔customer nation alignment guarantee,
+    * so the Q5 `c_nationkey = s_nationkey` clause is kept — it simply
+    * filters. */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val reg = region(spark, dir).filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    val nat = nation(spark, dir).join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val sup = supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(price * disc1).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window functions: top-3 orders per customer by total price, with the
+    * gap to the previous order (rank + lag in one pass). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Tumbling-window (1 h) aggregation over the event stream — the batch
+    * analog of [[graft.streaming.EventStreams.windowedCounts]]; same
+    * grouping, same outputs. */
+  def eventsWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity) via lag + running sum —
+    * the batch analog of the flatMapGroupsWithState streaming session
+    * operator. Emits one row per (user, session). */
+  def eventsSessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        date_trunc("second", max(col("ts"))).as("session_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+}

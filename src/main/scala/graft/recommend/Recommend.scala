@@ -1,0 +1,147 @@
+package graft.recommend
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.RatingsGraph
+
+/** The reference's recommendation query surface, re-expressed as
+  * declarative Spark dataflows (anti-join = left_anti, top-k =
+  * orderBy.limit, neighbourhood = join chains).
+  *
+  * "Community" here is the SQL-checkable community attribute (the user's
+  * nation key, carried as `community` on activeUsers); the learned
+  * Louvain-class communities live in [[graft.graph.Communities]] and feed
+  * the same query shapes.
+  */
+object Recommend {
+
+  /** Default target user for the parameterised single-user queries; the
+    * reference pins user ids the same way (Alg_KNN_FastRP.py:161 uses 19). */
+  val TargetUser = 1L
+
+  /** Books rated by the target user, highest rating first.
+    * Reference `streamlit_app.py:33-46` (get_user_rated_books). */
+  def userRatedBooks(spark: SparkSession, dir: String, user: Long = TargetUser): DataFrame =
+    RatingsGraph.ratings(spark, dir)
+      .filter(col("user_id") === user)
+      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
+      .select(col("book_id"), col("title"), col("rating"))
+      .orderBy(col("rating").desc, col("book_id"))
+
+  /** Top-k most similar users by co-rating weight.
+    * Reference `recommender_knn.py:31-45` (get_similar_users) with the
+    * co-occurrence graph standing in for SIMILAR_TO. */
+  def similarUsersCooc(spark: SparkSession, dir: String, user: Long = TargetUser, k: Int = 3): DataFrame =
+    RatingsGraph.cooccurrenceEdges(spark, dir)
+      .filter(col("u1") === user)
+      .select(col("u2").as("user_id"), col("weight"))
+      .orderBy(col("weight").desc, col("user_id"))
+      .limit(k)
+
+  /** KNN-style recommendation: books rated by the target's most similar
+    * users, excluding books the target already rated; score = avg rating +
+    * vote count. Reference `recommender_knn.py:11-28` (recommend_books).
+    *
+    * Scale: `sims` (top-k per user) is tiny → broadcast; the anti-join on
+    * the target's own books is also broadcast-size. The only large input
+    * is the ratings edge table, scanned once.
+    */
+  def recommendKnn(spark: SparkSession, dir: String, user: Long = TargetUser,
+      simK: Int = 20, k: Int = 3): DataFrame = {
+    val ratings = RatingsGraph.ratings(spark, dir)
+    val sims = similarUsersCooc(spark, dir, user, simK).select(col("user_id"))
+    val mine = ratings.filter(col("user_id") === user).select(col("book_id"))
+    ratings
+      .join(broadcast(sims), Seq("user_id"))
+      .join(broadcast(mine), Seq("book_id"), "left_anti")
+      .groupBy(col("book_id"))
+      .agg((sum(col("rating")).cast("double") / count(lit(1))).as("avg_rating"),
+        count(lit(1)).as("votes"))
+      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
+      .select(col("book_id"), col("title"), col("avg_rating"), col("votes"))
+      .orderBy(col("avg_rating").desc, col("votes").desc, col("book_id"))
+      .limit(k)
+  }
+
+  /** Community recommendation: books rated >=6 by other users of the
+    * target's community, excluding the target's books, ranked by
+    * recommendation count. Reference `recommender_community.py:11-32`. */
+  def recommendCommunity(spark: SparkSession, dir: String, user: Long = TargetUser, k: Int = 3): DataFrame = {
+    val users = RatingsGraph.activeUsers(spark, dir).select(col("user_id"), col("community"))
+    val ratings = RatingsGraph.ratings(spark, dir)
+    val targetCommunity = users.filter(col("user_id") === user).select(col("community"))
+    val peers = users
+      .join(broadcast(targetCommunity), Seq("community"))
+      .filter(col("user_id") =!= user)
+      .select(col("user_id"))
+    val mine = ratings.filter(col("user_id") === user).select(col("book_id"))
+    ratings
+      .filter(col("rating") >= 6)
+      .join(broadcast(peers), Seq("user_id"))
+      .join(broadcast(mine), Seq("book_id"), "left_anti")
+      .groupBy(col("book_id"))
+      .agg(count(lit(1)).as("recommend_count"))
+      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
+      .select(col("book_id"), col("title"), col("recommend_count"))
+      .orderBy(col("recommend_count").desc, col("book_id"))
+      .limit(k)
+  }
+
+  /** All users belonging to a community with more than one member.
+    * Reference `streamlit_app.py:15-30` (group → HAVING size>1 → unwind),
+    * expressed as a window count so the members survive without a
+    * re-join. */
+  def usersInLargeGroups(spark: SparkSession, dir: String): DataFrame = {
+    val users = RatingsGraph.activeUsers(spark, dir)
+    val w = Window.partitionBy(col("community"))
+    users
+      .withColumn("community_size", count(lit(1)).over(w))
+      .filter(col("community_size") > 1)
+      .select(col("user_id"), col("name"), col("community"), col("community_size"))
+      .orderBy(col("community"), col("user_id"))
+  }
+
+  /** 2-hop neighbourhood for visualisation: the target's RATED edges, the
+    * target's SIMILAR_TO (co-occurrence) edges, and the similar users'
+    * RATED edges. Reference `recommender_knn.py:48-79` (get_graph_data).
+    * Output is a typed edge list (edge_type, src, dst, weight). */
+  def graphNeighborhood(spark: SparkSession, dir: String, user: Long = TargetUser, simK: Int = 3): DataFrame = {
+    val ratings = RatingsGraph.ratings(spark, dir)
+    val myBooks = ratings.filter(col("user_id") === user)
+      .select(lit("RATED").as("edge_type"), col("user_id").as("src"),
+        col("book_id").as("dst"), col("rating").cast("double").as("weight"))
+    val sims = similarUsersCooc(spark, dir, user, simK)
+    val simEdges = sims
+      .select(lit("SIMILAR_TO").as("edge_type"), lit(user).as("src"),
+        col("user_id").as("dst"), col("weight").cast("double").as("weight"))
+    val theirBooks = ratings
+      .join(broadcast(sims.select(col("user_id"))), Seq("user_id"))
+      .select(lit("RATED").as("edge_type"), col("user_id").as("src"),
+        col("book_id").as("dst"), col("rating").cast("double").as("weight"))
+    myBooks.unionAll(simEdges).unionAll(theirBooks)
+      .orderBy(col("edge_type"), col("src"), col("dst"))
+  }
+
+  /** Top-k users by rating-degree (degree centrality on the bipartite
+    * graph; the reference surfaces degree implicitly through its viz). */
+  def degreeTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    RatingsGraph.ratings(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("user_id"))
+      .limit(k)
+
+  /** Graph cardinality / degree summary (sanity stats over the loaded
+    * graph; reference `data/load_data.py:95-101` constraint checks). */
+  def graphNodeStats(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = RatingsGraph.ratings(spark, dir)
+    ratings.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("book_id")).as("n_books"),
+      count(lit(1)).as("n_edges"),
+      max(col("rating")).as("max_rating"),
+      min(col("rating")).as("min_rating"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text-analysis operators for the LLM-data-pipeline surface, over the
+  * `documents` table. Everything is pure `Column` algebra (codegen'd,
+  * one projection, no UDFs) so the parquet scan reads only `doc_id` and
+  * `text` and the whole pipeline stays in one WholeStageCodegen span.
+  */
+object TextOps {
+
+  /** Per-document counting stats + a deterministic quality score
+    * (length / token-shape / punctuation heuristics, the usual pre-train
+    * corpus filters). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .withColumn("n_tokens", size(expr("regexp_extract_all(text, '[^ \\t\\n]+', 0)")).cast("bigint"))
+      .withColumn("n_punct", size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("bigint"))
+      .withColumn("n_digits", size(expr("regexp_extract_all(text, '[0-9]', 0)")).cast("bigint"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, col("n_chars").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        when(col("n_tokens").between(10, 2000), lit(0.4)).otherwise(lit(0.0)) +
+        when(col("n_tokens") > 0 && col("avg_token_len").between(3.0, 12.0), lit(0.3)).otherwise(lit(0.0)) +
+        when(col("n_chars") > 0 &&
+          col("n_punct").cast("double") / col("n_chars") < 0.1, lit(0.3)).otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
+        col("n_digits"), col("avg_token_len"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: minimum md5 over all 8-char shingles (the
+    * min-hash member of a winnowing scheme). Array algebra — no explode,
+    * no shuffle; one deterministic fingerprint per document. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8))))")
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Exact deduplication: content-hash group-by; keeps the smallest
+    * doc_id of each duplicate class. One hash aggregate — the linear
+    * baseline of the dedup suite. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** Multimodal plumbing: treat the payload as an opaque binary column
+    * with typed metadata (here the UTF-8 bytes of `text` stand in for an
+    * image/audio blob; a real decode step would run over `mapInPandas` /
+    * a batched UDF — stubbed per the build brief). The Spark-side schema,
+    * hashing and chunk accounting are real. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
+      .select(
+        col("doc_id"),
+        col("source").as("modality"),
+        octet_length(col("payload")).cast("bigint").as("byte_len"),
+        md5(col("payload")).as("payload_md5"),
+        ceil(octet_length(col("payload")).cast("double") / 256.0).cast("bigint").as("n_chunks"))
+      .orderBy(col("doc_id"))
+}
