@@ -47,6 +47,43 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
+    "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    // — Iterative graph algorithms (rows-only oracle; spec-verified) —
+    "communities_lpa" -> ((s, d) =>
+      graft.graph.Algorithms.labelPropagation(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(org.apache.spark.sql.functions.col("u1").as("src"),
+            org.apache.spark.sql.functions.col("u2").as("dst"),
+            org.apache.spark.sql.functions.col("weight")))
+        .orderBy("node_id")),
+    "connected_components" -> ((s, d) =>
+      graft.graph.Algorithms.connectedComponents(
+        graft.graph.Algorithms.bipartiteEdges(s, d))
+        .orderBy("node_id")),
+    "pagerank_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.pageRank(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+        .select(col("node_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node_id"))
+        .limit(20)
+    }),
+    "fastrp_embeddings" -> ((s, d) => graft.graph.FastRP.userEmbeddings(s, d)
+      .orderBy("user_id")),
+    "knn_similar_edges" -> ((s, d) =>
+      graft.ann.Lsh.knnEdges(graft.graph.FastRP.userEmbeddings(s, d),
+        "user_id", "embedding", 64, topK = 20, cutoff = 0.1)
+        .orderBy("src", "dst")),
+    // — Dedup suite (rows-only oracle; spec-verified) —
+    "dedup_minhash_pairs" -> ((s, d) => graft.dedup.Dedup.minhashPairs(s, d)),
+    "ngram_jaccard_pairs" -> ((s, d) => graft.dedup.Dedup.ngramJaccardPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => graft.dedup.Dedup.embeddingPairs(s, d)),
+    // — Similarity search —
+    "ann_bruteforce_topk" -> ((s, d) => graft.ann.AnnSearch.bruteForceTopK(s, d)),
+    "ann_lsh_topk" -> ((s, d) => graft.ann.AnnSearch.lshTopK(s, d)),
+    "ann_ivf_topk" -> ((s, d) => graft.ann.AnnSearch.ivfTopK(s, d)),
   )
 
   /** Shared DuckDB CTE mirroring RatingsGraph (events → filter → MERGE). */
@@ -325,6 +362,25 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY content_hash""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dp,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> 0
+        |)
+        |SELECT vec_id,
+        |  ROUND(CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END, 6) AS cosine
+        |FROM scored
+        |ORDER BY (CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END) DESC, vec_id
+        |LIMIT 10""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, source AS modality,

@@ -1,0 +1,112 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over the `embeddings` table: brute-force cosine
+  * top-k (exact baseline), LSH-bucketed approximate top-k, and an
+  * IVF-style centroid-routed variant (the 100 TB scale path — probe a
+  * few cells instead of the whole corpus).
+  */
+object AnnSearch {
+
+  val DefaultQueryId = 0L
+  val Dim = 64
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+  /** Exact brute-force cosine top-k for the query vector: one scan, one
+    * broadcast of the single query row, top-k via sort-limit (Spark
+    * plans it as TakeOrderedAndProject — no full sort). */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+      queryId: Long = DefaultQueryId, k: Int = 10): DataFrame = {
+    val q = emb(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+    emb(spark, dir)
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: only vectors sharing
+    * ≥1 band bucket with the query are scored. */
+  def lshTopK(spark: SparkSession, dir: String,
+      queryId: Long = DefaultQueryId, k: Int = 10,
+      bands: Int = 12, bitsPerBand: Int = 4): DataFrame = {
+    val sigs = Lsh.withBuckets(emb(spark, dir), "embedding", Dim, bands, bitsPerBand)
+      .localCheckpoint()
+    val q = sigs.filter(col("vec_id") === queryId)
+    val bandCols = (0 until bands).map(b => s"band_$b")
+    val qRenamed = bandCols.foldLeft(q)((acc, c) => acc.withColumnRenamed(c, s"q_$c"))
+      .select((bandCols.map(c => col(s"q_$c")) :+ col("embedding").as("query_vec")): _*)
+    val qJoin = sigs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qRenamed))
+      .filter(bandCols.map(c => col(c) === col(s"q_$c")).reduce(_ || _))
+    qJoin
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-style approximate search: deterministic seed centroids (one
+    * Lloyd refinement), vectors assigned to nearest centroid, the query
+    * probes `nProbe` nearest cells, brute-force within those cells only.
+    * At 100 TB the assignment is a bucketed/partitioned table and each
+    * query touches nProbe/nCells of the data. */
+  def ivfTopK(spark: SparkSession, dir: String,
+      queryId: Long = DefaultQueryId, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val vectors = emb(spark, dir).localCheckpoint()
+    // deterministic seeds: the nCells vectors with smallest xxhash64(vec_id)
+    val seeds = vectors
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(nCells)
+      .withColumn("cell", row_number().over(Window.orderBy(col("h"))) - 1)
+      .select(col("cell"), col("embedding").as("centroid"))
+    // one Lloyd step: assign to nearest seed, recompute means
+    val assign0 = vectors.crossJoin(broadcast(seeds))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))))
+      .filter(col("rk") === 1)
+    val centroids = assign0
+      .groupBy(col("cell"))
+      .agg(VectorOps.vecSum(Dim)(transform(col("embedding"), v => v.cast("double"))).as("csum"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), VectorOps.normalize(transform(col("csum"), v => v / col("n"))).as("centroid"))
+      .localCheckpoint()
+    val assigned = vectors.crossJoin(broadcast(centroids))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .localCheckpoint()
+    val qVec = vectors.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+    val probeCells = centroids.crossJoin(broadcast(qVec))
+      .withColumn("cos", VectorOps.cosine(col("centroid"), col("query_vec")))
+      .orderBy(col("cos").desc, col("cell")).limit(nProbe)
+      .select(col("cell"))
+    assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Random-hyperplane LSH for cosine similarity over `(id, vec)` tables.
+  *
+  * Signatures are deterministic: hyperplane entry (b, j) is ±1 derived
+  * from xxhash64(bit, dim, seed) — no RNG state to ship, identical on
+  * every executor and every run. Banding: `bands` buckets of `bitsPerBand`
+  * sign bits; candidate pairs collide in ≥1 band. This is the linear-scale
+  * path for both near-dup detection and ANN: cost is |rows| × bands
+  * shuffle instead of |rows|² compare.
+  */
+object Lsh {
+
+  /** Sign bit of vec · hyperplane(bit) as 0/1. */
+  private def signBit(vec: Column, bit: Int, dim: Int, seed: Int): Column = {
+    val hp = zip_with(vec, sequence(lit(0), lit(dim - 1)),
+      (v, j) => v.cast("double") *
+        when(pmod(xxhash64(lit(bit), j, lit(seed)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+    when(aggregate(hp, lit(0.0), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Add `bands` bucket columns (band_0 … band_{n-1}) to (id, vec). */
+  def withBuckets(df: DataFrame, vecCol: String, dim: Int,
+      bands: Int = 6, bitsPerBand: Int = 8, seed: Int = 7): DataFrame = {
+    val withBands = (0 until bands).foldLeft(df) { (acc, b) =>
+      val bucket = (0 until bitsPerBand)
+        .map(i => signBit(col(vecCol), b * bitsPerBand + i, dim, seed) * (1L << i))
+        .reduce(_ + _)
+      acc.withColumn(s"band_$b", bucket)
+    }
+    withBands
+  }
+
+  /** Candidate pairs (a < b) that share at least one band bucket. */
+  def candidatePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int = 6, bitsPerBand: Int = 8, seed: Int = 7): DataFrame = {
+    val sig = withBuckets(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "vec", dim, bands, bitsPerBand, seed).localCheckpoint()
+    (0 until bands).map { b =>
+      val l = sig.select(col("id").as("id_a"), col("vec").as("vec_a"), col(s"band_$b").as("bkt"))
+      val r = sig.select(col("id").as("id_b"), col("vec").as("vec_b"), col(s"band_$b").as("bkt"))
+      l.join(r, Seq("bkt")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+    }.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-duplicate pairs by cosine threshold, LSH-accelerated. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minCosine: Double, bands: Int = 6, bitsPerBand: Int = 8): DataFrame =
+    candidatePairs(df, idCol, vecCol, dim, bands, bitsPerBand)
+      .withColumn("cosine", VectorOps.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  /** Approximate top-k neighbours per id (both directions of each
+    * candidate pair), with a similarity cutoff — the KNN shape of the
+    * reference (`Alg_KNN_FastRP.py:99-116`: topK, similarityCutoff). */
+  def knnEdges(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      topK: Int = 20, cutoff: Double = 0.1,
+      bands: Int = 8, bitsPerBand: Int = 6): DataFrame = {
+    val pairs = candidatePairs(df, idCol, vecCol, dim, bands, bitsPerBand)
+      .withColumn("cosine", VectorOps.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= cutoff)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    val bidir = pairs.unionAll(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
+    bidir.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("id_a").as("src"), col("id_b").as("dst"),
+        round(col("cosine"), 6).as("similarity"))
+  }
+}

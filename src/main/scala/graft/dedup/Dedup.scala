@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ann.Lsh
+
+/** Near-duplicate detection suite over the `documents` table — the
+  * standard large-corpus dedup ladder: exact hash (in
+  * [[graft.text.TextOps.dedupExact]]), MinHash+LSH banding, SimHash
+  * hamming blocking, and exact n-gram Jaccard verification of LSH
+  * candidates.
+  *
+  * All hashes are xxhash64 column expressions — deterministic,
+  * codegen'd, no RNG state, no UDFs. Everything is
+  * candidate-generation-then-verify: the only shuffles are keyed on
+  * bucket hashes, so cost is |docs| × bands, never |docs|².
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens. */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles (default 3); a document shorter than n tokens
+    * contributes its whole token string as one shingle. */
+  private def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct-shingle set per document: (doc_id, shingle_set). */
+  def shingleSets(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("shingle_set"))
+
+  /** MinHash signature: sig[s] = min over shingles of xxhash64(shingle, s). */
+  private def minhashSig(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingleSet, sh => xxhash64(sh, s))))
+
+  /** MinHash + LSH banding candidate pairs with estimated Jaccard
+    * (fraction of agreeing signature positions). Bands of `rowsPerBand`
+    * signature values are hashed to buckets; docs colliding in any band
+    * become a candidate pair.
+    *
+    * numHashes=32, bands=8×4: catches J≳0.5 pairs with high probability
+    * while random pairs (J≈0.02 here) collide rarely. */
+  def minhashPairs(spark: SparkSession, dir: String,
+      numHashes: Int = 32, bands: Int = 8, minEstJaccard: Double = 0.2): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = shingleSets(spark, dir)
+      .select(col("doc_id"), minhashSig(col("shingle_set"), numHashes).as("sig"))
+      .localCheckpoint()
+    // explode to (band_idx, band_hash, doc_id); bucket join per band
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("band_hash"))
+    val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
+    val cand = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify on signatures: estimated jaccard = agreeing positions / numHashes
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
+    * of the MinHash pipeline). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val cand = minhashPairs(spark, dir, minEstJaccard = 0.0).select("id_a", "id_b")
+    val sets = shingleSets(spark, dir).localCheckpoint()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 48-bit SimHash fingerprint + hamming-distance pairs via band
+    * blocking (4 bands × 12 bits: any pair within hamming ≤ 3 of 48 bits
+    * shares at least one exact band by pigeonhole). */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val nBits = 48
+    val bandBits = 12
+    val nBands = nBits / bandBits
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("token_hashes"))
+    val sim = toks.select(col("doc_id"),
+        expr(s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) -> acc +
+          IF(aggregate(token_hashes, 0L,
+               (s, h) -> s + IF((h >> j) & 1 = 1, 1L, -1L)) >= 0,
+             shiftleft(1L, j), 0L))""").as("simhash"))
+      .localCheckpoint()
+    val banded = sim.select(col("doc_id"), col("simhash"),
+        posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> (simhash >> (b * $bandBits)) & ${(1L << bandBits) - 1}L)")))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band_idx"), col("col").as("band_key"))
+    val l = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val r = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs over the `embeddings` table,
+    * LSH-accelerated. Threshold tuned to the synthetic data's similarity
+    * range (max pairwise cosine ≈ 0.48); at production thresholds
+    * (≥0.9) the same operator applies unchanged. */
+  def embeddingPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4): DataFrame =
+    Lsh.nearDupPairs(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 64, minCosine, bands = 12, bitsPerBand = 4)
+      .orderBy(col("id_a"), col("id_b"))
+}

@@ -1,0 +1,122 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DataFrame-iterative graph algorithms over (nodes, edges) tables —
+  * the Spark-native re-expression of the reference's GDS calls
+  * (`algorithms/Alg_Community_Detection.py:40-45` Louvain,
+  * `algorithms/Alg_KNN_FastRP.py:62-70` FastRP).
+  *
+  * Design: every iteration is one shuffle keyed on node id (join
+  * edges⋈state + groupBy node), so the plans scale linearly in |E| and
+  * AQE can coalesce/skew-split each round. `localCheckpoint` after each
+  * iteration cuts the lineage that would otherwise grow unboundedly and
+  * re-execute the whole history each round.
+  */
+object Algorithms {
+
+  /** Bipartite node-id encoding: user ids and book ids share one id
+    * space without collision (user → 2k, book → 2k+1). */
+  def userNode(c: org.apache.spark.sql.Column) = (c * 2).cast("bigint")
+  def bookNode(c: org.apache.spark.sql.Column) = (c * 2 + 1).cast("bigint")
+
+  /** Undirected RATED edges in the unified id space, both directions,
+    * weight = rating. */
+  def bipartiteEdges(spark: SparkSession, dir: String): DataFrame = {
+    val r = RatingsGraph.ratings(spark, dir)
+    val fwd = r.select(userNode(col("user_id")).as("src"),
+      bookNode(col("book_id")).as("dst"), col("rating").cast("double").as("weight"))
+    fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+  }
+
+  /** Connected components by iterated min-label propagation until
+    * convergence. Returns (node_id, component) where component is the
+    * smallest node id in the component. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = bidir.select(col("src").as("node_id"))
+      .distinct()
+      .withColumn("component", col("node_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label for each node = min over (self, neighbours' labels)
+      val neighbourMin = bidir
+        .join(labels.withColumnRenamed("node_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels.join(neighbourMin, Seq("node_id"), "left")
+        .select(col("node_id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node_id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Synchronous label propagation for community detection (the
+    * Louvain-class operator of the reference), deterministic: each round
+    * every node adopts the label with the highest incident weight sum,
+    * ties broken by smallest label. Fixed iteration count keeps runtime
+    * and results deterministic at any scale. */
+  def labelPropagation(weightedEdges: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = weightedEdges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node_id")).distinct()
+      .withColumn("label", col("node_id"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val votes = edges
+        .join(labels.withColumnRenamed("node_id", "dst")
+          .withColumnRenamed("label", "nbr_label"), Seq("dst"))
+        .groupBy(col("src").as("node_id"), col("nbr_label"))
+        .agg(sum(col("weight")).as("w"))
+      val pick = Window.partitionBy(col("node_id"))
+        .orderBy(col("w").desc, col("nbr_label"))
+      val next = votes
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("node_id"), col("nbr_label").as("label"))
+      // isolated nodes keep their own label
+      labels = labels.select(col("node_id"), col("label").as("old_label"))
+        .join(next, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("label"), col("old_label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** PageRank by bounded power iteration (damping 0.85). Works on the
+    * directed edge list; weight-proportional distribution. */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+    val outW = e.groupBy("src").agg(sum(col("weight")).as("out_w"))
+    val norm = e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node_id"))
+      .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = norm
+        .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(sum(col("share") * col("rank")).as("in_rank"))
+      ranks = nodes.join(contribs, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -52,6 +52,31 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
 
+  /** Stopword lists for the n-gram-free language-ID heuristic. Real
+    * deployments plug fastText-style models in via the same shape. */
+  private val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  /** Heuristic language ID: score = stopword hits per language, predict
+    * the argmax (ties → lexicographically larger code, deterministic),
+    * 'und' when nothing matches. Pure column algebra — one projection. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val scored = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    documents(spark, dir)
+      .select(col("doc_id"), array_max(array(scored: _*)).as("best"))
+      .select(col("doc_id"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("lang_pred"),
+        col("best.score").cast("bigint").as("stopword_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Algorithms, FastRP}
+import graft.ann.Lsh
+import graft.functions.VectorOps
+
+/** Hand-computable fixtures for the rows-only-oracle operators. */
+class GraphAlgoSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("connectedComponents: two triangles + isolated pair") {
+    // components: {1,2,3}, {10,11,12}, {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("src", "dst")
+    val cc = Algorithms.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("labelPropagation: two dense cliques joined by a weak bridge") {
+    // clique A = {1,2,3}, clique B = {4,5,6}, bridge 3-4 with weight 0.1
+    def clique(ids: Seq[Long], w: Double) =
+      for { a <- ids; b <- ids if a != b } yield (a, b, w)
+    val edges = (clique(Seq(1L, 2L, 3L), 5.0) ++ clique(Seq(4L, 5L, 6L), 5.0) ++
+      Seq((3L, 4L, 0.1), (4L, 3L, 0.1)))
+      .toDF("src", "dst", "weight")
+    val labels = Algorithms.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == labels(2L) && labels(2L) == labels(3L))
+    assert(labels(4L) == labels(5L) && labels(5L) == labels(6L))
+    assert(labels(1L) != labels(4L), s"bridge merged the cliques: $labels")
+  }
+
+  test("pageRank: star graph centre outranks leaves; ranks deterministic") {
+    val edges = (Seq((1L, 99L, 1.0), (2L, 99L, 1.0), (3L, 99L, 1.0)) ++
+      Seq((99L, 1L, 1.0), (99L, 2L, 1.0), (99L, 3L, 1.0)))
+      .toDF("src", "dst", "weight")
+    val pr = Algorithms.pageRank(edges).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(99L) > pr(1L))
+    assert(math.abs(pr(1L) - pr(2L)) < 1e-9)
+    // rank mass ≈ node count for symmetric-ish graphs
+    assert(math.abs(pr.values.sum - 4.0) < 0.5)
+  }
+
+  test("fastrp: deterministic across runs and similar nodes embed closer") {
+    val e1 = FastRP.userEmbeddings(spark, sf).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val e2 = FastRP.userEmbeddings(spark, sf).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(e1.keySet == e2.keySet)
+    e1.keys.take(20).foreach { k =>
+      assert(e1(k).zip(e2(k)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+        s"non-deterministic embedding for $k")
+    }
+    // unit norm
+    e1.values.take(20).foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9 || n < 1e-12)
+    }
+  }
+
+  test("lsh knnEdges: respects topK and cutoff, no self-edges") {
+    val edges = Lsh.knnEdges(FastRP.userEmbeddings(spark, sf),
+      "user_id", "embedding", 64, topK = 5, cutoff = 0.1)
+    val perSrc = edges.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(perSrc <= 5)
+    assert(edges.filter(col("src") === col("dst")).isEmpty)
+    assert(edges.filter(col("similarity") < 0.1).isEmpty)
+  }
+
+  test("lsh nearDupPairs finds the planted near-identical vectors") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1))
+    val nearDup = base.clone(); nearDup(0) += 0.01
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2))
+    val df = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, far.toSeq))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val pairs = Lsh.nearDupPairs(df, "id", "vec", 64, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("minhash pairs ⊇ high-jaccard ground truth at sf0.001") {
+    val mh = dedup.Dedup.minhashPairs(spark, sf, minEstJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = dedup.Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture assumption: sf0.001 has >=1 pair with jaccard>=0.9")
+    assert(exact.subsetOf(mh), s"minhash missed: ${exact -- mh}")
+  }
+
+  test("ann: lsh and ivf top-k overlap the exact brute-force top-k") {
+    val exact = ann.AnnSearch.bruteForceTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val lsh = ann.AnnSearch.lshTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val ivf = ann.AnnSearch.ivfTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    assert((exact & lsh).size >= 3, s"lsh recall too low: ${(exact & lsh).size}/10")
+    assert((exact & ivf).size >= 2, s"ivf recall too low: ${(exact & ivf).size}/10")
+  }
+}
