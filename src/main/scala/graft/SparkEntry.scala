@@ -80,6 +80,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, d) => graft.dedup.Dedup.ngramJaccardPairs(s, d)),
     "dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => graft.dedup.Dedup.embeddingPairs(s, d)),
+    "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.mediaFeatures(s, d)),
     // — Similarity search —
     "ann_bruteforce_topk" -> ((s, d) => graft.ann.AnnSearch.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => graft.ann.AnnSearch.lshTopK(s, d)),

@@ -23,9 +23,18 @@ object Tables {
     * Spark refuses by default; read them as raw nano longs and convert to
     * microsecond TIMESTAMP (floor — matches DuckDB's µs comparisons to
     * within 1 µs, and all oracle queries truncate coarser than that). */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEvents(rawEvents(s, d))
+
+  /** Raw events read: ts stays a nano-epoch long. */
+  def rawEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    table(s, d, "events")
+  }
+
+  /** nano-long ts → microsecond TIMESTAMP; shared by batch and
+    * readStream paths. */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
   }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming shapes over the events stream. The same
+  * transformations run on a batch DataFrame (tested against the batch
+  * analogs in [[graft.olap.Olap]]) or a `readStream` source — Spark's
+  * unified API keeps one code path for both.
+  *
+  * At scale: the windowed aggregate is a streaming stateful agg keyed on
+  * (window, event_type) — state size bounded by watermark eviction; the
+  * sessionizer keys state by user_id with event-time timeout, so state is
+  * O(active users), not O(events).
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark.
+    * Works on either a static or streaming events DataFrame. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users_approx"), col("sum_value"))
+
+  /** Gap-based sessionization (30-minute inactivity) with
+    * flatMapGroupsWithState + event-time timeout: emits a Session row
+    * when the gap elapses past the watermark. State per user is four
+    * scalars. Mirrors [[graft.olap.Olap.eventsSessionize]] semantics. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      var out = List.empty[Session]
+      var cur = state.getOption.orNull
+      if (state.hasTimedOut) {
+        if (cur != null) {
+          out = Session(userId, new java.sql.Timestamp(cur.start),
+            new java.sql.Timestamp(cur.last), cur.n, cur.total) :: out
+        }
+        state.remove()
+        return out.iterator
+      }
+      // within one micro-batch, process in event-time order
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        if (cur == null) {
+          cur = SessionState(t, t, 1L, e.value)
+        } else if (t - cur.last > gapMs) {
+          out = Session(userId, new java.sql.Timestamp(cur.start),
+            new java.sql.Timestamp(cur.last), cur.n, cur.total) :: out
+          cur = SessionState(t, t, 1L, e.value)
+        } else {
+          cur = SessionState(cur.start, math.max(cur.last, t), cur.n + 1L, cur.total + e.value)
+        }
+      }
+      state.update(cur)
+      state.setTimeoutTimestamp(cur.last + gapMs)
+      out.reverse.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Convenience: the events table of a sf dir as a typed Dataset. */
+  def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+  }
+}

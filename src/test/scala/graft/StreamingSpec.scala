@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // offset by a day so no event sits at the initial watermark (epoch 0),
+  // which stateful ops treat as late
+  private def ts(minutes: Long): Timestamp = new Timestamp(86400000L + minutes * 60000L)
+
+  test("windowedCounts over a MemoryStream matches the batch analog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val evs = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 2, "click", 2.0),
+      Event(3, ts(65), 1, "buy", 5.0), Event(4, ts(70), 1, "click", 1.5),
+      Event(5, ts(200), 3, "click", 0.5))
+    input.addData(evs: _*)
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wc")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => ((r.getTimestamp(0).getTime - 86400000L) / 60000, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(got == Set(
+        (0L, "click", 2L, 3.0), (60L, "buy", 1L, 5.0),
+        (60L, "click", 1L, 1.5), (180L, "click", 1L, 0.5)))
+      // batch path produces the same aggregation
+      val batch = EventStreams.windowedCounts(evs.toDF())
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => ((r.getTimestamp(0).getTime - 86400000L) / 60000, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions after the gap passes the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 90-min gap
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that watermark (1h) passes the
+      // session timeout (last + 30min = 40min): need watermark > 40min,
+      // so max event time > 100min... push to 300min.
+      input.addData(Event(3, ts(300), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(400), 2, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select("user_id", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sessions.contains((1L, 2L, 3.0)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("multimodal feature extraction is deterministic with stable schema") {
+    val f1 = multimodal.Multimodal.mediaFeatures(spark, sf)
+    assert(f1.columns.toSeq == Seq("doc_id", "modality", "byte_len",
+      "width", "height", "n_frames", "feature"))
+    val rows = f1.limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("feature").size == 8)
+      assert(r.getAs[Long]("byte_len") > 0)
+    }
+    val again = multimodal.Multimodal.mediaFeatures(spark, sf).limit(5).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+}
