@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorOps
+import graft.plans.CosineSim
 
 /** Similarity search over the `embeddings` table: brute-force cosine
   * top-k (exact baseline), LSH-bucketed approximate top-k, and an
@@ -30,7 +31,7 @@ object AnnSearch {
     emb(spark, dir)
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .withColumn("cosine", CosineSim.cosine(spark, col("embedding"), col("query_vec")))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -52,7 +53,7 @@ object AnnSearch {
       .crossJoin(broadcast(qRenamed))
       .filter(bandCols.map(c => col(c) === col(s"q_$c")).reduce(_ || _))
     qJoin
-      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .withColumn("cosine", CosineSim.cosine(spark, col("embedding"), col("query_vec")))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -76,7 +77,7 @@ object AnnSearch {
       .select(col("cell"), col("embedding").as("centroid"))
     // one Lloyd step: assign to nearest seed, recompute means
     val assign0 = vectors.crossJoin(broadcast(seeds))
-      .withColumn("cos", VectorOps.cosine(col("embedding"), col("centroid")))
+      .withColumn("cos", CosineSim.cosine(spark, col("embedding"), col("centroid")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))))
       .filter(col("rk") === 1)
@@ -87,7 +88,7 @@ object AnnSearch {
       .select(col("cell"), VectorOps.normalize(transform(col("csum"), v => v / col("n"))).as("centroid"))
       .localCheckpoint()
     val assigned = vectors.crossJoin(broadcast(centroids))
-      .withColumn("cos", VectorOps.cosine(col("embedding"), col("centroid")))
+      .withColumn("cos", CosineSim.cosine(spark, col("embedding"), col("centroid")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))))
       .filter(col("rk") === 1)
@@ -96,14 +97,14 @@ object AnnSearch {
     val qVec = vectors.filter(col("vec_id") === queryId)
       .select(col("embedding").as("query_vec"))
     val probeCells = centroids.crossJoin(broadcast(qVec))
-      .withColumn("cos", VectorOps.cosine(col("centroid"), col("query_vec")))
+      .withColumn("cos", CosineSim.cosine(spark, col("centroid"), col("query_vec")))
       .orderBy(col("cos").desc, col("cell")).limit(nProbe)
       .select(col("cell"))
     assigned
       .join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qVec))
-      .withColumn("cosine", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .withColumn("cosine", CosineSim.cosine(spark, col("embedding"), col("query_vec")))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)

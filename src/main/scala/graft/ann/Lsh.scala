@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
+import graft.plans.CosineSim
 
 /** Random-hyperplane LSH for cosine similarity over `(id, vec)` tables.
   *
@@ -53,7 +54,7 @@ object Lsh {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       minCosine: Double, bands: Int = 6, bitsPerBand: Int = 8): DataFrame =
     candidatePairs(df, idCol, vecCol, dim, bands, bitsPerBand)
-      .withColumn("cosine", VectorOps.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", CosineSim.cosine(df.sparkSession, col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
@@ -62,9 +63,9 @@ object Lsh {
     * reference (`Alg_KNN_FastRP.py:99-116`: topK, similarityCutoff). */
   def knnEdges(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       topK: Int = 20, cutoff: Double = 0.1,
-      bands: Int = 8, bitsPerBand: Int = 6): DataFrame = {
+      bands: Int = 8, bitsPerBand: Int = 10): DataFrame = {
     val pairs = candidatePairs(df, idCol, vecCol, dim, bands, bitsPerBand)
-      .withColumn("cosine", VectorOps.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", CosineSim.cosine(df.sparkSession, col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= cutoff)
       .select(col("id_a"), col("id_b"), col("cosine"))
     val bidir = pairs.unionAll(

@@ -35,8 +35,10 @@ object Dedup {
 
   /** Distinct-shingle set per document: (doc_id, shingle_set). */
   def shingleSets(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("shingle_set"))
+    graft.Cache.cached(spark, dir, s"shingle_sets_$n") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("shingle_set"))
+    }
 
   /** MinHash signature: sig[s] = min over shingles of xxhash64(shingle, s). */
   private def minhashSig(shingleSet: Column, numHashes: Int): Column =
@@ -53,9 +55,10 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
       numHashes: Int = 32, bands: Int = 8, minEstJaccard: Double = 0.2): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = shingleSets(spark, dir)
-      .select(col("doc_id"), minhashSig(col("shingle_set"), numHashes).as("sig"))
-      .localCheckpoint()
+    val sigs = graft.Cache.cached(spark, dir, s"minhash_sigs_$numHashes") {
+      shingleSets(spark, dir)
+        .select(col("doc_id"), minhashSig(col("shingle_set"), numHashes).as("sig"))
+    }
     // explode to (band_idx, band_hash, doc_id); bucket join per band
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -84,7 +87,7 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     val cand = minhashPairs(spark, dir, minEstJaccard = 0.0).select("id_a", "id_b")
-    val sets = shingleSets(spark, dir).localCheckpoint()
+    val sets = shingleSets(spark, dir)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))

@@ -3,9 +3,8 @@ package graft.graph
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
-
-/** FastRP (Fast Random Projection) node embeddings, matrix-free.
+/** FastRP (Fast Random Projection) node embeddings, matrix-free and
+  * columnar.
   *
   * Re-expresses the reference's GDS call
   * (`algorithms/Alg_KNN_FastRP.py:62-70`: fastRP.write with
@@ -23,20 +22,31 @@ import graft.functions.VectorOps
   *  3. final embedding = L2-normalised weighted sum of the per-iteration
   *     states (GDS default iterationWeights ≈ [0.0, 1.0, 1.0]).
   *
-  * Each step is one join + one map-side-combined groupBy on node id —
-  * linear in |E|, no driver state, no collect.
+  * Embeddings are laid out as `dim` WIDE DOUBLE COLUMNS (e0…e63), not an
+  * array: the propagation aggregate is then `dim` codegen'd `sum()`s with
+  * map-side partial aggregation — no per-row boxing, no UDAF, and the
+  * shuffle ships partial sums, not neighbour lists. Each step is one join
+  * + one groupBy on node id — linear in |E|, no driver state, no collect.
+  * The array form is materialised only in the final projection.
   */
 object FastRP {
 
   private val Sqrt3 = math.sqrt(3.0)
 
-  /** Deterministic sparse base vector as a Column expression. */
-  private def baseVector(nodeId: Column, dim: Int, seed: Int): Column = {
-    val idx = sequence(lit(0), lit(dim - 1))
-    transform(idx, j => {
-      val h = pmod(xxhash64(nodeId, j, lit(seed)), lit(6))
-      when(h === 0, lit(Sqrt3)).when(h === 1, lit(-Sqrt3)).otherwise(lit(0.0))
-    })
+  private def eCols(dim: Int): Seq[String] = (0 until dim).map(j => s"e$j")
+
+  /** Deterministic sparse base entry for dimension j. */
+  private def baseEntry(nodeId: Column, j: Int, seed: Int): Column = {
+    val h = pmod(xxhash64(nodeId, lit(j), lit(seed)), lit(6))
+    when(h === 0, lit(Sqrt3)).when(h === 1, lit(-Sqrt3)).otherwise(lit(0.0))
+  }
+
+  /** Two-step L2 normalisation over wide columns (norm computed once). */
+  private def normalized(df: DataFrame, dim: Int): DataFrame = {
+    val normSq = eCols(dim).map(c => col(c) * col(c)).reduce(_ + _)
+    df.withColumn("_norm", sqrt(normSq))
+      .select(col("node_id") +: eCols(dim).map(c =>
+        when(col("_norm") > 0, col(c) / col("_norm")).otherwise(lit(0.0)).as(c)): _*)
   }
 
   /** Compute embeddings for every node in `edges` (src, dst, weight).
@@ -45,43 +55,50 @@ object FastRP {
   def embed(edges: DataFrame, dim: Int = 64,
       iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0), seed: Int = 42): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node_id")).distinct()
+    val nodes = e.select(col("src").as("node_id")).distinct().localCheckpoint()
 
-    var state = nodes
-      .withColumn("emb", VectorOps.normalize(baseVector(col("node_id"), dim, seed)))
-      .localCheckpoint()
-    var combined = state.withColumn("acc",
-      if (iterationWeights.head == 0.0) transform(col("emb"), _ => lit(0.0))
-      else VectorOps.scale(col("emb"), lit(iterationWeights.head)))
+    var state = normalized(
+      nodes.select(col("node_id") +: eCols(dim).zipWithIndex.map {
+        case (c, j) => baseEntry(col("node_id"), j, seed).as(c)
+      }: _*), dim).localCheckpoint()
+
+    var combined = state.select(col("node_id") +: eCols(dim).map(c =>
+      (col(c) * iterationWeights.head).as(s"acc_$c")): _*)
 
     for (k <- 1 until iterationWeights.length) {
-      // weighted mean of neighbour embeddings, then L2 normalise
-      val msgs = e
-        .join(state.withColumnRenamed("node_id", "src"), Seq("src"))
-        .select(col("dst"), col("weight"), VectorOps.scale(col("emb"), col("weight")).as("wemb"))
+      val msgs = e.join(state.withColumnRenamed("node_id", "src"), Seq("src"))
       val agg = msgs
         .groupBy(col("dst").as("node_id"))
-        .agg(VectorOps.vecSum(dim)(col("wemb")).as("sum_emb"), sum(col("weight")).as("w"))
-        .select(col("node_id"),
-          VectorOps.normalize(transform(col("sum_emb"), v => v / col("w"))).as("emb"))
-      state = nodes.join(agg, Seq("node_id"), "left")
-        .select(col("node_id"),
-          coalesce(col("emb"), transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))).as("emb"))
+        .agg(sum(col("weight")).as("_w"),
+          eCols(dim).map(c => sum(col(c) * col("weight")).as(c)): _*)
+      val mean = agg.select(col("node_id") +: eCols(dim).map(c => (col(c) / col("_w")).as(c)): _*)
+      state = normalized(mean, dim)
+        .join(nodes, Seq("node_id"), "right")
+        .na.fill(0.0, eCols(dim))
         .localCheckpoint()
       val w = iterationWeights(k)
-      combined = combined.drop("emb").join(state, Seq("node_id"))
-        .withColumn("acc", zip_with(col("acc"), col("emb"), (a, b) => a + b * lit(w)))
+      combined = combined.join(state, Seq("node_id"))
+        .select(col("node_id") +: eCols(dim).map(c =>
+          (col(s"acc_$c") + col(c) * w).as(s"acc_$c")): _*)
     }
-    combined.select(col("node_id"), VectorOps.normalize(col("acc")).as("embedding"))
+
+    // final L2 normalise + pack into an array column
+    val accNormSq = eCols(dim).map(c => col(s"acc_$c") * col(s"acc_$c")).reduce(_ + _)
+    combined.withColumn("_norm", sqrt(accNormSq))
+      .select(col("node_id"),
+        array(eCols(dim).map(c =>
+          when(col("_norm") > 0, col(s"acc_$c") / col("_norm")).otherwise(lit(0.0))): _*)
+          .as("embedding"))
   }
 
   /** FastRP embeddings for the USER side of the bipartite ratings graph
     * (the reference writes embeddings to all nodes, then runs KNN over
-    * users only — `Alg_KNN_FastRP.py:83-97`). */
+    * users only — `Alg_KNN_FastRP.py:83-97`). Session-cached. */
   def userEmbeddings(spark: org.apache.spark.sql.SparkSession, dir: String,
       dim: Int = 64): DataFrame =
-    embed(Algorithms.bipartiteEdges(spark, dir), dim)
-      .filter(pmod(col("node_id"), lit(2)) === 0)
-      .select((col("node_id") / 2).cast("bigint").as("user_id"), col("embedding"))
+    graft.Cache.cached(spark, dir, s"fastrp_user_$dim") {
+      embed(Algorithms.bipartiteEdges(spark, dir), dim)
+        .filter(pmod(col("node_id"), lit(2)) === 0)
+        .select((col("node_id") / 2).cast("bigint").as("user_id"), col("embedding"))
+    }
 }

@@ -38,11 +38,14 @@ object RatingsGraph {
     ratingEvents(spark, dir).filter(col("rating") =!= 0)
 
   /** The RATED edge table: MERGE-dedup per (user, book), keep max rating.
-    * Reference `data/load_data.py:48-61` (MERGE + SET r.rating). */
+    * Reference `data/load_data.py:48-61` (MERGE + SET r.rating).
+    * Session-cached: ~20 downstream queries reuse it. */
   def ratings(spark: SparkSession, dir: String): DataFrame =
-    filteredEvents(spark, dir)
-      .groupBy(col("user_id"), col("book_id"))
-      .agg(max(col("rating")).as("rating"))
+    graft.Cache.cached(spark, dir, "ratings") {
+      filteredEvents(spark, dir)
+        .groupBy(col("user_id"), col("book_id"))
+        .agg(max(col("rating")).as("rating"))
+    }
 
   /** Users that appear in the filtered ratings (reference
     * `data/user_books_filtering.py:22-33`) — left-semi join keeps the
@@ -71,14 +74,15 @@ object RatingsGraph {
     * handling splits hot books. For 100 TB a degree cap (top-N raters per
     * book) bounds the quadratic term; kept full here for reference parity.
     */
-  def cooccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
-    val liked = ratings(spark, dir).filter(col("rating") >= 6)
-      .select(col("user_id"), col("book_id"))
-    val a = liked.select(col("user_id").as("u1"), col("book_id"))
-    val b = liked.select(col("user_id").as("u2"), col("book_id"))
-    a.join(b, Seq("book_id"))
-      .filter(col("u1") =!= col("u2"))
-      .groupBy(col("u1"), col("u2"))
-      .agg(count(lit(1)).as("weight"))
-  }
+  def cooccurrenceEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "cooccurrence") {
+      val liked = ratings(spark, dir).filter(col("rating") >= 6)
+        .select(col("user_id"), col("book_id"))
+      val a = liked.select(col("user_id").as("u1"), col("book_id"))
+      val b = liked.select(col("user_id").as("u2"), col("book_id"))
+      a.join(b, Seq("book_id"))
+        .filter(col("u1") =!= col("u2"))
+        .groupBy(col("u1"), col("u2"))
+        .agg(count(lit(1)).as("weight"))
+    }
 }

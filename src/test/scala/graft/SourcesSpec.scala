@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraphStore
+
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("csv reader: latin-1 + empty-string null semantics") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("users.csv")
+    // latin-1 bytes incl. 0xE9 (é)
+    Files.write(f, "id,location,age\n1,Montréal,30\n2,,\n".getBytes("ISO-8859-1"))
+    val df = GraphStore.readCsv(spark, f.toString)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "Montréal")
+    assert(rows(1).getString(1) == "")   // missing → empty string, not null
+  }
+
+  test("graph store round-trips nodes and edges through parquet") {
+    val out = Files.createTempDirectory("graft-store").toString
+    val stats = GraphStore.saveGraph(spark, sf, out).head()
+    val nUsers = stats.getLong(0)
+    val nBooks = stats.getLong(1)
+    val nEdges = stats.getLong(2)
+    assert(nUsers > 0 && nBooks > 0 && nEdges >= nUsers)
+    // reopened edge table matches the in-memory edge table exactly
+    val reread = spark.read.parquet(s"$out/edges_rated")
+    val orig = graph.RatingsGraph.ratings(spark, sf)
+    assert(reread.count() == orig.count())
+    assert(reread.exceptAll(orig).isEmpty && orig.exceptAll(reread).isEmpty)
+  }
+}
