@@ -37,17 +37,22 @@ object Lsh {
     withBands
   }
 
-  /** Candidate pairs (a < b) that share at least one band bucket. */
+  /** Candidate pairs (a < b) that share at least one band bucket.
+    * One posexplode + one self-join on (band_idx, bucket) — a single
+    * shuffle regardless of band count (vs one join per band). */
   def candidatePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int = 6, bitsPerBand: Int = 8, seed: Int = 7): DataFrame = {
     val sig = withBuckets(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "vec", dim, bands, bitsPerBand, seed).localCheckpoint()
-    (0 until bands).map { b =>
-      val l = sig.select(col("id").as("id_a"), col("vec").as("vec_a"), col(s"band_$b").as("bkt"))
-      val r = sig.select(col("id").as("id_b"), col("vec").as("vec_b"), col(s"band_$b").as("bkt"))
-      l.join(r, Seq("bkt")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
-    }.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+      "vec", dim, bands, bitsPerBand, seed)
+    val banded = sig.select(col("id"), col("vec"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+      .select(col("id"), col("vec"), col("pos").as("band_idx"), col("col").as("bkt"))
+      .localCheckpoint()
+    val l = banded.select(col("band_idx"), col("bkt"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = banded.select(col("band_idx"), col("bkt"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("band_idx", "bkt")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Near-duplicate pairs by cosine threshold, LSH-accelerated. */

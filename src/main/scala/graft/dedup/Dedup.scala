@@ -106,13 +106,20 @@ object Dedup {
     val nBits = 48
     val bandBits = 12
     val nBands = nBits / bandBits
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("token_hashes"))
-    val sim = toks.select(col("doc_id"),
-        expr(s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) -> acc +
-          IF(aggregate(token_hashes, 0L,
-               (s, h) -> s + IF((h >> j) & 1 = 1, 1L, -1L)) >= 0,
-             shiftleft(1L, j), 0L))""").as("simhash"))
+    // explode to one row per token, then nBits codegen'd conditional sums
+    // (map-side combined) — the columnar formulation of the ±1 bit vote;
+    // the nested fold-over-fold expression form is ~10× slower.
+    val tokenRows = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitVotes = tokenRows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n"),
+        (0 until nBits).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")): _*)
+    val sim = bitVotes.select(col("doc_id"),
+        (0 until nBits).map(j =>
+          when(coalesce(col(s"b$j"), lit(0)) >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .localCheckpoint()
     val banded = sim.select(col("doc_id"), col("simhash"),
         posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +

@@ -38,6 +38,7 @@ object Algorithms {
     val bidir = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = bidir.select(col("src").as("node_id"))
       .distinct()
@@ -71,6 +72,7 @@ object Algorithms {
     * and results deterministic at any scale. */
   def labelPropagation(weightedEdges: DataFrame, iterations: Int = 5): DataFrame = {
     val edges = weightedEdges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node_id")).distinct()
       .withColumn("label", col("node_id"))
@@ -103,6 +105,7 @@ object Algorithms {
     val outW = e.groupBy("src").agg(sum(col("weight")).as("out_w"))
     val norm = e.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
+      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node_id"))
       .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
