@@ -48,6 +48,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "recommend_knn_embedding" -> ((s, d) => Recommend.recommendKnnEmbedding(s, d)),
     // — Iterative graph algorithms (rows-only oracle; spec-verified) —
     "communities_lpa" -> ((s, d) =>
       graft.graph.Algorithms.labelPropagation(
@@ -363,6 +365,15 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY content_hash""".stripMargin,
+
+    "token_counts" ->
+      """SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+        |  CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens,
+        |  CAST(CEIL(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) * 1.3) AS BIGINT) AS est_llm_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -124,6 +124,30 @@ object Recommend {
       .orderBy(col("edge_type"), col("src"), col("dst"))
   }
 
+  /** The reference's actual KNN recommendation path
+    * (`Alg_KNN_FastRP.py:119-136`): FastRP embeddings → cosine KNN
+    * SIMILAR_TO edges → books of similar users, anti-join already-rated,
+    * avg rating + votes, top-k. Embedding-based, so rows-only oracle. */
+  def recommendKnnEmbedding(spark: SparkSession, dir: String, user: Long = TargetUser,
+      topK: Int = 20, cutoff: Double = 0.1, k: Int = 10): DataFrame = {
+    val simEdges = graft.ann.Lsh.knnEdges(
+      graft.graph.FastRP.userEmbeddings(spark, dir),
+      "user_id", "embedding", 64, topK, cutoff)
+    val sims = simEdges.filter(col("src") === user).select(col("dst").as("user_id"))
+    val ratings = RatingsGraph.ratings(spark, dir)
+    val mine = ratings.filter(col("user_id") === user).select(col("book_id"))
+    ratings
+      .join(broadcast(sims), Seq("user_id"))
+      .join(broadcast(mine), Seq("book_id"), "left_anti")
+      .groupBy(col("book_id"))
+      .agg((sum(col("rating")).cast("double") / count(lit(1))).as("avg_rating"),
+        count(lit(1)).as("votes"))
+      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
+      .select(col("book_id"), col("title"), col("avg_rating"), col("votes"))
+      .orderBy(col("avg_rating").desc, col("votes").desc, col("book_id"))
+      .limit(k)
+  }
+
   /** Top-k users by rating-degree (degree centrality on the bipartite
     * graph; the reference surfaces degree implicitly through its viz). */
   def degreeTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =

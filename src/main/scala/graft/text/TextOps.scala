@@ -52,6 +52,22 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
 
+  /** BPE-style pre-tokenisation counts: the GPT-2-ish split into letter
+    * runs, digit runs, and punctuation runs (the standard proxy for
+    * budgeting token counts over a corpus before real BPE). The regex is
+    * RE2-compatible so the DuckDB oracle applies the identical pattern. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+', 0)"))
+          .cast("bigint").as("n_bpe_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("bigint").as("n_word_tokens"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("bigint").as("n_number_tokens"))
+      .withColumn("est_llm_tokens",
+        // rough chars-per-token heuristic on top of the pre-token count
+        ceil(col("n_bpe_tokens") * lit(1.3)).cast("bigint"))
+      .orderBy(col("doc_id"))
+
   /** Stopword lists for the n-gram-free language-ID heuristic. Real
     * deployments plug fastText-style models in via the same shape. */
   private val StopWords: Map[String, Seq[String]] = Map(
