@@ -49,6 +49,7 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "recommend_knn_embedding" -> ((s, d) => Recommend.recommendKnnEmbedding(s, d)),
     // — Iterative graph algorithms (rows-only oracle; spec-verified) —
     "communities_lpa" -> ((s, d) =>
@@ -365,6 +366,17 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY content_hash""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  quantile_cont(n_chars, 0.5) AS median_chars,
+        |  quantile_cont(n_chars, 0.95) AS p95_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "token_counts" ->
       """SELECT doc_id,

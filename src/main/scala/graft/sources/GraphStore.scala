@@ -39,6 +39,21 @@ object GraphStore {
     loadGraphStats(spark, outDir)
   }
 
+  /** Persist the ratings edges as a BUCKETED table: co-located by
+    * user_id so downstream per-user joins/aggregations read
+    * pre-partitioned data with no Exchange. This is the 100 TB layout
+    * for the graph edge table (bucket count scales with cluster size;
+    * 8 here for local verification). Returns the reopened table. */
+  def saveBucketed(spark: SparkSession, dir: String, table: String = "graft_edges_bucketed",
+      buckets: Int = 8): DataFrame = {
+    import graft.graph.RatingsGraph
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    RatingsGraph.ratings(spark, dir)
+      .write.bucketBy(buckets, "user_id").sortBy("user_id")
+      .format("parquet").saveAsTable(table)
+    spark.table(table)
+  }
+
   /** Re-open a stored graph and report its cardinalities (the MERGE
     * constraint sanity check of `data/load_data.py:95-101`). */
   def loadGraphStats(spark: SparkSession, outDir: String): DataFrame = {

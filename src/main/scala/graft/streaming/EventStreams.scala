@@ -82,6 +82,15 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact-dedup: drop repeated event_ids inside the
+    * watermark horizon (at-least-once source → exactly-once sink
+    * semantics). State is bounded by the watermark — the streaming
+    * member of the dedup suite. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Convenience: the events table of a sf dir as a typed Dataset. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

@@ -93,6 +93,22 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source corpus profile: doc counts, language diversity, exact
+    * length percentiles (linear interpolation — matches SQL
+    * quantile_cont), total volume. The pre-training "what's in this
+    * source" report. At 100 TB the percentiles switch to
+    * `approx_percentile` — same query shape, sketch-mergeable. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"),
+        expr("percentile(n_chars, 0.95)").as("p95_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.olap.Skew
+import graft.sources.GraphStore
+
+class ScaleToolsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a skewed dataset") {
+    // hot key: 90% of left rows share key 1
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (6L, "c")).toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "tag")
+    val salted = Skew.saltedJoin(big, small, "k").select("k", "payload", "tag")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("hotKeys surfaces the dominant key with its share") {
+    val df = (1 to 100).map(i => if (i <= 60) 7L else i.toLong).toDF("k")
+    val top = Skew.hotKeys(df, "k", 1).head()
+    assert(top.getLong(0) == 7L && top.getLong(1) == 60L)
+    assert(math.abs(top.getDouble(2) - 0.6) < 1e-12)
+  }
+
+  test("bucketed edge table: per-user aggregation plans without Exchange") {
+    val t = GraphStore.saveBucketed(spark, sf, "graft_test_bucketed", buckets = 4)
+    val agg = t.groupBy("user_id").agg(count(lit(1)).as("degree"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed aggregation still shuffles:\n$plan")
+    // and the data round-trips
+    val orig = graph.RatingsGraph.ratings(spark, sf)
+    assert(t.count() == orig.count())
+    spark.sql("DROP TABLE IF EXISTS graft_test_bucketed")
+  }
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val day = 86400000L
+    def ev(id: Long, min: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(day + min * 60000L), 1L, "click", 1.0)
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(ev(1, 1), ev(2, 2), ev(1, 3), ev(3, 4), ev(2, 4))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+}
