@@ -35,6 +35,7 @@ object SparkEntry {
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
     "users_in_large_groups" -> ((s, d) => Recommend.usersInLargeGroups(s, d)),
     "graph_neighborhood" -> ((s, d) => Recommend.graphNeighborhood(s, d)),
+    "similar_books_cooc" -> ((s, d) => Recommend.similarBooksCooc(s, d)),
     // — OLAP core —
     "q1_agg" -> ((s, d) => Olap.q1Agg(s, d)),
     "q3_topk_join" -> ((s, d) => Olap.q3TopkJoin(s, d)),
@@ -195,6 +196,18 @@ object SparkEntry {
          |WHERE r.book_id NOT IN (SELECT book_id FROM mine)
          |GROUP BY r.book_id, p.p_name
          |ORDER BY avg_rating DESC, votes DESC, r.book_id LIMIT 3""".stripMargin,
+
+    "similar_books_cooc" ->
+      s"""$RatingsCte, liked AS (
+         |  SELECT user_id, book_id FROM ratings WHERE rating >= 6
+         |), seed AS (SELECT user_id FROM liked WHERE book_id = 1)
+         |SELECT l.book_id, p.p_name AS title, COUNT(*) AS co_liked
+         |FROM liked l
+         |JOIN seed s ON l.user_id = s.user_id
+         |JOIN part p ON l.book_id = p.p_partkey
+         |WHERE l.book_id <> 1
+         |GROUP BY l.book_id, p.p_name
+         |ORDER BY co_liked DESC, l.book_id LIMIT 10""".stripMargin,
 
     "recommend_community" ->
       s"""$RatingsCte, users AS (

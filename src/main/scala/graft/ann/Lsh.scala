@@ -17,12 +17,25 @@ import graft.plans.CosineSim
   */
 object Lsh {
 
+  /** Deterministic ±1 hyperplane entry via splitmix64 — computed ONCE on
+    * the driver per (bit, dim) and shipped as literals, not re-hashed
+    * per row (the naive xxhash-in-lambda form costs bits×dim hashes per
+    * row). */
+  private def hyperplane(bit: Int, dim: Int, seed: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      var z = seed.toLong * 0x9E3779B97F4A7C15L + (bit.toLong << 32) + j
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
   /** Sign bit of vec · hyperplane(bit) as 0/1. */
   private def signBit(vec: Column, bit: Int, dim: Int, seed: Int): Column = {
-    val hp = zip_with(vec, sequence(lit(0), lit(dim - 1)),
-      (v, j) => v.cast("double") *
-        when(pmod(xxhash64(lit(bit), j, lit(seed)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
-    when(aggregate(hp, lit(0.0), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L))
+    val hp = array(hyperplane(bit, dim, seed).map(lit): _*)
+    val dot = aggregate(zip_with(vec, hp, (v, h) => v.cast("double") * h),
+      lit(0.0), (acc, x) => acc + x)
+    when(dot >= 0, lit(1L)).otherwise(lit(0L))
   }
 
   /** Add `bands` bucket columns (band_0 … band_{n-1}) to (id, vec). */
@@ -42,17 +55,21 @@ object Lsh {
     * shuffle regardless of band count (vs one join per band). */
   def candidatePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int = 6, bitsPerBand: Int = 8, seed: Int = 7): DataFrame = {
-    val sig = withBuckets(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "vec", dim, bands, bitsPerBand, seed)
-    val banded = sig.select(col("id"), col("vec"),
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec")).localCheckpoint()
+    val sig = withBuckets(base, "vec", dim, bands, bitsPerBand, seed)
+    // ids-only through the band self-join and dedup (the shuffles), then
+    // attach the vectors once to the much smaller surviving pair set
+    val banded = sig.select(col("id"),
         posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
-      .select(col("id"), col("vec"), col("pos").as("band_idx"), col("col").as("bkt"))
+      .select(col("id"), col("pos").as("band_idx"), col("col").as("bkt"))
       .localCheckpoint()
-    val l = banded.select(col("band_idx"), col("bkt"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = banded.select(col("band_idx"), col("bkt"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val l = banded.select(col("band_idx"), col("bkt"), col("id").as("id_a"))
+    val r = banded.select(col("band_idx"), col("bkt"), col("id").as("id_b"))
     l.join(r, Seq("band_idx", "bkt")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
   }
 
   /** Near-duplicate pairs by cosine threshold, LSH-accelerated. */
@@ -75,10 +92,9 @@ object Lsh {
       .select(col("id_a"), col("id_b"), col("cosine"))
     val bidir = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
-    bidir.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
+    // custom bounded-heap operator: no per-partition sort, O(nodes × k) state
+    graft.plans.TopKPerKey.topKPerKey(bidir, Seq("id_a"),
+        Seq(("cosine", false), ("id_b", true)), topK)
       .select(col("id_a").as("src"), col("id_b").as("dst"),
         round(col("cosine"), 6).as("similarity"))
   }

@@ -124,6 +124,24 @@ object Recommend {
       .orderBy(col("edge_type"), col("src"), col("dst"))
   }
 
+  /** Item-item collaborative filtering: books most co-liked with a given
+    * book (the "users who liked this also liked" shape — the item-side
+    * twin of the user co-occurrence projection). */
+  def similarBooksCooc(spark: SparkSession, dir: String, book: Long = 1L, k: Int = 10): DataFrame = {
+    val liked = RatingsGraph.ratings(spark, dir).filter(col("rating") >= 6)
+      .select(col("user_id"), col("book_id"))
+    val seed = liked.filter(col("book_id") === book).select(col("user_id"))
+    liked
+      .join(broadcast(seed), Seq("user_id"))
+      .filter(col("book_id") =!= book)
+      .groupBy(col("book_id"))
+      .agg(count(lit(1)).as("co_liked"))
+      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
+      .select(col("book_id"), col("title"), col("co_liked"))
+      .orderBy(col("co_liked").desc, col("book_id"))
+      .limit(k)
+  }
+
   /** The reference's actual KNN recommendation path
     * (`Alg_KNN_FastRP.py:119-136`): FastRP embeddings → cosine KNN
     * SIMILAR_TO edges → books of similar users, anti-join already-rated,
