@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** DataFrame-iterative graph algorithms over (nodes, edges) tables —
   * the Spark-native re-expression of the reference's GDS calls
@@ -39,7 +40,7 @@ object Algorithms {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = bidir.select(col("src").as("node_id"))
       .distinct()
       .withColumn("component", col("node_id"))
@@ -62,6 +63,7 @@ object Algorithms {
       converged = changed == 0
       i += 1
     }
+    bidir.unpersist(blocking = false)
     labels
   }
 
@@ -73,7 +75,7 @@ object Algorithms {
   def labelPropagation(weightedEdges: DataFrame, iterations: Int = 5): DataFrame = {
     val edges = weightedEdges.select(col("src"), col("dst"), col("weight").cast("double"))
       .repartition(col("dst"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node_id")).distinct()
       .withColumn("label", col("node_id"))
       .localCheckpoint()
@@ -95,6 +97,7 @@ object Algorithms {
         .select(col("node_id"), coalesce(col("label"), col("old_label")).as("label"))
         .localCheckpoint()
     }
+    edges.unpersist(blocking = false)
     labels
   }
 
@@ -103,10 +106,12 @@ object Algorithms {
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
     val outW = e.groupBy("src").agg(sum(col("weight")).as("out_w"))
+    // persist (NOT localCheckpoint): keeps the repartition(src) metadata
+    // in the plan, so the per-iteration join only shuffles the ranks side
     val norm = e.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
       .repartition(col("src"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node_id"))
       .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
@@ -115,11 +120,13 @@ object Algorithms {
         .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
         .groupBy(col("dst").as("node_id"))
         .agg(sum(col("share") * col("rank")).as("in_rank"))
-      ranks = nodes.join(contribs, Seq("node_id"), "left")
+      val next = nodes.join(contribs, Seq("node_id"), "left")
         .select(col("node_id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
         .localCheckpoint()
+      ranks = next
     }
+    norm.unpersist(blocking = false)
     ranks
   }
 }
