@@ -43,6 +43,8 @@ object SparkEntry {
     "window_rank" -> ((s, d) => Olap.windowRank(s, d)),
     "events_windowed_agg" -> ((s, d) => Olap.eventsWindowedAgg(s, d)),
     "events_sessionize" -> ((s, d) => Olap.eventsSessionize(s, d)),
+    "asof_join" -> ((s, d) => Olap.asofJoinEventsOrders(s, d)),
+    "min_price_per_part" -> ((s, d) => Olap.minPricePerPart(s, d)),
     // — Text / dedup / multimodal —
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
@@ -314,6 +316,30 @@ object SparkEntry {
         |)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+
+    "asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS t,
+        |         MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts >= o.t
+        |ORDER BY e.event_id""".stripMargin,
+
+    "min_price_per_part" ->
+      """SELECT l_partkey AS book_id, l_orderkey AS min_orderkey,
+        |       l_extendedprice AS min_price
+        |FROM (
+        |  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem
+        |)
+        |WHERE rk = 1
+        |ORDER BY book_id""".stripMargin,
 
     "events_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

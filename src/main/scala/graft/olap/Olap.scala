@@ -115,6 +115,51 @@ object Olap {
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** As-of join: for every event, the customer's most recent order at or
+    * before the event time. Spark has no native ASOF JOIN; the scalable
+    * composition is the union-of-streams trick — tag both inputs, sort
+    * per user by (time, order-first), and carry the last seen order
+    * forward with `last_value(ignoreNulls)`. One shuffle on user id, no
+    * range explosion (vs the naive inequality join, which is O(n×m) per
+    * user). DuckDB's native ASOF JOIN is the oracle. */
+  def asofJoinEventsOrders(spark: SparkSession, dir: String): DataFrame = {
+    // dedup orders to one per (customer, date) — max orderkey — so the
+    // as-of pick at equal timestamps is well-defined in both engines
+    val ord = orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+        col("o_orderkey"), lit(1).as("is_order"),
+        lit(null).cast("bigint").as("event_id"))
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts").as("t"),
+        lit(null).cast("bigint").as("o_orderkey"), lit(0).as("is_order"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_order").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionAll(ev)
+      .withColumn("last_order", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("event_id"), col("user_id"), col("last_order").as("o_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Argmin-per-group (TPC-H Q2 shape): for every part, the lineitem
+    * achieving the minimum extended price (ties → smallest orderkey) —
+    * the correlated-subquery pattern, decorrelated into one window pass. */
+  def minPricePerPart(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_partkey").as("book_id"), col("l_orderkey").as("min_orderkey"),
+        col("l_extendedprice").as("min_price"))
+      .orderBy(col("book_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity) via lag + running sum —
     * the batch analog of the flatMapGroupsWithState streaming session
     * operator. Emits one row per (user, session). */
