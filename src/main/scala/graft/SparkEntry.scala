@@ -45,6 +45,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Olap.eventsSessionize(s, d)),
     "asof_join" -> ((s, d) => Olap.asofJoinEventsOrders(s, d)),
     "min_price_per_part" -> ((s, d) => Olap.minPricePerPart(s, d)),
+    "events_attribution" -> ((s, d) => Olap.eventsAttribution(s, d)),
     // — Text / dedup / multimodal —
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
@@ -328,6 +329,27 @@ object SparkEntry {
         |ASOF LEFT JOIN ord o
         |  ON e.user_id = o.user_id AND e.ts >= o.t
         |ORDER BY e.event_id""".stripMargin,
+
+    "events_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS t
+        |  FROM events
+        |), purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, t AS pt FROM ev
+        |  WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT event_id AS click_id, user_id, t AS ct FROM ev
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT p.purchase_id, p.user_id,
+        |  COUNT(c.click_id) AS n_clicks,
+        |  MAX(c.click_id) AS last_click_id
+        |FROM purchases p
+        |LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id
+        | AND c.ct <= p.pt AND c.ct >= p.pt - INTERVAL 30 MINUTE
+        |GROUP BY p.purchase_id, p.user_id
+        |ORDER BY p.purchase_id""".stripMargin,
 
     "min_price_per_part" ->
       """SELECT l_partkey AS book_id, l_orderkey AS min_orderkey,

@@ -160,6 +160,32 @@ object Olap {
       .orderBy(col("book_id"))
   }
 
+  /** Click→purchase attribution: for every purchase, the number of
+    * clicks by the same user in the preceding 30 minutes, and the most
+    * recent such click. The batch analog of the stream-stream interval
+    * join ([[graft.streaming.EventStreams.attributionJoin]]).
+    * Timestamps are second-truncated before comparison so the µs-vs-ns
+    * parquet precision difference can't flip boundary pairs. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t").as("pt"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("t").as("ct"))
+    purchases
+      .join(clicks,
+        purchases("user_id") === clicks("user_id") &&
+          col("ct") <= col("pt") &&
+          col("ct") >= col("pt") - expr("INTERVAL 30 MINUTES"),
+        "left")
+      .groupBy(col("purchase_id"), purchases("user_id").as("user_id"))
+      .agg(count(col("click_id")).as("n_clicks"),
+        max(col("click_id")).as("last_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity) via lag + running sum —
     * the batch analog of the flatMapGroupsWithState streaming session
     * operator. Emits one row per (user, session). */

@@ -82,6 +82,31 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-stream interval join: purchases attributed to same-user
+    * clicks in the preceding `windowMinutes`. Both sides carry
+    * watermarks so Spark can bound the join state; the time-range
+    * predicate gives the state eviction horizon. Batch analog (same
+    * semantics, oracle-checked): [[graft.olap.Olap.eventsAttribution]]. */
+  def attributionJoin(events: org.apache.spark.sql.DataFrame,
+      windowMinutes: Int = 30): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pt"))
+      .withWatermark("pt", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("ct"))
+      .withWatermark("ct", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("ct") <= col("pt") &&
+        col("ct") >= col("pt") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"),
+        col("pt"), col("ct"))
+  }
+
   /** Streaming exact-dedup: drop repeated event_ids inside the
     * watermark horizon (at-least-once source → exactly-once sink
     * semantics). State is bounded by the watermark — the streaming

@@ -71,6 +71,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val evs = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "purchase", 9.0),   // click 1 within 30 min
+      Event(3, ts(50), 1, "purchase", 5.0),   // click 1 is 50 min old → no match
+      Event(4, ts(45), 2, "click", 1.0),
+      Event(5, ts(60), 2, "purchase", 7.0),   // click 4 within 30 min
+      Event(6, ts(400), 3, "click", 0.0))     // advance watermark
+    input.addData(evs: _*)
+    val q = EventStreams.attributionJoin(input.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 1L), (5L, 4L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val f1 = multimodal.Multimodal.mediaFeatures(spark, sf)
     assert(f1.columns.toSeq == Seq("doc_id", "modality", "byte_len",
