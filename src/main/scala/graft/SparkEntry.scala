@@ -63,6 +63,14 @@ object SparkEntry {
             org.apache.spark.sql.functions.col("u2").as("dst"),
             org.apache.spark.sql.functions.col("weight")))
         .orderBy("node_id")),
+    "community_modularity" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val edges = RatingsGraph.cooccurrenceEdges(s, d)
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+      val labels = graft.graph.Algorithms.labelPropagation(edges)
+      graft.graph.Algorithms.modularity(edges, labels)
+        .select(col("n_communities"), round(col("modularity"), 6).as("modularity"))
+    }),
     "connected_components" -> ((s, d) =>
       graft.graph.Algorithms.connectedComponents(
         graft.graph.Algorithms.bipartiteEdges(s, d))

@@ -101,6 +101,30 @@ object Algorithms {
     labels
   }
 
+  /** Newman modularity Q of a community assignment over a weighted
+    * graph (edges given in both directions). The reference's Louvain
+    * call reports exactly this metric
+    * (`Alg_Community_Detection.py:40-50`: YIELD communityCount,
+    * modularity). Q = Σ_c (e_c/m − (a_c/m)²) with e_c = in-community
+    * weight, a_c = community degree, m = total weight. Two joins + two
+    * aggregations — no iteration. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+    val withLabels = e
+      .join(labels.select(col("node_id").as("src"), col("label").as("src_label")), Seq("src"))
+      .join(labels.select(col("node_id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+    val m = withLabels.agg(sum(col("weight"))).head().getDouble(0)
+    val perCommunity = withLabels
+      .groupBy(col("src_label").as("community"))
+      .agg(
+        sum(when(col("src_label") === col("dst_label"), col("weight")).otherwise(0.0)).as("e_in"),
+        sum(col("weight")).as("degree_w"))
+    perCommunity
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("e_in") / m - (col("degree_w") / m) * (col("degree_w") / m)).as("modularity"))
+  }
+
   /** PageRank by bounded power iteration (damping 0.85). Works on the
     * directed edge list; weight-proportional distribution. */
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {

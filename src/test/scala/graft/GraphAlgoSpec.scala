@@ -37,6 +37,22 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(labels(1L) != labels(4L), s"bridge merged the cliques: $labels")
   }
 
+  test("modularity: clique pair scores high, random labels score ~0") {
+    def clique(ids: Seq[Long], w: Double) =
+      for { a <- ids; b <- ids if a != b } yield (a, b, w)
+    val edges = (clique(Seq(1L, 2L, 3L), 5.0) ++ clique(Seq(4L, 5L, 6L), 5.0) ++
+      Seq((3L, 4L, 0.1), (4L, 3L, 0.1))).toDF("src", "dst", "weight")
+    val goodLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node_id", "label")
+    val oneBlob = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node_id", "label")
+    val qGood = Algorithms.modularity(edges, goodLabels).head().getDouble(1)
+    val qBlob = Algorithms.modularity(edges, oneBlob).head().getDouble(1)
+    assert(qGood > 0.4, s"qGood=$qGood")
+    assert(qBlob < 1e-9, s"qBlob=$qBlob")
+    assert(qGood > qBlob)
+  }
+
   test("pageRank: star graph centre outranks leaves; ranks deterministic") {
     val edges = (Seq((1L, 99L, 1.0), (2L, 99L, 1.0), (3L, 99L, 1.0)) ++
       Seq((99L, 1L, 1.0), (99L, 2L, 1.0), (99L, 3L, 1.0)))
