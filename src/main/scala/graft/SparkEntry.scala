@@ -57,18 +57,13 @@ object SparkEntry {
     "recommend_knn_embedding" -> ((s, d) => Recommend.recommendKnnEmbedding(s, d)),
     // — Iterative graph algorithms (rows-only oracle; spec-verified) —
     "communities_lpa" -> ((s, d) =>
-      graft.graph.Algorithms.labelPropagation(
-        RatingsGraph.cooccurrenceEdges(s, d)
-          .select(org.apache.spark.sql.functions.col("u1").as("src"),
-            org.apache.spark.sql.functions.col("u2").as("dst"),
-            org.apache.spark.sql.functions.col("weight")))
-        .orderBy("node_id")),
+      graft.graph.Algorithms.userCommunities(s, d).orderBy("node_id")),
     "community_modularity" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val edges = RatingsGraph.cooccurrenceEdges(s, d)
         .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
-      val labels = graft.graph.Algorithms.labelPropagation(edges)
-      graft.graph.Algorithms.modularity(edges, labels)
+      graft.graph.Algorithms.modularity(edges,
+          graft.graph.Algorithms.userCommunities(s, d))
         .select(col("n_communities"), round(col("modularity"), 6).as("modularity"))
     }),
     "connected_components" -> ((s, d) =>
@@ -87,9 +82,7 @@ object SparkEntry {
     "fastrp_embeddings" -> ((s, d) => graft.graph.FastRP.userEmbeddings(s, d)
       .orderBy("user_id")),
     "knn_similar_edges" -> ((s, d) =>
-      graft.ann.Lsh.knnEdges(graft.graph.FastRP.userEmbeddings(s, d),
-        "user_id", "embedding", 64, topK = 20, cutoff = 0.1)
-        .orderBy("src", "dst")),
+      graft.graph.Algorithms.userKnnEdges(s, d).orderBy("src", "dst")),
     // — Dedup suite (rows-only oracle; spec-verified) —
     "dedup_minhash_pairs" -> ((s, d) => graft.dedup.Dedup.minhashPairs(s, d)),
     "ngram_jaccard_pairs" -> ((s, d) => graft.dedup.Dedup.ngramJaccardPairs(s, d)),

@@ -101,6 +101,24 @@ object Algorithms {
     labels
   }
 
+  /** User communities on the co-occurrence graph, session-cached —
+    * shared by the communities query, the modularity metric, and any
+    * community-based recommender. */
+  def userCommunities(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "lpa_communities") {
+      labelPropagation(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+    }
+
+  /** KNN SIMILAR_TO edges over the FastRP user embeddings,
+    * session-cached (reference `Alg_KNN_FastRP.py:99-116`). */
+  def userKnnEdges(spark: SparkSession, dir: String,
+      topK: Int = 20, cutoff: Double = 0.1): DataFrame =
+    graft.Cache.cached(spark, dir, s"knn_edges_${topK}_$cutoff") {
+      graft.ann.Lsh.knnEdges(FastRP.userEmbeddings(spark, dir),
+        "user_id", "embedding", 64, topK, cutoff)
+    }
+
   /** Newman modularity Q of a community assignment over a weighted
     * graph (edges given in both directions). The reference's Louvain
     * call reports exactly this metric

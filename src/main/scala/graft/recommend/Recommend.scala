@@ -12,8 +12,9 @@ import graft.graph.RatingsGraph
   *
   * "Community" here is the SQL-checkable community attribute (the user's
   * nation key, carried as `community` on activeUsers); the learned
-  * Louvain-class communities live in [[graft.graph.Communities]] and feed
-  * the same query shapes.
+  * Louvain-class communities live in
+  * [[graft.graph.Algorithms.userCommunities]] and feed the same query
+  * shapes.
   */
 object Recommend {
 
@@ -148,9 +149,7 @@ object Recommend {
     * avg rating + votes, top-k. Embedding-based, so rows-only oracle. */
   def recommendKnnEmbedding(spark: SparkSession, dir: String, user: Long = TargetUser,
       topK: Int = 20, cutoff: Double = 0.1, k: Int = 10): DataFrame = {
-    val simEdges = graft.ann.Lsh.knnEdges(
-      graft.graph.FastRP.userEmbeddings(spark, dir),
-      "user_id", "embedding", 64, topK, cutoff)
+    val simEdges = graft.graph.Algorithms.userKnnEdges(spark, dir, topK, cutoff)
     val sims = simEdges.filter(col("src") === user).select(col("dst").as("user_id"))
     val ratings = RatingsGraph.ratings(spark, dir)
     val mine = ratings.filter(col("user_id") === user).select(col("book_id"))
