@@ -48,14 +48,14 @@ object Algorithms {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label for each node = min over (self, neighbours' labels)
-      val neighbourMin = bidir
+      // candidate label = min over (self, neighbours' labels); the self
+      // rows ride the same aggregation, so one shuffle, no join
+      val next = bidir
         .join(labels.withColumnRenamed("node_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("node_id"))
-        .agg(min(col("component")).as("nbr_component"))
-      val next = labels.join(neighbourMin, Seq("node_id"), "left")
-        .select(col("node_id"),
-          least(col("component"), coalesce(col("nbr_component"), col("component"))).as("component"))
+        .select(col("dst").as("node_id"), col("component"))
+        .unionAll(labels)
+        .groupBy(col("node_id"))
+        .agg(min(col("component")).as("component"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node_id"))
         .filter(col("component") =!= col("old")).limit(1).count()
@@ -80,21 +80,23 @@ object Algorithms {
       .withColumn("label", col("node_id"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
+      // neighbour votes plus a zero-weight self-vote per node: isolated
+      // nodes keep their label without a separate re-join, and the pick
+      // happens in one aggregation+window pass
       val votes = edges
         .join(labels.withColumnRenamed("node_id", "dst")
           .withColumnRenamed("label", "nbr_label"), Seq("dst"))
-        .groupBy(col("src").as("node_id"), col("nbr_label"))
+        .select(col("src").as("node_id"), col("nbr_label"), col("weight"))
+        .unionAll(labels.select(col("node_id"), col("label").as("nbr_label"),
+          lit(0.0).as("weight")))
+        .groupBy(col("node_id"), col("nbr_label"))
         .agg(sum(col("weight")).as("w"))
       val pick = Window.partitionBy(col("node_id"))
         .orderBy(col("w").desc, col("nbr_label"))
-      val next = votes
+      labels = votes
         .withColumn("rk", row_number().over(pick))
         .filter(col("rk") === 1)
         .select(col("node_id"), col("nbr_label").as("label"))
-      // isolated nodes keep their own label
-      labels = labels.select(col("node_id"), col("label").as("old_label"))
-        .join(next, Seq("node_id"), "left")
-        .select(col("node_id"), coalesce(col("label"), col("old_label")).as("label"))
         .localCheckpoint()
     }
     edges.unpersist(blocking = false)
@@ -158,13 +160,14 @@ object Algorithms {
       .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
-      val contribs = norm
+      // zero-contribution rows for every node ride the same aggregation
+      // (dangling/isolated nodes), so the iteration is join + ONE shuffle
+      val next = norm
         .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("node_id"))
-        .agg(sum(col("share") * col("rank")).as("in_rank"))
-      val next = nodes.join(contribs, Seq("node_id"), "left")
-        .select(col("node_id"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        .select(col("dst").as("node_id"), (col("share") * col("rank")).as("contrib"))
+        .unionAll(nodes.select(col("node_id"), lit(0.0).as("contrib")))
+        .groupBy(col("node_id"))
+        .agg((lit(1.0 - damping) + lit(damping) * sum(col("contrib"))).as("rank"))
         .localCheckpoint()
       ranks = next
     }
