@@ -63,6 +63,12 @@ object Algorithms {
       converged = changed == 0
       i += 1
     }
+    if (!converged) {
+      // a graph with diameter > maxIter would return un-merged components
+      System.err.println(
+        s"[graft] connectedComponents hit maxIter=$maxIter before convergence; " +
+          "results may split components — raise maxIter for high-diameter graphs")
+    }
     bidir.unpersist(blocking = false)
     labels
   }
@@ -73,10 +79,16 @@ object Algorithms {
     * ties broken by smallest label. Fixed iteration count keeps runtime
     * and results deterministic at any scale. */
   def labelPropagation(weightedEdges: DataFrame, iterations: Int = 5): DataFrame = {
+    // contract: weights strictly positive (a zero/negative weight would
+    // lose to the zero-weight self-vote below); non-positive edges are
+    // dropped rather than silently mis-voting
     val edges = weightedEdges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .filter(col("weight") > 0.0)
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node_id")).distinct()
+    var labels = edges.select(col("src").as("node_id"))
+      .unionAll(edges.select(col("dst").as("node_id")))
+      .distinct()
       .withColumn("label", col("node_id"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
@@ -160,8 +172,11 @@ object Algorithms {
       .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
-      // zero-contribution rows for every node ride the same aggregation
-      // (dangling/isolated nodes), so the iteration is join + ONE shuffle
+      // zero-contribution rows give in-degree-0 nodes their (1-d) base
+      // term in the same aggregation (join + ONE shuffle per iteration).
+      // NOTE: rank mass emitted by true dangling nodes (no out-edges) is
+      // dropped, not redistributed — fine for the symmetric graphs used
+      // here, where dangling nodes cannot exist
       val next = norm
         .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
         .select(col("dst").as("node_id"), (col("share") * col("rank")).as("contrib"))
