@@ -46,6 +46,10 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Olap.asofJoinEventsOrders(s, d)),
     "min_price_per_part" -> ((s, d) => Olap.minPricePerPart(s, d)),
     "events_attribution" -> ((s, d) => Olap.eventsAttribution(s, d)),
+    "q1_rollup" -> ((s, d) => Olap.q1Rollup(s, d)),
+    "events_pivot" -> ((s, d) => Olap.eventsPivot(s, d)),
+    "events_rolling" -> ((s, d) => Olap.eventsRolling(s, d)),
+    "q17_correlated" -> ((s, d) => Olap.q17Correlated(s, d)),
     // — Text / dedup / multimodal —
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
@@ -330,6 +334,48 @@ object SparkEntry {
         |ASOF LEFT JOIN ord o
         |  ON e.user_id = o.user_id AND e.ts >= o.t
         |ORDER BY e.event_id""".stripMargin,
+
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "events_rolling" ->
+      """SELECT user_id, event_id,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg_5,
+        |  CAST(SUM(CAST(value AS DECIMAL(24,4))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q17_correlated" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) / COUNT(*) * 0.2 AS qty_threshold
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |  ROUND(p.qty_threshold, 6) AS qty_threshold
+        |FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+        |WHERE l.l_quantity < p.qty_threshold
+        |ORDER BY l.l_partkey, l.l_orderkey, l.l_linenumber""".stripMargin,
 
     "events_attribution" ->
       """WITH ev AS (

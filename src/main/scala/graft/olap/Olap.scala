@@ -115,6 +115,65 @@ object Olap {
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Multi-level aggregation (ROLLUP): quantity/revenue totals at
+    * (returnflag, linestatus), (returnflag), and grand-total levels in
+    * one pass — Spark plans a single Expand + aggregate. */
+  def q1Rollup(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(price * disc1).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivot / reshape: one row per user with event-type counts as
+    * columns (conditional aggregation — the scale-safe pivot with a
+    * known column set; `DataFrame.pivot` would infer it at plan time). */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "purchase", "signup", "error", "view")
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        types.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Sliding-frame window aggregation: per-user moving average of the
+    * last 5 event values (ordered by time), plus the running total. */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("moving_avg_5",
+        round(avg(col("value")).over(byUser.rowsBetween(-4, Window.currentRow)), 4))
+      .withColumn("running_total",
+        sum(dec(col("value"))).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select(col("user_id"), col("event_id"), col("moving_avg_5"), col("running_total"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Correlated-subquery filter (TPC-H Q17 shape): lineitems whose
+    * quantity is below 20% of their part's average quantity —
+    * decorrelated into a join against the per-part aggregate. */
+  def q17Correlated(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2)
+        .as("qty_threshold"))
+    lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .join(perPart, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), round(col("qty_threshold"), 6).as("qty_threshold"))
+      .orderBy(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** As-of join: for every event, the customer's most recent order at or
     * before the event time. Spark has no native ASOF JOIN; the scalable
     * composition is the union-of-streams trick — tag both inputs, sort
