@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Algorithms
+
+/** Cross-validation of the DataFrame-native graph algorithms against
+  * Spark's own GraphX implementations on the real sf0.001 ratings graph —
+  * independent implementations agreeing on real data is the strongest
+  * correctness evidence available for the rows-only-oracle operators. */
+class GraphXCrossCheckSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("connectedComponents matches GraphX on the bipartite ratings graph") {
+    val edges = Algorithms.bipartiteEdges(spark, sf)
+      .select("src", "dst").distinct()
+    val ours = Algorithms.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val gxEdges = edges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val gx = Graph.fromEdges(gxEdges, 0)
+    val gxCC = gx.connectedComponents().vertices.collect().toMap
+
+    assert(ours.keySet == gxCC.keySet)
+    // both label a component by its minimum vertex id
+    ours.foreach { case (node, comp) =>
+      assert(gxCC(node) == comp, s"node $node: ours=$comp graphx=${gxCC(node)}")
+    }
+  }
+
+  test("pageRank ranking agrees with GraphX staticPageRank on unweighted cooc graph") {
+    val edges = graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+      .select(col("u1").as("src"), col("u2").as("dst"), lit(1.0).as("weight"))
+    val ours = Algorithms.pageRank(edges, iterations = 15).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val gxEdges = edges.select("src", "dst").rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
+    val gx = Graph.fromEdges(gxEdges, 0.0)
+    val gxPR = gx.staticPageRank(15, 0.15).vertices.collect().toMap
+
+    assert(ours.keySet == gxPR.keySet)
+    // same fixed-point equations → near-identical values
+    val maxDiff = ours.map { case (n, r) => math.abs(r - gxPR(n)) }.max
+    assert(maxDiff < 1e-3, s"max abs diff vs GraphX: $maxDiff")
+    // and identical top-10 ordering
+    val oursTop = ours.toSeq.sortBy { case (n, r) => (-r, n) }.take(10).map(_._1)
+    val gxTop = gxPR.toSeq.sortBy { case (n, r) => (-r, n) }.take(10).map(_._1)
+    assert(oursTop == gxTop, s"top-10 differ: $oursTop vs $gxTop")
+  }
+}
