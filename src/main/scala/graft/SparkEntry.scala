@@ -62,6 +62,8 @@ object SparkEntry {
     // — Iterative graph algorithms (rows-only oracle; spec-verified) —
     "communities_lpa" -> ((s, d) =>
       graft.graph.Algorithms.userCommunities(s, d).orderBy("node_id")),
+    "communities_louvain" -> ((s, d) =>
+      graft.graph.Louvain.userCommunities(s, d).orderBy("node_id")),
     "community_modularity" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val edges = RatingsGraph.cooccurrenceEdges(s, d)

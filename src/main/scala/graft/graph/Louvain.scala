@@ -1,0 +1,120 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Louvain community detection (Blondel et al. 2008), DataFrame-native —
+  * the faithful counterpart of the reference's `gds.louvain.write`
+  * (`algorithms/Alg_Community_Detection.py:40-45`).
+  *
+  * Each level: synchronous modularity-gain local moving (every node
+  * evaluates ΔQ of adopting each neighbour community, moves to the best
+  * strictly-positive gain, smallest community id on ties), then the
+  * graph is coarsened by community and the next level runs on the
+  * community graph; final labels unfold through the levels.
+  *
+  * All steps are joins + aggregations keyed on node/community id —
+  * linear in |E| per sweep, no driver-side graph state, deterministic
+  * (no RNG, fixed sweep counts, total tie orders).
+  */
+object Louvain {
+
+  /** One level of SEMI-synchronous local moving: per sweep only nodes of
+    * one hash-parity class apply their best move (the standard fix for
+    * the symmetric-oscillation pathology of fully synchronous moving —
+    * two clique members would otherwise chase each other's labels
+    * forever). Deterministic: parity from xxhash64, fixed sweep count,
+    * total tie orders. Edges must be bidirectional with strictly
+    * positive weights. Returns (node_id, comm). */
+  private def localMoving(edges: DataFrame, sweeps: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m2 = e.agg(sum(col("weight"))).head().getDouble(0) // = 2m
+    val nodeDeg = e.groupBy(col("src").as("node_id"))
+      .agg(sum(col("weight")).as("k")).localCheckpoint()
+    var labels = nodeDeg.select(col("node_id"), col("node_id").as("comm"))
+      .localCheckpoint()
+    for (sweep <- 1 to sweeps) {
+      val commDeg = labels.join(nodeDeg, Seq("node_id"))
+        .groupBy(col("comm")).agg(sum(col("k")).as("sigma_tot"))
+      // weight from each node to each neighbouring community (plus a
+      // zero row for its own community so "stay" is always a candidate)
+      val toComm = e
+        .join(labels.select(col("node_id").as("dst"), col("comm").as("cand")), Seq("dst"))
+        .groupBy(col("src").as("node_id"), col("cand"))
+        .agg(sum(col("weight")).as("w_nc"))
+        .unionAll(labels.select(col("node_id"), col("comm").as("cand"), lit(0.0).as("w_nc")))
+        .groupBy(col("node_id"), col("cand"))
+        .agg(sum(col("w_nc")).as("w_nc"))
+      val scored = toComm
+        .join(labels, Seq("node_id"))
+        .join(nodeDeg, Seq("node_id"))
+        .join(commDeg.withColumnRenamed("comm", "cand"), Seq("cand"))
+        // ΔQ ∝ w_nc − k · Σ_tot(cand \ node) / 2m ; remove the node's own
+        // degree from its current community's total
+        .withColumn("sigma_adj",
+          when(col("cand") === col("comm"), col("sigma_tot") - col("k"))
+            .otherwise(col("sigma_tot")))
+        .withColumn("gain", col("w_nc") - col("k") * col("sigma_adj") / m2)
+      val pick = Window.partitionBy(col("node_id"))
+        .orderBy(col("gain").desc, col("cand"))
+      val best = scored
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("node_id"), col("cand").as("best_comm"))
+      labels = labels.join(best, Seq("node_id"))
+        .withColumn("moves", pmod(xxhash64(col("node_id")), lit(2)))
+        .select(col("node_id"),
+          when(col("moves") === lit(sweep % 2), col("best_comm"))
+            .otherwise(col("comm")).as("comm"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
+  /** Full Louvain: `levels` rounds of local moving + coarsening.
+    * Returns (node_id, community) with communities labelled by their
+    * minimum member node id. */
+  def louvain(edges: DataFrame, levels: Int = 2, sweeps: Int = 6): DataFrame = {
+    var currentEdges = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .filter(col("weight") > 0.0)
+    // mapping from original node to current-level node
+    var mapping: DataFrame = null
+    for (level <- 0 until levels) {
+      val labels = localMoving(currentEdges, sweeps)
+      mapping =
+        if (mapping == null) labels.select(col("node_id"), col("comm"))
+        else mapping.select(col("node_id"), col("comm").as("mid"))
+          .join(labels.select(col("node_id").as("mid"), col("comm")), Seq("mid"))
+          .select(col("node_id"), col("comm"))
+      mapping = mapping.localCheckpoint()
+      if (level < levels - 1) {
+        // coarsen: one node per community, aggregated inter-community
+        // weights (self-loops dropped — they don't affect further moves'
+        // relative gains between distinct communities)
+        currentEdges = currentEdges
+          .join(labels.select(col("node_id").as("src"), col("comm").as("src_c")), Seq("src"))
+          .join(labels.select(col("node_id").as("dst"), col("comm").as("dst_c")), Seq("dst"))
+          .filter(col("src_c") =!= col("dst_c"))
+          .groupBy(col("src_c").as("src"), col("dst_c").as("dst"))
+          .agg(sum(col("weight")).as("weight"))
+          .localCheckpoint()
+      }
+    }
+    // canonical community label = min member node id
+    val canon = mapping.groupBy(col("comm"))
+      .agg(min(col("node_id")).as("community"))
+    mapping.join(canon, Seq("comm"))
+      .select(col("node_id"), col("community"))
+  }
+
+  /** Louvain communities of the user co-occurrence graph, session-cached. */
+  def userCommunities(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "louvain_communities") {
+      louvain(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+    }
+}

@@ -53,6 +53,28 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(qGood > qBlob)
   }
 
+  test("louvain: separates the clique pair and beats-or-ties LPA modularity") {
+    def clique(ids: Seq[Long], w: Double) =
+      for { a <- ids; b <- ids if a != b } yield (a, b, w)
+    val edges = (clique(Seq(1L, 2L, 3L), 5.0) ++ clique(Seq(4L, 5L, 6L), 5.0) ++
+      Seq((3L, 4L, 0.1), (4L, 3L, 0.1))).toDF("src", "dst", "weight")
+    val labels = graph.Louvain.louvain(edges)
+      .withColumnRenamed("community", "label")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L))
+    assert(m(4L) == m(5L) && m(5L) == m(6L))
+    assert(m(1L) != m(4L), s"cliques merged: $m")
+    // on the real sf0.001 cooc graph, louvain modularity >= lpa modularity
+    val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+      .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+    val qLouvain = Algorithms.modularity(cooc,
+      graph.Louvain.userCommunities(spark, sf).withColumnRenamed("community", "label"))
+      .head().getDouble(1)
+    val qLpa = Algorithms.modularity(cooc,
+      Algorithms.userCommunities(spark, sf)).head().getDouble(1)
+    assert(qLouvain >= qLpa - 1e-6, s"louvain Q=$qLouvain < lpa Q=$qLpa")
+  }
+
   test("pageRank: star graph centre outranks leaves; ranks deterministic") {
     val edges = (Seq((1L, 99L, 1.0), (2L, 99L, 1.0), (3L, 99L, 1.0)) ++
       Seq((99L, 1L, 1.0), (99L, 2L, 1.0), (99L, 3L, 1.0)))
