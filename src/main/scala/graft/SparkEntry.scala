@@ -50,6 +50,7 @@ object SparkEntry {
     "events_pivot" -> ((s, d) => Olap.eventsPivot(s, d)),
     "events_rolling" -> ((s, d) => Olap.eventsRolling(s, d)),
     "q17_correlated" -> ((s, d) => Olap.q17Correlated(s, d)),
+    "events_json_extract" -> ((s, d) => Olap.eventsJsonExtract(s, d)),
     // — Text / dedup / multimodal —
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
@@ -366,6 +367,16 @@ object SparkEntry {
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q17_correlated" ->
       """WITH per_part AS (

@@ -174,6 +174,23 @@ object Olap {
       .orderBy(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Semi-structured extraction: parse the JSON `props` payload carried
+    * by every event and aggregate a typed field out of it — the
+    * schema-on-read path every telemetry pipeline needs. `get_json_object`
+    * is codegen'd (Jackson under the hood); for a fixed schema at scale,
+    * `from_json` with an explicit StructType lets Catalyst prune. */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** As-of join: for every event, the customer's most recent order at or
     * before the event time. Spark has no native ASOF JOIN; the scalable
     * composition is the union-of-streams trick — tag both inputs, sort
