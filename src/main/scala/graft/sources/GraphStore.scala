@@ -32,7 +32,11 @@ object GraphStore {
     val users = RatingsGraph.activeUsers(spark, dir)
     val books = RatingsGraph.ratedBooks(spark, dir)
     val edges = RatingsGraph.ratings(spark, dir)
-    users.write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes_user")
+    // user nodes partitioned by community: per-community reads prune
+    // whole directories (PartitionFilters), the storage-level analog of
+    // predicate pushdown
+    users.write.mode(SaveMode.Overwrite)
+      .partitionBy("community").parquet(s"$outDir/nodes_user")
     books.write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes_book")
     edges.repartition(col("user_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/edges_rated")

@@ -21,6 +21,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(1).getString(1) == "")   // missing → empty string, not null
   }
 
+  test("partitioned user nodes prune to one community directory") {
+    val out = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    GraphStore.saveGraph(spark, sf, out)
+    val one = spark.read.parquet(s"$out/nodes_user")
+      .filter(org.apache.spark.sql.functions.col("community") === 1)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.matches("(?s).*PartitionFilters: \\[[^\\]]*community[^\\]]*\\].*"),
+      s"no partition pruning in:\n$scan")
+    assert(one.count() > 0)
+  }
+
   test("graph store round-trips nodes and edges through parquet") {
     val out = Files.createTempDirectory("graft-store").toString
     val stats = GraphStore.saveGraph(spark, sf, out).head()
