@@ -65,6 +65,17 @@ object SparkEntry {
       graft.graph.Algorithms.userCommunities(s, d).orderBy("node_id")),
     "communities_louvain" -> ((s, d) =>
       graft.graph.Louvain.userCommunities(s, d).orderBy("node_id")),
+    "triangle_count" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.triangleCount(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst")))
+    }),
+    "user_jaccard_topk" -> ((s, d) => graft.graph.Algorithms.userJaccardTopK(s, d)),
+    "bfs_hops" -> ((s, d) =>
+      graft.graph.Algorithms.bfsHops(
+        graft.graph.Algorithms.bipartiteEdges(s, d), source = 2L, maxHops = 3)
+        .orderBy("node_id")),
     "community_modularity" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val edges = RatingsGraph.cooccurrenceEdges(s, d)
@@ -367,6 +378,38 @@ object SparkEntry {
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "triangle_count" ->
+      s"""$RatingsCte, und AS (
+         |  SELECT DISTINCT LEAST(a.user_id, b.user_id) AS a,
+         |         GREATEST(a.user_id, b.user_id) AS b
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |)
+         |SELECT COUNT(*) AS n_triangles
+         |FROM und e1
+         |JOIN und e2 ON e1.b = e2.a
+         |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "user_jaccard_topk" ->
+      s"""$RatingsCte, liked AS (
+         |  SELECT user_id, book_id FROM ratings WHERE rating >= 6
+         |), sizes AS (
+         |  SELECT user_id, COUNT(*) AS sz FROM liked GROUP BY user_id
+         |), inter AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_common
+         |  FROM liked a JOIN liked b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |)
+         |SELECT i.u1, i.u2, CAST(i.n_common AS BIGINT) AS n_common,
+         |  ROUND(CAST(i.n_common AS DOUBLE) / (s1.sz + s2.sz - i.n_common), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes s1 ON i.u1 = s1.user_id
+         |JOIN sizes s2 ON i.u2 = s2.user_id
+         |ORDER BY ROUND(CAST(i.n_common AS DOUBLE) / (s1.sz + s2.sz - i.n_common), 6) DESC, i.u1, i.u2
+         |LIMIT 20""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_type,

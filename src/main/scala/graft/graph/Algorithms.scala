@@ -133,6 +133,70 @@ object Algorithms {
         "user_id", "embedding", 64, topK, cutoff)
     }
 
+  /** Global + per-node triangle counting on an undirected graph. The
+    * standard ordered-wedge algorithm: orient every edge small→large,
+    * join wedges (a<b, b<c) against closing edges (a<c) — each triangle
+    * counted exactly once. Two shuffles, no explosion beyond the wedge
+    * set. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val wedges = und.select(col("a"), col("b"))
+      .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val triangles = wedges
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    triangles.agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-user node similarity (GDS `nodeSimilarity` family): Jaccard of
+    * liked-book sets for every user pair sharing at least one liked
+    * book, top-k pairs. The co-occurrence join provides |∩|; set sizes
+    * come from a degree aggregate — no per-pair set materialisation. */
+  def userJaccardTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val liked = RatingsGraph.ratings(spark, dir)
+      .filter(col("rating") >= 6).select(col("user_id"), col("book_id"))
+    val sizes = liked.groupBy(col("user_id")).agg(count(lit(1)).as("sz"))
+    val inter = liked.select(col("user_id").as("u1"), col("book_id"))
+      .join(liked.select(col("user_id").as("u2"), col("book_id")), Seq("book_id"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("user_id").as("u1"), col("sz").as("sz1")), Seq("u1"))
+      .join(sizes.select(col("user_id").as("u2"), col("sz").as("sz2")), Seq("u2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sz1") + col("sz2") - col("n_common")))
+      .select(col("u1"), col("u2"), col("n_common"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u1"), col("u2"))
+      .limit(k)
+  }
+
+  /** Bounded BFS: hop distance from a source node to every node within
+    * `maxHops` (the generalisation of the reference's 2-hop
+    * `get_graph_data` expansion). One join + min-aggregate per hop. */
+  def bfsHops(edges: DataFrame, source: Long, maxHops: Int = 3): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var dist = bidir.sparkSession.range(1)
+      .select(lit(source).as("node_id"), lit(0L).as("hops"))
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1))
+      val next = bidir
+        .join(frontier.select(col("node_id").as("src")), Seq("src"))
+        .select(col("dst").as("node_id"), lit(h.toLong).as("hops"))
+      dist = dist.unionAll(next)
+        .groupBy(col("node_id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Newman modularity Q of a community assignment over a weighted
     * graph (edges given in both directions). The reference's Louvain
     * call reports exactly this metric

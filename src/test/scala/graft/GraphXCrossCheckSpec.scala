@@ -30,6 +30,27 @@ class GraphXCrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCount matches GraphX TriangleCount total on the cooc graph") {
+    val edges = graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+      .select(col("u1").as("src"), col("u2").as("dst"))
+    val ours = Algorithms.triangleCount(edges).head().getLong(0)
+    val gxEdges = edges.filter(col("src") < col("dst")).distinct()
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val gx = Graph.fromEdges(gxEdges, 0)
+    // GraphX counts each triangle at all three vertices
+    val gxTotal = gx.triangleCount().vertices.map(_._2.toLong).sum().toLong / 3
+    assert(ours == gxTotal, s"ours=$ours graphx=$gxTotal")
+  }
+
+  test("bfsHops: hand-checked distances on a path graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val d = Algorithms.bfsHops(edges, source = 1L, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $d")
+  }
+
   test("pageRank ranking agrees with GraphX staticPageRank on unweighted cooc graph") {
     val edges = graph.RatingsGraph.cooccurrenceEdges(spark, sf)
       .select(col("u1").as("src"), col("u2").as("dst"), lit(1.0).as("weight"))
