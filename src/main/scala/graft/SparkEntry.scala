@@ -59,6 +59,8 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
+    "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
+    "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "recommend_knn_embedding" -> ((s, d) => Recommend.recommendKnnEmbedding(s, d)),
     // — Iterative graph algorithms (rows-only oracle; spec-verified) —
     "communities_lpa" -> ((s, d) =>
@@ -530,6 +532,25 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY content_hash""".stripMargin,
+
+    "train_test_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f2' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |WHERE rk <= 10
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     "corpus_stats" ->
       """SELECT source,

@@ -109,6 +109,37 @@ object TextOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"))
 
+  /** Deterministic hash-based train/validation/test split — the
+    * reproducible-sharding staple of every training-data pipeline: the
+    * assignment depends only on the document id (stable across runs,
+    * machines, and engine versions), never on row order or RNG state.
+    * First md5 hex byte partitions 256 ways: 00–e5 train (~90%),
+    * e6–f2 val (~5%), f3–ff test (~5%). */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    documents(spark, dir)
+      .select(col("doc_id"),
+        when(bucket <= "e5", "train")
+          .when(bucket <= "f2", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sample: `perStratum` documents per
+    * language, selected by md5 order (reproducible, no RNG) — the
+    * "inspect N examples per slice" operator. */
+  def stratifiedSample(spark: SparkSession, dir: String, perStratum: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+      .select(col("lang"), col("doc_id"), col("rk").cast("bigint").as("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /
