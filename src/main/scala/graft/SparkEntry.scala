@@ -99,8 +99,28 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node_id"))
         .limit(20)
     }),
-    "fastrp_embeddings" -> ((s, d) => graft.graph.FastRP.userEmbeddings(s, d)
-      .orderBy("user_id")),
+    // Array columns are projected to a string for the driver compare
+    // (pandas can't hash ndarray cells); the raw array form stays
+    // available via FastRP.userEmbeddings.
+    "fastrp_embeddings" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.FastRP.userEmbeddings(s, d)
+        .select(col("user_id"),
+          concat_ws(",", transform(col("embedding"),
+            x => round(x, 6).cast("string"))).as("embedding_csv"))
+        .orderBy("user_id")
+    }),
+    // Shape/invariant check on the embeddings that IS SQL-expressible:
+    // every active user gets exactly one dim-64, unit-L2-norm vector.
+    "fastrp_norms" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.FastRP.userEmbeddings(s, d)
+        .select(col("user_id"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x * x)), 4).as("l2_norm"))
+        .orderBy("user_id")
+    }),
     "knn_similar_edges" -> ((s, d) =>
       graft.graph.Algorithms.userKnnEdges(s, d).orderBy("src", "dst")),
     // — Dedup suite (rows-only oracle; spec-verified) —
@@ -108,7 +128,21 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, d) => graft.dedup.Dedup.ngramJaccardPairs(s, d)),
     "dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => graft.dedup.Dedup.embeddingPairs(s, d)),
-    "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.mediaFeatures(s, d)),
+    "multimodal_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.multimodal.Multimodal.mediaFeatures(s, d)
+        .select(col("doc_id"), col("modality"), col("byte_len"),
+          col("width"), col("height"), col("n_frames"),
+          concat_ws(",", col("feature").cast("array<string>")).as("feature_csv"))
+    }),
+    // The decode-stub's metadata math (width/height/frames from byte
+    // length) is deterministic and SQL-expressible — oracle-checked.
+    "multimodal_shape" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.multimodal.Multimodal.mediaFeatures(s, d)
+        .select(col("doc_id"), col("modality"), col("byte_len"),
+          col("width"), col("height"), col("n_frames"))
+    }),
     // — Similarity search —
     "ann_bruteforce_topk" -> ((s, d) => graft.ann.AnnSearch.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => graft.ann.AnnSearch.lshTopK(s, d)),
@@ -590,6 +624,21 @@ object SparkEntry {
         |FROM scored
         |ORDER BY (CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END) DESC, vec_id
         |LIMIT 10""".stripMargin,
+
+    "fastrp_norms" ->
+      s"""$RatingsCte
+         |SELECT user_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2_norm
+         |FROM (SELECT DISTINCT user_id FROM ratings)
+         |ORDER BY user_id""".stripMargin,
+
+    "multimodal_shape" ->
+      """SELECT doc_id, source AS modality,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+        |  CAST(16 + OCTET_LENGTH(ENCODE(text)) % 64 AS INTEGER) AS width,
+        |  CAST(16 + (OCTET_LENGTH(ENCODE(text)) // 64) % 64 AS INTEGER) AS height,
+        |  CAST(1 + OCTET_LENGTH(ENCODE(text)) % 4 AS INTEGER) AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, source AS modality,
