@@ -640,6 +640,65 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // All-pairs exact truth at oracle scale: proves both precision AND
+    // recall of the LSH candidate-generation (a missed pair would show
+    // as a row-count mismatch).
+    "ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+        |FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+        |FROM pairs WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, list_aggregate([
+        |    {'score': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit'], t))), 'lang': 'de'},
+        |    {'score': len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))), 'lang': 'en'},
+        |    {'score': len(list_filter(toks, t -> list_contains(['el','los','las','y','es','un','una','en','por'], t))), 'lang': 'es'},
+        |    {'score': len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','dans','pour'], t))), 'lang': 'fr'},
+        |    {'score': len(list_filter(toks, t -> list_contains(['的','是','在','了','和','有','我','不'], t))), 'lang': 'zh'}
+        |  ], 'max') AS best FROM toks
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+        |  CAST(best.score AS BIGINT) AS stopword_hits
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, source AS modality,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

