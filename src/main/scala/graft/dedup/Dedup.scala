@@ -99,28 +99,38 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** 48-bit SimHash fingerprint + hamming-distance pairs via band
-    * blocking (4 bands × 12 bits: any pair within hamming ≤ 3 of 48 bits
-    * shares at least one exact band by pigeonhole). */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  /** 48-bit SimHash fingerprint per document, fully columnar: the token
+    * array is hashed ONCE per doc, then the 48 ±1 bit votes are
+    * fold-over-array aggregates inside one projection — no explode, no
+    * shuffle of token rows (the earlier explode→groupBy form shipped
+    * |tokens| rows through an aggregation; this ships |docs|).
+    * Empty-token docs get simhash 0. */
+  def simhashes(docs: DataFrame, nBits: Int = 48): DataFrame = {
+    val withHs = docs.select(col("doc_id"),
+      transform(tokens(col("text")), t => xxhash64(t)).as("hs"))
+    val votes = (0 until nBits).map { j =>
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    withHs.select(col("doc_id") +: size(col("hs")).as("_n") +: votes: _*)
+      .select(col("doc_id"),
+        when(col("_n") > 0,
+          (0 until nBits).map(j =>
+            when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+          .otherwise(lit(0L)).as("simhash"))
+  }
+
+  /** Hamming-distance pairs over any (doc_id, text) table via band
+    * blocking (4 bands × 12 bits): a pair within hamming ≤ 3 of 48 bits
+    * differs in at most 3 bands, so by pigeonhole it agrees exactly on
+    * ≥1 band — the blocking is recall-COMPLETE for maxHamming ≤ 3, not
+    * probabilistic. */
+  def simhashPairsFor(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBits = 48
     val bandBits = 12
     val nBands = nBits / bandBits
-    // explode to one row per token, then nBits codegen'd conditional sums
-    // (map-side combined) — the columnar formulation of the ±1 bit vote;
-    // the nested fold-over-fold expression form is ~10× slower.
-    val tokenRows = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitVotes = tokenRows.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("_n"),
-        (0 until nBits).map(j =>
-          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")): _*)
-    val sim = bitVotes.select(col("doc_id"),
-        (0 until nBits).map(j =>
-          when(coalesce(col(s"b$j"), lit(0)) >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-      .localCheckpoint()
+    require(maxHamming < nBands, s"pigeonhole needs maxHamming < $nBands bands")
+    val sim = simhashes(docs, nBits).localCheckpoint()
     val banded = sim.select(col("doc_id"), col("simhash"),
         posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
           s"b -> (simhash >> (b * $bandBits)) & ${(1L << bandBits) - 1}L)")))
@@ -137,6 +147,11 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** SimHash near-dup pairs over the `documents` table. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsFor(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), maxHamming)
 
   /** Embedding-cosine near-dup pairs over the `embeddings` table,
     * LSH-accelerated. Threshold tuned to the synthetic data's similarity
