@@ -33,7 +33,9 @@ object SparkEntry {
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
+    "recommend_community_louvain" -> ((s, d) => Recommend.recommendCommunityLouvain(s, d)),
     "users_in_large_groups" -> ((s, d) => Recommend.usersInLargeGroups(s, d)),
+    "users_in_large_groups_louvain" -> ((s, d) => Recommend.usersInLargeGroupsLouvain(s, d)),
     "graph_neighborhood" -> ((s, d) => Recommend.graphNeighborhood(s, d)),
     "similar_books_cooc" -> ((s, d) => Recommend.similarBooksCooc(s, d)),
     // — OLAP core —
@@ -123,6 +125,8 @@ object SparkEntry {
     }),
     "knn_similar_edges" -> ((s, d) =>
       graft.graph.Algorithms.userKnnEdges(s, d).orderBy("src", "dst")),
+    "knn_similar_edges_ref" -> ((s, d) =>
+      graft.graph.Algorithms.userKnnEdgesRef(s, d).orderBy("src", "dst")),
     // — Dedup suite (rows-only oracle; spec-verified) —
     "dedup_minhash_pairs" -> ((s, d) => graft.dedup.Dedup.minhashPairs(s, d)),
     "ngram_jaccard_pairs" -> ((s, d) => graft.dedup.Dedup.ngramJaccardPairs(s, d)),
@@ -230,9 +234,15 @@ object SparkEntry {
          |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
          |  WHERE a.user_id <> b.user_id
          |  GROUP BY a.user_id, b.user_id
+         |), top AS (
+         |  SELECT u2 AS user_id, weight FROM cooc WHERE u1 = 1
+         |  ORDER BY weight DESC, u2 LIMIT 3
          |)
-         |SELECT u2 AS user_id, weight FROM cooc WHERE u1 = 1
-         |ORDER BY weight DESC, user_id LIMIT 3""".stripMargin,
+         |SELECT c_custkey AS user_id, c_name AS name,
+         |       CAST(c_nationkey AS BIGINT) AS community,
+         |       c_mktsegment AS segment, t.weight
+         |FROM customer JOIN top t ON c_custkey = t.user_id
+         |ORDER BY t.weight DESC, user_id""".stripMargin,
 
     "recommend_knn" ->
       s"""$RatingsCte, cooc AS (

@@ -133,6 +133,19 @@ object Algorithms {
         "user_id", "embedding", 64, topK, cutoff)
     }
 
+  /** SIMILAR_TO edges at the reference's EXACT operating point
+    * (`Alg_KNN_FastRP.py:110-116,157`: topK=20, similarityCutoff=0.8).
+    * GDS KNN scores float-array properties with cosine NORMALISED into
+    * [0,1] — sim = (1 + cos)/2 — so cutoff 0.8 means raw cosine ≥ 0.6;
+    * the returned `similarity` column is on the GDS scale. */
+  def userKnnEdgesRef(spark: SparkSession, dir: String,
+      topK: Int = 20, cutoff: Double = 0.8): DataFrame =
+    graft.Cache.cached(spark, dir, s"knn_edges_ref_${topK}_$cutoff") {
+      graft.ann.Lsh.knnEdges(FastRP.userEmbeddings(spark, dir),
+          "user_id", "embedding", 64, topK, cutoff = 2 * cutoff - 1)
+        .withColumn("similarity", round((col("similarity") + 1) / 2, 6))
+    }
+
   /** Global triangle counting: DEGREE-ORDERED edge orientation
     * (Schank/Wagner — orient each edge from its lower-(degree, id)
     * endpoint, bounding every out-degree by ~√(2m)) + EDGE-ITERATOR

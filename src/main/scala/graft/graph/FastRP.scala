@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *  2. k weighted-mean propagation steps over the (weighted) adjacency,
   *     L2-normalising after each step;
   *  3. final embedding = L2-normalised weighted sum of the per-iteration
-  *     states (GDS default iterationWeights ≈ [0.0, 1.0, 1.0]).
+  *     states (GDS default iterationWeights = [0.0, 1.0, 1.0, 1.0],
+  *     which the reference uses implicitly by not overriding it).
   *
   * Embeddings are laid out as `dim` WIDE DOUBLE COLUMNS (e0…e63), not an
   * array: the propagation aggregate is then `dim` codegen'd `sum()`s with
@@ -53,7 +54,7 @@ object FastRP {
     * Edges should already contain both directions for undirected
     * semantics. Returns (node_id, embedding: array<double>). */
   def embed(edges: DataFrame, dim: Int = 64,
-      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0), seed: Int = 42): DataFrame = {
+      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0), seed: Int = 42): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
     val nodes = e.select(col("src").as("node_id")).distinct().localCheckpoint()
 

@@ -31,15 +31,24 @@ object Recommend {
       .select(col("book_id"), col("title"), col("rating"))
       .orderBy(col("rating").desc, col("book_id"))
 
-  /** Top-k most similar users by co-rating weight.
+  /** Top-k most similar users by co-rating weight, carrying the users'
+    * properties — the reference returns the similar users' attributes,
+    * not just ids (`recommender_knn.py:40`: u2.location, u2.age;
+    * name/community/segment are this data model's user properties).
     * Reference `recommender_knn.py:31-45` (get_similar_users) with the
     * co-occurrence graph standing in for SIMILAR_TO. */
-  def similarUsersCooc(spark: SparkSession, dir: String, user: Long = TargetUser, k: Int = 3): DataFrame =
-    RatingsGraph.cooccurrenceEdges(spark, dir)
+  def similarUsersCooc(spark: SparkSession, dir: String, user: Long = TargetUser, k: Int = 3): DataFrame = {
+    val top = RatingsGraph.cooccurrenceEdges(spark, dir)
       .filter(col("u1") === user)
       .select(col("u2").as("user_id"), col("weight"))
       .orderBy(col("weight").desc, col("user_id"))
       .limit(k)
+    // tiny top-k side broadcast against the full user-property table
+    RatingsGraph.activeUsers(spark, dir)
+      .join(broadcast(top), Seq("user_id"))
+      .select(col("user_id"), col("name"), col("community"), col("segment"), col("weight"))
+      .orderBy(col("weight").desc, col("user_id"))
+  }
 
   /** KNN-style recommendation: books rated by the target's most similar
     * users, excluding books the target already rated; score = avg rating +
@@ -69,8 +78,26 @@ object Recommend {
   /** Community recommendation: books rated >=6 by other users of the
     * target's community, excluding the target's books, ranked by
     * recommendation count. Reference `recommender_community.py:11-32`. */
-  def recommendCommunity(spark: SparkSession, dir: String, user: Long = TargetUser, k: Int = 3): DataFrame = {
-    val users = RatingsGraph.activeUsers(spark, dir).select(col("user_id"), col("community"))
+  def recommendCommunity(spark: SparkSession, dir: String, user: Long = TargetUser, k: Int = 3): DataFrame =
+    recommendCommunityWith(spark, dir,
+      RatingsGraph.activeUsers(spark, dir).select(col("user_id"), col("community")), user, k)
+
+  /** Same query shape over the LEARNED Louvain communities — the
+    * reference's actual path: `recommender_community.py:21-22` groups on
+    * `u.community` as written by Louvain
+    * (`Alg_Community_Detection.py:40-45`, writeProperty="community").
+    * Iterative labels → rows-only oracle; spec-verified on clique
+    * fixtures. */
+  def recommendCommunityLouvain(spark: SparkSession, dir: String,
+      user: Long = TargetUser, k: Int = 3): DataFrame =
+    recommendCommunityWith(spark, dir,
+      graft.graph.Louvain.userCommunities(spark, dir)
+        .select(col("node_id").as("user_id"), col("community")), user, k)
+
+  /** Community recommendation parameterised by any (user_id, community)
+    * assignment — static attribute or learned labels. */
+  def recommendCommunityWith(spark: SparkSession, dir: String, users: DataFrame,
+      user: Long, k: Int): DataFrame = {
     val ratings = RatingsGraph.ratings(spark, dir)
     val targetCommunity = users.filter(col("user_id") === user).select(col("community"))
     val peers = users
@@ -94,8 +121,20 @@ object Recommend {
     * Reference `streamlit_app.py:15-30` (group → HAVING size>1 → unwind),
     * expressed as a window count so the members survive without a
     * re-join. */
-  def usersInLargeGroups(spark: SparkSession, dir: String): DataFrame = {
-    val users = RatingsGraph.activeUsers(spark, dir)
+  def usersInLargeGroups(spark: SparkSession, dir: String): DataFrame =
+    usersInLargeGroupsWith(RatingsGraph.activeUsers(spark, dir))
+
+  /** Same shape over the learned Louvain communities (the reference's
+    * `streamlit_app.py:15-30` groups on the Louvain-written property). */
+  def usersInLargeGroupsLouvain(spark: SparkSession, dir: String): DataFrame =
+    usersInLargeGroupsWith(
+      RatingsGraph.activeUsers(spark, dir).drop("community")
+        .join(graft.graph.Louvain.userCommunities(spark, dir)
+          .select(col("node_id").as("user_id"), col("community")), Seq("user_id")))
+
+  /** Large-community membership parameterised by any user table carrying
+    * (user_id, name, community). */
+  def usersInLargeGroupsWith(users: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("community"))
     users
       .withColumn("community_size", count(lit(1)).over(w))
