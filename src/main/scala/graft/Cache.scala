@@ -12,14 +12,32 @@ import org.apache.spark.storage.StorageLevel
   *
   * At 100 TB the equivalent is a materialised/bucketed silver table;
   * in-session `persist(MEMORY_AND_DISK)` is the local analog. Keyed by
-  * (session, sfDir, name) so concurrent sessions/dirs don't collide.
+  * (sessionUUID, sfDir, name) so concurrent sessions/dirs don't collide
+  * — sessionUUID is stable and never reused, unlike identity hashes,
+  * which can recur after a dead session is GC'd.
   */
 object Cache {
   private val store = new ConcurrentHashMap[String, DataFrame]()
 
+  private val SessionIdKey = "graft.session.id"
+
+  /** Stable per-session id: a UUID stamped into the session conf on
+    * first use (session confs are per-SparkSession). Identity hashes are
+    * NOT stable — they can recur after a dead session is GC'd, handing a
+    * new session another session's cached plans. */
+  def sessionId(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    spark.conf.getOption(SessionIdKey) match {
+      case Some(v) => v
+      case None =>
+        val v = java.util.UUID.randomUUID().toString
+        spark.conf.set(SessionIdKey, v)
+        v
+    }
+  }
+
   def cached(spark: org.apache.spark.sql.SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
-    val key = s"${System.identityHashCode(spark)}|$dir|$name"
+    val key = s"${sessionId(spark)}|$dir|$name"
     var df = store.get(key)
     if (df == null) {
       df = build.persist(StorageLevel.MEMORY_AND_DISK)

@@ -36,7 +36,10 @@ object Tables {
     * readStream paths. */
   def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // exact integral floor division: `/` on longs is a double Divide,
+    // and nano-epoch longs (~1.7e18) exceed double's 2^53 exact range —
+    // a lossy round there could truncate 1 µs early
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

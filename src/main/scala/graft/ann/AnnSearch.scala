@@ -39,12 +39,17 @@ object AnnSearch {
   }
 
   /** Approximate top-k via random-hyperplane LSH: only vectors sharing
-    * ≥1 band bucket with the query are scored. */
+    * ≥1 band bucket with the query are scored. The signature table is
+    * session-cached like the other silver intermediates — repeated
+    * queries reuse it instead of recomputing bands×bits sign dots per
+    * row per call (at scale it's a persisted/bucketed table built once
+    * per corpus version). */
   def lshTopK(spark: SparkSession, dir: String,
       queryId: Long = DefaultQueryId, k: Int = 10,
       bands: Int = 12, bitsPerBand: Int = 4): DataFrame = {
-    val sigs = Lsh.withBuckets(emb(spark, dir), "embedding", Dim, bands, bitsPerBand)
-      .localCheckpoint()
+    val sigs = graft.Cache.cached(spark, dir, s"lsh_sigs_${bands}_$bitsPerBand") {
+      Lsh.withBuckets(emb(spark, dir), "embedding", Dim, bands, bitsPerBand)
+    }
     val q = sigs.filter(col("vec_id") === queryId)
     val bandCols = (0 until bands).map(b => s"band_$b")
     val qRenamed = bandCols.foldLeft(q)((acc, c) => acc.withColumnRenamed(c, s"q_$c"))

@@ -257,9 +257,22 @@ object Algorithms {
         sum(col("e_in") / m - (col("degree_w") / m) * (col("degree_w") / m)).as("modularity"))
   }
 
-  /** PageRank by bounded power iteration (damping 0.85). Works on the
-    * directed edge list; weight-proportional distribution. */
-  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+  /** PageRank by power iteration (damping 0.85) with CONVERGENCE EARLY
+    * EXIT: stops as soon as max|Δrank| < tol, under a deterministic
+    * iteration cap. Works on the directed edge list;
+    * weight-proportional distribution. The convergence probe is an
+    * O(|V|) join-aggregate per round — cheap next to the O(|E|) rank
+    * propagation it can save, and with damping d the post-convergence
+    * drift is bounded by tol·d/(1−d), so a tight tol stays well inside
+    * any downstream comparison tolerance. */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
+      tol: Double = 1e-6): DataFrame =
+    pageRankIters(edges, iterations, damping, tol)._1
+
+  /** As [[pageRank]], also returning how many iterations actually ran
+    * (observable early exit, for tests and tuning). */
+  def pageRankIters(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
+      tol: Double = 1e-6): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
     val outW = e.groupBy("src").agg(sum(col("weight")).as("out_w"))
     // persist (NOT localCheckpoint): keeps the repartition(src) metadata
@@ -271,7 +284,9 @@ object Algorithms {
     val nodes = e.select(col("src").as("node_id"))
       .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iterations) {
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
       // zero-contribution rows give in-degree-0 nodes their (1-d) base
       // term in the same aggregation (join + ONE shuffle per iteration).
       // NOTE: rank mass emitted by true dangling nodes (no out-edges) is
@@ -284,9 +299,13 @@ object Algorithms {
         .groupBy(col("node_id"))
         .agg((lit(1.0 - damping) + lit(damping) * sum(col("contrib"))).as("rank"))
         .localCheckpoint()
+      val delta = next.join(ranks.withColumnRenamed("rank", "_prev"), Seq("node_id"))
+        .agg(max(abs(col("rank") - col("_prev")))).head().getDouble(0)
+      converged = delta < tol
       ranks = next
+      i += 1
     }
     norm.unpersist(blocking = false)
-    ranks
+    (ranks, i)
   }
 }

@@ -19,11 +19,15 @@ object Skew {
     * one. Result equals the plain join exactly. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, nSalts: Int = 16): DataFrame = {
     val bigCols = big.columns
-    val salted = big.withColumn("_salt",
+    // collision-free temp column: a fixed "_salt" name would silently
+    // overwrite (or ambiguate) a user column of the same name
+    val saltCol = Iterator.from(0).map(i => s"_salt$i")
+      .find(c => !big.columns.contains(c) && !small.columns.contains(c)).get
+    val salted = big.withColumn(saltCol,
       pmod(xxhash64(bigCols.map(col): _*), lit(nSalts)).cast("int"))
     val replicated = small
-      .withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+      .withColumn(saltCol, explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Top-N hot keys of a column with their frequency share — the probe

@@ -16,10 +16,16 @@ import org.apache.spark.sql.types._
   * operators: LSH candidate verification evaluates it millions of times,
   * where the `zip_with`+`aggregate` combinator pipeline pays
   * HigherOrderFunction overhead per element. Zero-length or zero-norm
-  * inputs yield 0.0 (never NaN).
+  * inputs yield 0.0 (never NaN); LENGTH-MISMATCHED inputs yield NULL —
+  * the same result the combinator form ([[graft.functions.VectorOps
+  * .cosine]]) produces via zip_with's null padding, so the two kernels
+  * stay interchangeable (property-tested, including the mismatch case).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // null on length mismatch even when both children are non-null
+  override def nullable: Boolean = true
 
   private def okType(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -40,7 +46,8 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -68,15 +75,19 @@ case class CosineSim(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xv = (double) $a.$lGet($i);
-         |  final double $yv = (double) $b.$rGet($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xv = (double) $a.$lGet($i);
+         |    final double $yv = (double) $b.$rGet($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ($denom > 0.0) ? ($dot / $denom) : 0.0;
          |}
-         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom > 0.0) ? ($dot / $denom) : 0.0;
        """.stripMargin
     })
   }
@@ -88,12 +99,14 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   val FunctionName = "graft_cosine"
-  @volatile private var registered = Set.empty[Int]
+  @volatile private var registered = Set.empty[String]
 
   /** Idempotently register the expression on the session's function
-    * registry (also injectable via [[GraftExtensions]] for SQL users). */
+    * registry (also injectable via [[GraftExtensions]] for SQL users).
+    * Keyed by sessionUUID — stable and never reused, unlike identity
+    * hashes. */
   def register(spark: SparkSession): Unit = {
-    val key = System.identityHashCode(spark)
+    val key = graft.Cache.sessionId(spark)
     if (!registered.contains(key)) synchronized {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         FunctionName, exprs => CosineSim(exprs(0), exprs(1)), "built-in")

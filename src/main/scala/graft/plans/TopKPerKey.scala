@@ -24,6 +24,13 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * exec (`requiredChildDistribution` = ClusteredDistribution(keys), so
   * Catalyst inserts the one hash Exchange it actually needs), exposed as
   * a plain DataFrame transform via a session-registered strategy.
+  *
+  * MEMORY CAVEAT: the per-key heaps live on the JVM heap OUTSIDE Spark's
+  * memory manager — O(#distinct keys per partition × k) rows with no
+  * spill path. With hash-partitioned keys and small k (the KNN topK=20
+  * use) that is a few MB per task; for very high per-partition key
+  * cardinality × large k, prefer the window-function form, which sorts
+  * but spills under memory pressure.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
@@ -85,10 +92,12 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 object TopKPerKey {
-  @volatile private var registered = Set.empty[Int]
+  // sessionUUID keys: stable, never reused (identity hashes can recur
+  // after a dead session is GC'd)
+  @volatile private var registered = Set.empty[String]
 
   private def ensureStrategy(spark: SparkSession): Unit = {
-    val id = System.identityHashCode(spark)
+    val id = graft.Cache.sessionId(spark)
     if (!registered.contains(id)) synchronized {
       if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
         spark.experimental.extraStrategies =

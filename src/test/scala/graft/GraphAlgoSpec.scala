@@ -37,6 +37,17 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(labels(1L) != labels(4L), s"bridge merged the cliques: $labels")
   }
 
+  test("pageRank converges early on a regular graph (uniform ranks are the fixpoint)") {
+    // 4-clique, unit weights: ranks start uniform and stay uniform, so
+    // max|Δ| = 0 after the first iteration → early exit
+    val edges = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b, 1.0))
+      .toDF("src", "dst", "weight")
+    val (ranks, iters) = graft.graph.Algorithms.pageRankIters(edges, iterations = 10)
+    assert(iters < 10, s"no early exit: ran $iters iterations")
+    val vals = ranks.collect().map(_.getDouble(1))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-12), vals.mkString(","))
+  }
+
   test("modularity: clique pair scores high, random labels score ~0") {
     def clique(ids: Seq[Long], w: Double) =
       for { a <- ids; b <- ids if a != b } yield (a, b, w)

@@ -79,4 +79,14 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CosineSim and combinator cosine agree on length-mismatched inputs: both NULL") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("id", "a", "b")
+    val r = df.select(
+      CosineSim.cosine(spark, col("a"), col("b")).as("fast"),
+      VectorOps.cosine(col("a"), col("b")).as("slow")).head()
+    assert(r.isNullAt(0), "native kernel should NULL on length mismatch")
+    assert(r.isNullAt(1), "combinator kernel should NULL on length mismatch")
+  }
 }
