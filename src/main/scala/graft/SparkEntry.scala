@@ -166,9 +166,50 @@ object SparkEntry {
       |  FROM filtered_events GROUP BY user_id, book_id
       |)""".stripMargin
 
+  /** The LSH signature algebra of [[graft.ann.AnnSearch.lshTopK]],
+    * re-generated as DuckDB SQL: the ±1 hyperplanes are deterministic
+    * driver-side literals (splitmix64), so the oracle embeds the SAME
+    * constants and replicates sign bits → band keys → candidate set →
+    * exact cosine top-k. Proves the whole approximate path end to end. */
+  private def annLshOracle: String = {
+    val bands = 12; val bitsPerBand = 4; val dim = 64
+    def hp(bit: Int): String = graft.ann.Lsh.hyperplane(bit, dim, seed = 7)
+      .map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+    def signBit(bit: Int): String =
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"j -> CAST(embedding[j] AS DOUBLE) * (${hp(bit)})[j])) >= 0 THEN 1 ELSE 0 END)"
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until bitsPerBand)
+        .map(i => s"${signBit(b * bitsPerBand + i)} * ${1L << i}")
+        .mkString(" + ")
+      s"($key) AS b$b"
+    }.mkString(",\n    ")
+    val anyBand = (0 until bands).map(b => s"s.b$b = q.b$b").mkString(" OR ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |    $bandCols
+       |  FROM embeddings
+       |), q AS (SELECT * FROM sig WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT s.vec_id, s.embedding, q.embedding AS qv
+       |  FROM sig s, q
+       |  WHERE s.vec_id <> 0 AND ($anyBand)
+       |), scored AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      j -> CAST(embedding[j] AS DOUBLE) * qv[j]))
+       |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+       |       * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))) AS cosine
+       |  FROM cand
+       |)
+       |SELECT vec_id, ROUND(cosine, 6) AS cosine FROM scored
+       |ORDER BY scored.cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "ann_lsh_topk" -> annLshOracle,
     "ratings_edges" ->
       s"""$RatingsCte
          |SELECT user_id, book_id, rating FROM ratings
@@ -424,6 +465,52 @@ object SparkEntry {
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // Exact BFS truth via bounded recursive CTE on the bipartite graph
+    // (user node = 2k, book node = 2k+1; source user 1 = node 2).
+    "bfs_hops" ->
+      """WITH RECURSIVE rating_events AS (
+        |  SELECT o_custkey AS user_id, l_partkey AS book_id,
+        |         CAST(CAST(l_quantity AS INTEGER) % 11 AS BIGINT) AS rating
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), ratings AS (
+        |  SELECT user_id, book_id, MAX(rating) AS rating
+        |  FROM rating_events WHERE rating <> 0 GROUP BY user_id, book_id
+        |), edges AS (
+        |  SELECT user_id * 2 AS src, book_id * 2 + 1 AS dst FROM ratings
+        |  UNION ALL
+        |  SELECT book_id * 2 + 1, user_id * 2 FROM ratings
+        |), walk(node_id, hops) AS (
+        |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON w.node_id = e.src
+        |  WHERE w.hops < 3
+        |)
+        |SELECT node_id, MIN(hops) AS hops FROM walk GROUP BY node_id
+        |ORDER BY node_id""".stripMargin,
+
+    // Exact per-node component truth: min-label transitive closure,
+    // pruned to labels that can still lower their target (label < dst).
+    "connected_components" ->
+      """WITH RECURSIVE rating_events AS (
+        |  SELECT o_custkey AS user_id, l_partkey AS book_id,
+        |         CAST(CAST(l_quantity AS INTEGER) % 11 AS BIGINT) AS rating
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), ratings AS (
+        |  SELECT user_id, book_id, MAX(rating) AS rating
+        |  FROM rating_events WHERE rating <> 0 GROUP BY user_id, book_id
+        |), edges AS (
+        |  SELECT user_id * 2 AS src, book_id * 2 + 1 AS dst FROM ratings
+        |  UNION ALL
+        |  SELECT book_id * 2 + 1, user_id * 2 FROM ratings
+        |), lab(node_id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node_id = e.src
+        |  WHERE l.label < e.dst
+        |)
+        |SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id
+        |ORDER BY node_id""".stripMargin,
 
     "triangle_count" ->
       s"""$RatingsCte, und AS (

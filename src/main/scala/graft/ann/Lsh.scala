@@ -21,7 +21,7 @@ object Lsh {
     * the driver per (bit, dim) and shipped as literals, not re-hashed
     * per row (the naive xxhash-in-lambda form costs bits×dim hashes per
     * row). */
-  private def hyperplane(bit: Int, dim: Int, seed: Int): Array[Double] =
+  private[graft] def hyperplane(bit: Int, dim: Int, seed: Int): Array[Double] =
     Array.tabulate(dim) { j =>
       var z = seed.toLong * 0x9E3779B97F4A7C15L + (bit.toLong << 32) + j
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -80,16 +80,20 @@ object Lsh {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
-  /** Approximate top-k neighbours per id (both directions of each
-    * candidate pair), with a similarity cutoff — the KNN shape of the
-    * reference (`Alg_KNN_FastRP.py:99-116`: topK, similarityCutoff). */
-  def knnEdges(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      topK: Int = 20, cutoff: Double = 0.1,
-      bands: Int = 8, bitsPerBand: Int = 10): DataFrame = {
-    val pairs = candidatePairs(df, idCol, vecCol, dim, bands, bitsPerBand)
+  /** All LSH candidate pairs with exact cosine, NO cutoff — the shared
+    * expensive stage of every (topK, cutoff) KNN view. Cache this once
+    * per embedding table and derive operating points via
+    * [[knnFromScored]] (re-running the banding + scoring per cutoff
+    * wastes the dominant cost). */
+  def scoredPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int = 8, bitsPerBand: Int = 10): DataFrame =
+    candidatePairs(df, idCol, vecCol, dim, bands, bitsPerBand)
       .withColumn("cosine", CosineSim.cosine(df.sparkSession, col("vec_a"), col("vec_b")))
-      .filter(col("cosine") >= cutoff)
       .select(col("id_a"), col("id_b"), col("cosine"))
+
+  /** Top-k SIMILAR_TO edges from a precomputed scored-pair table. */
+  def knnFromScored(scored: DataFrame, topK: Int, cutoff: Double): DataFrame = {
+    val pairs = scored.filter(col("cosine") >= cutoff)
     val bidir = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
     // custom bounded-heap operator: no per-partition sort, O(nodes × k) state
@@ -98,4 +102,12 @@ object Lsh {
       .select(col("id_a").as("src"), col("id_b").as("dst"),
         round(col("cosine"), 6).as("similarity"))
   }
+
+  /** Approximate top-k neighbours per id (both directions of each
+    * candidate pair), with a similarity cutoff — the KNN shape of the
+    * reference (`Alg_KNN_FastRP.py:99-116`: topK, similarityCutoff). */
+  def knnEdges(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      topK: Int = 20, cutoff: Double = 0.1,
+      bands: Int = 8, bitsPerBand: Int = 10): DataFrame =
+    knnFromScored(scoredPairs(df, idCol, vecCol, dim, bands, bitsPerBand), topK, cutoff)
 }

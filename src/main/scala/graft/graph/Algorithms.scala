@@ -124,13 +124,22 @@ object Algorithms {
         .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
     }
 
+  /** LSH candidate pairs of user embeddings with exact cosine, no
+    * cutoff — cached ONCE and shared by every KNN operating point (the
+    * banding + scoring is the dominant cost; the per-cutoff filter and
+    * top-k are cheap). */
+  private def userScoredPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "knn_scored_pairs") {
+      graft.ann.Lsh.scoredPairs(FastRP.userEmbeddings(spark, dir),
+        "user_id", "embedding", 64)
+    }
+
   /** KNN SIMILAR_TO edges over the FastRP user embeddings,
     * session-cached (reference `Alg_KNN_FastRP.py:99-116`). */
   def userKnnEdges(spark: SparkSession, dir: String,
       topK: Int = 20, cutoff: Double = 0.1): DataFrame =
     graft.Cache.cached(spark, dir, s"knn_edges_${topK}_$cutoff") {
-      graft.ann.Lsh.knnEdges(FastRP.userEmbeddings(spark, dir),
-        "user_id", "embedding", 64, topK, cutoff)
+      graft.ann.Lsh.knnFromScored(userScoredPairs(spark, dir), topK, cutoff)
     }
 
   /** SIMILAR_TO edges at the reference's EXACT operating point
@@ -141,8 +150,8 @@ object Algorithms {
   def userKnnEdgesRef(spark: SparkSession, dir: String,
       topK: Int = 20, cutoff: Double = 0.8): DataFrame =
     graft.Cache.cached(spark, dir, s"knn_edges_ref_${topK}_$cutoff") {
-      graft.ann.Lsh.knnEdges(FastRP.userEmbeddings(spark, dir),
-          "user_id", "embedding", 64, topK, cutoff = 2 * cutoff - 1)
+      graft.ann.Lsh.knnFromScored(userScoredPairs(spark, dir),
+          topK, cutoff = 2 * cutoff - 1)
         .withColumn("similarity", round((col("similarity") + 1) / 2, 6))
     }
 
@@ -299,9 +308,14 @@ object Algorithms {
         .groupBy(col("node_id"))
         .agg((lit(1.0 - damping) + lit(damping) * sum(col("contrib"))).as("rank"))
         .localCheckpoint()
-      val delta = next.join(ranks.withColumnRenamed("rank", "_prev"), Seq("node_id"))
-        .agg(max(abs(col("rank") - col("_prev")))).head().getDouble(0)
-      converged = delta < tol
+      // probe every 2nd round: the probe is an extra Spark action, so
+      // halving its cadence halves overhead at the cost of (at most)
+      // one surplus iteration after convergence
+      if (i % 2 == 1) {
+        val delta = next.join(ranks.withColumnRenamed("rank", "_prev"), Seq("node_id"))
+          .agg(max(abs(col("rank") - col("_prev")))).head().getDouble(0)
+        converged = delta < tol
+      }
       ranks = next
       i += 1
     }
