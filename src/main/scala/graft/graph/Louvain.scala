@@ -29,28 +29,34 @@ object Louvain {
     * total tie orders. Edges must be bidirectional with strictly
     * positive weights. Returns (node_id, comm). */
   private def localMoving(edges: DataFrame, sweeps: Int): DataFrame = {
+    // pre-partition on dst: the per-sweep edge⋈labels join then only
+    // shuffles the (tiny) labels side
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m2 = e.agg(sum(col("weight"))).head().getDouble(0) // = 2m
-    val nodeDeg = e.groupBy(col("src").as("node_id"))
-      .agg(sum(col("weight")).as("k")).localCheckpoint()
-    var labels = nodeDeg.select(col("node_id"), col("node_id").as("comm"))
+    // labels CARRY the node degree k — saves a nodeDeg join per sweep
+    var labels = e.groupBy(col("src").as("node_id"))
+      .agg(sum(col("weight")).as("k"))
+      .select(col("node_id"), col("node_id").as("comm"), col("k"))
       .localCheckpoint()
-    for (sweep <- 1 to sweeps) {
-      val commDeg = labels.join(nodeDeg, Seq("node_id"))
-        .groupBy(col("comm")).agg(sum(col("k")).as("sigma_tot"))
-      // weight from each node to each neighbouring community (plus a
-      // zero row for its own community so "stay" is always a candidate)
+    var sweep = 1
+    var zeroMoveSweeps = 0
+    // early exit: two consecutive zero-move sweeps = both parity
+    // classes are happy → a further sweep cannot change anything
+    while (sweep <= sweeps && zeroMoveSweeps < 2) {
+      val commDeg = labels.groupBy(col("comm")).agg(sum(col("k")).as("sigma_tot"))
+      // weight from each node to each neighbouring community, plus a
+      // zero self-vote row so "stay" is always a candidate — ONE
+      // aggregation (the zero rows ride the same shuffle)
       val toComm = e
         .join(labels.select(col("node_id").as("dst"), col("comm").as("cand")), Seq("dst"))
-        .groupBy(col("src").as("node_id"), col("cand"))
-        .agg(sum(col("weight")).as("w_nc"))
-        .unionAll(labels.select(col("node_id"), col("comm").as("cand"), lit(0.0).as("w_nc")))
+        .select(col("src").as("node_id"), col("cand"), col("weight"))
+        .unionAll(labels.select(col("node_id"), col("comm").as("cand"), lit(0.0).as("weight")))
         .groupBy(col("node_id"), col("cand"))
-        .agg(sum(col("w_nc")).as("w_nc"))
+        .agg(sum(col("weight")).as("w_nc"))
       val scored = toComm
         .join(labels, Seq("node_id"))
-        .join(nodeDeg, Seq("node_id"))
         .join(commDeg.withColumnRenamed("comm", "cand"), Seq("cand"))
         // ΔQ ∝ w_nc − k · Σ_tot(cand \ node) / 2m ; remove the node's own
         // degree from its current community's total
@@ -58,21 +64,32 @@ object Louvain {
           when(col("cand") === col("comm"), col("sigma_tot") - col("k"))
             .otherwise(col("sigma_tot")))
         .withColumn("gain", col("w_nc") - col("k") * col("sigma_adj") / m2)
-      val pick = Window.partitionBy(col("node_id"))
-        .orderBy(col("gain").desc, col("cand"))
-      val best = scored
-        .withColumn("rk", row_number().over(pick))
-        .filter(col("rk") === 1)
-        .select(col("node_id"), col("cand").as("best_comm"))
-      labels = labels.join(best, Seq("node_id"))
-        .withColumn("moves", pmod(xxhash64(col("node_id")), lit(2)))
-        .select(col("node_id"),
-          when(col("moves") === lit(sweep % 2), col("best_comm"))
-            .otherwise(col("comm")).as("comm"))
-        .localCheckpoint()
+      // argmax via max_by on a totally-ordered struct (gain desc, cand
+      // asc) — a hash aggregate with map-side partials, not a window
+      // sort over every candidate row
+      val best = scored.groupBy(col("node_id"))
+        .agg(max_by(col("cand"),
+          struct(col("gain"), (-col("cand")).as("nc"))).as("best_comm"))
+        .localCheckpoint() // materialise once: probe + update both reuse
+      val parityMoves = labels.join(best, Seq("node_id"))
+        .filter(pmod(xxhash64(col("node_id")), lit(2)) === lit(sweep % 2) &&
+          col("best_comm") =!= col("comm"))
+      if (parityMoves.limit(1).isEmpty) {
+        zeroMoveSweeps += 1 // labels unchanged — skip the rewrite
+      } else {
+        zeroMoveSweeps = 0
+        labels = labels.join(best, Seq("node_id"))
+          .withColumn("moves", pmod(xxhash64(col("node_id")), lit(2)))
+          .select(col("node_id"),
+            when(col("moves") === lit(sweep % 2), col("best_comm"))
+              .otherwise(col("comm")).as("comm"),
+            col("k"))
+          .localCheckpoint()
+      }
+      sweep += 1
     }
     e.unpersist(blocking = false)
-    labels
+    labels.select(col("node_id"), col("comm"))
   }
 
   /** Full Louvain: `levels` rounds of local moving + coarsening.
