@@ -59,6 +59,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
+    "corpus_ngrams" -> ((s, d) => TextOps.corpusNgrams(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
@@ -205,6 +207,46 @@ object SparkEntry {
        |SELECT vec_id, ROUND(cosine, 6) AS cosine FROM scored
        |ORDER BY scored.cosine DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  /** text_stats oracle — also a subquery of quality_filter's. */
+  private val TextStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      |  CAST(LEN(regexp_extract_all(text, '[^ \t\n]+')) AS BIGINT) AS n_tokens,
+      |  CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      |  CAST(LEN(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+      |  CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) > 0
+      |       THEN CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '[^ \t\n]+'))
+      |       ELSE 0.0 END AS avg_token_len,
+      |  (CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) BETWEEN 10 AND 2000 THEN 0.4 ELSE 0.0 END
+      |   + CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) > 0
+      |          AND (CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '[^ \t\n]+'))) BETWEEN 3.0 AND 12.0
+      |          THEN 0.3 ELSE 0.0 END
+      |   + CASE WHEN LENGTH(text) > 0
+      |          AND CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / LENGTH(text) < 0.1
+      |          THEN 0.3 ELSE 0.0 END) AS quality_score
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** lang_id oracle — also a subquery of quality_filter's. */
+  private val LangIdSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                             t -> length(t) > 0) AS toks
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, list_aggregate([
+      |    {'score': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit'], t))), 'lang': 'de'},
+      |    {'score': len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))), 'lang': 'en'},
+      |    {'score': len(list_filter(toks, t -> list_contains(['el','los','las','y','es','un','una','en','por'], t))), 'lang': 'es'},
+      |    {'score': len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','dans','pour'], t))), 'lang': 'fr'},
+      |    {'score': len(list_filter(toks, t -> list_contains(['的','是','在','了','和','有','我','不'], t))), 'lang': 'zh'}
+      |  ], 'max') AS best FROM toks
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+      |  CAST(best.score AS BIGINT) AS stopword_hits
+      |FROM scored ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -630,24 +672,29 @@ object SparkEntry {
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
-    "text_stats" ->
-      """SELECT doc_id,
-        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
-        |  CAST(LEN(regexp_extract_all(text, '[^ \t\n]+')) AS BIGINT) AS n_tokens,
-        |  CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
-        |  CAST(LEN(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
-        |  CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) > 0
-        |       THEN CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '[^ \t\n]+'))
-        |       ELSE 0.0 END AS avg_token_len,
-        |  (CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) BETWEEN 10 AND 2000 THEN 0.4 ELSE 0.0 END
-        |   + CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) > 0
-        |          AND (CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '[^ \t\n]+'))) BETWEEN 3.0 AND 12.0
-        |          THEN 0.3 ELSE 0.0 END
-        |   + CASE WHEN LENGTH(text) > 0
-        |          AND CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / LENGTH(text) < 0.1
-        |          THEN 0.3 ELSE 0.0 END) AS quality_score
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      s"""SELECT ts.doc_id, li.lang_pred, ts.quality_score
+         |FROM ($TextStatsSql) ts JOIN ($LangIdSql) li USING (doc_id)
+         |WHERE ts.quality_score >= 0.7 AND li.lang_pred = 'en'
+         |ORDER BY ts.doc_id""".stripMargin,
+
+    "corpus_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS grams
+        |  FROM toks WHERE len(toks) >= 2
+        |)
+        |SELECT gram, COUNT(*) AS doc_freq
+        |FROM (SELECT doc_id, unnest(grams) AS gram FROM bg)
+        |GROUP BY gram
+        |ORDER BY doc_freq DESC, gram
+        |LIMIT 20""".stripMargin,
+
+    "text_stats" -> TextStatsSql,
 
     "doc_fingerprint" ->
       """SELECT doc_id,
@@ -777,24 +824,7 @@ object SparkEntry {
         |FROM pairs WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "lang_id" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                             t -> length(t) > 0) AS toks
-        |  FROM documents
-        |), scored AS (
-        |  SELECT doc_id, list_aggregate([
-        |    {'score': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit'], t))), 'lang': 'de'},
-        |    {'score': len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))), 'lang': 'en'},
-        |    {'score': len(list_filter(toks, t -> list_contains(['el','los','las','y','es','un','una','en','por'], t))), 'lang': 'es'},
-        |    {'score': len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','dans','pour'], t))), 'lang': 'fr'},
-        |    {'score': len(list_filter(toks, t -> list_contains(['的','是','在','了','和','有','我','不'], t))), 'lang': 'zh'}
-        |  ], 'max') AS best FROM toks
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
-        |  CAST(best.score AS BIGINT) AS stopword_hits
-        |FROM scored ORDER BY doc_id""".stripMargin,
+    "lang_id" -> LangIdSql,
 
     "multimodal_meta" ->
       """SELECT doc_id, source AS modality,

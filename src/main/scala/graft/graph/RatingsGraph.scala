@@ -69,15 +69,25 @@ object RatingsGraph {
     * Reference `algorithms/Alg_Community_Detection.py:20-30` (Cypher
     * projection for Louvain).
     *
-    * Scale: the self-join on book_id is the classic co-occurrence blowup;
-    * pre-filtering to rating>=6 happens before the join and AQE skew
-    * handling splits hot books. For 100 TB a degree cap (top-N raters per
-    * book) bounds the quadratic term; kept full here for reference parity.
+    * Scale: the self-join on book_id is the classic co-occurrence blowup
+    * (quadratic in per-book raters); pre-filtering to rating>=6 happens
+    * before the join and AQE skew handling splits hot books. The
+    * `maxFanout` degree cap bounds the quadratic term for 100 TB runs by
+    * keeping only each book's top-N raters (deterministic: highest
+    * rating first, then smallest user id — the strongest signal
+    * survives). Default 0 = OFF for reference parity (the reference
+    * projects ALL co-raters, `Alg_Community_Detection.py:20-30`).
     */
-  def cooccurrenceEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.Cache.cached(spark, dir, "cooccurrence") {
-      val liked = ratings(spark, dir).filter(col("rating") >= 6)
-        .select(col("user_id"), col("book_id"))
+  def cooccurrenceEdges(spark: SparkSession, dir: String,
+      maxFanout: Int = 0): DataFrame =
+    graft.Cache.cached(spark, dir, s"cooccurrence_$maxFanout") {
+      val likedAll = ratings(spark, dir).filter(col("rating") >= 6)
+        .select(col("user_id"), col("book_id"), col("rating"))
+      val liked =
+        if (maxFanout <= 0) likedAll.select(col("user_id"), col("book_id"))
+        else graft.plans.TopKPerKey.topKPerKey(likedAll, Seq("book_id"),
+            Seq(("rating", false), ("user_id", true)), maxFanout)
+          .select(col("user_id"), col("book_id"))
       val a = liked.select(col("user_id").as("u1"), col("book_id"))
       val b = liked.select(col("user_id").as("u2"), col("book_id"))
       a.join(b, Seq("book_id"))

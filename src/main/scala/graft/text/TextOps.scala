@@ -140,6 +140,38 @@ object TextOps {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** Pre-train corpus policy filter: keep documents that pass the
+    * quality score threshold AND are in an allowed language — the
+    * composition every training-data pipeline runs before tokenisation.
+    * Both inputs are single-projection column algebra over the same
+    * scan, joined on doc_id. */
+  def qualityFilter(spark: SparkSession, dir: String, minScore: Double = 0.7,
+      langs: Seq[String] = Seq("en")): DataFrame =
+    textStats(spark, dir).select(col("doc_id"), col("quality_score"))
+      .join(langId(spark, dir).select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+      .filter(col("quality_score") >= minScore && col("lang_pred").isin(langs: _*))
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-wide top-k n-grams by DOCUMENT frequency (vocab budgeting /
+    * contamination probes). Per-doc distinct bigrams explode to one row
+    * per (doc, gram), then a map-side-combined count on the gram key —
+    * the explode never shuffles more than Σ distinct grams rows, and the
+    * final top-k is a TakeOrdered, not a full sort. */
+  def corpusNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /

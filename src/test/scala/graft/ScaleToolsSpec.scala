@@ -40,6 +40,21 @@ class ScaleToolsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_test_bucketed")
   }
 
+  test("cooccurrence maxFanout: tight cap shrinks the edge set, generous cap is exact reference parity") {
+    import org.apache.spark.sql.functions._
+    import graft.graph.RatingsGraph
+    val full = RatingsGraph.cooccurrenceEdges(spark, sf)
+    val capped = RatingsGraph.cooccurrenceEdges(spark, sf, maxFanout = 3)
+    assert(capped.count() < full.count(), "tight cap should prune pairs")
+    // capped pairs are a subset of the full projection
+    assert(capped.select("u1", "u2").exceptAll(full.select("u1", "u2")).isEmpty)
+    // cap >= max per-book raters → identical result
+    val maxDeg = RatingsGraph.ratings(spark, sf).filter(col("rating") >= 6)
+      .groupBy("book_id").count().agg(max("count")).head().getLong(0).toInt
+    val generous = RatingsGraph.cooccurrenceEdges(spark, sf, maxFanout = maxDeg)
+    assert(generous.exceptAll(full).isEmpty && full.exceptAll(generous).isEmpty)
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams
