@@ -59,9 +59,18 @@ object Recommend {
     * is the ratings edge table, scanned once.
     */
   def recommendKnn(spark: SparkSession, dir: String, user: Long = TargetUser,
-      simK: Int = 20, k: Int = 3): DataFrame = {
-    val ratings = RatingsGraph.ratings(spark, dir)
-    val sims = similarUsersCooc(spark, dir, user, simK).select(col("user_id"))
+      simK: Int = 20, k: Int = 3): DataFrame =
+    recommendFromSimilar(
+      RatingsGraph.ratings(spark, dir),
+      similarUsersCooc(spark, dir, user, simK).select(col("user_id")),
+      RatingsGraph.ratedBooks(spark, dir), user, k)
+
+  /** The reference's recommend_books core (`recommender_knn.py:11-28`),
+    * parameterised by the similar-user set: their books, anti-join the
+    * target's own, avg rating + votes, top-k. Shared by the
+    * co-occurrence and embedding KNN paths; fixture-testable. */
+  def recommendFromSimilar(ratings: DataFrame, sims: DataFrame, books: DataFrame,
+      user: Long, k: Int): DataFrame = {
     val mine = ratings.filter(col("user_id") === user).select(col("book_id"))
     ratings
       .join(broadcast(sims), Seq("user_id"))
@@ -69,7 +78,7 @@ object Recommend {
       .groupBy(col("book_id"))
       .agg((sum(col("rating")).cast("double") / count(lit(1))).as("avg_rating"),
         count(lit(1)).as("votes"))
-      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
+      .join(broadcast(books), Seq("book_id"))
       .select(col("book_id"), col("title"), col("avg_rating"), col("votes"))
       .orderBy(col("avg_rating").desc, col("votes").desc, col("book_id"))
       .limit(k)
@@ -187,22 +196,12 @@ object Recommend {
     * SIMILAR_TO edges → books of similar users, anti-join already-rated,
     * avg rating + votes, top-k. Embedding-based, so rows-only oracle. */
   def recommendKnnEmbedding(spark: SparkSession, dir: String, user: Long = TargetUser,
-      topK: Int = 20, cutoff: Double = 0.1, k: Int = 10): DataFrame = {
-    val simEdges = graft.graph.Algorithms.userKnnEdges(spark, dir, topK, cutoff)
-    val sims = simEdges.filter(col("src") === user).select(col("dst").as("user_id"))
-    val ratings = RatingsGraph.ratings(spark, dir)
-    val mine = ratings.filter(col("user_id") === user).select(col("book_id"))
-    ratings
-      .join(broadcast(sims), Seq("user_id"))
-      .join(broadcast(mine), Seq("book_id"), "left_anti")
-      .groupBy(col("book_id"))
-      .agg((sum(col("rating")).cast("double") / count(lit(1))).as("avg_rating"),
-        count(lit(1)).as("votes"))
-      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
-      .select(col("book_id"), col("title"), col("avg_rating"), col("votes"))
-      .orderBy(col("avg_rating").desc, col("votes").desc, col("book_id"))
-      .limit(k)
-  }
+      topK: Int = 20, cutoff: Double = 0.1, k: Int = 10): DataFrame =
+    recommendFromSimilar(
+      RatingsGraph.ratings(spark, dir),
+      graft.graph.Algorithms.userKnnEdges(spark, dir, topK, cutoff)
+        .filter(col("src") === user).select(col("dst").as("user_id")),
+      RatingsGraph.ratedBooks(spark, dir), user, k)
 
   /** Top-k users by rating-degree (degree centrality on the bipartite
     * graph; the reference surfaces degree implicitly through its viz). */

@@ -70,6 +70,21 @@ class LearnedSurfaceSpec extends AnyFunSuite {
       s"disjoint rater passed the 0.8 cutoff: $gds")
   }
 
+  test("recommendFromSimilar: planted fixture yields exact avg/votes ranking") {
+    // sims = {2, 3}; user 1 already rated book 10.
+    // book 11: rated 8 by u2, 6 by u3 → avg 7.0, votes 2
+    // book 12: rated 9 by u2 → avg 9.0, votes 1
+    // book 10: anti-joined away despite u3's rating
+    val ratings = Seq(
+      (1L, 10L, 5L), (2L, 11L, 8L), (3L, 11L, 6L), (2L, 12L, 9L), (3L, 10L, 7L))
+      .toDF("user_id", "book_id", "rating")
+    val sims = Seq(2L, 3L).toDF("user_id")
+    val books = Seq((10L, "ten"), (11L, "eleven"), (12L, "twelve")).toDF("book_id", "title")
+    val got = Recommend.recommendFromSimilar(ratings, sims, books, user = 1L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq((12L, "twelve", 9.0, 1L), (11L, "eleven", 7.0, 2L)), got.mkString(","))
+  }
+
   test("knn_similar_edges_ref is non-empty at sf0.001 with similarity in [0.8, 1]") {
     val df = Algorithms.userKnnEdgesRef(spark, sf).cache()
     val n = df.count()
