@@ -149,6 +149,12 @@ object SparkEntry {
         .select(col("doc_id"), col("modality"), col("byte_len"),
           col("width"), col("height"), col("n_frames"))
     }),
+    "multimodal_resize" -> ((s, d) =>
+      graft.multimodal.Multimodal.resizeMeta(
+        graft.multimodal.Multimodal.mediaTable(s, d)).toDF().orderBy("doc_id")),
+    "multimodal_frames" -> ((s, d) =>
+      graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.mediaTable(s, d)).toDF().orderBy("doc_id")),
     // — Similarity search —
     "ann_bruteforce_topk" -> ((s, d) => graft.ann.AnnSearch.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => graft.ann.AnnSearch.lshTopK(s, d)),
@@ -825,6 +831,33 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "lang_id" -> LangIdSql,
+
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, source AS modality,
+        |    OCTET_LENGTH(ENCODE(text)) AS len,
+        |    16 + OCTET_LENGTH(ENCODE(text)) % 64 AS w,
+        |    16 + (OCTET_LENGTH(ENCODE(text)) // 64) % 64 AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, modality, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(32 AS INTEGER) AS target_w, CAST(32 AS INTEGER) AS target_h,
+        |  CAST(len AS BIGINT) AS in_bytes,
+        |  CAST(CEIL(CAST(len AS DOUBLE) * 1024 / (w * h)) AS BIGINT) AS out_bytes
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, source AS modality,
+        |    1 + OCTET_LENGTH(ENCODE(text)) % 4 AS nf
+        |  FROM documents
+        |)
+        |SELECT doc_id, modality, CAST(nf AS INTEGER) AS n_frames,
+        |  array_to_string(range(0, nf, 2), ',') AS sampled,
+        |  CAST(len(range(0, nf, 2)) AS INTEGER) AS n_sampled
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, source AS modality,

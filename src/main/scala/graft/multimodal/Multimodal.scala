@@ -71,4 +71,43 @@ object Multimodal {
     extractFeatures(mediaTable(spark, dir))
       .toDF()
       .orderBy("doc_id")
+
+  case class ResizedMeta(doc_id: Long, modality: String, width: Int, height: Int,
+      target_w: Int, target_h: Int, in_bytes: Long, out_bytes: Long)
+
+  /** Batched resize through the decode seam: a real implementation
+    * decodes, scales, re-encodes per partition; the stub carries the
+    * deterministic size accounting (output bytes ∝ pixel ratio) so the
+    * schema and batch shape are exercised and oracle-checkable. */
+  def resizeMeta(media: Dataset[MediaRow], targetW: Int = 32, targetH: Int = 32): Dataset[ResizedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec/scaler init would happen here, once
+      rows.map { r =>
+        val (w, h, _, _) = decodeStub(r.payload)
+        val outBytes = math.ceil(
+          r.payload.length.toDouble * (targetW.toLong * targetH) / (w.toLong * h)).toLong
+        ResizedMeta(r.doc_id, r.modality, w, h, targetW, targetH,
+          r.payload.length.toLong, outBytes)
+      }
+    }
+  }
+
+  case class FrameSampleRow(doc_id: Long, modality: String, n_frames: Int,
+      sampled: String, n_sampled: Int)
+
+  /** Batched frame sampling (video modality): keep every k-th frame
+    * index from the decoded frame count. The index arithmetic is the
+    * real operator contract; frame extraction itself sits behind the
+    * decode stub. */
+  def frameSample(media: Dataset[MediaRow], everyK: Int = 2): Dataset[FrameSampleRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, frames, _) = decodeStub(r.payload)
+        val idx = 0 until frames by everyK
+        FrameSampleRow(r.doc_id, r.modality, frames, idx.mkString(","), idx.length)
+      }
+    }
+  }
 }
