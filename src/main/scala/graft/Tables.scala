@@ -36,10 +36,13 @@ object Tables {
     * readStream paths. */
   def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // exact integral floor division: `/` on longs is a double Divide,
-    // and nano-epoch longs (~1.7e18) exceed double's 2^53 exact range —
-    // a lossy round there could truncate 1 µs early
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // exact integral FLOOR division: `/` on longs is a double Divide and
+    // nano-epoch longs (~1.7e18) exceed double's 2^53 exact range, while
+    // `div` alone truncates toward zero — wrong by 1 µs for pre-epoch
+    // (negative) nanos. Branch keeps both signs exact and floor-like
+    // (DuckDB's `//` semantics).
+    raw.withColumn("ts", timestamp_micros(
+      expr("CASE WHEN ts >= 0 THEN ts div 1000 ELSE ((ts + 1) div 1000) - 1 END")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -83,10 +83,18 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
-    * of the MinHash pipeline). */
+    * of the MinHash pipeline).
+    *
+    * Candidate generation runs the banding at 32 bands × 1 row (a pair
+    * at Jaccard J shares any single-minhash band with prob J, so a
+    * J ≥ 0.5 pair is missed with prob (1−J)³² ≈ 2e-10) — recall-complete
+    * for the ≥-threshold output, which the all-pairs DuckDB oracle
+    * asserts exactly. The estimation-oriented 8×4 banding of
+    * [[minhashPairs]] is NOT recall-safe at J near 0.5 (~60% miss). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val cand = minhashPairs(spark, dir, minEstJaccard = 0.0).select("id_a", "id_b")
+    val cand = minhashPairs(spark, dir, bands = 32, minEstJaccard = 0.0)
+      .select("id_a", "id_b")
     val sets = shingleSets(spark, dir)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))

@@ -312,9 +312,10 @@ object Algorithms {
       // halving its cadence halves overhead at the cost of (at most)
       // one surplus iteration after convergence
       if (i % 2 == 1) {
-        val delta = next.join(ranks.withColumnRenamed("rank", "_prev"), Seq("node_id"))
-          .agg(max(abs(col("rank") - col("_prev")))).head().getDouble(0)
-        converged = delta < tol
+        // max over an empty/NULL frame is NULL (empty graph) → converged
+        val row = next.join(ranks.withColumnRenamed("rank", "_prev"), Seq("node_id"))
+          .agg(max(abs(col("rank") - col("_prev")))).head()
+        converged = row.isNullAt(0) || row.getDouble(0) < tol
       }
       ranks = next
       i += 1

@@ -105,8 +105,12 @@ object Louvain {
       mapping =
         if (mapping == null) labels.select(col("node_id"), col("comm"))
         else mapping.select(col("node_id"), col("comm").as("mid"))
-          .join(labels.select(col("node_id").as("mid"), col("comm")), Seq("mid"))
-          .select(col("node_id"), col("comm"))
+          // LEFT join + coalesce: a level-0 community with no
+          // inter-community edges never appears in the coarsened graph
+          // and gets no higher-level label — it must keep its own label,
+          // not vanish (GDS labels every projected node)
+          .join(labels.select(col("node_id").as("mid"), col("comm")), Seq("mid"), "left")
+          .select(col("node_id"), coalesce(col("comm"), col("mid")).as("comm"))
       mapping = mapping.localCheckpoint()
       if (level < levels - 1) {
         // coarsen: one node per community, aggregated inter-community
@@ -119,8 +123,17 @@ object Louvain {
           .groupBy(col("src_c").as("src"), col("dst_c").as("dst"))
           .agg(sum(col("weight")).as("weight"))
           .localCheckpoint()
+        // communities == connected components → nothing left to merge;
+        // running localMoving on an empty edge list would NPE on the
+        // m2 aggregate
+        if (currentEdges.isEmpty) return finishLabels(mapping)
       }
     }
+    finishLabels(mapping)
+  }
+
+  /** Canonicalise community labels to the minimum member node id. */
+  private def finishLabels(mapping: DataFrame): DataFrame = {
     // canonical community label = min member node id
     val canon = mapping.groupBy(col("comm"))
       .agg(min(col("node_id")).as("community"))

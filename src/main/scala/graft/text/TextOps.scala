@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -77,21 +77,25 @@ object TextOps {
     "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "por"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
 
+  /** Best (score, lang) struct of the stopword-hit argmax over `text`
+    * (ties → lexicographically larger code via struct max). */
+  private def langBest(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    array_max(array(StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }: _*))
+  }
+
   /** Heuristic language ID: score = stopword hits per language, predict
     * the argmax (ties → lexicographically larger code, deterministic),
     * 'und' when nothing matches. Pure column algebra — one projection. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-    val scored = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
-    }
+  def langId(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"), array_max(array(scored: _*)).as("best"))
+      .select(col("doc_id"), langBest(col("text")).as("best"))
       .select(col("doc_id"),
         when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("lang_pred"),
         col("best.score").cast("bigint").as("stopword_hits"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-source corpus profile: doc counts, language diversity, exact
     * length percentiles (linear interpolation — matches SQL
@@ -143,15 +147,26 @@ object TextOps {
   /** Pre-train corpus policy filter: keep documents that pass the
     * quality score threshold AND are in an allowed language — the
     * composition every training-data pipeline runs before tokenisation.
-    * Both inputs are single-projection column algebra over the same
-    * scan, joined on doc_id. */
+    * Both signals are column algebra computed in ONE projection over a
+    * single documents scan (no self-join, no second scan). */
   def qualityFilter(spark: SparkSession, dir: String, minScore: Double = 0.7,
-      langs: Seq[String] = Seq("en")): DataFrame =
-    textStats(spark, dir).select(col("doc_id"), col("quality_score"))
-      .join(langId(spark, dir).select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    val nChars = length(col("text"))
+    val nTokens = size(expr("regexp_extract_all(text, '[^ \\t\\n]+', 0)"))
+    val nPunct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
+    val avgTok = nChars.cast("double") / nTokens
+    val quality =
+      when(nTokens.between(10, 2000), lit(0.4)).otherwise(lit(0.0)) +
+      when(nTokens > 0 && avgTok.between(3.0, 12.0), lit(0.3)).otherwise(lit(0.0)) +
+      when(nChars > 0 && nPunct.cast("double") / nChars < 0.1, lit(0.3)).otherwise(lit(0.0))
+    documents(spark, dir)
+      .select(col("doc_id"), quality.as("quality_score"), langBest(col("text")).as("best"))
+      .select(col("doc_id"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("lang_pred"),
+        col("quality_score"))
       .filter(col("quality_score") >= minScore && col("lang_pred").isin(langs: _*))
-      .select(col("doc_id"), col("lang_pred"), col("quality_score"))
       .orderBy(col("doc_id"))
+  }
 
   /** Corpus-wide top-k n-grams by DOCUMENT frequency (vocab budgeting /
     * contamination probes). Per-doc distinct bigrams explode to one row
