@@ -48,6 +48,28 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-12), vals.mkString(","))
   }
 
+  test("louvain: disjoint cliques (fully-coarsened graph) keep every node, one community each") {
+    // no bridge: level-0 merges each clique fully, the coarsened graph
+    // is EMPTY (isolated communities) — unfold must keep all nodes and
+    // the next level must not run on the empty edge list
+    def clique(ids: Seq[Long], w: Double) =
+      for { a <- ids; b <- ids if a != b } yield (a, b, w)
+    val edges = (clique(Seq(1L, 2L, 3L), 5.0) ++ clique(Seq(10L, 11L, 12L), 5.0))
+      .toDF("src", "dst", "weight")
+    val labels = graft.graph.Louvain.louvain(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L),
+      s"nodes dropped through unfold: $labels")
+    assert(labels(1L) == labels(2L) && labels(2L) == labels(3L))
+    assert(labels(10L) == labels(11L) && labels(11L) == labels(12L))
+    assert(labels(1L) != labels(10L))
+  }
+
+  test("pageRank tolerates an empty edge list") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
+    assert(graft.graph.Algorithms.pageRank(empty).isEmpty)
+  }
+
   test("modularity: clique pair scores high, random labels score ~0") {
     def clique(ids: Seq[Long], w: Double) =
       for { a <- ids; b <- ids if a != b } yield (a, b, w)
