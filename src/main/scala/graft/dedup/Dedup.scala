@@ -40,10 +40,6 @@ object Dedup {
         .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("shingle_set"))
     }
 
-  /** MinHash signature: sig[s] = min over shingles of xxhash64(shingle, s). */
-  private def minhashSig(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingleSet, sh => xxhash64(sh, s))))
 
   /** MinHash + LSH banding candidate pairs with estimated Jaccard
     * (fraction of agreeing signature positions). Bands of `rowsPerBand`
@@ -55,9 +51,16 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
       numHashes: Int = 32, bands: Int = 8, minEstJaccard: Double = 0.2): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // sig[s] = min over shingles of xxhash64(shingle, s). Measured
+    // alternative (hash strings once, re-hash the longs per seed) was a
+    // net LOSS — the extra hashed-array pass outweighs the cheaper
+    // per-element hash; kept per-seed string hashing.
     val sigs = graft.Cache.cached(spark, dir, s"minhash_sigs_$numHashes") {
       shingleSets(spark, dir)
-        .select(col("doc_id"), minhashSig(col("shingle_set"), numHashes).as("sig"))
+        .select(col("doc_id"),
+          array((0 until numHashes).map { s =>
+            array_min(transform(col("shingle_set"), sh => xxhash64(sh, lit(s))))
+          }: _*).as("sig"))
     }
     // explode to (band_idx, band_hash, doc_id); bucket join per band
     val banded = sigs.select(col("doc_id"),
@@ -96,7 +99,18 @@ object Dedup {
     val cand = minhashPairs(spark, dir, bands = 32, minEstJaccard = 0.0)
       .select("id_a", "id_b")
     val sets = shingleSets(spark, dir)
-    cand
+    // LOSSLESS size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    // ≥-threshold pair needs size ratio ≥ threshold — prune on
+    // (id, size) pairs BEFORE shipping the shingle arrays through the
+    // verify joins (the arrays dominate the shuffle volume)
+    val sizes = sets.select(col("doc_id"), size(col("shingle_set")).as("sz"))
+    val candSized = cand
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")) >= minJaccard)
+      .select("id_a", "id_b")
+    candSized
       .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
