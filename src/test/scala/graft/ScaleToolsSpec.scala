@@ -55,6 +55,20 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(generous.exceptAll(full).isEmpty && full.exceptAll(generous).isEmpty)
   }
 
+  test("quality_filter plans exactly ONE documents scan (no self-join of the two signals)") {
+    val plan = text.TextOps.qualityFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
+  test("corpus_ngrams scan prunes to the text column") {
+    val plan = text.TextOps.corpusNgrams(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"scan not pruned to text:\n$plan")
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams
