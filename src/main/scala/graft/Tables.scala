@@ -39,8 +39,10 @@ object Tables {
     // exact integral FLOOR division: `/` on longs is a double Divide and
     // nano-epoch longs (~1.7e18) exceed double's 2^53 exact range, while
     // `div` alone truncates toward zero — wrong by 1 µs for pre-epoch
-    // (negative) nanos. Branch keeps both signs exact and floor-like
-    // (DuckDB's `//` semantics).
+    // (negative) nanos. The parity target is DuckDB's TIMESTAMP_NS →
+    // TIMESTAMP cast, which FLOORS (note: DuckDB's integer `//` does
+    // NOT — it truncates toward zero; don't use it in oracles on raw
+    // nano longs).
     raw.withColumn("ts", timestamp_micros(
       expr("CASE WHEN ts >= 0 THEN ts div 1000 ELSE ((ts + 1) div 1000) - 1 END")))
   }

@@ -14,8 +14,12 @@ import graft.ann.Lsh
   *
   * All hashes are xxhash64 column expressions — deterministic,
   * codegen'd, no RNG state, no UDFs. Everything is
-  * candidate-generation-then-verify: the only shuffles are keyed on
-  * bucket hashes, so cost is |docs| × bands, never |docs|².
+  * candidate-generation-then-verify: the shuffles are keyed on bucket
+  * hashes (|docs| × bands rows), and candidate-pair volume is set by
+  * the banding dial — wide bands keep it ~linear in |docs|, while the
+  * 1-row-band recall-complete configuration admits a background-
+  * collision fraction of pairs in exchange for guaranteed recall (see
+  * [[bandedCandidates]]; only used with a cheap exact prune behind it).
   */
 object Dedup {
 
@@ -48,32 +52,46 @@ object Dedup {
     *
     * numHashes=32, bands=8×4: catches J≳0.5 pairs with high probability
     * while random pairs (J≈0.02 here) collide rarely. */
-  def minhashPairs(spark: SparkSession, dir: String,
-      numHashes: Int = 32, bands: Int = 8, minEstJaccard: Double = 0.2): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // sig[s] = min over shingles of xxhash64(shingle, s). Measured
-    // alternative (hash strings once, re-hash the longs per seed) was a
-    // net LOSS — the extra hashed-array pass outweighs the cheaper
-    // per-element hash; kept per-seed string hashing.
-    val sigs = graft.Cache.cached(spark, dir, s"minhash_sigs_$numHashes") {
+  /** MinHash signatures, session-cached per numHashes. sig[s] = min over
+    * shingles of xxhash64(shingle, s). Measured alternative (hash
+    * strings once, re-hash the longs per seed) was a net LOSS — the
+    * extra hashed-array pass outweighs the cheaper per-element hash;
+    * kept per-seed string hashing. */
+  private def minhashSigs(spark: SparkSession, dir: String, numHashes: Int): DataFrame =
+    graft.Cache.cached(spark, dir, s"minhash_sigs_$numHashes") {
       shingleSets(spark, dir)
         .select(col("doc_id"),
           array((0 until numHashes).map { s =>
             array_min(transform(col("shingle_set"), sh => xxhash64(sh, lit(s))))
           }: _*).as("sig"))
     }
-    // explode to (band_idx, band_hash, doc_id); bucket join per band
+
+  /** Banded candidate id pairs (id_a < id_b, distinct): docs colliding
+    * in ≥1 band of `rowsPerBand` signature positions. The (bands,
+    * rowsPerBand) pair is the recall/selectivity dial: a J-similar pair
+    * collides per band with J^rowsPerBand and is missed entirely with
+    * (1−J^rowsPerBand)^bands, while a random background pair (J≈0.02
+    * here) collides with ≈ bands·(0.02^rowsPerBand). Wide bands
+    * (rowsPerBand ≥ 2) keep the candidate set ~linear; 1-row bands are
+    * recall-complete down to low thresholds but admit a background
+    * fraction of pairs — only sane when a cheap exact prune follows. */
+  private def bandedCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("band_hash"))
     val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
-    val cand = l.join(r, Seq("band_idx", "band_hash"))
+    l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  def minhashPairs(spark: SparkSession, dir: String,
+      numHashes: Int = 32, bands: Int = 8, minEstJaccard: Double = 0.2): DataFrame = {
+    val sigs = minhashSigs(spark, dir, numHashes)
     // verify on signatures: estimated jaccard = agreeing positions / numHashes
-    cand
+    bandedCandidates(sigs, bands, numHashes / bands)
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
@@ -88,16 +106,21 @@ object Dedup {
   /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
     * of the MinHash pipeline).
     *
-    * Candidate generation runs the banding at 32 bands × 1 row (a pair
+    * Candidate generation runs the banding at 32 bands × 1 row: a pair
     * at Jaccard J shares any single-minhash band with prob J, so a
-    * J ≥ 0.5 pair is missed with prob (1−J)³² ≈ 2e-10) — recall-complete
+    * J ≥ 0.5 pair is missed with prob (1−J)³² ≈ 2e-10 — recall-complete
     * for the ≥-threshold output, which the all-pairs DuckDB oracle
-    * asserts exactly. The estimation-oriented 8×4 banding of
-    * [[minhashPairs]] is NOT recall-safe at J near 0.5 (~60% miss). */
+    * asserts exactly. (The estimation-oriented 8×4 banding of
+    * [[minhashPairs]] is NOT recall-safe at J near 0.5 — ~60% miss.)
+    * The 1-row bands admit background-similarity candidates (see
+    * [[bandedCandidates]]), so candidates stay ids-only and pass the
+    * lossless size prune before any array ships; at production
+    * thresholds (0.8+) prefer ≥4-row bands, where background collisions
+    * vanish and recall still holds. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val cand = minhashPairs(spark, dir, bands = 32, minEstJaccard = 0.0)
-      .select("id_a", "id_b")
+    // ids-only candidates — no est-jaccard stage, no signature arrays
+    val cand = bandedCandidates(minhashSigs(spark, dir, 32), bands = 32, rowsPerBand = 1)
     val sets = shingleSets(spark, dir)
     // LOSSLESS size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
     // ≥-threshold pair needs size ratio ≥ threshold — prune on

@@ -98,6 +98,10 @@ object Louvain {
   def louvain(edges: DataFrame, levels: Int = 2, sweeps: Int = 6): DataFrame = {
     var currentEdges = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .filter(col("weight") > 0.0)
+    // empty (or all-nonpositive) input: no nodes to label — return the
+    // empty (node_id, community) frame rather than NPE on the m2 sum
+    if (currentEdges.isEmpty)
+      return currentEdges.select(col("src").as("node_id"), col("src").as("community"))
     // mapping from original node to current-level node
     var mapping: DataFrame = null
     for (level <- 0 until levels) {

@@ -12,6 +12,21 @@ import graft.Tables._
   */
 object TextOps {
 
+  /** Deterministic quality score over raw `text` (length / token-shape /
+    * punctuation heuristics) — the SINGLE definition shared by
+    * [[textStats]] and [[qualityFilter]] (and mirrored by the
+    * `TextStatsSql` oracle); duplicate regex subtrees inside one
+    * projection are deduped by codegen subexpression elimination. */
+  private def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nTokens = size(expr("regexp_extract_all(text, '[^ \\t\\n]+', 0)"))
+    val nPunct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
+    val avgTok = nChars.cast("double") / nTokens
+    when(nTokens.between(10, 2000), lit(0.4)).otherwise(lit(0.0)) +
+      when(nTokens > 0 && avgTok.between(3.0, 12.0), lit(0.3)).otherwise(lit(0.0)) +
+      when(nChars > 0 && nPunct.cast("double") / nChars < 0.1, lit(0.3)).otherwise(lit(0.0))
+  }
+
   /** Per-document counting stats + a deterministic quality score
     * (length / token-shape / punctuation heuristics, the usual pre-train
     * corpus filters). */
@@ -24,11 +39,7 @@ object TextOps {
       .withColumn("n_digits", size(expr("regexp_extract_all(text, '[0-9]', 0)")).cast("bigint"))
       .withColumn("avg_token_len",
         when(col("n_tokens") > 0, col("n_chars").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
-      .withColumn("quality_score",
-        when(col("n_tokens").between(10, 2000), lit(0.4)).otherwise(lit(0.0)) +
-        when(col("n_tokens") > 0 && col("avg_token_len").between(3.0, 12.0), lit(0.3)).otherwise(lit(0.0)) +
-        when(col("n_chars") > 0 &&
-          col("n_punct").cast("double") / col("n_chars") < 0.1, lit(0.3)).otherwise(lit(0.0)))
+      .withColumn("quality_score", qualityScore(col("text")))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
         col("n_digits"), col("avg_token_len"), col("quality_score"))
       .orderBy(col("doc_id"))
@@ -151,16 +162,9 @@ object TextOps {
     * single documents scan (no self-join, no second scan). */
   def qualityFilter(spark: SparkSession, dir: String, minScore: Double = 0.7,
       langs: Seq[String] = Seq("en")): DataFrame = {
-    val nChars = length(col("text"))
-    val nTokens = size(expr("regexp_extract_all(text, '[^ \\t\\n]+', 0)"))
-    val nPunct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
-    val avgTok = nChars.cast("double") / nTokens
-    val quality =
-      when(nTokens.between(10, 2000), lit(0.4)).otherwise(lit(0.0)) +
-      when(nTokens > 0 && avgTok.between(3.0, 12.0), lit(0.3)).otherwise(lit(0.0)) +
-      when(nChars > 0 && nPunct.cast("double") / nChars < 0.1, lit(0.3)).otherwise(lit(0.0))
     documents(spark, dir)
-      .select(col("doc_id"), quality.as("quality_score"), langBest(col("text")).as("best"))
+      .select(col("doc_id"), qualityScore(col("text")).as("quality_score"),
+        langBest(col("text")).as("best"))
       .select(col("doc_id"),
         when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("lang_pred"),
         col("quality_score"))
