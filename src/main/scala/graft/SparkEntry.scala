@@ -254,10 +254,46 @@ object SparkEntry {
       |  CAST(best.score AS BIGINT) AS stopword_hits
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Fixed-iteration label propagation is deterministic (integer-valued
+    * weights → order-independent exact double sums; total tie orders),
+    * so the 5 Spark iterations unroll into 5 chained CTEs — an EXACT
+    * oracle for an iterative graph algorithm. */
+  private def lpaOracle: String = {
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), lab0 AS (
+         |  SELECT node_id, node_id AS label FROM (
+         |    SELECT src AS node_id FROM cooc UNION SELECT dst FROM cooc)
+         |)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""", votes$i AS (
+         |  SELECT node_id, nbr_label, SUM(w) AS w FROM (
+         |    SELECT e.src AS node_id, l.label AS nbr_label, e.weight AS w
+         |    FROM cooc e JOIN lab${i - 1} l ON e.dst = l.node_id
+         |    UNION ALL
+         |    SELECT node_id, label, 0.0 FROM lab${i - 1}
+         |  ) GROUP BY node_id, nbr_label
+         |), lab$i AS (
+         |  SELECT node_id, nbr_label AS label FROM (
+         |    SELECT node_id, nbr_label,
+         |      ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY w DESC, nbr_label) AS rk
+         |    FROM votes$i)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    }.mkString
+    base + iters + "\nSELECT node_id, label FROM lab5 ORDER BY node_id"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,
+    "communities_lpa" -> lpaOracle,
     "ratings_edges" ->
       s"""$RatingsCte
          |SELECT user_id, book_id, rating FROM ratings
