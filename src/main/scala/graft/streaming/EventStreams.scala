@@ -116,6 +116,37 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class RatingEvent(user_id: Long, book_id: Long, rating: Long)
+  case class RatingUpsert(user_id: Long, book_id: Long, rating: Long)
+
+  /** Streaming MERGE of rating events — the streaming twin of the
+    * reference's batch load (`data/load_data.py:48-61`: MERGE edge, SET
+    * max rating) and of [[graft.graph.RatingsGraph.ratings]]: per
+    * (user, book) keep the MAX rating seen, emitting an upsert row only
+    * when the max improves (CDC-style append stream a sink can apply
+    * idempotently). State per key is one long; at 100 TB state is
+    * O(live user–book pairs) and would sit on a state store with
+    * RocksDB + TTL for retired pairs. */
+  def ratingsUpserts(ratingEvents: Dataset[RatingEvent]): Dataset[RatingUpsert] = {
+    import ratingEvents.sparkSession.implicits._
+
+    def fn(key: (Long, Long), rows: Iterator[RatingEvent],
+        state: GroupState[Long]): Iterator[RatingUpsert] = {
+      val incoming = rows.map(_.rating).filter(_ > 0).toSeq
+      if (incoming.isEmpty) return Iterator.empty
+      val newMax = incoming.max
+      val cur = state.getOption.getOrElse(Long.MinValue)
+      if (newMax > cur) {
+        state.update(newMax)
+        Iterator.single(RatingUpsert(key._1, key._2, newMax))
+      } else Iterator.empty
+    }
+
+    ratingEvents
+      .groupByKey(r => (r.user_id, r.book_id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Convenience: the events table of a sf dir as a typed Dataset. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

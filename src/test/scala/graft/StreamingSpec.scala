@@ -16,6 +16,29 @@ class StreamingSpec extends AnyFunSuite {
   // which stateful ops treat as late
   private def ts(minutes: Long): Timestamp = new Timestamp(86400000L + minutes * 60000L)
 
+  test("ratingsUpserts: streaming MERGE state equals the batch max-rating dedup, only improvements emitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{RatingEvent, RatingUpsert}
+    val input = MemoryStream[RatingEvent]
+    val q = EventStreams.ratingsUpserts(input.toDS())
+      .writeStream.format("memory").queryName("ru").outputMode("append").start()
+    try {
+      // batch 1: new pairs + a duplicate with lower rating + a zero (filtered)
+      input.addData(RatingEvent(1, 10, 5), RatingEvent(1, 10, 3),
+        RatingEvent(2, 10, 7), RatingEvent(1, 11, 0))
+      q.processAllAvailable()
+      // batch 2: improvement for (1,10), non-improvement for (2,10), new pair
+      input.addData(RatingEvent(1, 10, 9), RatingEvent(2, 10, 6), RatingEvent(3, 12, 4))
+      q.processAllAvailable()
+      val ups = spark.table("ru").as[RatingUpsert].collect()
+        .groupBy(u => (u.user_id, u.book_id)).view.mapValues(_.map(_.rating).toList).toMap
+      // final applied state = last upsert per key == batch GROUP BY max
+      assert(ups == Map((1L, 10L) -> List(5L, 9L), (2L, 10L) -> List(7L), (3L, 12L) -> List(4L)),
+        s"got $ups")
+    } finally q.stop()
+  }
+
   test("windowedCounts over a MemoryStream matches the batch analog") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
