@@ -88,6 +88,8 @@ object Louvain {
       }
       sweep += 1
     }
+    if (zeroMoveSweeps >= 2)
+      System.err.println(s"[graft] louvain local moving converged after ${sweep - 1} sweeps")
     e.unpersist(blocking = false)
     labels.select(col("node_id"), col("comm"))
   }
