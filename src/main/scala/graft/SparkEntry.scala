@@ -61,6 +61,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "corpus_ngrams" -> ((s, d) => TextOps.corpusNgrams(s, d)),
+    "contamination_check" -> ((s, d) => TextOps.contaminationCheck(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
@@ -719,6 +720,31 @@ object SparkEntry {
          |FROM ($TextStatsSql) ts JOIN ($LangIdSql) li USING (doc_id)
          |WHERE ts.quality_score >= 0.7 AND li.lang_pred = 'en'
          |ORDER BY ts.doc_id""".stripMargin,
+
+    "contamination_check" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f2' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, split, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 8 THEN
+        |      list_transform(range(1, len(toks) - 6),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])
+        |    ELSE [] END)) AS gram
+        |  FROM toks
+        |)
+        |SELECT t.doc_id AS test_doc_id, r.doc_id AS train_doc_id,
+        |       COUNT(*) AS shared_ngrams
+        |FROM (SELECT * FROM grams WHERE split = 'test') t
+        |JOIN (SELECT * FROM grams WHERE split = 'train') r USING (gram)
+        |GROUP BY t.doc_id, r.doc_id
+        |ORDER BY test_doc_id, train_doc_id""".stripMargin,
 
     "corpus_ngrams" ->
       """WITH toks AS (

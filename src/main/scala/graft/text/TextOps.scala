@@ -191,6 +191,36 @@ object TextOps {
       .limit(k)
   }
 
+  /** Train/eval contamination check — the decontamination staple: find
+    * (test doc, train doc) pairs sharing at least one word n-gram, with
+    * the shared-gram count. Splits come from the same deterministic
+    * hash sharding as [[trainTestSplit]]; grams are distinct per doc so
+    * the count is set-overlap, not occurrence counting.
+    *
+    * Scale shape: explode distinct grams per side and join on the gram
+    * key — cost is Σ|grams| rows through one shuffle, with map-side
+    * combine on the (test, train) pair; never all-pairs of documents. */
+  def contaminationCheck(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val withSplit = documents(spark, dir)
+      .select(col("doc_id"),
+        when(bucket <= "e5", "train").when(bucket <= "f2", "val").otherwise("test").as("split"),
+        explode(array_distinct(grams)).as("gram"))
+    val train = withSplit.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("gram"))
+    val test = withSplit.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc_id"), col("gram"))
+    test.join(train, Seq("gram"))
+      .groupBy(col("test_doc_id"), col("train_doc_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .orderBy(col("test_doc_id"), col("train_doc_id"))
+  }
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /
