@@ -254,7 +254,14 @@ object Algorithms {
     val withLabels = e
       .join(labels.select(col("node_id").as("src"), col("label").as("src_label")), Seq("src"))
       .join(labels.select(col("node_id").as("dst"), col("label").as("dst_label")), Seq("dst"))
-    val m = withLabels.agg(sum(col("weight"))).head().getDouble(0)
+    val mRow = withLabels.agg(sum(col("weight"))).head()
+    if (mRow.isNullAt(0)) {
+      // no labelled edges: zero communities, undefined modularity
+      return labels.sparkSession.range(1)
+        .select(lit(0L).as("n_communities"),
+          lit(null).cast("double").as("modularity"))
+    }
+    val m = mRow.getDouble(0)
     val perCommunity = withLabels
       .groupBy(col("src_label").as("community"))
       .agg(

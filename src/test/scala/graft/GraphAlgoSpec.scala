@@ -70,6 +70,13 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(graft.graph.Algorithms.pageRank(empty).isEmpty)
   }
 
+  test("modularity tolerates an empty labelled-edge set") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
+    val labels = Seq.empty[(Long, Long)].toDF("node_id", "label")
+    val r = graft.graph.Algorithms.modularity(empty, labels).head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
   test("modularity: clique pair scores high, random labels score ~0") {
     def clique(ids: Seq[Long], w: Double) =
       for { a <- ids; b <- ids if a != b } yield (a, b, w)
