@@ -46,4 +46,22 @@ object Cache {
     }
     df
   }
+
+  /** Drop and unpersist every entry of one session. Entries are NOT
+    * evicted automatically (there is no public session-close hook), so a
+    * long-lived JVM that cycles through many sessions — a service, or
+    * repeated suites in one test JVM — should call this when it stops a
+    * session, or the map pins each dead session's plans and storage for
+    * the JVM lifetime. */
+  def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix = s"${sessionId(spark)}|"
+    val it = store.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 }

@@ -205,10 +205,13 @@ object SparkEntry {
        |  WHERE s.vec_id <> 0 AND ($anyBand)
        |), scored AS (
        |  SELECT vec_id,
-       |    list_sum(list_transform(range(1, ${dim + 1}),
-       |      j -> CAST(embedding[j] AS DOUBLE) * qv[j]))
-       |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
-       |       * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))) AS cosine
+       |    CASE WHEN sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+       |            * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x))) > 0
+       |      THEN list_sum(list_transform(range(1, ${dim + 1}),
+       |             j -> CAST(embedding[j] AS DOUBLE) * qv[j]))
+       |           / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+       |              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x))))
+       |      ELSE 0.0 END AS cosine
        |  FROM cand
        |)
        |SELECT vec_id, ROUND(cosine, 6) AS cosine FROM scored
@@ -664,7 +667,8 @@ object SparkEntry {
         |)
         |SELECT p.purchase_id, p.user_id,
         |  COUNT(c.click_id) AS n_clicks,
-        |  MAX(c.click_id) AS last_click_id
+        |  CAST(MAX(CAST(epoch(c.ct) AS BIGINT) * 1000000000 + c.click_id)
+        |       % 1000000000 AS BIGINT) AS last_click_id
         |FROM purchases p
         |LEFT JOIN clicks c
         |  ON p.user_id = c.user_id

@@ -91,8 +91,11 @@ object Lsh {
       .withColumn("cosine", CosineSim.cosine(df.sparkSession, col("vec_a"), col("vec_b")))
       .select(col("id_a"), col("id_b"), col("cosine"))
 
-  /** Top-k SIMILAR_TO edges from a precomputed scored-pair table. */
-  def knnFromScored(scored: DataFrame, topK: Int, cutoff: Double): DataFrame = {
+  /** Top-k SIMILAR_TO edges from a precomputed scored-pair table, with
+    * the similarity carried UNROUNDED (callers round exactly once,
+    * optionally after a scale transform — double rounding shifts the
+    * 6th decimal). */
+  def knnFromScoredRaw(scored: DataFrame, topK: Int, cutoff: Double): DataFrame = {
     val pairs = scored.filter(col("cosine") >= cutoff)
     val bidir = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
@@ -100,8 +103,13 @@ object Lsh {
     graft.plans.TopKPerKey.topKPerKey(bidir, Seq("id_a"),
         Seq(("cosine", false), ("id_b", true)), topK)
       .select(col("id_a").as("src"), col("id_b").as("dst"),
-        round(col("cosine"), 6).as("similarity"))
+        col("cosine").as("similarity"))
   }
+
+  /** Top-k SIMILAR_TO edges from a precomputed scored-pair table. */
+  def knnFromScored(scored: DataFrame, topK: Int, cutoff: Double): DataFrame =
+    knnFromScoredRaw(scored, topK, cutoff)
+      .withColumn("similarity", round(col("similarity"), 6))
 
   /** Approximate top-k neighbours per id (both directions of each
     * candidate pair), with a similarity cutoff — the KNN shape of the

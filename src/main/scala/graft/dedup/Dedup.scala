@@ -23,9 +23,11 @@ import graft.ann.Lsh
   */
 object Dedup {
 
-  /** Lower-cased whitespace tokens. */
+  /** Lower-cased whitespace tokens. Explicit char class, NOT `\s`:
+    * Java's `\s` includes vertical tab (\x0B) while RE2's (the DuckDB
+    * oracles') does not — the explicit class is identical in both. */
   private def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    filter(split(lower(c), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
   /** Word n-gram shingles (default 3); a document shorter than n tokens
     * contributes its whole token string as one shingle. */

@@ -150,7 +150,9 @@ object Algorithms {
   def userKnnEdgesRef(spark: SparkSession, dir: String,
       topK: Int = 20, cutoff: Double = 0.8): DataFrame =
     graft.Cache.cached(spark, dir, s"knn_edges_ref_${topK}_$cutoff") {
-      graft.ann.Lsh.knnFromScored(userScoredPairs(spark, dir),
+      // transform the UNROUNDED cosine to the GDS scale, round exactly
+      // once (round-then-transform-then-round shifts the 6th decimal)
+      graft.ann.Lsh.knnFromScoredRaw(userScoredPairs(spark, dir),
           topK, cutoff = 2 * cutoff - 1)
         .withColumn("similarity", round((col("similarity") + 1) / 2, 6))
     }

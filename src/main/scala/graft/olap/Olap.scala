@@ -258,7 +258,9 @@ object Olap {
         "left")
       .groupBy(col("purchase_id"), purchases("user_id").as("user_id"))
       .agg(count(col("click_id")).as("n_clicks"),
-        max(col("click_id")).as("last_click_id"))
+        // the LATEST click by time (tie → highest id), not max(id):
+        // ids are not guaranteed to be timestamp-ordered
+        max_by(col("click_id"), struct(col("ct"), col("click_id"))).as("last_click_id"))
       .orderBy(col("purchase_id"))
   }
 

@@ -62,9 +62,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](
-            rowOrdering.asInstanceOf[Ordering[UnsafeRow]]))
+        // probe with the reused projected key; copy only on insert miss
+        // (a per-row copy on hash hits is pure allocation churn)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](
+              rowOrdering.asInstanceOf[Ordering[UnsafeRow]])
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kk) {
           heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
         } else if (rowOrdering.compare(row, heap.head) < 0) {

@@ -25,9 +25,11 @@ object Recommend {
   /** Books rated by the target user, highest rating first.
     * Reference `streamlit_app.py:33-46` (get_user_rated_books). */
   def userRatedBooks(spark: SparkSession, dir: String, user: Long = TargetUser): DataFrame =
-    RatingsGraph.ratings(spark, dir)
-      .filter(col("user_id") === user)
-      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
+    // broadcast the ONE user's ratings against the full book table —
+    // never the reverse (ratedBooks grows with the catalogue)
+    RatingsGraph.ratedBooks(spark, dir)
+      .join(broadcast(RatingsGraph.ratings(spark, dir)
+        .filter(col("user_id") === user)), Seq("book_id"))
       .select(col("book_id"), col("title"), col("rating"))
       .orderBy(col("rating").desc, col("book_id"))
 
@@ -55,8 +57,10 @@ object Recommend {
     * vote count. Reference `recommender_knn.py:11-28` (recommend_books).
     *
     * Scale: `sims` (top-k per user) is tiny → broadcast; the anti-join on
-    * the target's own books is also broadcast-size. The only large input
-    * is the ratings edge table, scanned once.
+    * the target's own books is also broadcast-size; the book/title table
+    * is joined only AGAINST THE k-ROW RESULT (broadcasting the k rows).
+    * The large inputs — ratings and books — are each scanned once and
+    * never broadcast.
     */
   def recommendKnn(spark: SparkSession, dir: String, user: Long = TargetUser,
       simK: Int = 20, k: Int = 3): DataFrame =
@@ -72,16 +76,19 @@ object Recommend {
   def recommendFromSimilar(ratings: DataFrame, sims: DataFrame, books: DataFrame,
       user: Long, k: Int): DataFrame = {
     val mine = ratings.filter(col("user_id") === user).select(col("book_id"))
-    ratings
+    val top = ratings
       .join(broadcast(sims), Seq("user_id"))
       .join(broadcast(mine), Seq("book_id"), "left_anti")
       .groupBy(col("book_id"))
       .agg((sum(col("rating")).cast("double") / count(lit(1))).as("avg_rating"),
         count(lit(1)).as("votes"))
-      .join(broadcast(books), Seq("book_id"))
-      .select(col("book_id"), col("title"), col("avg_rating"), col("votes"))
       .orderBy(col("avg_rating").desc, col("votes").desc, col("book_id"))
       .limit(k)
+    // attach titles AFTER the top-k: broadcast the k-row result against
+    // the full book table, never the (catalogue-sized) reverse
+    books.join(broadcast(top), Seq("book_id"))
+      .select(col("book_id"), col("title"), col("avg_rating"), col("votes"))
+      .orderBy(col("avg_rating").desc, col("votes").desc, col("book_id"))
   }
 
   /** Community recommendation: books rated >=6 by other users of the
@@ -114,16 +121,19 @@ object Recommend {
       .filter(col("user_id") =!= user)
       .select(col("user_id"))
     val mine = ratings.filter(col("user_id") === user).select(col("book_id"))
-    ratings
+    val top = ratings
       .filter(col("rating") >= 6)
-      .join(broadcast(peers), Seq("user_id"))
+      // peers = a whole community — unbounded at scale, so NO broadcast
+      // hint: let the size-based planner / AQE pick the join strategy
+      .join(peers, Seq("user_id"))
       .join(broadcast(mine), Seq("book_id"), "left_anti")
       .groupBy(col("book_id"))
       .agg(count(lit(1)).as("recommend_count"))
-      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
-      .select(col("book_id"), col("title"), col("recommend_count"))
       .orderBy(col("recommend_count").desc, col("book_id"))
       .limit(k)
+    RatingsGraph.ratedBooks(spark, dir).join(broadcast(top), Seq("book_id"))
+      .select(col("book_id"), col("title"), col("recommend_count"))
+      .orderBy(col("recommend_count").desc, col("book_id"))
   }
 
   /** All users belonging to a community with more than one member.
@@ -180,15 +190,18 @@ object Recommend {
     val liked = RatingsGraph.ratings(spark, dir).filter(col("rating") >= 6)
       .select(col("user_id"), col("book_id"))
     val seed = liked.filter(col("book_id") === book).select(col("user_id"))
-    liked
-      .join(broadcast(seed), Seq("user_id"))
+    val top = liked
+      // seed = all raters of one book — a hot item is unbounded, so no
+      // broadcast hint; AQE picks (and can split skew)
+      .join(seed, Seq("user_id"))
       .filter(col("book_id") =!= book)
       .groupBy(col("book_id"))
       .agg(count(lit(1)).as("co_liked"))
-      .join(broadcast(RatingsGraph.ratedBooks(spark, dir)), Seq("book_id"))
-      .select(col("book_id"), col("title"), col("co_liked"))
       .orderBy(col("co_liked").desc, col("book_id"))
       .limit(k)
+    RatingsGraph.ratedBooks(spark, dir).join(broadcast(top), Seq("book_id"))
+      .select(col("book_id"), col("title"), col("co_liked"))
+      .orderBy(col("co_liked").desc, col("book_id"))
   }
 
   /** The reference's actual KNN recommendation path

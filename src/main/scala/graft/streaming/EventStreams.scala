@@ -24,6 +24,11 @@ object EventStreams {
 
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+  /** State for [[sessionize]]: the user's OPEN session intervals,
+    * disjoint and kept sorted by start. More than one can be open at
+    * once when events arrive out of order across micro-batches. */
+  case class SessionBuf(sessions: Seq[SessionState])
+
   /** Tumbling 1-hour windowed aggregation with a 10-minute watermark.
     * Works on either a static or streaming events DataFrame. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
@@ -39,41 +44,48 @@ object EventStreams {
         col("n_events"), col("n_users_approx"), col("sum_value"))
 
   /** Gap-based sessionization (30-minute inactivity) with
-    * flatMapGroupsWithState + event-time timeout: emits a Session row
-    * when the gap elapses past the watermark. State per user is four
-    * scalars. Mirrors [[graft.olap.Olap.eventsSessionize]] semantics. */
+    * flatMapGroupsWithState + event-time timeout. State per user is the
+    * set of OPEN session intervals (not just the latest): an event that
+    * arrives out of order but inside the watermark horizon merges into
+    * the interval it belongs to — or starts a separate earlier session —
+    * exactly as the batch analog ([[graft.olap.Olap.eventsSessionize]])
+    * would place it. A session is emitted once the watermark passes its
+    * end + gap (no in-horizon event can extend it any more). */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
 
+    def merge(ivs: Vector[SessionState], t: Long, v: Double): Vector[SessionState] = {
+      // insert the event, then coalesce any neighbours within the gap
+      val joined = ivs.filter(s => t >= s.start - gapMs && t <= s.last + gapMs)
+      val rest = ivs.filterNot(s => t >= s.start - gapMs && t <= s.last + gapMs)
+      val merged = joined.foldLeft(SessionState(t, t, 1L, v)) { (a, s) =>
+        SessionState(math.min(a.start, s.start), math.max(a.last, s.last),
+          a.n + s.n, a.total + s.total)
+      }
+      (rest :+ merged).sortBy(_.start)
+    }
+
     def fn(userId: Long, rows: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[Session] = {
-      var out = List.empty[Session]
-      var cur = state.getOption.orNull
-      if (state.hasTimedOut) {
-        if (cur != null) {
-          out = Session(userId, new java.sql.Timestamp(cur.start),
-            new java.sql.Timestamp(cur.last), cur.n, cur.total) :: out
-        }
-        state.remove()
-        return out.iterator
-      }
-      // within one micro-batch, process in event-time order
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val t = e.ts.getTime
-        if (cur == null) {
-          cur = SessionState(t, t, 1L, e.value)
-        } else if (t - cur.last > gapMs) {
-          out = Session(userId, new java.sql.Timestamp(cur.start),
-            new java.sql.Timestamp(cur.last), cur.n, cur.total) :: out
-          cur = SessionState(t, t, 1L, e.value)
-        } else {
-          cur = SessionState(cur.start, math.max(cur.last, t), cur.n + 1L, cur.total + e.value)
+        state: GroupState[SessionBuf]): Iterator[Session] = {
+      var ivs = state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
+      if (!state.hasTimedOut) {
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          ivs = merge(ivs, e.ts.getTime, e.value)
         }
       }
-      state.update(cur)
-      state.setTimeoutTimestamp(cur.last + gapMs)
-      out.reverse.iterator
+      // final = the watermark has passed end + gap; no in-horizon event
+      // can extend or prepend to it (any future event has ts >= wm)
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = ivs.partition(s => s.last + gapMs < wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionBuf(open))
+        state.setTimeoutTimestamp(math.max(wm + 1, open.map(_.last + gapMs).min))
+      }
+      closed.sortBy(_.start).iterator.map(s =>
+        Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n, s.total))
     }
 
     events

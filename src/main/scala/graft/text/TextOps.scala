@@ -91,7 +91,7 @@ object TextOps {
   /** Best (score, lang) struct of the stopword-hit argmax over `text`
     * (ties → lexicographically larger code via struct max). */
   private def langBest(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
     array_max(array(StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
     }: _*))
@@ -178,7 +178,7 @@ object TextOps {
     * the explode never shuffles more than Σ distinct grams rows, and the
     * final top-k is a TakeOrdered, not a full sort. */
   def corpusNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
     val grams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
@@ -201,7 +201,7 @@ object TextOps {
     * key — cost is Σ|grams| rows through one shuffle, with map-side
     * combine on the (test, train) pair; never all-pairs of documents. */
   def contaminationCheck(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))

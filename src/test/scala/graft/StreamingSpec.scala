@@ -94,6 +94,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize places in-watermark out-of-order events like the batch analog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    try {
+      // batch 1: user 1 session at [200, 220]; watermark after = 220-60 = 160
+      input.addData(Event(1, ts(200), 1, "click", 1.0), Event(2, ts(220), 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2 — both INSIDE the watermark horizon (>= 160):
+      //  - ts(195): merges into the session AND lowers its start
+      //  - ts(162): 162 < 195-30 → a SEPARATE earlier session
+      input.addData(Event(3, ts(195), 1, "click", 4.0), Event(4, ts(162), 1, "click", 8.0))
+      q.processAllAvailable()
+      // advance watermark far past everything → both sessions close
+      input.addData(Event(5, ts(600), 2, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(700), 2, "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_ooo").filter(col("user_id") === 1)
+        .select("session_start", "session_end", "n_events", "sum_value").collect()
+        .map(r => ((r.getTimestamp(0).getTime - 86400000L) / 60000,
+          (r.getTimestamp(1).getTime - 86400000L) / 60000, r.getLong(2), r.getDouble(3)))
+        .toSet
+      // batch truth: [162,162] alone; [195,220] with 3 events
+      assert(sessions == Set((162L, 162L, 1L, 8.0), (195L, 220L, 3L, 7.0)), s"got $sessions")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
