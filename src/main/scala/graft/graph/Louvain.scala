@@ -119,19 +119,18 @@ object Louvain {
           .select(col("node_id"), coalesce(col("comm"), col("mid")).as("comm"))
       mapping = mapping.localCheckpoint()
       if (level < levels - 1) {
-        // coarsen: one node per community, aggregated inter-community
-        // weights (self-loops dropped — they don't affect further moves'
-        // relative gains between distinct communities)
+        // coarsen: one node per community, aggregated weights — KEEPING
+        // self-loops (intra-community weight): Blondel et al. carry them,
+        // and dropping them shrinks a supernode's k and the global m
+        // non-proportionally, which can flip higher-level move decisions
         currentEdges = currentEdges
           .join(labels.select(col("node_id").as("src"), col("comm").as("src_c")), Seq("src"))
           .join(labels.select(col("node_id").as("dst"), col("comm").as("dst_c")), Seq("dst"))
-          .filter(col("src_c") =!= col("dst_c"))
           .groupBy(col("src_c").as("src"), col("dst_c").as("dst"))
           .agg(sum(col("weight")).as("weight"))
           .localCheckpoint()
-        // communities == connected components → nothing left to merge;
-        // running localMoving on an empty edge list would NPE on the
-        // m2 aggregate
+        // degenerate guard (kept for direct empty inputs): localMoving
+        // on an empty edge list would NPE on the m2 aggregate
         if (currentEdges.isEmpty) return finishLabels(mapping)
       }
     }
