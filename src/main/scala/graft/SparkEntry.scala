@@ -222,15 +222,15 @@ object SparkEntry {
   private val TextStatsSql: String =
     """SELECT doc_id,
       |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
-      |  CAST(LEN(regexp_extract_all(text, '[^ \t\n]+')) AS BIGINT) AS n_tokens,
+      |  CAST(LEN(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT) AS n_tokens,
       |  CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
       |  CAST(LEN(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
-      |  CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) > 0
-      |       THEN CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '[^ \t\n]+'))
+      |  CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n\f\r]+')) > 0
+      |       THEN CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '[^ \t\n\f\r]+'))
       |       ELSE 0.0 END AS avg_token_len,
-      |  (CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) BETWEEN 10 AND 2000 THEN 0.4 ELSE 0.0 END
-      |   + CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n]+')) > 0
-      |          AND (CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '[^ \t\n]+'))) BETWEEN 3.0 AND 12.0
+      |  (CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n\f\r]+')) BETWEEN 10 AND 2000 THEN 0.4 ELSE 0.0 END
+      |   + CASE WHEN LEN(regexp_extract_all(text, '[^ \t\n\f\r]+')) > 0
+      |          AND (CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '[^ \t\n\f\r]+'))) BETWEEN 3.0 AND 12.0
       |          THEN 0.3 ELSE 0.0 END
       |   + CASE WHEN LENGTH(text) > 0
       |          AND CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / LENGTH(text) < 0.1
@@ -667,8 +667,9 @@ object SparkEntry {
         |)
         |SELECT p.purchase_id, p.user_id,
         |  COUNT(c.click_id) AS n_clicks,
-        |  CAST(MAX(CAST(epoch(c.ct) AS BIGINT) * 1000000000 + c.click_id)
-        |       % 1000000000 AS BIGINT) AS last_click_id
+        |  CAST(substr(MAX(lpad(CAST(epoch(c.ct) AS VARCHAR), 12, '0')
+        |                  || lpad(CAST(c.click_id AS VARCHAR), 12, '0')), 13, 12)
+        |       AS BIGINT) AS last_click_id
         |FROM purchases p
         |LEFT JOIN clicks c
         |  ON p.user_id = c.user_id
@@ -815,10 +816,10 @@ object SparkEntry {
 
     "token_counts" ->
       """SELECT doc_id,
-        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+')) AS BIGINT) AS n_bpe_tokens,
         |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
         |  CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens,
-        |  CAST(CEIL(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) * 1.3) AS BIGINT) AS est_llm_tokens
+        |  CAST(CEIL(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+')) * 1.3) AS BIGINT) AS est_llm_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

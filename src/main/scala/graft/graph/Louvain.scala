@@ -34,7 +34,12 @@ object Louvain {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val m2 = e.agg(sum(col("weight"))).head().getDouble(0) // = 2m
+    val m2Row = e.agg(sum(col("weight"))).head()
+    if (m2Row.isNullAt(0)) { // empty edge list: nothing to label
+      e.unpersist(blocking = false)
+      return e.select(col("src").as("node_id"), col("src").as("comm"))
+    }
+    val m2 = m2Row.getDouble(0) // = 2m
     // labels CARRY the node degree k — saves a nodeDeg join per sweep
     var labels = e.groupBy(col("src").as("node_id"))
       .agg(sum(col("weight")).as("k"))
@@ -48,8 +53,13 @@ object Louvain {
       val commDeg = labels.groupBy(col("comm")).agg(sum(col("k")).as("sigma_tot"))
       // weight from each node to each neighbouring community, plus a
       // zero self-vote row so "stay" is always a candidate — ONE
-      // aggregation (the zero rows ride the same shuffle)
+      // aggregation (the zero rows ride the same shuffle). SELF-LOOPS
+      // are excluded from the votes: a supernode's internal weight moves
+      // with it, so it contributes identically to every candidate and
+      // must be counted for k/m2 but for NO w_nc (crediting it to "stay"
+      // only would bias against merging at coarse levels).
       val toComm = e
+        .filter(col("src") =!= col("dst"))
         .join(labels.select(col("node_id").as("dst"), col("comm").as("cand")), Seq("dst"))
         .select(col("src").as("node_id"), col("cand"), col("weight"))
         .unionAll(labels.select(col("node_id"), col("comm").as("cand"), lit(0.0).as("weight")))
@@ -100,10 +110,8 @@ object Louvain {
   def louvain(edges: DataFrame, levels: Int = 2, sweeps: Int = 6): DataFrame = {
     var currentEdges = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .filter(col("weight") > 0.0)
-    // empty (or all-nonpositive) input: no nodes to label — return the
-    // empty (node_id, community) frame rather than NPE on the m2 sum
-    if (currentEdges.isEmpty)
-      return currentEdges.select(col("src").as("node_id"), col("src").as("community"))
+    // (empty input needs no upfront action: localMoving's null-safe m2
+    // probe returns the empty labels frame and everything composes)
     // mapping from original node to current-level node
     var mapping: DataFrame = null
     for (level <- 0 until levels) {
@@ -129,9 +137,6 @@ object Louvain {
           .groupBy(col("src_c").as("src"), col("dst_c").as("dst"))
           .agg(sum(col("weight")).as("weight"))
           .localCheckpoint()
-        // degenerate guard (kept for direct empty inputs): localMoving
-        // on an empty edge list would NPE on the m2 aggregate
-        if (currentEdges.isEmpty) return finishLabels(mapping)
       }
     }
     finishLabels(mapping)

@@ -19,7 +19,7 @@ object TextOps {
     * projection are deduped by codegen subexpression elimination. */
   private def qualityScore(text: Column): Column = {
     val nChars = length(text)
-    val nTokens = size(expr("regexp_extract_all(text, '[^ \\t\\n]+', 0)"))
+    val nTokens = size(expr("regexp_extract_all(text, '[^ \\t\\n\\f\\r]+', 0)"))
     val nPunct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
     val avgTok = nChars.cast("double") / nTokens
     when(nTokens.between(10, 2000), lit(0.4)).otherwise(lit(0.0)) +
@@ -34,7 +34,7 @@ object TextOps {
     documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("n_chars", length(col("text")).cast("bigint"))
-      .withColumn("n_tokens", size(expr("regexp_extract_all(text, '[^ \\t\\n]+', 0)")).cast("bigint"))
+      .withColumn("n_tokens", size(expr("regexp_extract_all(text, '[^ \\t\\n\\f\\r]+', 0)")).cast("bigint"))
       .withColumn("n_punct", size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")).cast("bigint"))
       .withColumn("n_digits", size(expr("regexp_extract_all(text, '[0-9]', 0)")).cast("bigint"))
       .withColumn("avg_token_len",
@@ -70,7 +70,7 @@ object TextOps {
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+', 0)"))
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]+', 0)"))
           .cast("bigint").as("n_bpe_tokens"),
         size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("bigint").as("n_word_tokens"),
         size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("bigint").as("n_number_tokens"))
@@ -130,14 +130,18 @@ object TextOps {
     * machines, and engine versions), never on row order or RNG state.
     * First md5 hex byte partitions 256 ways: 00–e5 train (~90%),
     * e6–f2 val (~5%), f3–ff test (~5%). */
-  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"),
-        when(bucket <= "e5", "train")
-          .when(bucket <= "f2", "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
       .orderBy(col("doc_id"))
+
+  /** The split assignment itself — ONE definition shared by
+    * [[trainTestSplit]] and [[contaminationCheck]] (retuning the split
+    * ratios in one place but not the other would silently make the
+    * contamination report check a different split than training uses). */
+  private def splitOf(docId: Column): Column = {
+    val bucket = substring(md5(docId.cast("string")), 1, 2)
+    when(bucket <= "e5", "train").when(bucket <= "f2", "val").otherwise("test")
   }
 
   /** Deterministic stratified sample: `perStratum` documents per
@@ -206,10 +210,8 @@ object TextOps {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
     val withSplit = documents(spark, dir)
-      .select(col("doc_id"),
-        when(bucket <= "e5", "train").when(bucket <= "f2", "val").otherwise("test").as("split"),
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
         explode(array_distinct(grams)).as("gram"))
     val train = withSplit.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc_id"), col("gram"))
