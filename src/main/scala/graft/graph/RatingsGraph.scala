@@ -37,15 +37,30 @@ object RatingsGraph {
   def filteredEvents(spark: SparkSession, dir: String): DataFrame =
     ratingEvents(spark, dir).filter(col("rating") =!= 0)
 
+  /** Session conf key naming a bucketed SILVER table of the ratings
+    * edges (as written by [[graft.sources.GraphStore.saveBucketed]]).
+    * When set and the table exists, [[ratings]] reads it instead of
+    * rebuilding the ETL — downstream per-user joins/aggregations then
+    * plan with NO Exchange on the bucketed key. Opt-in; unset = rebuild
+    * from the raw tables (default, reference parity). */
+  val SilverTableConf = "graft.silver.ratings.table"
+
   /** The RATED edge table: MERGE-dedup per (user, book), keep max rating.
     * Reference `data/load_data.py:48-61` (MERGE + SET r.rating).
     * Session-cached: ~20 downstream queries reuse it. */
-  def ratings(spark: SparkSession, dir: String): DataFrame =
-    graft.Cache.cached(spark, dir, "ratings") {
-      filteredEvents(spark, dir)
-        .groupBy(col("user_id"), col("book_id"))
-        .agg(max(col("rating")).as("rating"))
+  def ratings(spark: SparkSession, dir: String): DataFrame = {
+    val silver = spark.conf.getOption(SilverTableConf)
+      .filter(spark.catalog.tableExists)
+    graft.Cache.cached(spark, dir, s"ratings|${silver.getOrElse("-")}") {
+      silver match {
+        case Some(t) => spark.table(t)
+        case None =>
+          filteredEvents(spark, dir)
+            .groupBy(col("user_id"), col("book_id"))
+            .agg(max(col("rating")).as("rating"))
+      }
     }
+  }
 
   /** Users that appear in the filtered ratings (reference
     * `data/user_books_filtering.py:22-33`) — left-semi join keeps the

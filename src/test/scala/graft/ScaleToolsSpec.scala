@@ -55,6 +55,27 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(generous.exceptAll(full).isEmpty && full.exceptAll(generous).isEmpty)
   }
 
+  test("silver mode: ratings() reads the bucketed table, matches the rebuilt ETL, and aggregates with no Exchange") {
+    import graft.graph.RatingsGraph
+    import org.apache.spark.sql.functions._
+    val rebuilt = RatingsGraph.ratings(spark, sf)
+    val table = "graft_silver_spec"
+    sources.GraphStore.saveBucketed(spark, sf, table, buckets = 4)
+    spark.conf.set(RatingsGraph.SilverTableConf, table)
+    try {
+      val silver = RatingsGraph.ratings(spark, sf)
+      assert(silver.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(silver).isEmpty,
+        "silver table diverges from the rebuilt ETL")
+      val agg = silver.groupBy("user_id").agg(count(lit(1)).as("degree"))
+      val exchanges = agg.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("Exchange"))
+      assert(exchanges == 0, s"bucketed silver agg planned $exchanges Exchanges")
+    } finally {
+      spark.conf.unset(RatingsGraph.SilverTableConf)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("quality_filter plans exactly ONE documents scan (no self-join of the two signals)") {
     val plan = text.TextOps.qualityFilter(spark, sf)
       .queryExecution.executedPlan.toString
