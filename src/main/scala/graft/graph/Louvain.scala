@@ -27,8 +27,18 @@ object Louvain {
     * two clique members would otherwise chase each other's labels
     * forever). Deterministic: parity from xxhash64, fixed sweep count,
     * total tie orders. Edges must be bidirectional with strictly
-    * positive weights. Returns (node_id, comm). */
-  private def localMoving(edges: DataFrame, sweeps: Int): DataFrame = {
+    * positive weights and at most one row per (src, dst) pair
+    * (aggregate multigraphs first — both internal call sites are
+    * grouped: the co-occurrence projection and the coarsened graph).
+    * Returns (node_id, comm).
+    *
+    * Converges early when (a) two consecutive parity sweeps move no
+    * node, or (b) a sweep's total modularity gain falls below
+    * `minGainFrac` of 2m — the long tail of sweeps shuffles |E| rows to
+    * reshuffle a handful of labels for ΔQ ≈ 0 (the `tolerance`
+    * convergence of the reference's gds.louvain,
+    * `Alg_Community_Detection.py:40-45`). */
+  private def localMoving(edges: DataFrame, sweeps: Int, minGainFrac: Double): DataFrame = {
     // pre-partition on dst: the per-sweep edge⋈labels join then only
     // shuffles the (tiny) labels side
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
@@ -47,54 +57,115 @@ object Louvain {
       .localCheckpoint()
     var sweep = 1
     var zeroMoveSweeps = 0
+    var tSweep = System.nanoTime()
     // early exit: two consecutive zero-move sweeps = both parity
     // classes are happy → a further sweep cannot change anything
     while (sweep <= sweeps && zeroMoveSweeps < 2) {
-      val commDeg = labels.groupBy(col("comm")).agg(sum(col("k")).as("sigma_tot"))
-      // weight from each node to each neighbouring community, plus a
-      // zero self-vote row so "stay" is always a candidate — ONE
-      // aggregation (the zero rows ride the same shuffle). SELF-LOOPS
-      // are excluded from the votes: a supernode's internal weight moves
-      // with it, so it contributes identically to every candidate and
-      // must be counted for k/m2 but for NO w_nc (crediting it to "stay"
-      // only would bias against merging at coarse levels).
-      val toComm = e
-        .filter(col("src") =!= col("dst"))
-        .join(labels.select(col("node_id").as("dst"), col("comm").as("cand")), Seq("dst"))
-        .select(col("src").as("node_id"), col("cand"), col("weight"))
-        .unionAll(labels.select(col("node_id"), col("comm").as("cand"), lit(0.0).as("weight")))
-        .groupBy(col("node_id"), col("cand"))
-        .agg(sum(col("weight")).as("w_nc"))
-      val scored = toComm
-        .join(labels, Seq("node_id"))
-        .join(commDeg.withColumnRenamed("comm", "cand"), Seq("cand"))
-        // ΔQ ∝ w_nc − k · Σ_tot(cand \ node) / 2m ; remove the node's own
-        // degree from its current community's total
-        .withColumn("sigma_adj",
-          when(col("cand") === col("comm"), col("sigma_tot") - col("k"))
-            .otherwise(col("sigma_tot")))
-        .withColumn("gain", col("w_nc") - col("k") * col("sigma_adj") / m2)
-      // argmax via max_by on a totally-ordered struct (gain desc, cand
-      // asc) — a hash aggregate with map-side partials, not a window
-      // sort over every candidate row
-      val best = scored.groupBy(col("node_id"))
-        .agg(max_by(col("cand"),
-          struct(col("gain"), (-col("cand")).as("nc"))).as("best_comm"))
-        .localCheckpoint() // materialise once: probe + update both reuse
-      val parityMoves = labels.join(best, Seq("node_id"))
-        .filter(pmod(xxhash64(col("node_id")), lit(2)) === lit(sweep % 2) &&
-          col("best_comm") =!= col("comm"))
-      if (parityMoves.limit(1).isEmpty) {
-        zeroMoveSweeps += 1 // labels unchanged — skip the rewrite
+      // only the active parity class applies moves this sweep, so only
+      // its candidate scores are computed — halves the per-sweep edge
+      // scan/shuffle with bit-identical results (a node's scores depend
+      // on its own edges and its neighbours' labels, not on which other
+      // nodes are being scored). Argmax via max_by on a totally-ordered
+      // struct (gain desc, cand asc) — a hash aggregate with map-side
+      // partials, not a window sort over every candidate row.
+      val parity = lit(sweep % 2)
+      val best = if (sweep == 1) {
+        // Sweep 1 always starts from singleton labels, where the general
+        // pipeline collapses: cand = the neighbour itself, σ_tot(cand) =
+        // k_dst, stay gain = 0 exactly (w = 0, σ_adj = k − k = 0). Two
+        // joins + one aggregation instead of five chained joins — and
+        // the shuffle onto src is reused by the argmax grouping.
+        e.filter(col("src") =!= col("dst") &&
+            pmod(xxhash64(col("src")), lit(2)) === parity)
+          .join(labels.select(col("node_id").as("dst"), col("k").as("k_dst")), Seq("dst"))
+          .select(col("src"), col("dst").as("cand"), col("weight"), col("k_dst"))
+          .join(labels.select(col("node_id").as("src"), col("k")), Seq("src"))
+          .select(col("src").as("node_id"), col("cand"),
+            (col("weight") - col("k") * col("k_dst") / m2).as("gain"))
+          .unionAll(labels
+            .filter(pmod(xxhash64(col("node_id")), lit(2)) === parity)
+            .select(col("node_id"), col("node_id").as("cand"), lit(0.0).as("gain")))
+          .groupBy(col("node_id"))
+          .agg(max_by(col("cand"),
+            struct(col("gain"), (-col("cand")).as("nc"))).as("best_comm"),
+            max(col("gain")).as("best_gain"),
+            lit(0.0).as("stay_gain"))
+      } else {
+        val commDeg = labels.groupBy(col("comm")).agg(sum(col("k")).as("sigma_tot"))
+        // weight from each active node to each neighbouring community,
+        // plus a zero self-vote row so "stay" is always a candidate —
+        // ONE aggregation (the zero rows ride the same shuffle).
+        // SELF-LOOPS are excluded from the votes: a supernode's internal
+        // weight moves with it, so it contributes identically to every
+        // candidate and must be counted for k/m2 but for NO w_nc
+        // (crediting it to "stay" only would bias against merging at
+        // coarse levels).
+        val toComm = e
+          .filter(col("src") =!= col("dst") &&
+            pmod(xxhash64(col("src")), lit(2)) === parity)
+          .join(labels.select(col("node_id").as("dst"), col("comm").as("cand")), Seq("dst"))
+          .select(col("src").as("node_id"), col("cand"), col("weight"))
+          .unionAll(labels
+            .filter(pmod(xxhash64(col("node_id")), lit(2)) === parity)
+            .select(col("node_id"), col("comm").as("cand"), lit(0.0).as("weight")))
+          .groupBy(col("node_id"), col("cand"))
+          .agg(sum(col("weight")).as("w_nc"))
+        val scored = toComm
+          .join(labels, Seq("node_id"))
+          .join(commDeg.withColumnRenamed("comm", "cand"), Seq("cand"))
+          // ΔQ ∝ w_nc − k · Σ_tot(cand \ node) / 2m ; remove the node's
+          // own degree from its current community's total
+          .withColumn("sigma_adj",
+            when(col("cand") === col("comm"), col("sigma_tot") - col("k"))
+              .otherwise(col("sigma_tot")))
+          .withColumn("gain", col("w_nc") - col("k") * col("sigma_adj") / m2)
+        // stay_gain is always defined: the zero self-vote row guarantees
+        // the current community is among the candidates
+        scored.groupBy(col("node_id"))
+          .agg(max_by(col("cand"),
+            struct(col("gain"), (-col("cand")).as("nc"))).as("best_comm"),
+            max(col("gain")).as("best_gain"),
+            max(when(col("cand") === col("comm"), col("gain"))).as("stay_gain"))
+      }
+      // ONE materialisation per sweep: apply the active class's moves
+      // (LEFT join — best only carries the active parity class; the
+      // other class keeps its label) and carry the move/gain flags so
+      // the convergence probe is a tiny agg over the checkpoint, not a
+      // second pass over the scored pipeline. localCheckpoint, NOT lazy
+      // persist: persist keeps the full cross-sweep lineage in every
+      // later plan and Catalyst analysis goes quadratic in sweep count
+      // (measured: the sf0.1 run went from 20 s to minutes stuck in
+      // TreeNode.transform).
+      val updated = labels.join(best, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("best_comm"), col("comm")).as("comm"),
+          col("k"),
+          (col("best_comm").isNotNull && col("best_comm") =!= col("comm")).as("moved"),
+          (col("best_gain") - col("stay_gain")).as("delta"))
+        .localCheckpoint()
+      val moveStats = updated.filter(col("moved"))
+        .agg(count(lit(1)), sum(col("delta"))).head()
+      val nMoves = moveStats.getLong(0)
+      // ΔQ of this sweep = 2·sweepGain/2m (each applied move contributes
+      // best_gain − stay_gain in w-units)
+      val sweepGain = if (moveStats.isNullAt(1)) 0.0 else moveStats.getDouble(1)
+      labels = updated.select(col("node_id"), col("comm"), col("k"))
+      val sweepSec = (System.nanoTime() - tSweep) / 1e9
+      tSweep = System.nanoTime()
+      System.err.println(f"[graft] louvain sweep $sweep took $sweepSec%.2fs")
+      if (nMoves == 0L) {
+        zeroMoveSweeps += 1
       } else {
         zeroMoveSweeps = 0
-        labels = labels.join(best, Seq("node_id"))
-          .withColumn("moves", pmod(xxhash64(col("node_id")), lit(2)))
-          .select(col("node_id"),
-            when(col("moves") === lit(sweep % 2), col("best_comm"))
-              .otherwise(col("comm")).as("comm"),
-            col("k"))
-          .localCheckpoint()
+        if (sweepGain < minGainFrac * m2) {
+          // gains collapsed: this sweep's (tiny) moves are applied, stop
+          System.err.println(
+            f"[graft] louvain sweep $sweep: $nMoves moves, gain/2m=${sweepGain / m2}%.2e < $minGainFrac%.0e - converged")
+          zeroMoveSweeps = 2
+        } else {
+          System.err.println(
+            f"[graft] louvain sweep $sweep: $nMoves moves, gain/2m=${sweepGain / m2}%.2e")
+        }
       }
       sweep += 1
     }
@@ -107,7 +178,8 @@ object Louvain {
   /** Full Louvain: `levels` rounds of local moving + coarsening.
     * Returns (node_id, community) with communities labelled by their
     * minimum member node id. */
-  def louvain(edges: DataFrame, levels: Int = 2, sweeps: Int = 6): DataFrame = {
+  def louvain(edges: DataFrame, levels: Int = 2, sweeps: Int = 6,
+              minGainFrac: Double = 1e-4): DataFrame = {
     var currentEdges = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .filter(col("weight") > 0.0)
     // (empty input needs no upfront action: localMoving's null-safe m2
@@ -115,7 +187,7 @@ object Louvain {
     // mapping from original node to current-level node
     var mapping: DataFrame = null
     for (level <- 0 until levels) {
-      val labels = localMoving(currentEdges, sweeps)
+      val labels = localMoving(currentEdges, sweeps, minGainFrac)
       mapping =
         if (mapping == null) labels.select(col("node_id"), col("comm"))
         else mapping.select(col("node_id"), col("comm").as("mid"))
