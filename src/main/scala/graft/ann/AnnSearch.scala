@@ -38,27 +38,89 @@ object AnnSearch {
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Approximate top-k via random-hyperplane LSH: only vectors sharing
-    * ≥1 band bucket with the query are scored. The signature table is
-    * session-cached like the other silver intermediates — repeated
-    * queries reuse it instead of recomputing bands×bits sign dots per
-    * row per call (at scale it's a persisted/bucketed table built once
-    * per corpus version). */
+  /** Session conf: when set, [[lshTopK]] reads its band-key posting
+    * list from this warehouse table (bucketed+sorted by bkey — the
+    * 100 TB layout, built once per corpus version via
+    * [[savePostingsBucketed]]) instead of the session cache. Fails fast
+    * on a missing table: a typo'd conf must not silently fall back to
+    * a rebuild that looks like table mode but isn't. */
+  val PostingsTableConf = "graft.ann.lsh.postingsTable"
+
+  /** Banded signature table (vec_id, embedding, band_0..band_{n-1}),
+    * session-cached like the other silver intermediates. */
+  private[graft] def lshSigs(spark: SparkSession, dir: String,
+      bands: Int, bitsPerBand: Int): DataFrame =
+    graft.Cache.cached(spark, dir, s"lsh_sigs_${bands}_$bitsPerBand") {
+      Lsh.withBuckets(emb(spark, dir), "embedding", Dim, bands, bitsPerBand)
+    }
+
+  /** Signatures exploded into a band-key posting list (bkey, vec_id),
+    * bkey = band_idx · 2^bits + bucket — clustered (repartitioned +
+    * sorted) by bkey so a literal IN-probe prunes via per-batch min/max
+    * stats in the session cache, and via bucket pruning when persisted
+    * with [[savePostingsBucketed]]. This is what makes the LSH *query*
+    * path sublinear: the probe touches the ~`bands` matching buckets,
+    * never the corpus. */
+  def lshPostings(spark: SparkSession, dir: String,
+      bands: Int = 12, bitsPerBand: Int = 4): DataFrame =
+    graft.Cache.cached(spark, dir, s"lsh_postings_${bands}_$bitsPerBand") {
+      lshSigs(spark, dir, bands, bitsPerBand)
+        .select(col("vec_id"),
+          posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+        .select(col("vec_id"),
+          (col("pos").cast("long") * (1L << bitsPerBand) + col("col")).as("bkey"))
+        .repartition(col("bkey"))
+        .sortWithinPartitions(col("bkey"))
+    }
+
+  /** Persist the posting list as a bkey-bucketed+sorted warehouse table
+    * (the T2/T4 silver pattern). A probe's 12-literal IN filter then
+    * prunes to the matching buckets at the SCAN — see ScaleToolsSpec's
+    * SelectedBucketsCount assertion. */
+  def savePostingsBucketed(spark: SparkSession, dir: String,
+      table: String = "graft_lsh_postings", buckets: Int = 16,
+      bands: Int = 12, bitsPerBand: Int = 4): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    lshPostings(spark, dir, bands, bitsPerBand)
+      .write.bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Approximate top-k via random-hyperplane LSH. The probe plan is the
+    * scale path: the query row's `bands` band keys are collected once
+    * and shipped as literals (constants hoisted — Catalyst can prune
+    * with literals, never with a row-to-row OR filter), the posting
+    * list is IN-probed on those keys (bucket/zone pruning: touches
+    * `bands` buckets, not the corpus), and only the surviving candidate
+    * ids are joined back to their vectors for exact cosine top-k. */
   def lshTopK(spark: SparkSession, dir: String,
       queryId: Long = DefaultQueryId, k: Int = 10,
       bands: Int = 12, bitsPerBand: Int = 4): DataFrame = {
-    val sigs = graft.Cache.cached(spark, dir, s"lsh_sigs_${bands}_$bitsPerBand") {
-      Lsh.withBuckets(emb(spark, dir), "embedding", Dim, bands, bitsPerBand)
-    }
-    val q = sigs.filter(col("vec_id") === queryId)
+    val sigs = lshSigs(spark, dir, bands, bitsPerBand)
     val bandCols = (0 until bands).map(b => s"band_$b")
-    val qRenamed = bandCols.foldLeft(q)((acc, c) => acc.withColumnRenamed(c, s"q_$c"))
-      .select((bandCols.map(c => col(s"q_$c")) :+ col("embedding").as("query_vec")): _*)
-    val qJoin = sigs.filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(qRenamed))
-      .filter(bandCols.map(c => col(c) === col(s"q_$c")).reduce(_ || _))
-    qJoin
-      .withColumn("cosine", CosineSim.cosine(spark, col("embedding"), col("query_vec")))
+    val qRows = sigs.filter(col("vec_id") === queryId)
+      .select(array(bandCols.map(col): _*).as("bs"), col("embedding"))
+      .collect()
+    if (qRows.isEmpty) // unknown query id: empty result, stable schema
+      return emb(spark, dir).limit(0)
+        .select(col("vec_id"), lit(0.0).as("cosine"))
+    val qKeys = qRows.head.getSeq[Long](0).zipWithIndex
+      .map { case (bkt, idx) => idx.toLong * (1L << bitsPerBand) + bkt }
+    val qVec = array(qRows.head.getSeq[Float](1).map(lit): _*)
+    val postings = spark.conf.getOption(PostingsTableConf) match {
+      case Some(t) =>
+        require(spark.catalog.tableExists(t),
+          s"$PostingsTableConf is set but table '$t' does not exist")
+        spark.table(t)
+      case None => lshPostings(spark, dir, bands, bitsPerBand)
+    }
+    val candidates = postings
+      .filter(col("bkey").isin(qKeys: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id")).distinct()
+    candidates
+      .join(emb(spark, dir), Seq("vec_id"))
+      .withColumn("cosine", CosineSim.cosine(spark, col("embedding"), qVec))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)

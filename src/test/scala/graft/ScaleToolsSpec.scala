@@ -76,6 +76,51 @@ class ScaleToolsSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh probe prunes: IN-literal band keys, no full-corpus row-to-row filter, bucket pruning on the posted table") {
+    import graft.ann.AnnSearch
+    // default (session-cached postings) path: the probe must be a
+    // literal IN on bkey — never the old crossJoin + OR-of-band-
+    // equalities shape that scanned every signature row per query
+    val probe = AnnSearch.lshTopK(spark, sf)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"probe still cross-joins the corpus:\n$plan")
+    assert(plan.contains("bkey#") || plan.contains("bkey IN") || plan.contains("bkey"),
+      s"probe plan lost the band-key filter:\n$plan")
+    val expected = probe.collect()
+
+    // bucketed-table mode: the same probe against the persisted posting
+    // list must BUCKET-PRUNE the scan (SelectedBucketsCount well below
+    // the bucket count) — the plan property that makes the query path
+    // sublinear at 100 TB
+    val table = "graft_lsh_postings_spec"
+    AnnSearch.savePostingsBucketed(spark, sf, table, buckets = 16)
+    spark.conf.set(AnnSearch.PostingsTableConf, table)
+    // the probe is filter-only, so Spark's planner auto-disables the
+    // bucketed scan (it only keeps it for joins/aggs on the bucket
+    // column); force it on to get file-level bucket pruning
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val bucketed = AnnSearch.lshTopK(spark, sf)
+      val bPlan = bucketed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(bPlan)
+      assert(sel.isDefined, s"no bucket pruning in probe scan:\n$bPlan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"probe read every bucket: ${sel.get.matched}")
+      // and table mode returns exactly the cached-mode result
+      assert(bucketed.collect().toSeq == expected.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.unset(AnnSearch.PostingsTableConf)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    // a typo'd postings conf must fail loudly, not silently rebuild
+    spark.conf.set(AnnSearch.PostingsTableConf, "graft_no_such_table")
+    try intercept[IllegalArgumentException] { AnnSearch.lshTopK(spark, sf) }
+    finally spark.conf.unset(AnnSearch.PostingsTableConf)
+  }
+
   test("quality_filter plans exactly ONE documents scan (no self-join of the two signals)") {
     val plan = text.TextOps.qualityFilter(spark, sf)
       .queryExecution.executedPlan.toString
