@@ -128,7 +128,7 @@ object Algorithms {
     * cutoff — cached ONCE and shared by every KNN operating point (the
     * banding + scoring is the dominant cost; the per-cutoff filter and
     * top-k are cheap). */
-  private def userScoredPairs(spark: SparkSession, dir: String): DataFrame =
+  def userScoredPairs(spark: SparkSession, dir: String): DataFrame =
     graft.Cache.cached(spark, dir, "knn_scored_pairs") {
       graft.ann.Lsh.scoredPairs(FastRP.userEmbeddings(spark, dir),
         "user_id", "embedding", 64)
