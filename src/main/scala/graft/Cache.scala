@@ -19,25 +19,30 @@ import org.apache.spark.storage.StorageLevel
 object Cache {
   private val store = new ConcurrentHashMap[String, DataFrame]()
 
-  private val SessionIdKey = "graft.session.id"
+  /** Per-session-OBJECT id: a UUID held in a weak-keyed map on the
+    * SparkSession itself (SparkSession doesn't override equals, so
+    * WeakHashMap keys by identity). NOT stamped into the session conf:
+    * conf-cloning sessions (cloneSession — structured streaming does
+    * this internally) would inherit the stamp and share cache keys with
+    * a different live session, the same hazard class raw identity
+    * hashes had. Weak keys also mean a dead session's id — and with it
+    * the reachability of its map entry — goes away with the session. */
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 
-  /** Stable per-session id: a UUID stamped into the session conf on
-    * first use (session confs are per-SparkSession). Identity hashes are
-    * NOT stable — they can recur after a dead session is GC'd, handing a
-    * new session another session's cached plans. */
-  def sessionId(spark: org.apache.spark.sql.SparkSession): String = synchronized {
-    spark.conf.getOption(SessionIdKey) match {
-      case Some(v) => v
-      case None =>
-        val v = java.util.UUID.randomUUID().toString
-        spark.conf.set(SessionIdKey, v)
-        v
-    }
-  }
+  def sessionId(spark: org.apache.spark.sql.SparkSession): String =
+    ids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   def cached(spark: org.apache.spark.sql.SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
-    val key = s"${sessionId(spark)}|$dir|$name"
+    // every key carries the resolved ratings silver source: nearly all
+    // cached intermediates (cooccurrence, FastRP, communities, KNN
+    // pairs …) derive from the ratings ETL, so flipping the silver conf
+    // mid-session must cold-start them rather than serve intermediates
+    // built from the other source
+    val silverTag = spark.conf
+      .getOption(graft.graph.RatingsGraph.SilverTableConf).getOrElse("-")
+    val key = s"${sessionId(spark)}|$dir|$silverTag|$name"
     var df = store.get(key)
     if (df == null) {
       df = build.persist(StorageLevel.MEMORY_AND_DISK)

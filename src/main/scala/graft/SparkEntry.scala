@@ -667,8 +667,8 @@ object SparkEntry {
         |)
         |SELECT p.purchase_id, p.user_id,
         |  COUNT(c.click_id) AS n_clicks,
-        |  CAST(substr(MAX(lpad(CAST(epoch(c.ct) AS VARCHAR), 12, '0')
-        |                  || lpad(CAST(c.click_id AS VARCHAR), 12, '0')), 13, 12)
+        |  CAST(substr(MAX(lpad(CAST(epoch_us(c.ct) AS VARCHAR), 20, '0')
+        |                  || lpad(CAST(c.click_id AS VARCHAR), 12, '0')), 21, 12)
         |       AS BIGINT) AS last_click_id
         |FROM purchases p
         |LEFT JOIN clicks c

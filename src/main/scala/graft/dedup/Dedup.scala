@@ -110,10 +110,13 @@ object Dedup {
     *
     * Candidate generation runs the banding at 32 bands × 1 row: a pair
     * at Jaccard J shares any single-minhash band with prob J, so a
-    * J ≥ 0.5 pair is missed with prob (1−J)³² ≈ 2e-10 — recall-complete
-    * for the ≥-threshold output, which the all-pairs DuckDB oracle
-    * asserts exactly. (The estimation-oriented 8×4 banding of
-    * [[minhashPairs]] is NOT recall-safe at J near 0.5 — ~60% miss.)
+    * J ≥ 0.5 pair is missed with prob (1−J)^32 ≈ 2e-10 — i.e.
+    * recall-complete UP TO that miss probability, not absolutely. The
+    * all-pairs DuckDB oracle asserts exact equality, so it carries a
+    * latent one-in-5-billion flake (accepted; any band/threshold retune
+    * must re-derive (1−J^rows)^bands at the new operating point). (The
+    * estimation-oriented 8×4 banding of [[minhashPairs]] is NOT
+    * recall-safe at J near 0.5 — ~60% miss.)
     * The 1-row bands admit background-similarity candidates (see
     * [[bandedCandidates]]), so candidates stay ids-only and pass the
     * lossless size prune before any array ships; at production

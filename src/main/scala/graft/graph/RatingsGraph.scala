@@ -50,8 +50,13 @@ object RatingsGraph {
     * Session-cached: ~20 downstream queries reuse it. */
   def ratings(spark: SparkSession, dir: String): DataFrame = {
     val silver = spark.conf.getOption(SilverTableConf)
-      .filter(spark.catalog.tableExists)
-    graft.Cache.cached(spark, dir, s"ratings|${silver.getOrElse("-")}") {
+    // fail fast on a typo'd conf: a silent fallback to the rebuild ETL
+    // would LOOK like silver mode but carry none of its plan properties
+    silver.foreach(t => require(spark.catalog.tableExists(t),
+      s"$SilverTableConf is set but table '$t' does not exist"))
+    // every derived cache key carries the resolved source (see
+    // graft.Cache), so this entry only needs its own name
+    graft.Cache.cached(spark, dir, "ratings") {
       silver match {
         case Some(t) => spark.table(t)
         case None =>

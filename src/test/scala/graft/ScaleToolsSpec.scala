@@ -74,6 +74,11 @@ class ScaleToolsSpec extends AnyFunSuite {
       spark.conf.unset(RatingsGraph.SilverTableConf)
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
+    // a typo'd silver conf must fail loudly, not silently rebuild the
+    // ETL while looking like silver mode
+    spark.conf.set(RatingsGraph.SilverTableConf, "graft_no_such_silver")
+    try intercept[IllegalArgumentException] { RatingsGraph.ratings(spark, sf) }
+    finally spark.conf.unset(RatingsGraph.SilverTableConf)
   }
 
   test("lsh probe prunes: IN-literal band keys, no full-corpus row-to-row filter, bucket pruning on the posted table") {
