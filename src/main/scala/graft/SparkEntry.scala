@@ -97,9 +97,7 @@ object SparkEntry {
         .orderBy("node_id")),
     "pagerank_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      graft.graph.Algorithms.pageRank(
-        RatingsGraph.cooccurrenceEdges(s, d)
-          .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+      graft.graph.Algorithms.userPageRank(s, d)
         .select(col("node_id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node_id"))
         .limit(20)
@@ -160,6 +158,81 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s, d) => graft.ann.AnnSearch.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => graft.ann.AnnSearch.lshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => graft.ann.AnnSearch.ivfTopK(s, d)),
+    // — The reference's embedding-KNN viz path (rows-oracle; fixture in
+    //   LearnedSurfaceSpec) —
+    "graph_neighborhood_knn" -> ((s, d) => Recommend.graphNeighborhoodKnn(s, d)),
+    // — Invariant rows: SQL-checkable gates over the non-SQL-expressible
+    //   iterative/hash paths (the fastrp_norms pattern). Flags are
+    //   computed 0/1 bigints so a violated invariant hash-mismatches. —
+    "louvain_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val labels = graft.graph.Louvain.userCommunities(s, d)
+      val canon = labels.groupBy(col("community")).agg(min(col("node_id")).as("mm"))
+        .agg(coalesce(sum(when(col("community") =!= col("mm"), 1L).otherwise(0L)), lit(0L))
+          .as("canon_viol"))
+      labels.agg(count(lit(1)).as("n_rows"), countDistinct(col("node_id")).as("n_labelled"))
+        .crossJoin(canon)
+        .select(col("n_labelled"),
+          (col("n_rows") === col("n_labelled")).cast("bigint").as("one_label_per_node"),
+          (col("canon_viol") === 0).cast("bigint").as("labels_canonical"))
+    }),
+    "knn_edges_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val edges = graft.graph.Algorithms.userKnnEdgesRef(s, d)
+      val active = RatingsGraph.activeUsers(s, d).select(col("user_id").as("src"))
+      val strays = edges.select("src").distinct().join(active, Seq("src"), "left_anti")
+        .agg(count(lit(1)).as("n_stray"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(coalesce(max(col("deg")), lit(0L)).as("max_deg"))
+      edges.agg(
+          coalesce(sum(when(col("src") === col("dst"), 1L).otherwise(0L)), lit(0L))
+            .as("self_edges"),
+          coalesce(sum(when(col("similarity") < 0.8 || col("similarity") > 1.0, 1L)
+            .otherwise(0L)), lit(0L)).as("oob_sims"))
+        .crossJoin(deg).crossJoin(strays)
+        .select(
+          (col("self_edges") === 0).cast("bigint").as("no_self_edges"),
+          (col("oob_sims") === 0).cast("bigint").as("sims_in_range"),
+          (col("max_deg") <= 20).cast("bigint").as("out_degree_le_k"),
+          (col("n_stray") === 0).cast("bigint").as("srcs_are_active"))
+    }),
+    "minhash_sig_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.dedup.Dedup.minhashSigs(s, d, 32)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          coalesce(sum(when(size(col("sig")) =!= 32, 1L).otherwise(0L)), lit(0L))
+            .as("bad_len"))
+        .select(col("n_docs"),
+          (col("n_rows") === col("n_docs")).cast("bigint").as("one_sig_per_doc"),
+          (col("bad_len") === 0).cast("bigint").as("sig_len_32"))
+    }),
+    "pagerank_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // every co-occurrence node gets exactly one rank, and every rank
+      // carries at least the (1-d) = 0.15 teleport base term
+      graft.graph.Algorithms.userPageRank(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("node_id")).as("n_nodes"),
+          coalesce(sum(when(col("rank").isNull || col("rank") < 0.15 - 1e-9, 1L)
+            .otherwise(0L)), lit(0L)).as("bad_ranks"))
+        .select(col("n_nodes"),
+          (col("n_rows") === col("n_nodes")).cast("bigint").as("one_rank_per_node"),
+          (col("bad_ranks") === 0).cast("bigint").as("ranks_above_base"))
+    }),
+    "ivf_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ann.AnnSearch.ivfAssignment(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("vec_id")).as("n_vectors"),
+          coalesce(sum(when(col("cell") < 0 || col("cell") >= 16, 1L).otherwise(0L)), lit(0L))
+            .as("oob_cells"),
+          countDistinct(col("cell")).as("n_cells"))
+        .select(col("n_vectors"),
+          (col("n_rows") === col("n_vectors")).cast("bigint").as("one_cell_per_vector"),
+          (col("oob_cells") === 0).cast("bigint").as("cells_in_range"),
+          (col("n_cells") <= 16).cast("bigint").as("cell_count_le_16"))
+    }),
   )
 
   /** Shared DuckDB CTE mirroring RatingsGraph (events → filter → MERGE). */
@@ -933,5 +1006,47 @@ object SparkEntry {
         |  CAST(CEIL(CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / 256.0) AS BIGINT) AS n_chunks
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // — Invariant rows (the fastrp_norms pattern): the Spark side
+    //   COMPUTES each flag from its own output; the oracle states the
+    //   expected value, and every SQL-derivable count is derived
+    //   independently, so a violated invariant (or a dropped/duplicated
+    //   row) hash-mismatches. —
+    "louvain_invariants" ->
+      s"""$RatingsCte
+         |SELECT CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_labelled,
+         |       CAST(1 AS BIGINT) AS one_label_per_node,
+         |       CAST(1 AS BIGINT) AS labels_canonical
+         |FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |WHERE a.user_id <> b.user_id""".stripMargin,
+
+    "knn_edges_invariants" ->
+      """SELECT CAST(1 AS BIGINT) AS no_self_edges,
+        |       CAST(1 AS BIGINT) AS sims_in_range,
+        |       CAST(1 AS BIGINT) AS out_degree_le_k,
+        |       CAST(1 AS BIGINT) AS srcs_are_active""".stripMargin,
+
+    "minhash_sig_invariants" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(1 AS BIGINT) AS one_sig_per_doc,
+        |       CAST(1 AS BIGINT) AS sig_len_32
+        |FROM documents""".stripMargin,
+
+    "pagerank_invariants" ->
+      s"""$RatingsCte
+         |SELECT CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_nodes,
+         |       CAST(1 AS BIGINT) AS one_rank_per_node,
+         |       CAST(1 AS BIGINT) AS ranks_above_base
+         |FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |WHERE a.user_id <> b.user_id""".stripMargin,
+
+    "ivf_invariants" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |       CAST(1 AS BIGINT) AS one_cell_per_vector,
+        |       CAST(1 AS BIGINT) AS cells_in_range,
+        |       CAST(1 AS BIGINT) AS cell_count_le_16
+        |FROM embeddings""".stripMargin,
   )
 }

@@ -154,7 +154,7 @@ object AnnSearch {
 
   /** Cell assignment of every vector, session-cached (the IVF posting
     * lists — at scale a table partitioned by cell). */
-  private def ivfAssignment(spark: SparkSession, dir: String, nCells: Int): DataFrame =
+  def ivfAssignment(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame =
     graft.Cache.cached(spark, dir, s"ivf_assignment_$nCells") {
       emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir, nCells)))
         .withColumn("cos", CosineSim.cosine(spark, col("embedding"), col("centroid")))

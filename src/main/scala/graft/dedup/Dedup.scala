@@ -59,7 +59,7 @@ object Dedup {
     * strings once, re-hash the longs per seed) was a net LOSS — the
     * extra hashed-array pass outweighs the cheaper per-element hash;
     * kept per-seed string hashing. */
-  private def minhashSigs(spark: SparkSession, dir: String, numHashes: Int): DataFrame =
+  private[graft] def minhashSigs(spark: SparkSession, dir: String, numHashes: Int): DataFrame =
     graft.Cache.cached(spark, dir, s"minhash_sigs_$numHashes") {
       shingleSets(spark, dir)
         .select(col("doc_id"),

@@ -275,6 +275,14 @@ object Algorithms {
         sum(col("e_in") / m - (col("degree_w") / m) * (col("degree_w") / m)).as("modularity"))
   }
 
+  /** PageRank of the user co-occurrence graph, session-cached (shared
+    * by the top-k view and the invariant gate). */
+  def userPageRank(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "pagerank") {
+      pageRank(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+    }
+
   /** PageRank by power iteration (damping 0.85) with CONVERGENCE EARLY
     * EXIT: stops as soon as max|Δrank| < tol, under a deterministic
     * iteration cap. Works on the directed edge list;

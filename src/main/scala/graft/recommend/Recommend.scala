@@ -144,12 +144,21 @@ object Recommend {
     usersInLargeGroupsWith(RatingsGraph.activeUsers(spark, dir))
 
   /** Same shape over the learned Louvain communities (the reference's
-    * `streamlit_app.py:15-30` groups on the Louvain-written property). */
+    * `streamlit_app.py:15-30` groups on the Louvain-written property).
+    *
+    * REFERENCE PARITY on unlabelled users: the Streamlit query groups
+    * ALL `(u:User)` by `u.community`, and users Louvain never labelled
+    * (no co-occurrence edge, so not in the Cypher projection) carry a
+    * null property and group together in Neo4j. LEFT join + null
+    * community reproduces that: the unlabelled users form one null
+    * group that passes the size>1 filter like any other (pinned in
+    * LearnedSurfaceSpec). */
   def usersInLargeGroupsLouvain(spark: SparkSession, dir: String): DataFrame =
     usersInLargeGroupsWith(
       RatingsGraph.activeUsers(spark, dir).drop("community")
         .join(graft.graph.Louvain.userCommunities(spark, dir)
-          .select(col("node_id").as("user_id"), col("community")), Seq("user_id")))
+          .select(col("node_id").as("user_id"), col("community")),
+          Seq("user_id"), "left"))
 
   /** Large-community membership parameterised by any user table carrying
     * (user_id, name, community). */
@@ -166,12 +175,35 @@ object Recommend {
     * target's SIMILAR_TO (co-occurrence) edges, and the similar users'
     * RATED edges. Reference `recommender_knn.py:48-79` (get_graph_data).
     * Output is a typed edge list (edge_type, src, dst, weight). */
-  def graphNeighborhood(spark: SparkSession, dir: String, user: Long = TargetUser, simK: Int = 3): DataFrame = {
-    val ratings = RatingsGraph.ratings(spark, dir)
+  def graphNeighborhood(spark: SparkSession, dir: String, user: Long = TargetUser, simK: Int = 3): DataFrame =
+    graphNeighborhoodWith(RatingsGraph.ratings(spark, dir),
+      similarUsersCooc(spark, dir, user, simK).select(col("user_id"), col("weight")),
+      user)
+
+  /** The 2-hop neighbourhood over the EMBEDDING-KNN SIMILAR_TO edges —
+    * the reference's actual viz path (`recommender_knn.py:48-79` expands
+    * over edges produced by `Alg_KNN_FastRP` with `similarity` carried
+    * on the SIMILAR_TO hop). Similar users = the target's top-`simK`
+    * KNN edges at the reference operating point (GDS-normalised cosine,
+    * topK=20, cutoff=0.8). */
+  def graphNeighborhoodKnn(spark: SparkSession, dir: String, user: Long = TargetUser, simK: Int = 3): DataFrame =
+    graphNeighborhoodWith(RatingsGraph.ratings(spark, dir),
+      graft.graph.Algorithms.userKnnEdgesRef(spark, dir)
+        .filter(col("src") === user)
+        .orderBy(col("similarity").desc, col("dst"))
+        .limit(simK)
+        .select(col("dst").as("user_id"), col("similarity").as("weight")),
+      user)
+
+  /** Neighbourhood expansion parameterised by any similar-user table
+    * carrying (user_id, weight): the target's RATED edges, the
+    * SIMILAR_TO edges (with their weight/similarity), and the similar
+    * users' RATED edges. Output is a typed edge list
+    * (edge_type, src, dst, weight). */
+  def graphNeighborhoodWith(ratings: DataFrame, sims: DataFrame, user: Long): DataFrame = {
     val myBooks = ratings.filter(col("user_id") === user)
       .select(lit("RATED").as("edge_type"), col("user_id").as("src"),
         col("book_id").as("dst"), col("rating").cast("double").as("weight"))
-    val sims = similarUsersCooc(spark, dir, user, simK)
     val simEdges = sims
       .select(lit("SIMILAR_TO").as("edge_type"), lit(user).as("src"),
         col("user_id").as("dst"), col("weight").cast("double").as("weight"))

@@ -32,15 +32,48 @@ class LearnedSurfaceSpec extends AnyFunSuite {
     assert(got == (peerBooks -- myBooks), s"got $got want ${peerBooks -- myBooks}")
   }
 
-  test("usersInLargeGroupsLouvain sizes match the Louvain label histogram") {
-    val labels = graph.Louvain.userCommunities(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-    val sizes = labels.groupBy(_._2).map { case (c, xs) => c -> xs.length.toLong }
+  test("usersInLargeGroupsLouvain matches the Louvain label histogram, unlabelled users grouped as ONE null community") {
+    // reference parity (`streamlit_app.py:15-30`): ALL users are
+    // grouped by the community property; users Louvain never labelled
+    // carry null and form one group in Neo4j — pinned here
+    val labelMap = graph.Louvain.userCommunities(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val active = graph.RatingsGraph.activeUsers(spark, sf).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    val sizes = labelMap.toSeq.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val unlabelled = active -- labelMap.keySet
     val got = Recommend.usersInLargeGroupsLouvain(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
-    val expectedMembers = labels.filter { case (_, c) => sizes(c) > 1 }.map(_._1).toSet
-    assert(got.map(_._1).toSet == expectedMembers)
-    got.foreach { case (_, c, sz) => assert(sz == sizes(c) && sz > 1) }
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val expectLabelled = labelMap.filter { case (_, c) => sizes(c) > 1 }.keySet
+    val expectNull = if (unlabelled.size > 1) unlabelled else Set.empty[Long]
+    assert(got.map(_._1).toSet == (expectLabelled ++ expectNull))
+    got.foreach {
+      case (u, Some(c), sz) => assert(labelMap(u) == c && sz == sizes(c) && sz > 1)
+      case (u, None, sz) => assert(unlabelled.contains(u) && sz == unlabelled.size && sz > 1)
+    }
+  }
+
+  test("graphNeighborhoodWith: exact typed edge list on a planted fixture") {
+    val ratings = Seq((1L, 10L, 7L), (1L, 11L, 5L), (2L, 10L, 9L), (3L, 12L, 8L), (4L, 13L, 6L))
+      .toDF("user_id", "book_id", "rating")
+    val sims = Seq((2L, 0.9), (3L, 0.8)).toDF("user_id", "weight")
+    val got = Recommend.graphNeighborhoodWith(ratings, sims, 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // target's books, SIMILAR_TO with carried weight, similar users'
+    // books — and NOT user 4 (not similar) or its book
+    val want = Set(
+      ("RATED", 1L, 10L, 7.0), ("RATED", 1L, 11L, 5.0),
+      ("RATED", 2L, 10L, 9.0), ("RATED", 3L, 12L, 8.0),
+      ("SIMILAR_TO", 1L, 2L, 0.9), ("SIMILAR_TO", 1L, 3L, 0.8))
+    assert(got == want, s"got $got")
+  }
+
+  test("graphNeighborhoodKnn returns the target's RATED edges (plus KNN hops where edges exist)") {
+    val got = Recommend.graphNeighborhoodKnn(spark, sf).collect()
+    assert(got.nonEmpty)
+    // SIMILAR_TO weights, where present, are on the GDS [0,1] scale
+    got.filter(_.getString(0) == "SIMILAR_TO").foreach { r =>
+      assert(r.getDouble(3) >= 0.8 && r.getDouble(3) <= 1.0) }
   }
 
   test("recommend_community_louvain returns rows on testdata") {
