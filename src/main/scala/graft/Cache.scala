@@ -2,6 +2,8 @@ package graft
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
@@ -25,13 +27,48 @@ object Cache {
     * conf-cloning sessions (cloneSession — structured streaming does
     * this internally) would inherit the stamp and share cache keys with
     * a different live session, the same hazard class raw identity
-    * hashes had. Weak keys also mean a dead session's id — and with it
-    * the reachability of its map entry — goes away with the session. */
+    * hashes had. The weak keying only matters once a session's entries
+    * are gone from `store` ([[clear]] or the application-end listener):
+    * until then the persisted DataFrames' plans strongly reference the
+    * session, which pins the map key regardless of key weakness. */
   private val ids = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 
-  def sessionId(spark: org.apache.spark.sql.SparkSession): String =
+  /** Contexts that already carry the eviction listener (weak keys: a
+    * collected context needs no bookkeeping). */
+  private val hooked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
+
+  def sessionId(spark: org.apache.spark.sql.SparkSession): String = {
+    ensureEvictionHook(spark.sparkContext)
     ids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+  }
+
+  /** Automatic eviction at application end: when a context stops, every
+    * cache entry belonging to one of its sessions is dropped, so a JVM
+    * that cycles `SparkSession`s *across* contexts (suite after suite,
+    * or a service restarting Spark) never pins a dead application's
+    * plans. Sessions cycled WITHIN one live application still need
+    * [[clear]] — Spark has no per-session close event to hook. */
+  private def ensureEvictionHook(sc: SparkContext): Unit =
+    if (hooked.putIfAbsent(sc, java.lang.Boolean.TRUE) == null) {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          evictContext(sc)
+      })
+    }
+
+  /** Drop every entry whose DataFrame belongs to `sc` (no unpersist: the
+    * context's storage dies with it; the point is unpinning the plan and
+    * session references). Package-private so the spec can exercise the
+    * listener's action directly — stopping the shared test context to
+    * fire the real event would kill the suite. */
+  private[graft] def evictContext(sc: SparkContext): Unit = {
+    val it = store.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue.sparkSession.sparkContext eq sc) it.remove()
+    }
+  }
 
   def cached(spark: org.apache.spark.sql.SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
@@ -52,12 +89,12 @@ object Cache {
     df
   }
 
-  /** Drop and unpersist every entry of one session. Entries are NOT
-    * evicted automatically (there is no public session-close hook), so a
-    * long-lived JVM that cycles through many sessions — a service, or
-    * repeated suites in one test JVM — should call this when it stops a
-    * session, or the map pins each dead session's plans and storage for
-    * the JVM lifetime. */
+  /** Drop and unpersist every entry of one session. Application end
+    * evicts automatically (see [[ensureEvictionHook]]); this is for
+    * stopping ONE session while its application lives on — a service or
+    * a test JVM cycling sessions over a shared context should call it,
+    * or the map pins each dead session's plans and storage until the
+    * application ends. */
   def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
     val prefix = s"${sessionId(spark)}|"
     val it = store.entrySet().iterator()

@@ -76,7 +76,10 @@ object AnnSearch {
   /** Persist the posting list as a bkey-bucketed+sorted warehouse table
     * (the T2/T4 silver pattern). A probe's 12-literal IN filter then
     * prunes to the matching buckets at the SCAN — see ScaleToolsSpec's
-    * SelectedBucketsCount assertion. */
+    * SelectedBucketsCount assertion. The LSH parameters are stamped
+    * into the table properties: a probe with different bands/bits would
+    * compute different band keys and silently lose recall, so
+    * [[lshTopK]] refuses a parameter mismatch. */
   def savePostingsBucketed(spark: SparkSession, dir: String,
       table: String = "graft_lsh_postings", buckets: Int = 16,
       bands: Int = 12, bitsPerBand: Int = 4): DataFrame = {
@@ -84,7 +87,23 @@ object AnnSearch {
     lshPostings(spark, dir, bands, bitsPerBand)
       .write.bucketBy(buckets, "bkey").sortBy("bkey")
       .format("parquet").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.lsh.bands'='$bands','graft.lsh.bitsPerBand'='$bitsPerBand')")
     spark.table(table)
+  }
+
+  /** Fail fast unless `table` was built by [[savePostingsBucketed]] with
+    * exactly these LSH parameters. */
+  private def requirePostingsParams(spark: SparkSession, table: String,
+      bands: Int, bitsPerBand: Int): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val tBands = props.get("graft.lsh.bands")
+    val tBits = props.get("graft.lsh.bitsPerBand")
+    require(tBands.contains(bands.toString) && tBits.contains(bitsPerBand.toString),
+      s"posting table '$table' was built with bands=${tBands.getOrElse("?")}, " +
+        s"bitsPerBand=${tBits.getOrElse("?")} but the probe uses " +
+        s"bands=$bands, bitsPerBand=$bitsPerBand — band keys would not match")
   }
 
   /** Approximate top-k via random-hyperplane LSH. The probe plan is the
@@ -112,6 +131,7 @@ object AnnSearch {
       case Some(t) =>
         require(spark.catalog.tableExists(t),
           s"$PostingsTableConf is set but table '$t' does not exist")
+        requirePostingsParams(spark, t, bands, bitsPerBand)
         spark.table(t)
       case None => lshPostings(spark, dir, bands, bitsPerBand)
     }

@@ -177,11 +177,22 @@ object Louvain {
 
   /** Full Louvain: `levels` rounds of local moving + coarsening.
     * Returns (node_id, community) with communities labelled by their
-    * minimum member node id. */
+    * minimum member node id.
+    *
+    * Local moving requires at most one row per (src, dst) pair (parallel
+    * edges would each score against the candidate separately instead of
+    * summing into one w_nc). By default the input is aggregated by
+    * (src, dst) up front so multigraph input is handled correctly; pass
+    * `assumeGrouped = true` to skip that exchange when the edges are
+    * grouped by construction (the co-occurrence projection is — one row
+    * per user pair by definition of its groupBy). */
   def louvain(edges: DataFrame, levels: Int = 2, sweeps: Int = 6,
-              minGainFrac: Double = 1e-4): DataFrame = {
-    var currentEdges = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+              minGainFrac: Double = 1e-4, assumeGrouped: Boolean = false): DataFrame = {
+    val positive = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .filter(col("weight") > 0.0)
+    var currentEdges =
+      if (assumeGrouped) positive
+      else positive.groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
     // (empty input needs no upfront action: localMoving's null-safe m2
     // probe returns the empty labels frame and everything composes)
     // mapping from original node to current-level node
@@ -227,6 +238,7 @@ object Louvain {
   def userCommunities(spark: SparkSession, dir: String): DataFrame =
     graft.Cache.cached(spark, dir, "louvain_communities") {
       louvain(RatingsGraph.cooccurrenceEdges(spark, dir)
-        .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight")),
+        assumeGrouped = true)
     }
 }

@@ -31,11 +31,16 @@ object Skew {
   }
 
   /** Top-N hot keys of a column with their frequency share — the probe
-    * you run before deciding to salt. One pass, map-side combined. */
+    * you run before deciding to salt. ONE scan of `df`: the per-key
+    * counts and the grand total ride the same aggregation (the total is
+    * a single-partition window over the already-grouped frame, whose
+    * size is the key's cardinality, not the row count — fine for a skew
+    * probe, where a near-unique key has no hot keys to find anyway). */
   def hotKeys(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val total = df.count().toDouble
+    import org.apache.spark.sql.expressions.Window
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .withColumn("share", col("cnt") / total)
+      .withColumn("share",
+        col("cnt") / sum(col("cnt")).over(Window.partitionBy(lit(0))))
       .orderBy(col("cnt").desc, col(key))
       .limit(topN)
   }

@@ -115,6 +115,22 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(qLouvain >= qLpa - 1e-6, s"louvain Q=$qLouvain < lpa Q=$qLpa")
   }
 
+  test("louvain: multigraph input (parallel edges) equals the pre-aggregated graph") {
+    def clique(ids: Seq[Long], w: Double) =
+      for { a <- ids; b <- ids if a != b } yield (a, b, w)
+    val grouped = (clique(Seq(1L, 2L, 3L), 5.0) ++ clique(Seq(4L, 5L, 6L), 5.0) ++
+      Seq((3L, 4L, 0.1), (4L, 3L, 0.1)))
+    // each edge split into two parallel rows carrying half the weight —
+    // louvain() must aggregate them into one (src,dst) row, not score
+    // each fragment against the candidate independently
+    val multi = grouped.flatMap { case (a, b, w) => Seq((a, b, w / 2), (a, b, w / 2)) }
+    val fromGrouped = graph.Louvain.louvain(grouped.toDF("src", "dst", "weight"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromMulti = graph.Louvain.louvain(multi.toDF("src", "dst", "weight"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromMulti == fromGrouped, s"multigraph diverged: $fromMulti vs $fromGrouped")
+  }
+
   test("pageRank: star graph centre outranks leaves; ranks deterministic") {
     val edges = (Seq((1L, 99L, 1.0), (2L, 99L, 1.0), (3L, 99L, 1.0)) ++
       Seq((99L, 1L, 1.0), (99L, 2L, 1.0), (99L, 3L, 1.0)))

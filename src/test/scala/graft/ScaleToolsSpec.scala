@@ -90,8 +90,11 @@ class ScaleToolsSpec extends AnyFunSuite {
     val plan = probe.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"probe still cross-joins the corpus:\n$plan")
-    assert(plan.contains("bkey#") || plan.contains("bkey IN") || plan.contains("bkey"),
-      s"probe plan lost the band-key filter:\n$plan")
+    // OptimizeIn rewrites >10-value IN lists to INSET — accept either
+    // literal-membership form, but nothing looser (a bare mention of the
+    // column anywhere in the plan must NOT pass)
+    assert("bkey#\\d+L? IN(SET)?[ (]".r.findFirstIn(plan).isDefined,
+      s"probe plan lost the literal IN band-key filter:\n$plan")
     val expected = probe.collect()
 
     // bucketed-table mode: the same probe against the persisted posting
@@ -124,6 +127,32 @@ class ScaleToolsSpec extends AnyFunSuite {
     spark.conf.set(AnnSearch.PostingsTableConf, "graft_no_such_table")
     try intercept[IllegalArgumentException] { AnnSearch.lshTopK(spark, sf) }
     finally spark.conf.unset(AnnSearch.PostingsTableConf)
+
+    // and a probe whose LSH parameters differ from the ones the table
+    // was built with must fail loudly too — mismatched band keys would
+    // silently lose recall, not error
+    val t2 = "graft_lsh_postings_params_spec"
+    AnnSearch.savePostingsBucketed(spark, sf, t2, buckets = 4)
+    spark.conf.set(AnnSearch.PostingsTableConf, t2)
+    try intercept[IllegalArgumentException] {
+      AnnSearch.lshTopK(spark, sf, bands = 6, bitsPerBand = 4)
+    } finally {
+      spark.conf.unset(AnnSearch.PostingsTableConf)
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
+  test("cache: application-end eviction drops this context's entries (rebuild on next ask)") {
+    var builds = 0
+    def probe() = Cache.cached(spark, "cache-evict-spec", "probe") {
+      builds += 1; Seq(1L).toDF("x")
+    }
+    probe(); probe()
+    assert(builds == 1, "second ask should hit the cache")
+    Cache.evictContext(spark.sparkContext) // what onApplicationEnd runs
+    probe()
+    assert(builds == 2, "eviction should force a rebuild")
+    Cache.clear(spark)
   }
 
   test("quality_filter plans exactly ONE documents scan (no self-join of the two signals)") {
