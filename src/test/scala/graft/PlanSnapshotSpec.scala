@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate for the most expensive queries: pins the
+  * Exchange (shuffle) and parquet-scan counts of each plan. A refactor
+  * that introduces an extra shuffle or an extra base-table scan fails
+  * here long before it shows up as a wall-time regression in the
+  * driver bench.
+  *
+  * The pins are UPPER bounds measured at the warm-cache steady state
+  * (each query executed once first, so session-cached silver
+  * intermediates are in their InMemoryRelation form — the state every
+  * bench/driver iteration after the first sees). Fewer is always fine;
+  * more fails. To re-baseline after an intentional plan change, update
+  * the constants with the values from the failure message.
+  */
+class PlanSnapshotSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // (query, max Exchanges, max parquet scans) — measured r4
+  private val pins = Seq(
+    ("cooccurrence_edges", 10, 4),
+    ("triangle_count", 5, 0),
+    ("q3_topk_join", 3, 3),
+    ("q5_multijoin", 7, 6),
+    ("q17_correlated", 3, 2),
+    ("events_sessionize", 2, 1),
+    ("ngram_jaccard_pairs", 7, 6),
+    ("corpus_ngrams", 1, 1),
+    ("user_jaccard_topk", 22, 16))
+
+  pins.foreach { case (name, maxExchanges, maxScans) =>
+    test(s"$name plans ≤ $maxExchanges Exchanges and ≤ $maxScans parquet scans") {
+      SparkEntry.queries(name)(spark, sf).count() // warm shared caches
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // distinct trimmed lines: a materialized AQE plan reprints shared
+      // query stages (same text, same plan_id) — dedupe those, while
+      // genuinely different exchanges/scans differ in attribute ids
+      val lines = plan.split("\n").map(_.replaceAll("^[-+:\\s*]+", "")).distinct
+      val ex = lines.count(_.contains("Exchange"))
+      val scans = lines.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+      assert(ex <= maxExchanges,
+        s"$name grew a shuffle: $ex Exchanges > pinned $maxExchanges\n$plan")
+      assert(scans <= maxScans,
+        s"$name grew a base-table scan: $scans scans > pinned $maxScans\n$plan")
+    }
+  }
+}
