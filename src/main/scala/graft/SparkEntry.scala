@@ -233,6 +233,57 @@ object SparkEntry {
           (col("oob_cells") === 0).cast("bigint").as("cells_in_range"),
           (col("n_cells") <= 16).cast("bigint").as("cell_count_le_16"))
     }),
+    // — r4 additions: link prediction, k-core, funnel / gap-fill / semi-
+    //   join OLAP shapes, normalized dedup, repetition signals,
+    //   embedding quantization —
+    "adamic_adar_user" -> ((s, d) => graft.graph.Algorithms.adamicAdarUser(s, d)),
+    "kcore_members" -> ((s, d) =>
+      graft.graph.Algorithms.userKcore(s, d).orderBy("node_id")),
+    "kcore_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val k = 10
+      val core = graft.graph.Algorithms.userKcore(s, d, k)
+      val globOk = RatingsGraph.cooccurrenceEdges(s, d)
+        .groupBy(col("u1").as("node_id")).agg(count(lit(1)).as("gdeg"))
+        .filter(col("gdeg") >= k).select(col("node_id"))
+      val strays = core.select(col("node_id")).join(globOk, Seq("node_id"), "left_anti")
+        .agg(count(lit(1)).as("n_stray"))
+      core.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("node_id")).as("n_nodes"),
+          coalesce(sum(when(col("core_degree") < k, 1L).otherwise(0L)), lit(0L))
+            .as("thin_members"))
+        .crossJoin(strays)
+        .select(
+          (col("n_rows") === col("n_nodes")).cast("bigint").as("one_row_per_node"),
+          (col("thin_members") === 0).cast("bigint").as("core_degrees_ge_k"),
+          (col("n_stray") === 0).cast("bigint").as("members_have_global_deg_ge_k"))
+    }),
+    "q4_semi" -> ((s, d) => Olap.q4Semi(s, d)),
+    "events_funnel" -> ((s, d) => Olap.eventsFunnel(s, d)),
+    "events_gap_fill" -> ((s, d) => Olap.eventsGapFill(s, d)),
+    "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),
+    "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
+    "embedding_quantize" -> ((s, d) => graft.ann.AnnSearch.quantize(s, d)),
+    "simhash_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sigs = graft.dedup.Dedup.simhashes(
+        graft.Tables.documents(s, d).select(col("doc_id"), col("text")))
+      val pairs = graft.dedup.Dedup.simhashPairs(s, d)
+      val pairFlags = pairs.agg(
+        coalesce(sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)), lit(0L))
+          .as("unordered"),
+        coalesce(sum(when(col("hamming") > 3, 1L).otherwise(0L)), lit(0L)).as("too_far"))
+      sigs.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          coalesce(sum(when(col("simhash") < 0L || col("simhash") >= (1L << 48), 1L)
+            .otherwise(0L)), lit(0L)).as("oob_sigs"))
+        .crossJoin(pairFlags)
+        .select(col("n_docs"),
+          (col("n_rows") === col("n_docs")).cast("bigint").as("one_sig_per_doc"),
+          (col("oob_sigs") === 0).cast("bigint").as("sigs_48_bit"),
+          (col("unordered") === 0).cast("bigint").as("pairs_ordered"),
+          (col("too_far") === 0).cast("bigint").as("pairs_within_hamming"))
+    }),
   )
 
   /** Shared DuckDB CTE mirroring RatingsGraph (events → filter → MERGE). */
@@ -1048,5 +1099,135 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS cells_in_range,
         |       CAST(1 AS BIGINT) AS cell_count_le_16
         |FROM embeddings""".stripMargin,
+
+    // — r4 additions —
+    "adamic_adar_user" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg AS (
+         |  SELECT u1 AS w, CAST(COUNT(*) AS DOUBLE) AS deg FROM cooc GROUP BY u1
+         |), nbrs AS (
+         |  SELECT u2 AS w FROM cooc WHERE u1 = 1
+         |)
+         |SELECT c.u2 AS user_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_common,
+         |       ROUND(SUM(1.0 / ln(d.deg)), 6) AS aa_score
+         |FROM cooc c JOIN nbrs n ON c.u1 = n.w JOIN deg d ON c.u1 = d.w
+         |WHERE c.u2 <> 1 AND c.u2 NOT IN (SELECT w FROM nbrs)
+         |GROUP BY c.u2
+         |ORDER BY aa_score DESC, user_id
+         |LIMIT 10""".stripMargin,
+
+    "kcore_invariants" ->
+      """SELECT CAST(1 AS BIGINT) AS one_row_per_node,
+        |       CAST(1 AS BIGINT) AS core_degrees_ge_k,
+        |       CAST(1 AS BIGINT) AS members_have_global_deg_ge_k""".stripMargin,
+
+    "q4_semi" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "events_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |             THEN CAST(epoch_ns(ts) // 1000000000 AS BIGINT) END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click'
+        |             THEN CAST(epoch_ns(ts) // 1000000000 AS BIGINT) END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(epoch_ns(ts) // 1000000000 AS BIGINT) END) AS t_purchase
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+        |  CAST(COALESCE(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_view_click,
+        |  CAST(COALESCE(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+        |                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_view_click_purchase
+        |FROM per_user""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hr,
+        |         MAX(value) AS hour_value
+        |  FROM events WHERE user_id <= 3 GROUP BY user_id, hr
+        |), bounds AS (
+        |  SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM bounds
+        |)
+        |SELECT g.user_id, g.hr,
+        |  last_value(h.hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hr ROWS UNBOUNDED PRECEDING) AS value
+        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |         AS norm_hash,
+        |       MIN(doc_id) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY norm_hash
+        |ORDER BY norm_hash""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM toks WHERE len(t) >= 2
+        |), cnt AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+        |FROM cnt
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), st AS (
+        |  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM v
+        |), q AS (
+        |  SELECT vec_id, v, mn,
+        |    CASE WHEN mx > mn
+        |         THEN list_transform(v, x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INTEGER))
+        |         ELSE list_transform(v, x -> 0) END AS codes,
+        |    CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END AS step
+        |  FROM st
+        |)
+        |SELECT vec_id, array_to_string(codes, ',') AS codes,
+        |  list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> pow(v[i] - (mn + (CAST(codes[i] AS DOUBLE) + 0.5) * step), 2))) / len(v)
+        |    AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "simhash_invariants" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(1 AS BIGINT) AS one_sig_per_doc,
+        |       CAST(1 AS BIGINT) AS sigs_48_bit,
+        |       CAST(1 AS BIGINT) AS pairs_ordered,
+        |       CAST(1 AS BIGINT) AS pairs_within_hamming
+        |FROM documents""".stripMargin,
   )
 }

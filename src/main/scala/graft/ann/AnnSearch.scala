@@ -147,6 +147,35 @@ object AnnSearch {
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Per-vector scalar quantization to uint8 (the storage-compression
+    * step of a 100 TB vector corpus — 4 bytes/dim float → 1 byte/dim):
+    * min–max affine codes with mid-rise dequantized reconstruction MSE.
+    * Pure Column algebra over the array — one projection, no shuffle,
+    * no UDF; every double op is written identically in the DuckDB
+    * oracle (sequential list folds match Spark `aggregate` bit-for-bit)
+    * so even the MSE hash-compares exactly. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    emb(spark, dir)
+      .select(col("vec_id"), d.as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      // degenerate constant vector → all codes 0, exact reconstruction
+      .withColumn("codes",
+        when(col("mx") > col("mn"),
+          transform(col("v"), x => floor(x.minus(col("mn")) * lit(255.0) / (col("mx") - col("mn"))).cast("int")))
+        .otherwise(transform(col("v"), _ => lit(0))))
+      .withColumn("step", when(col("mx") > col("mn"),
+        (col("mx") - col("mn")) / lit(255.0)).otherwise(lit(0.0)))
+      .withColumn("mse",
+        aggregate(
+          zip_with(col("v"), col("codes"), (x, c) =>
+            pow(x - (col("mn") + (c.cast("double") + lit(0.5)) * col("step")), 2)),
+          lit(0.0), (acc, e) => acc + e) / size(col("v")))
+      .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"), col("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF index build, session-cached per (dir, nCells): deterministic
     * seed centroids (smallest xxhash64(vec_id)) + one Lloyd refinement.
     * At 100 TB this is the persisted index table built once per corpus

@@ -223,6 +223,75 @@ object Algorithms {
       .limit(k)
   }
 
+  /** Adamic–Adar link prediction for one source user over the
+    * co-occurrence graph (GDS link-prediction family —
+    * `gds.alpha.linkprediction.adamicAdar`; the per-user shape mirrors
+    * the reference's per-user recommendation queries,
+    * `recommender_knn.py:29-46`): candidates are 2-hop neighbours NOT
+    * already adjacent to the source, scored Σ_w 1/ln(deg(w)) over common
+    * neighbours w. One wedge join from the source's (small) neighbour
+    * list — never an all-pairs expansion; at 100 TB this is a broadcast
+    * of one adjacency row against the edge table, shuffling only the
+    * candidate aggregation. */
+  def adamicAdarUser(spark: SparkSession, dir: String,
+      user: Long = 1L, k: Int = 10): DataFrame =
+    adamicAdar(RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("src"), col("u2").as("dst")), user, k)
+
+  /** Adamic–Adar over any bidirectional (src, dst) edge table. */
+  def adamicAdar(edges: DataFrame, user: Long, k: Int): DataFrame = {
+    val deg = edges.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    val nbrs = edges.filter(col("src") === user).select(col("dst").as("w"))
+    // wedge: source → w → cand; a common neighbour w always has deg ≥ 2,
+    // so ln(deg) is never 0
+    edges.select(col("src").as("w"), col("dst").as("cand"))
+      .join(broadcast(nbrs), Seq("w"))
+      .filter(col("cand") =!= user)
+      .join(edges.filter(col("src") === user).select(col("dst").as("cand")),
+        Seq("cand"), "left_anti") // predict NEW links only
+      .join(deg, Seq("w"))
+      .groupBy(col("cand"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("deg").cast("double"))).as("aa"))
+      .select(col("cand").as("user_id"), col("n_common"),
+        round(col("aa"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** k-core of an undirected graph (edges in both directions): the
+    * maximal subgraph where every node has degree ≥ k, via iterative
+    * peeling to a fixpoint. Each round is one degree aggregate + two
+    * semi-joins keyed on node id; rounds are bounded by the peeling
+    * depth (≤ longest degeneracy chain), each strictly shrinks the edge
+    * set, and lineage is cut per round. Returns (node_id, core_degree)
+    * for surviving nodes. */
+  def kcore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var n = e.count()
+    var converged = n == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val pruned = e.join(alive, Seq("src"))
+        .join(alive.select(col("src").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val m = pruned.count()
+      converged = m == n
+      n = m
+      e = pruned
+      iter += 1
+    }
+    e.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** k-core membership of the user co-occurrence graph. */
+  def userKcore(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    kcore(RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("src"), col("u2").as("dst")), k)
+
   /** Bounded BFS: hop distance from a source node to every node within
     * `maxHops` (the generalisation of the reference's 2-hop
     * `get_graph_data` expansion). One join + min-aggregate per hop. */

@@ -286,4 +286,66 @@ object Olap {
         date_trunc("second", max(col("ts"))).as("session_end"))
       .orderBy(col("user_id"), col("session_idx"))
   }
+
+  /** TPC-H Q4 shape: order-priority checking via EXISTS semi-join —
+    * orders of one quarter that had at least one line shipped after the
+    * order date, counted by priority. The semi-join never materialises
+    * matching lineitem rows (no fan-out through the aggregate). */
+  def q4Semi(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val li = lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Conversion funnel view → click → purchase: per user, a stage counts
+    * when its first event strictly follows the previous stage's first
+    * event (epoch-second resolution — the coarsest grain both engines
+    * agree on exactly). One scan, one per-user aggregate, one global
+    * roll-up — no joins, no per-stage passes. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val sec = col("ts").cast("long")
+    def firstOf(t: String) = min(when(col("event_type") === t, sec))
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(firstOf("view").as("t_view"), firstOf("click").as("t_click"),
+        firstOf("purchase").as("t_purchase"))
+      .agg(
+        count(col("t_view")).as("n_view"),
+        sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("t_click") > col("t_view") && col("t_purchase") > col("t_click"), 1L)
+          .otherwise(0L)).as("n_view_click_purchase"))
+  }
+
+  /** Per-user hour-grid gap fill with forward fill (the feature-table
+    * densification step of a training pipeline): each user's observed
+    * hourly max(value) is expanded to a continuous hour grid between the
+    * user's first and last event, carrying the last observation forward.
+    * `sequence` + explode generates the grid IN the engine (distributed,
+    * keyed by user) — no driver-side calendar. Restricted to a pinned
+    * user set: the output grid is O(users × hours) by design and the
+    * operator's shape, not its fan-out, is what scales. */
+  def eventsGapFill(spark: SparkSession, dir: String, maxUserId: Long = 3L): DataFrame = {
+    val hr = (col("ts").cast("long") / lit(3600L)).cast("long").as("hr")
+    val hourly = events(spark, dir)
+      .filter(col("user_id") <= maxUserId)
+      .select(col("user_id"), hr, col("value"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(max(col("value")).as("hour_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("value", last(col("hour_value"), ignoreNulls = true).over(byUser))
+      .select(col("user_id"), col("hr"), col("value"))
+      .orderBy(col("user_id"), col("hr"))
+  }
 }

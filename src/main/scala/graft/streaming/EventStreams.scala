@@ -159,6 +159,25 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Gap sessionization via Spark's NATIVE session_window aggregation —
+    * the declarative twin of [[sessionize]]: built-in merging session
+    * state (backed by the state store, watermark-evicted) instead of a
+    * hand-rolled flatMapGroupsWithState buffer. Prefer this form when
+    * per-session output only needs aggregates the engine can merge
+    * (counts/sums/min/max); drop to [[sessionize]] only for custom
+    * in-session logic. Window end = last event + gap (the native
+    * convention; the batch analog's session_end = last event). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("window_end"),
+        col("n_events"), col("sum_value"))
+
   /** Convenience: the events table of a sf dir as a typed Dataset. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

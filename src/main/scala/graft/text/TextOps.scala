@@ -223,6 +223,43 @@ object TextOps {
       .orderBy(col("test_doc_id"), col("train_doc_id"))
   }
 
+  /** Normalised exact dedup — the canonical-form sibling of
+    * [[dedupExact]]: case-fold, collapse every non-alphanumeric run to a
+    * single space, trim, then hash-group. Catches the near-exact class
+    * (case / whitespace / punctuation variants) that byte-exact dedup
+    * misses, still in one hash aggregate. The regex is RE2-compatible so
+    * the DuckDB oracle applies the identical normalisation. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+        .cast("binary")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("norm_hash"))
+
+  /** Per-document repetition signals (the Gopher/C4 quality-filter
+    * family): fraction of all word bigrams taken by the single most
+    * frequent bigram — high values flag boilerplate / degenerate
+    * repetition. Explode → per-(doc, gram) count (map-side combined,
+    * shuffles Σ bigram rows keyed by doc+gram) → one per-doc argmax;
+    * ratios are exact integer divisions, so the oracle compare is
+    * drift-free. Docs with fewer than two tokens have no bigrams and
+    * are excluded (same rule in the oracle). */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val grams = transform(sequence(lit(0), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    documents(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_count"),
+        (col("top_bigram_count").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Algorithms
+import graft.olap.Olap
+import graft.text.TextOps
+
+/** Fixture + invariant specs for the r4 operator additions. */
+class NewOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def bidir(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("adamicAdar: hand-computed square + diagonal fixture") {
+    // square 1-2-3-4-1 plus chord 2-4: from node 1, candidate 3 is the
+    // only non-adjacent 2-hop node, via common neighbours 2 (deg 3) and
+    // 4 (deg 3): AA(1,3) = 2/ln(3)
+    val edges = bidir(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L)))
+    val got = Algorithms.adamicAdar(edges, user = 1L, k = 10).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 3L && got(0).getLong(1) == 2L)
+    assert(math.abs(got(0).getDouble(2) - 2.0 / math.log(3.0)) < 1e-6)
+  }
+
+  test("kcore: clique survives with full core degree, pendant chain peels away") {
+    // 4-clique {1,2,3,4} + chain 4-5-6: for k=3 the chain (and nothing
+    // else) must peel, leaving each clique node with core degree 3
+    val clique = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L))).toDF("src", "dst")
+    val got = Algorithms.kcore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: empty result when k exceeds every degree") {
+    val edges = bidir(Seq((1L, 2L), (2L, 3L)))
+    assert(Algorithms.kcore(edges, k = 5).isEmpty)
+  }
+
+  test("events_funnel: stages are monotonically non-increasing") {
+    val r = Olap.eventsFunnel(spark, sf).head()
+    val (v, vc, vcp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= vc && vc >= vcp && vcp >= 0, s"funnel not monotone: $v $vc $vcp")
+    assert(v > 0, "no users entered the funnel")
+  }
+
+  test("events_gap_fill: contiguous hour grid per user, no null after first observation") {
+    val filled = Olap.eventsGapFill(spark, sf)
+    val perUser = filled.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("hr").as("h0"), max("hr").as("h1"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("nulls"))
+      .collect()
+    assert(perUser.nonEmpty)
+    perUser.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) - r.getLong(2) + 1,
+        s"user ${r.getLong(0)}: grid not contiguous")
+      // the grid starts at the user's first event hour, which has a
+      // value — forward fill leaves no hole anywhere
+      assert(r.getLong(4) == 0, s"user ${r.getLong(0)}: unfilled hours")
+    }
+  }
+
+  test("dedup_normalized: classes cover all docs and are no finer than exact dedup") {
+    val norm = TextOps.dedupNormalized(spark, sf)
+    val exact = TextOps.dedupExact(spark, sf)
+    assert(norm.agg(sum("n_copies")).head().getLong(0) ==
+      Tables.documents(spark, sf).count())
+    assert(norm.count() <= exact.count(),
+      "normalization can only merge classes, never split them")
+  }
+
+  test("doc_repetition: n_bigrams == n_tokens - 1 and frac in (0, 1]") {
+    val rep = TextOps.docRepetition(spark, sf)
+    val bad = rep.filter(col("top_bigram_frac") <= 0.0 || col("top_bigram_frac") > 1.0 ||
+      col("top_bigram_count") > col("n_bigrams"))
+    assert(bad.isEmpty)
+    val joined = rep.join(TextOps.textStats(spark, sf).select("doc_id", "n_tokens"), "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("n_tokens") - 1).isEmpty,
+      "bigram count disagrees with token count")
+  }
+
+  test("embedding_quantize: codes in 0..255, mid-rise error bound holds") {
+    val q = graft.ann.AnnSearch.quantize(spark, sf)
+    val codes = q.select(explode(split(col("codes"), ",")).as("cs"))
+      .select(col("cs").cast("int").as("c"))
+    assert(codes.filter(col("c") < 0 || col("c") > 255).isEmpty)
+    // mid-rise reconstruction error per element ≤ (step/2)²; embeddings
+    // here span ≲1.0 → step ≤ 1/255 → mse well under 1e-4
+    assert(q.filter(col("mse") < 0.0 || col("mse") > 1e-4).isEmpty)
+  }
+}

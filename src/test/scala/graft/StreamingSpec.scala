@@ -39,6 +39,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionWindowCounts: native session_window merges gaps like the hand-rolled sessionizer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two sessions (gap 45 min > 30); user 2: one session
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(55), 1, "click", 4.0),
+      Event(4, ts(5), 2, "view", 1.5))
+    // advance the watermark far past every session end so they emit
+    input.addData(Event(9, ts(600), 9, "click", 0.0))
+    val q = EventStreams.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sw")
+        .filter(col("user_id") <= 2)
+        .collect().map(r => (r.getLong(0),
+          (r.getTimestamp(1).getTime - 86400000L) / 60000,
+          (r.getTimestamp(2).getTime - 86400000L) / 60000,
+          r.getLong(3), r.getDouble(4))).toSet
+      // window end = last event + 30-min gap (native convention)
+      assert(got == Set(
+        (1L, 0L, 40L, 2L, 3.0),
+        (1L, 55L, 85L, 1L, 4.0),
+        (2L, 5L, 35L, 1L, 1.5)), s"got $got")
+    } finally q.stop()
+  }
+
   test("windowedCounts over a MemoryStream matches the batch analog") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
