@@ -237,6 +237,16 @@ object SparkEntry {
     //   join OLAP shapes, normalized dedup, repetition signals,
     //   embedding quantization —
     "adamic_adar_user" -> ((s, d) => graft.graph.Algorithms.adamicAdarUser(s, d)),
+    "pagerank_fixed_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val edges = RatingsGraph.cooccurrenceEdges(s, d)
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+      // tol = 0 disables the convergence exit → exactly 5 iterations,
+      // the count the unrolled-CTE oracle replicates
+      val (ranks, _) = graft.graph.Algorithms.pageRankIters(edges, iterations = 5, tol = 0.0)
+      ranks.select(col("node_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node_id")).limit(20)
+    }),
     "kcore_members" -> ((s, d) =>
       graft.graph.Algorithms.userKcore(s, d).orderBy("node_id")),
     "kcore_invariants" -> ((s, d) => {
@@ -386,6 +396,45 @@ object SparkEntry {
     * weights → order-independent exact double sums; total tie orders),
     * so the 5 Spark iterations unroll into 5 chained CTEs — an EXACT
     * oracle for an iterative graph algorithm. */
+  /** Fixed-iteration PageRank unrolled as chained CTEs (the lpaOracle
+    * pattern for a float-iterative algorithm): 5 power iterations of
+    * r ← 0.15 + 0.85·Σ share·r over the co-occurrence graph, rounded to
+    * 6 decimals — double drift between engines is ~1e-13, far inside
+    * the rounding guard. Proves the DataFrame power-iteration loop
+    * end to end (the convergence-early-exit variant stays rows-oracle:
+    * its iteration count is data-dependent). */
+  private def pagerankFixedOracle: String = {
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), norm AS (
+         |  SELECT src, dst,
+         |    CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS share
+         |  FROM cooc
+         |), nodes AS (
+         |  SELECT src AS node_id FROM cooc UNION SELECT dst FROM cooc
+         |), r0 AS (
+         |  SELECT node_id, 1.0 AS rank FROM nodes
+         |)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""", r$i AS (
+         |  SELECT n.node_id,
+         |    0.15 + 0.85 * COALESCE(SUM(m.share * r.rank), 0.0) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN norm m ON m.dst = n.node_id
+         |  LEFT JOIN r${i - 1} r ON r.node_id = m.src
+         |  GROUP BY n.node_id
+         |)""".stripMargin
+    }.mkString
+    base + iters +
+      "\nSELECT node_id, ROUND(rank, 6) AS rank FROM r5" +
+      "\nORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20"
+  }
+
   private def lpaOracle: String = {
     val base =
       s"""$RatingsCte, cooc AS (
@@ -1101,6 +1150,7 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
 
     // — r4 additions —
+    "pagerank_fixed_topk" -> pagerankFixedOracle,
     "adamic_adar_user" ->
       s"""$RatingsCte, cooc AS (
          |  SELECT a.user_id AS u1, b.user_id AS u2
