@@ -287,10 +287,13 @@ object Algorithms {
     e.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("core_degree"))
   }
 
-  /** k-core membership of the user co-occurrence graph. */
+  /** k-core membership of the user co-occurrence graph, session-cached
+    * (two `queries` entries — members + invariants — consume it). */
   def userKcore(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    kcore(RatingsGraph.cooccurrenceEdges(spark, dir)
-      .select(col("u1").as("src"), col("u2").as("dst")), k)
+    graft.Cache.cached(spark, dir, s"kcore_$k") {
+      kcore(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")), k)
+    }
 
   /** Bounded BFS: hop distance from a source node to every node within
     * `maxHops` (the generalisation of the reference's 2-hop

@@ -239,22 +239,30 @@ object TextOps {
   /** Per-document repetition signals (the Gopher/C4 quality-filter
     * family): fraction of all word bigrams taken by the single most
     * frequent bigram — high values flag boilerplate / degenerate
-    * repetition. Explode → per-(doc, gram) count (map-side combined,
-    * shuffles Σ bigram rows keyed by doc+gram) → one per-doc argmax;
-    * ratios are exact integer divisions, so the oracle compare is
-    * drift-free. Docs with fewer than two tokens have no bigrams and
+    * repetition. The per-doc mode is a fold over the SORTED bigram
+    * array (longest equal run = max count) — the group is the row, so
+    * token rows never explode or shuffle (SURVEY §6 rule 9; the explode
+    * → two-level groupBy form measured 7.5 s at sf0.1, this is one
+    * scan). Ratios are exact integer divisions, so the oracle compare
+    * is drift-free. Docs with fewer than two tokens have no bigrams and
     * are excluded (same rule in the oracle). */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
     val grams = transform(sequence(lit(0), size(toks) - 2),
       i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    val topRun = aggregate(sort_array(col("g")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     documents(spark, dir)
       .filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(grams).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_count"))
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"), size(col("g")).cast("bigint").as("n_bigrams"),
+        topRun.as("top_bigram_count"))
       .select(col("doc_id"), col("n_bigrams"), col("top_bigram_count"),
         (col("top_bigram_count").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
