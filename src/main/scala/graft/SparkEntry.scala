@@ -269,6 +269,9 @@ object SparkEntry {
           (col("n_stray") === 0).cast("bigint").as("members_have_global_deg_ge_k"))
     }),
     "q4_semi" -> ((s, d) => Olap.q4Semi(s, d)),
+    "events_range_rolling" -> ((s, d) => Olap.eventsRangeRolling(s, d)),
+    "dedup_clusters" -> ((s, d) => graft.dedup.Dedup.nearDupClusters(s, d)),
+    "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "events_funnel" -> ((s, d) => Olap.eventsFunnel(s, d)),
     "events_gap_fill" -> ((s, d) => Olap.eventsGapFill(s, d)),
     "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),
@@ -1222,6 +1225,77 @@ object SparkEntry {
         |    PARTITION BY g.user_id ORDER BY g.hr ROWS UNBOUNDED PRECEDING) AS value
         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
         |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    "events_range_rolling" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_30min,
+        |  CAST(SUM(CAST(value AS DECIMAL(24,4))) OVER w AS DOUBLE) AS sum_30min
+        |FROM (SELECT user_id, event_id, value,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // The near-dup CLUSTER closure over the all-pairs jaccard truth:
+    // recursive min-label closure on the ≥-threshold pair graph, then
+    // every document joins its component (singletons keep their own id).
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs
+        |), lab(node_id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node_id = e.src
+        |  WHERE l.label < e.dst
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(c.component, d.doc_id) AS cluster_id
+        |FROM documents d
+        |LEFT JOIN (SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id) c
+        |  ON d.doc_id = c.node_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    t -> length(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+        |  GROUP BY term
+        |), scored AS (
+        |  SELECT doc_id, term, tf,
+        |    ROUND(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (term)
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
 
     "dedup_normalized" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))

@@ -149,6 +149,26 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * n-gram Jaccard pair graph (the step a production dedup actually
+    * acts on — keep one doc per cluster, not per pair; pair output
+    * alone double-counts transitive duplicate groups). Cluster id = min
+    * doc id reachable; singleton docs are their own cluster. Composes
+    * the exact-oracled pair stage with the min-label CC fixpoint, so
+    * the whole path stays exactly oracle-checkable via a recursive-CTE
+    * closure. */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, minJaccard)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val cc = graft.graph.Algorithms.connectedComponents(edges)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(cc.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 48-bit SimHash fingerprint per document, fully columnar: the token
     * array is hashed ONCE per doc, then the 48 ±1 bit votes are
     * fold-over-array aggregates inside one projection — no explode, no

@@ -287,6 +287,24 @@ object Olap {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Time-based sliding frame (RANGE, not ROWS): per event, the count
+    * and exact-decimal sum of the user's values in the trailing 30
+    * minutes. The ROWS-frame sibling is [[eventsRolling]]; a RANGE
+    * frame keys the window on event TIME, so co-timed events all join
+    * the frame regardless of row order — the semantics a feature
+    * pipeline actually wants for "activity in the last half hour". */
+  def eventsRangeRolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-1800L, 0L)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"),
+        col("value"))
+      .withColumn("n_30min", count(lit(1)).over(w))
+      .withColumn("sum_30min", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("n_30min"), col("sum_30min"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** TPC-H Q4 shape: order-priority checking via EXISTS semi-join —
     * orders of one quarter that had at least one line shipped after the
     * order date, counted by priority. The semi-join never materialises

@@ -268,6 +268,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document top-k TF-IDF terms (keyword extraction / index
+    * featurization): score = tf · ln(N/df). Shapes that scale: term
+    * frequencies shuffle once on (doc, term) with map-side combine,
+    * document frequencies once on term (distinct-per-doc explode, like
+    * [[corpusNgrams]]), the scalar N broadcasts, and the per-doc top-k
+    * runs on the bounded-heap [[graft.plans.TopKPerKey]] operator — no
+    * per-doc sort. Ordering and rounding are identical in the DuckDB
+    * oracle, so ln() drift (≤1 ulp) is absorbed by round(…, 6). */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val termRows = documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+    val tf = termRows.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = termRows.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+    graft.plans.TopKPerKey.topKPerKey(scored, Seq("doc_id"),
+        Seq(("score", false), ("term", true)), k)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /

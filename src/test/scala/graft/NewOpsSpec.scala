@@ -83,6 +83,44 @@ class NewOpsSpec extends AnyFunSuite {
       "bigram count disagrees with token count")
   }
 
+  test("dedup_clusters: every doc clustered once, pairs co-clustered, cluster id = min member") {
+    val clusters = graft.dedup.Dedup.nearDupClusters(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(clusters.count() == docs && clusters.select("doc_id").distinct().count() == docs)
+    assert(clusters.filter(col("cluster_id") > col("doc_id")).isEmpty,
+      "cluster id must be the minimum member id")
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(spark, sf)
+    val joined = pairs
+      .join(clusters.select(col("doc_id").as("id_a"), col("cluster_id").as("c_a")), "id_a")
+      .join(clusters.select(col("doc_id").as("id_b"), col("cluster_id").as("c_b")), "id_b")
+    assert(joined.filter(col("c_a") =!= col("c_b")).isEmpty,
+      "a verified near-dup pair landed in two clusters")
+  }
+
+  test("tfidf_top_terms: at most k per doc, scores non-increasing, tf positive") {
+    val t = TextOps.tfidfTopTerms(spark, sf)
+    assert(t.groupBy("doc_id").count().filter(col("count") > 3).isEmpty)
+    assert(t.filter(col("tf") < 1).isEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    val nonMono = t.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(nonMono.isEmpty, "scores not non-increasing within a doc")
+  }
+
+  test("events_range_rolling equals the brute-force interval self-join") {
+    val got = Olap.eventsRangeRolling(spark, sf)
+      .select("user_id", "event_id", "n_30min")
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+    val brute = e.join(
+        e.select(col("user_id"), col("sec").as("sec2")), Seq("user_id"))
+      .filter(col("sec2") >= col("sec") - 1800L && col("sec2") <= col("sec"))
+      .groupBy("user_id", "event_id")
+      .agg(count(lit(1)).as("n_30min"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
   test("embedding_quantize: codes in 0..255, mid-rise error bound holds") {
     val q = graft.ann.AnnSearch.quantize(spark, sf)
     val codes = q.select(explode(split(col("codes"), ",")).as("cs"))
