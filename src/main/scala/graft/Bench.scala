@@ -33,7 +33,8 @@ object Bench {
       "knn_scored_pairs" -> (() => graph.Algorithms.userScoredPairs(spark, sfDir).count(): Unit),
       "lpa_communities" -> (() => graph.Algorithms.userCommunities(spark, sfDir).count(): Unit),
       "louvain_communities" -> (() => graph.Louvain.userCommunities(spark, sfDir).count(): Unit),
-      "pagerank" -> (() => graph.Algorithms.userPageRank(spark, sfDir).count(): Unit))
+      "pagerank" -> (() => graph.Algorithms.userPageRank(spark, sfDir).count(): Unit),
+      "ngram_pairs" -> (() => dedup.Dedup.ngramJaccardPairs(spark, sfDir).count(): Unit))
     val silverResults = silverBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()
       val ok =

@@ -123,7 +123,15 @@ object Dedup {
     * thresholds (0.8+) prefer ≥4-row bands, where background collisions
     * vanish and recall still holds. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5): DataFrame =
+    // session-cached: the pair set feeds both the pairs entry and the
+    // cluster closure ([[nearDupClusters]]) — verify once, consume twice
+    graft.Cache.cached(spark, dir, s"ngram_jaccard_$minJaccard") {
+      ngramJaccardPairsUncached(spark, dir, minJaccard)
+    }
+
+  private def ngramJaccardPairsUncached(spark: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
     // ids-only candidates — no est-jaccard stage, no signature arrays
     val cand = bandedCandidates(minhashSigs(spark, dir, 32), bands = 32, rowsPerBand = 1)
     val sets = shingleSets(spark, dir)
@@ -157,12 +165,46 @@ object Dedup {
     * the exact-oracled pair stage with the min-label CC fixpoint, so
     * the whole path stays exactly oracle-checkable via a recursive-CTE
     * closure. */
+  /** Pair-count threshold below which [[nearDupClusters]] solves the
+    * closure with driver-side union-find instead of the distributed
+    * min-label fixpoint. Near-dup pair graphs are SPARSE (pairs ≪
+    * corpus): when the verified pair set fits on the driver, a
+    * 20-round distributed fixpoint is pure scheduling overhead
+    * (measured ~8 s vs milliseconds at sf0.1). Above the threshold —
+    * a pathological corpus or 100 TB scale — the DataFrame CC runs. */
+  val ClustersLocalThresholdConf = "graft.dedup.clusters.localThreshold"
+
   def nearDupClusters(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir, minJaccard)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val cc = graft.graph.Algorithms.connectedComponents(edges)
+    val threshold = spark.conf.getOption(ClustersLocalThresholdConf)
+      .map(_.toLong).getOrElse(1000000L)
+    val cc =
+      if (pairs.count() <= threshold) { // cheap: pairs is session-cached
+        val es = pairs.select(col("id_a"), col("id_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+        }
+        val ids = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // root = min member by construction (always parent the larger root)
+        val rows = ids.map(id => (id, find(id))).toSeq
+        import spark.implicits._
+        rows.toDF("node_id", "component")
+      } else {
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        graft.graph.Algorithms.connectedComponents(edges)
+      }
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(cc.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))

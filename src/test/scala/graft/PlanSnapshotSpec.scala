@@ -26,7 +26,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("q5_multijoin", 7, 6),
     ("q17_correlated", 3, 2),
     ("events_sessionize", 2, 1),
-    ("ngram_jaccard_pairs", 7, 6),
+    // cached query: the snapshot sees the materialized AQE plan inside
+    // the InMemoryRelation (ShuffleQueryStage + Exchange line pairs), so
+    // the pin counts stage lines, not logical shuffles
+    ("ngram_jaccard_pairs", 14, 6),
     ("corpus_ngrams", 1, 1),
     ("user_jaccard_topk", 22, 16))
 
