@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** JSONL corpus interchange — the de-facto exchange format of LLM data
+  * pipelines (one JSON object per line; every major open corpus ships
+  * this way).
+  *
+  * Scale rules baked in:
+  *  - reads take an EXPLICIT schema, never `inferSchema` — inference is
+  *    a full extra pass over the corpus (at 100 TB, a second 100 TB
+  *    scan) and silently widens types on dirty data;
+  *  - reads default to FAILFAST so a corrupt line stops the job instead
+  *    of becoming a row of nulls that poisons downstream dedup keys
+  *    (pass `permissive = true` to triage, which routes bad lines to
+  *    `_corrupt_record` instead);
+  *  - writes go through the engine (distributed, one file per task) —
+  *    partition count, and therefore file sizing, is the caller's lever.
+  */
+object CorpusIO {
+
+  /** The `documents` table schema (TESTDATA.md). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType = documentSchema,
+      permissive: Boolean = false): DataFrame = {
+    val base = spark.read
+      .option("mode", if (permissive) "PERMISSIVE" else "FAILFAST")
+    val s = if (permissive)
+      schema.add(StructField("_corrupt_record", StringType)) else schema
+    base.schema(s).json(path)
+  }
+}

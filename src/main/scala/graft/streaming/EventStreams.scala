@@ -178,6 +178,52 @@ object EventStreams {
         col("session_window.end").as("window_end"),
         col("n_events"), col("sum_value"))
 
+  case class FunnelState(view: Long, click: Long, purchase: Long)
+  case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Streaming conversion funnel — the stateful twin of
+    * [[graft.olap.Olap.eventsFunnel]]: per user, track the FIRST view /
+    * click / purchase second and emit the user's funnel stage whenever
+    * it changes (0 = none, 1 = viewed, 2 = clicked after first view,
+    * 3 = purchased after that click — the batch operator's exact
+    * sequencing rule, at the same epoch-second grain). The output is a
+    * change-log: late events can move a first-seen time earlier and
+    * legitimately DEMOTE a stage (an earlier click no longer follows
+    * the first view), so consumers take the LAST stage per user, and
+    * the final state equals the batch formula over the same events.
+    * State is three longs per user — O(active users), no timeline. */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val none = Long.MaxValue
+
+    def stageOf(s: FunnelState): Int =
+      if (s.view == none) 0
+      else if (s.click <= s.view || s.click == none) 1
+      else if (s.purchase <= s.click || s.purchase == none) 2
+      else 3
+
+    def fn(user: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[FunnelStage] = {
+      var st = state.getOption.getOrElse(FunnelState(none, none, none))
+      val before = stageOf(st)
+      rows.foreach { e =>
+        val sec = e.ts.getTime / 1000L
+        st = e.event_type match {
+          case "view"     => st.copy(view = math.min(st.view, sec))
+          case "click"    => st.copy(click = math.min(st.click, sec))
+          case "purchase" => st.copy(purchase = math.min(st.purchase, sec))
+          case _          => st
+        }
+      }
+      state.update(st)
+      val after = stageOf(st)
+      if (after != before) Iterator.single(FunnelStage(user, after)) else Iterator.empty
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Convenience: the events table of a sf dir as a typed Dataset. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

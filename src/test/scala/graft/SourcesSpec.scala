@@ -9,6 +9,35 @@ import graft.sources.GraphStore
 class SourcesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("jsonl corpus: distributed write → schema-explicit read roundtrips exactly") {
+    import graft.sources.CorpusIO
+    val out = Files.createTempDirectory("graft-jsonl").resolve("docs").toString
+    val docs = Tables.documents(spark, sf)
+    CorpusIO.writeJsonl(docs, out)
+    val back = CorpusIO.readJsonl(spark, out)
+    assert(back.schema == CorpusIO.documentSchema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("jsonl corpus: FAILFAST read refuses a corrupt line; permissive read quarantines it") {
+    import graft.sources.CorpusIO
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-jsonl-bad")
+    Files.write(dir.resolve("part-0.json"),
+      ("""{"doc_id":1,"text":"ok","lang":"en","source":"a","n_chars":2}""" +
+        "\nnot json at all\n").getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      CorpusIO.readJsonl(spark, dir.toString).count()
+    }
+    // Spark disallows querying ONLY the corrupt-record column straight
+    // off the raw file — materialise the parse first (its own guidance)
+    val triaged = CorpusIO.readJsonl(spark, dir.toString, permissive = true).cache()
+    try {
+      assert(triaged.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(triaged.filter(col("_corrupt_record").isNull).count() == 1)
+    } finally triaged.unpersist()
+  }
+
   test("csv reader: latin-1 + empty-string null semantics") {
     val dir = Files.createTempDirectory("graft-csv")
     val f = dir.resolve("users.csv")

@@ -39,6 +39,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStages: change-log reaches the batch stage, late events can demote") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{FunnelStage}
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelStages(input.toDS())
+      .writeStream.format("memory").queryName("fs").outputMode("append").start()
+    try {
+      // user 1 progresses cleanly; user 2's click precedes its view
+      input.addData(Event(1, ts(10), 1, "view", 0), Event(2, ts(5), 2, "click", 0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(20), 1, "click", 0), Event(4, ts(10), 2, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(30), 1, "purchase", 0))
+      q.processAllAvailable()
+      // user 3: stage 2, then a LATE earlier click arrives → first click
+      // now precedes the first view → demoted to 1 (batch formula parity)
+      input.addData(Event(6, ts(100), 3, "view", 0), Event(7, ts(200), 3, "click", 0))
+      q.processAllAvailable()
+      input.addData(Event(8, ts(50), 3, "click", 0))
+      q.processAllAvailable()
+      val log = spark.table("fs").as[FunnelStage].collect()
+      val finalStage = log.zipWithIndex.groupBy(_._1.user_id).view
+        .mapValues(_.maxBy(_._2)._1.stage).toMap
+      assert(finalStage == Map(1L -> 3, 2L -> 1, 3L -> 1), s"got $finalStage from ${log.toSeq}")
+      // user 1's change-log shows the full progression
+      assert(log.filter(_.user_id == 1L).map(_.stage).toSeq == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
   test("sessionWindowCounts: native session_window merges gaps like the hand-rolled sessionizer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
