@@ -31,7 +31,17 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // the pin counts stage lines, not logical shuffles
     ("ngram_jaccard_pairs", 14, 6),
     ("corpus_ngrams", 1, 1),
-    ("user_jaccard_topk", 22, 16))
+    ("user_jaccard_topk", 22, 16),
+    // r4 additions (adamic_adar reads the cached co-occurrence build —
+    // its pin, like ngram's, counts materialized AQE stage lines)
+    ("tfidf_top_terms", 6, 2),
+    ("doc_repetition", 1, 1),
+    ("q4_semi", 3, 2),
+    ("events_range_rolling", 2, 1),
+    ("events_funnel", 2, 1),
+    ("dedup_normalized", 2, 1),
+    ("embedding_quantize", 1, 1),
+    ("adamic_adar_user", 14, 2))
 
   pins.foreach { case (name, maxExchanges, maxScans) =>
     test(s"$name plans ≤ $maxExchanges Exchanges and ≤ $maxScans parquet scans") {
