@@ -37,6 +37,21 @@ object RatingsGraph {
   def filteredEvents(spark: SparkSession, dir: String): DataFrame =
     ratingEvents(spark, dir).filter(col("rating") =!= 0)
 
+  /** Incremental silver maintenance — the batch twin of the streaming
+    * MERGE (S6) and the 100 TB alternative to rebuilding the whole
+    * ratings ETL per batch: fold a delta of rating events into an
+    * existing ratings table. Exact because max is associative — merging
+    * per-batch maxima equals one max over all events (spec-proved
+    * against the full rebuild). One exchange on (user_id, book_id) over
+    * |base| + |delta|; with the base stored bucketed on the merge key
+    * (T2), the base side ships zero rows. */
+  def mergeRatings(base: DataFrame, deltaEvents: DataFrame): DataFrame =
+    base.select(col("user_id"), col("book_id"), col("rating"))
+      .unionAll(deltaEvents.filter(col("rating") =!= 0)
+        .select(col("user_id"), col("book_id"), col("rating")))
+      .groupBy(col("user_id"), col("book_id"))
+      .agg(max(col("rating")).as("rating"))
+
   /** Session conf key naming a bucketed SILVER table of the ratings
     * edges (as written by [[graft.sources.GraphStore.saveBucketed]]).
     * When set and the table exists, [[ratings]] reads it instead of

@@ -121,6 +121,25 @@ class NewOpsSpec extends AnyFunSuite {
     assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
   }
 
+  test("mergeRatings: incremental batches fold to exactly the full rebuild") {
+    import graft.graph.RatingsGraph
+    val events = RatingsGraph.ratingEvents(spark, sf)
+    // split the event stream into two deterministic halves, build from
+    // the first, merge the second — must equal the one-shot build
+    val h = pmod(xxhash64(col("user_id"), col("book_id"), col("rating")), lit(2))
+    val batch1 = events.filter(h === 0)
+    val batch2 = events.filter(h === 1)
+    val base = RatingsGraph.mergeRatings(
+      batch1.filter(col("rating") =!= 0)
+        .groupBy("user_id", "book_id").agg(max("rating").as("rating")),
+      spark.emptyDataFrame.select(lit(0L).as("user_id"), lit(0L).as("book_id"),
+        lit(0L).as("rating")).limit(0))
+    val merged = RatingsGraph.mergeRatings(base, batch2)
+    val full = RatingsGraph.ratings(spark, sf)
+      .select("user_id", "book_id", "rating")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
   test("embedding_quantize: codes in 0..255, mid-rise error bound holds") {
     val q = graft.ann.AnnSearch.quantize(spark, sf)
     val codes = q.select(explode(split(col("codes"), ",")).as("cs"))
