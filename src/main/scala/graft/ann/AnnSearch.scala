@@ -93,7 +93,10 @@ object AnnSearch {
   }
 
   /** Fail fast unless `table` was built by [[savePostingsBucketed]] with
-    * exactly these LSH parameters. */
+    * exactly these LSH parameters. A table persisted before the stamp
+    * existed reads as `bands=?` and is rejected too — rebuild it via
+    * [[savePostingsBucketed]] (cheap relative to silently-lost recall
+    * from probing with mismatched band keys). */
   private def requirePostingsParams(spark: SparkSession, table: String,
       bands: Int, bitsPerBand: Int): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()

@@ -201,9 +201,10 @@ object Dedup {
         import spark.implicits._
         rows.toDF("node_id", "component")
       } else {
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        graft.graph.Algorithms.connectedComponents(edges)
+        // connectedComponents bidirects + distincts internally — pass
+        // the one-direction pairs straight through
+        graft.graph.Algorithms.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       }
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(cc.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"), "left")

@@ -50,13 +50,24 @@ object Algorithms {
     while (!converged && i < maxIter) {
       // candidate label = min over (self, neighbours' labels); the self
       // rows ride the same aggregation, so one shuffle, no join
-      val next = bidir
+      val prop = bidir
         .join(labels.withColumnRenamed("node_id", "src"), Seq("src"))
         .select(col("dst").as("node_id"), col("component"))
         .unionAll(labels)
         .groupBy(col("node_id"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint() // materialise once: the shortcut reads it twice
+      // pointer-jumping shortcut: also adopt the label OF my label
+      // (labels only decrease and every label value is itself a
+      // labelled node), squaring the propagation distance per round —
+      // convergence in O(log diameter) rounds instead of O(diameter),
+      // so maxIter=20 covers ~2^20-hop chains
+      val next = prop
+        .join(prop.select(col("node_id").as("component"),
+          col("component").as("comp2")), Seq("component"), "left")
+        .select(col("node_id"),
+          least(col("component"), coalesce(col("comp2"), col("component")))
+            .as("component"))
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node_id"))
         .filter(col("component") =!= col("old")).limit(1).count()
       labels = next
@@ -236,18 +247,25 @@ object Algorithms {
   def adamicAdarUser(spark: SparkSession, dir: String,
       user: Long = 1L, k: Int = 10): DataFrame =
     adamicAdar(RatingsGraph.cooccurrenceEdges(spark, dir)
-      .select(col("u1").as("src"), col("u2").as("dst")), user, k)
+      .select(col("u1").as("src"), col("u2").as("dst")), user, k,
+      assumeDistinct = true) // one row per user pair by construction
 
-  /** Adamic–Adar over any bidirectional (src, dst) edge table. */
-  def adamicAdar(edges: DataFrame, user: Long, k: Int): DataFrame = {
-    val deg = edges.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
-    val nbrs = edges.filter(col("src") === user).select(col("dst").as("w"))
+  /** Adamic–Adar over any bidirectional (src, dst) edge table.
+    * Multigraph guard (the louvain hazard class): parallel edge rows
+    * would double-count wedges and inflate degrees, so edges are
+    * distinct-ed unless the caller guarantees one row per pair. */
+  def adamicAdar(edges: DataFrame, user: Long, k: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val input = edges.select(col("src"), col("dst"))
+    val e = if (assumeDistinct) input else input.distinct()
+    val deg = e.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    val nbrs = e.filter(col("src") === user).select(col("dst").as("w"))
     // wedge: source → w → cand; a common neighbour w always has deg ≥ 2,
     // so ln(deg) is never 0
-    edges.select(col("src").as("w"), col("dst").as("cand"))
+    e.select(col("src").as("w"), col("dst").as("cand"))
       .join(broadcast(nbrs), Seq("w"))
       .filter(col("cand") =!= user)
-      .join(edges.filter(col("src") === user).select(col("dst").as("cand")),
+      .join(e.filter(col("src") === user).select(col("dst").as("cand")),
         Seq("cand"), "left_anti") // predict NEW links only
       .join(deg, Seq("w"))
       .groupBy(col("cand"))
@@ -266,12 +284,18 @@ object Algorithms {
     * depth (≤ longest degeneracy chain), each strictly shrinks the edge
     * set, and lineage is cut per round. Returns (node_id, core_degree)
     * for surviving nodes. */
-  def kcore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+  def kcore(edges: DataFrame, k: Int, assumeDistinct: Boolean = false): DataFrame = {
+    // multigraph guard (the louvain hazard class): parallel (src, dst)
+    // rows would count as extra degree; skip the exchange only when the
+    // caller guarantees distinct edges by construction
+    val input = edges.select(col("src"), col("dst"))
+    var e = (if (assumeDistinct) input else input.distinct()).localCheckpoint()
     var n = e.count()
     var converged = n == 0L
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    // peeling terminates unaided: every non-converged round strictly
+    // shrinks the edge set, so rounds ≤ peeling depth ≤ |V| — no
+    // iteration cap that could silently return a non-k-core
+    while (!converged) {
       val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       val pruned = e.join(alive, Seq("src"))
@@ -282,7 +306,6 @@ object Algorithms {
       converged = m == n
       n = m
       e = pruned
-      iter += 1
     }
     e.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("core_degree"))
   }
@@ -292,7 +315,8 @@ object Algorithms {
   def userKcore(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     graft.Cache.cached(spark, dir, s"kcore_$k") {
       kcore(RatingsGraph.cooccurrenceEdges(spark, dir)
-        .select(col("u1").as("src"), col("u2").as("dst")), k)
+        .select(col("u1").as("src"), col("u2").as("dst")), k,
+        assumeDistinct = true) // one row per user pair by construction
     }
 
   /** Bounded BFS: hop distance from a source node to every node within

@@ -62,6 +62,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val rowOrdering: Ordering[InternalRow] =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
           .create(sortOrder, childOutput)
+      // per spill file: whichever stream (writer, then reader) is
+      // currently open — the task-completion listener closes it, so a
+      // consumer that stops draining mid-spill leaks neither fd nor file
+      val spillStreams = mutable.Map.empty[java.io.File, java.io.Closeable]
 
       // One bounded pass: heap the first `maxKeys` distinct keys; rows
       // of any further key spill to a local temp file (UnsafeRow bytes)
@@ -97,11 +101,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
               // key budget exhausted: spill the raw row for a later pass
               if (spillOut == null) {
                 spillFile = java.io.File.createTempFile("graft-topk-spill", ".bin")
-                spillFile.deleteOnExit()
-                val tc = org.apache.spark.TaskContext.get()
-                if (tc != null) tc.addTaskCompletionListener[Unit](_ => spillFile.delete(): Unit)
                 spillOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
                   new java.io.FileOutputStream(spillFile), 1 << 16))
+                // cleanup rides task completion (not deleteOnExit, whose
+                // shutdown-hook entries would accumulate for the JVM
+                // lifetime): close whatever stream is open — including a
+                // reader a short-circuiting consumer abandoned mid-drain
+                // — then drop the file
+                val f = spillFile
+                spillStreams(f) = spillOut
+                val tc = org.apache.spark.TaskContext.get()
+                if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+                  spillStreams.remove(f).foreach(s => try s.close() catch { case _: Throwable => () })
+                  f.delete(): Unit
+                }
               }
               val u = row.asInstanceOf[UnsafeRow]
               spillOut.writeInt(u.getSizeInBytes)
@@ -120,10 +133,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           drained ++ {
             val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
               new java.io.FileInputStream(spillFile), 1 << 16))
+            spillStreams(spillFile) = in // writer is closed; track the reader
+            val f = spillFile
             val spilled = new Iterator[InternalRow] {
               private var nextSize = readSize()
               private def readSize(): Int =
-                try in.readInt() catch { case _: java.io.EOFException => in.close(); -1 }
+                try in.readInt()
+                catch { case _: java.io.EOFException =>
+                  in.close(); spillStreams.remove(f); -1 }
               override def hasNext: Boolean = nextSize >= 0
               override def next(): InternalRow = {
                 val bytes = new Array[Byte](nextSize)

@@ -207,7 +207,7 @@ object EventStreams {
       var st = state.getOption.getOrElse(FunnelState(none, none, none))
       val before = stageOf(st)
       rows.foreach { e =>
-        val sec = e.ts.getTime / 1000L
+        val sec = Math.floorDiv(e.ts.getTime, 1000L) // floor, not truncate: batch `cast(ts as long)` parity for pre-epoch ts
         st = e.event_type match {
           case "view"     => st.copy(view = math.min(st.view, sec))
           case "click"    => st.copy(click = math.min(st.click, sec))

@@ -36,6 +36,28 @@ class NewOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kcore: deep peeling converges on a long path (no iteration cap)") {
+    // path of 61 nodes, k=2: endpoints peel two at a time → ~30 rounds;
+    // the whole path must vanish (a path has no 2-core)
+    val path = (1L until 61L).map(i => (i, i + 1))
+    assert(Algorithms.kcore(bidir(path), k = 2).isEmpty)
+  }
+
+  test("connectedComponents: 150-hop chain converges within 20 rounds (pointer jumping)") {
+    val chain = (1L until 150L).map(i => (i, i + 1))
+    val labels = Algorithms.connectedComponents(chain.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 150 && labels.forall(_._2 == 1L),
+      "chain did not fully merge — min-label propagation unconverged")
+  }
+
+  test("adamicAdar: parallel edge rows score identically to the simple graph") {
+    val simple = bidir(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L)))
+    val multi = simple.unionAll(simple) // every edge duplicated
+    assert(Algorithms.adamicAdar(multi, 1L, 10).collect().toSeq ==
+      Algorithms.adamicAdar(simple, 1L, 10).collect().toSeq)
+  }
+
   test("kcore: empty result when k exceeds every degree") {
     val edges = bidir(Seq((1L, 2L), (2L, 3L)))
     assert(Algorithms.kcore(edges, k = 5).isEmpty)

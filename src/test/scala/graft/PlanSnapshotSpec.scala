@@ -50,7 +50,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       // distinct trimmed lines: a materialized AQE plan reprints shared
       // query stages (same text, same plan_id) — dedupe those, while
-      // genuinely different exchanges/scans differ in attribute ids
+      // genuinely different exchanges/scans differ in attribute ids.
+      // (Known blind spot: two DISTINCT exchanges printing byte-identical
+      // lines collapse to one — rare, since fresh subtrees get fresh
+      // expr ids; accepted over the false-positive noise of counting
+      // every reprint.)
       val lines = plan.split("\n").map(_.replaceAll("^[-+:\\s*]+", "")).distinct
       val ex = lines.count(_.contains("Exchange"))
       val scans = lines.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
