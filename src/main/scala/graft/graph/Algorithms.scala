@@ -56,18 +56,24 @@ object Algorithms {
         .unionAll(labels)
         .groupBy(col("node_id"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint() // materialise once: the shortcut reads it twice
-      // pointer-jumping shortcut: also adopt the label OF my label
-      // (labels only decrease and every label value is itself a
-      // labelled node), squaring the propagation distance per round —
-      // convergence in O(log diameter) rounds instead of O(diameter),
-      // so maxIter=20 covers ~2^20-hop chains
-      val next = prop
-        .join(prop.select(col("node_id").as("component"),
-          col("component").as("comp2")), Seq("component"), "left")
-        .select(col("node_id"),
-          least(col("component"), coalesce(col("comp2"), col("component")))
-            .as("component"))
+        .localCheckpoint() // materialise once: probe + next round read it
+      // pointer-jumping shortcut from round 5 on: also adopt the label
+      // OF my label (labels only decrease and every label value is
+      // itself a labelled node), squaring the propagation distance per
+      // round — an unconverged round-5 graph has diameter > 5, and the
+      // shortcut gets it to fixpoint in O(log diameter) further rounds
+      // (maxIter=20 then covers ~2^15-hop chains). Low-diameter graphs
+      // — the common case — converge earlier and never pay the extra
+      // per-round |V| join.
+      val next =
+        if (i < 4) prop
+        else prop
+          .join(prop.select(col("node_id").as("component"),
+            col("component").as("comp2")), Seq("component"), "left")
+          .select(col("node_id"),
+            least(col("component"), coalesce(col("comp2"), col("component")))
+              .as("component"))
+          .localCheckpoint() // the probe and the next round both read it
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node_id"))
         .filter(col("component") =!= col("old")).limit(1).count()
       labels = next
