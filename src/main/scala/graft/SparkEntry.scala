@@ -270,6 +270,8 @@ object SparkEntry {
     }),
     "q4_semi" -> ((s, d) => Olap.q4Semi(s, d)),
     "events_range_rolling" -> ((s, d) => Olap.eventsRangeRolling(s, d)),
+    "events_retention" -> ((s, d) => Olap.eventsRetention(s, d)),
+    "clustering_coef_topk" -> ((s, d) => graft.graph.Algorithms.userClusteringTopK(s, d)),
     "dedup_clusters" -> ((s, d) => graft.dedup.Dedup.nearDupClusters(s, d)),
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "events_funnel" -> ((s, d) => Olap.eventsFunnel(s, d)),
@@ -1225,6 +1227,45 @@ object SparkEntry {
         |    PARTITION BY g.user_id ORDER BY g.hr ROWS UNBOUNDED PRECEDING) AS value
         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
         |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    "events_retention" ->
+      """WITH user_days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+        |  FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY user_id
+        |)
+        |SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+        |       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+        |FROM user_days u JOIN cohorts c USING (user_id)
+        |GROUP BY c.cohort_day, u.day - c.cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "clustering_coef_topk" ->
+      s"""$RatingsCte, bi AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg AS (
+         |  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS degree FROM bi GROUP BY src
+         |), tri AS (
+         |  -- wedges (u—v—w), u<w, closed by an edge: one per triangle per centre
+         |  SELECT e1.src AS v, CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM bi e1 JOIN bi e2
+         |    ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN bi c ON c.src = e1.dst AND c.dst = e2.dst
+         |  GROUP BY e1.src
+         |)
+         |SELECT v AS node_id, degree,
+         |  ROUND(CAST(COALESCE(t, 0) AS DOUBLE) * 2 / (degree * (degree - 1)), 6)
+         |    AS clustering_coef
+         |FROM deg LEFT JOIN tri USING (v)
+         |WHERE degree >= 10
+         |ORDER BY clustering_coef DESC, node_id
+         |LIMIT 20""".stripMargin,
 
     "events_range_rolling" ->
       """SELECT user_id, event_id,

@@ -217,6 +217,43 @@ object Algorithms {
         .as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient (GDS
+    * `localClusteringCoefficient` family): c(v) = 2·t(v) / (d(v)·(d(v)−1))
+    * with t(v) = triangles through v. Adjacency-array form like
+    * [[triangleCount]], but UNoriented: per directed edge (v, u) the
+    * common-neighbour count |N(v) ∩ N(u)| counts each triangle at v
+    * twice across v's incident edges, so t(v) = Σ/2. Work is
+    * Σ_e min(d) array intersections in-partition — the wedge set never
+    * materialises or shuffles. Returns top-k by (coefficient, node) over
+    * nodes with degree ≥ minDegree (low-degree coefficients are noise). */
+  def clusteringCoefficientTopK(edges: DataFrame, k: Int = 20,
+      minDegree: Int = 10): DataFrame = {
+    val bi = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val adj = bi.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    bi
+      .join(adj.select(col("src"), col("nbrs").as("nbrs_v")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_u")), Seq("dst"))
+      .groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("degree"),
+        (sum(size(array_intersect(col("nbrs_v"), col("nbrs_u")))) / 2).as("t"))
+      .filter(col("degree") >= minDegree)
+      .select(col("node_id"), col("degree"),
+        round(col("t") * 2.0 / (col("degree") * (col("degree") - 1)), 6)
+          .as("clustering_coef"))
+      .orderBy(col("clustering_coef").desc, col("node_id"))
+      .limit(k)
+  }
+
+  /** Clustering coefficient of the user co-occurrence graph. */
+  def userClusteringTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    clusteringCoefficientTopK(RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("src"), col("u2").as("dst")), k)
+
   /** Per-user node similarity (GDS `nodeSimilarity` family): Jaccard of
     * liked-book sets for every user pair sharing at least one liked
     * book, top-k pairs. The co-occurrence join provides |∩|; set sizes

@@ -305,6 +305,23 @@ object Olap {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Cohort retention matrix: users grouped by first-activity day, each
+    * later active day counted at its offset — the activation/retention
+    * report every event product runs. Two aggregations over one scan
+    * (distinct user-days → per-user cohort via a min, then the matrix);
+    * epoch-day integers end to end, so the oracle compare is exact. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val day = (col("ts").cast("long") / lit(86400L)).cast("long").as("day")
+    val userDays = events(spark, dir)
+      .select(col("user_id"), day).distinct()
+    val cohorts = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    userDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** TPC-H Q4 shape: order-priority checking via EXISTS semi-join —
     * orders of one quarter that had at least one line shipped after the
     * order date, counted by priority. The semi-join never materialises

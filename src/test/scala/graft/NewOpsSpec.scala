@@ -105,6 +105,25 @@ class NewOpsSpec extends AnyFunSuite {
       "bigram count disagrees with token count")
   }
 
+  test("clusteringCoefficient: clique nodes score 1.0, star centre scores 0") {
+    // 5-clique ∪ star(10 leaves): clique coefficients 1.0, star centre 0
+    val clique = for { a <- 1L to 5L; b <- 1L to 5L if a != b } yield (a, b)
+    val star = (10L to 19L).flatMap(l => Seq((100L, l), (l, 100L)))
+    val got = Algorithms.clusteringCoefficientTopK(
+        (clique ++ star).toDF("src", "dst"), k = 10, minDegree = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0, 5L -> 1.0, 100L -> 0.0),
+      s"got $got")
+  }
+
+  test("events_retention: offset-0 row per cohort covers every user exactly once") {
+    val r = Olap.eventsRetention(spark, sf)
+    assert(r.filter(col("day_offset") < 0).isEmpty)
+    val day0 = r.filter(col("day_offset") === 0).agg(sum("n_users")).head().getLong(0)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(day0 == users, s"offset-0 covered $day0 of $users users")
+  }
+
   test("dedup_clusters: every doc clustered once, pairs co-clustered, cluster id = min member") {
     val clusters = graft.dedup.Dedup.nearDupClusters(spark, sf)
     val docs = Tables.documents(spark, sf).count()
