@@ -271,6 +271,44 @@ object SparkEntry {
     "q4_semi" -> ((s, d) => Olap.q4Semi(s, d)),
     "events_range_rolling" -> ((s, d) => Olap.eventsRangeRolling(s, d)),
     "events_retention" -> ((s, d) => Olap.eventsRetention(s, d)),
+    // Sketch operators, oracled the invariants way: exact columns are
+    // SQL-reproduced, the sketch estimate is gated by an error-bound
+    // flag (HLL++ rsd 0.05 → the 5% gate holds with huge margin; the
+    // estimate itself is sketch-version-dependent and stays out of the
+    // compared columns)
+    "approx_distinct_check" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .cast("bigint").as("approx_within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+    "approx_quantile_check" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50_exact"),
+          expr("percentile(value, 0.95)").as("p95_exact"),
+          expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(value, 0.95, 1000)").as("p95_approx"),
+          expr("percentile(value, 0.45)").as("p45"),
+          expr("percentile(value, 0.55)").as("p55"),
+          expr("percentile(value, 0.93)").as("p93"),
+          expr("percentile(value, 0.97)").as("p97"))
+        // rank-error gate: the approx quantile must land within the
+        // exact ±2-percentile band (accuracy 1000 → ~0.1% rank error)
+        .select(col("event_type"),
+          round(col("p50_exact"), 6).as("p50_exact"),
+          round(col("p95_exact"), 6).as("p95_exact"),
+          (col("p50_approx").between(col("p45"), col("p55")) &&
+            col("p95_approx").between(col("p93"), col("p97")))
+            .cast("bigint").as("approx_in_band"))
+        .orderBy(col("event_type"))
+    }),
     "clustering_coef_topk" -> ((s, d) => graft.graph.Algorithms.userClusteringTopK(s, d)),
     "dedup_clusters" -> ((s, d) => graft.dedup.Dedup.nearDupClusters(s, d)),
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
@@ -1227,6 +1265,19 @@ object SparkEntry {
         |    PARTITION BY g.user_id ORDER BY g.hr ROWS UNBOUNDED PRECEDING) AS value
         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
         |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    "approx_distinct_check" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       CAST(1 AS BIGINT) AS approx_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "approx_quantile_check" ->
+      """SELECT event_type,
+        |       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+        |       CAST(1 AS BIGINT) AS approx_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_retention" ->
       """WITH user_days AS (
