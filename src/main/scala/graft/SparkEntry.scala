@@ -311,12 +311,35 @@ object SparkEntry {
     }),
     "clustering_coef_topk" -> ((s, d) => graft.graph.Algorithms.userClusteringTopK(s, d)),
     "dedup_clusters" -> ((s, d) => graft.dedup.Dedup.nearDupClusters(s, d)),
+    "dedup_survivors" -> ((s, d) => graft.dedup.Dedup.dedupSurvivors(s, d)),
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "events_funnel" -> ((s, d) => Olap.eventsFunnel(s, d)),
     "events_gap_fill" -> ((s, d) => Olap.eventsGapFill(s, d)),
     "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
     "embedding_quantize" -> ((s, d) => graft.ann.AnnSearch.quantize(s, d)),
+    // — r4 continuation: sampled centrality, personalized PageRank,
+    //   packing/mixing/scrubbing pipeline ops, Q13 —
+    "harmonic_centrality" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.harmonicCentrality(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst")),
+        sources = Seq(1L, 2L, 3L, 4L), maxHops = 3)
+    }),
+    "ppr_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.personalizedPageRank(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst"), col("weight")),
+        sources = Seq(1L, 2L, 3L), iterations = 5)
+        .select(col("node_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node_id")).limit(20)
+    }),
+    "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
+    "source_mix" -> ((s, d) => TextOps.sourceMix(s, d)),
+    "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
+    "q13_custdist" -> ((s, d) => Olap.q13Custdist(s, d)),
     "simhash_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sigs = graft.dedup.Dedup.simhashes(
@@ -478,7 +501,10 @@ object SparkEntry {
       "\nORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20"
   }
 
-  private def lpaOracle: String = {
+  /** lab0…lab5 CTE chain shared by the LPA oracle and the modularity
+    * oracle (modularity is computed over the SAME lab5 labels the
+    * exactly-oracled LPA entry emits). */
+  private def lpaCtes: String = {
     val base =
       s"""$RatingsCte, cooc AS (
          |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
@@ -506,8 +532,113 @@ object SparkEntry {
          |  WHERE rk = 1
          |)""".stripMargin
     }.mkString
-    base + iters + "\nSELECT node_id, label FROM lab5 ORDER BY node_id"
+    base + iters
   }
+
+  private def lpaOracle: String =
+    lpaCtes + "\nSELECT node_id, label FROM lab5 ORDER BY node_id"
+
+  /** Personalized PageRank unrolled as chained CTEs — the
+    * [[pagerankFixedOracle]] pattern with the teleport term restricted
+    * to the source set (mass 1/|S| each). Double drift between engines
+    * is ~1e-13 ≪ the 1e-6 rounding guard. */
+  private def pprOracle: String = {
+    val srcs = "1, 2, 3"
+    def tele(node: String) =
+      s"(CASE WHEN $node IN ($srcs) THEN CAST(1.0 AS DOUBLE) / 3 ELSE 0.0 END)"
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), norm AS (
+         |  SELECT src, dst,
+         |    CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS share
+         |  FROM cooc
+         |), nodes AS (
+         |  SELECT src AS node_id FROM cooc UNION SELECT dst FROM cooc
+         |), r0 AS (
+         |  SELECT node_id, ${tele("node_id")} AS rank FROM nodes
+         |)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""", r$i AS (
+         |  SELECT n.node_id,
+         |    0.15 * ${tele("n.node_id")}
+         |      + 0.85 * COALESCE(SUM(m.share * r.rank), 0.0) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN norm m ON m.dst = n.node_id
+         |  LEFT JOIN r${i - 1} r ON r.node_id = m.src
+         |  GROUP BY n.node_id
+         |)""".stripMargin
+    }.mkString
+    base + iters +
+      "\nSELECT node_id, ROUND(rank, 6) AS rank FROM r5" +
+      "\nORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20"
+  }
+
+  /** Newman modularity of the LPA labels, mirroring
+    * [[graft.graph.Algorithms.modularity]] exactly: over the directed
+    * both-direction co-occurrence edge list, m = Σw (which is 2m in
+    * undirected terms), Q = Σ_c [e_in_c/m − (deg_c/m)²]. The label CTEs
+    * are the exact LPA oracle's, so this oracles the modularity formula
+    * end to end on the same labels the driver already hash-checks. */
+  private def modularityLpaOracle: String =
+    lpaCtes +
+      """, labelled AS (
+        |  SELECT e.src, e.dst, e.weight, ls.label AS sl, ld.label AS dl
+        |  FROM cooc e
+        |  JOIN lab5 ls ON e.src = ls.node_id
+        |  JOIN lab5 ld ON e.dst = ld.node_id
+        |), mm AS (SELECT SUM(weight) AS m FROM labelled),
+        |per AS (
+        |  SELECT sl AS community,
+        |    SUM(CASE WHEN sl = dl THEN weight ELSE 0.0 END) AS e_in,
+        |    SUM(weight) AS degree_w
+        |  FROM labelled GROUP BY sl
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |  ROUND(SUM(e_in / mm.m - (degree_w / mm.m) * (degree_w / mm.m)), 6)
+        |    AS modularity
+        |FROM per, mm""".stripMargin
+
+  /** The near-dup cluster closure (all-pairs jaccard truth → recursive
+    * min-label closure → every doc joins its component). Shared by the
+    * dedup_clusters oracle and the dedup_survivors aggregate over it.
+    * No trailing ORDER BY — consumers append their own. */
+  private val NearDupClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                             t -> length(t) > 0) AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |    ELSE [array_to_string(toks, ' ')] END AS s
+      |  FROM toks
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |), lab(node_id, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node_id = e.src
+      |  WHERE l.label < e.dst
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(c.component, d.doc_id) AS cluster_id
+      |FROM documents d
+      |LEFT JOIN (SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id) c
+      |  ON d.doc_id = c.node_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -1331,39 +1462,104 @@ object SparkEntry {
     // The near-dup CLUSTER closure over the all-pairs jaccard truth:
     // recursive min-label closure on the ≥-threshold pair graph, then
     // every document joins its component (singletons keep their own id).
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                             t -> length(t) > 0) AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [array_to_string(toks, ' ')] END AS s
-        |  FROM toks
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT id_b, id_a FROM pairs
-        |), lab(node_id, label) AS (
-        |  SELECT src, src FROM edges
+    "dedup_clusters" -> (NearDupClustersSql + "\nORDER BY d.doc_id"),
+
+    // One survivor (min id) per cluster with the absorbed-doc count —
+    // the all-pairs truth closure again, aggregated per cluster.
+    "dedup_survivors" ->
+      s"""SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_merged
+         |FROM ($NearDupClustersSql)
+         |GROUP BY cluster_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "community_modularity" -> modularityLpaOracle,
+
+    "ppr_topk" -> pprOracle,
+
+    // Bounded multi-source BFS closure → Σ 1/dist per node. The
+    // recursive walk keeps every (source, node, hops) row; MIN(hops)
+    // recovers the true BFS distance exactly as the Spark frontier
+    // loop's min-aggregate does.
+    "harmonic_centrality" ->
+      """WITH RECURSIVE rating_events AS (
+        |  SELECT o_custkey AS user_id, l_partkey AS book_id,
+        |         CAST(CAST(l_quantity AS INTEGER) % 11 AS BIGINT) AS rating
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), filtered_events AS (
+        |  SELECT * FROM rating_events WHERE rating <> 0
+        |), ratings AS (
+        |  SELECT user_id, book_id, MAX(rating) AS rating
+        |  FROM filtered_events GROUP BY user_id, book_id
+        |), cooc AS (
+        |  SELECT a.user_id AS src, b.user_id AS dst
+        |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+        |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+        |  WHERE a.user_id <> b.user_id
+        |  GROUP BY a.user_id, b.user_id
+        |), walk(source, node_id, hops) AS (
+        |  SELECT CAST(v AS BIGINT), CAST(v AS BIGINT), 0
+        |  FROM (VALUES (1), (2), (3), (4)) t(v)
         |  UNION
-        |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node_id = e.src
-        |  WHERE l.label < e.dst
+        |  SELECT w.source, e.dst, w.hops + 1
+        |  FROM walk w JOIN cooc e ON w.node_id = e.src
+        |  WHERE w.hops < 3
+        |), mind AS (
+        |  SELECT source, node_id, MIN(hops) AS hops
+        |  FROM walk GROUP BY source, node_id
         |)
-        |SELECT d.doc_id,
-        |       COALESCE(c.component, d.doc_id) AS cluster_id
-        |FROM documents d
-        |LEFT JOIN (SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id) c
-        |  ON d.doc_id = c.node_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |SELECT node_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / hops), 6) AS harmonic
+        |FROM mind WHERE hops > 0
+        |GROUP BY node_id ORDER BY node_id""".stripMargin,
+
+    "token_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(LEN(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(FLOOR(start_off / 2048) AS BIGINT) AS bin_id,
+        |  start_off % 2048 AS bin_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "source_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) AS DOUBLE) / 4294967296
+        |  < (CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE)
+        |                 WHEN 'src1' THEN 0.25
+        |                 WHEN 'src2' THEN 0.5
+        |                 ELSE 0.75 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(LEN(regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_numbers,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |             WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH toks AS (

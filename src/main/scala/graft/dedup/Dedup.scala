@@ -212,6 +212,21 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Final dedup output: ONE surviving document per near-dup cluster
+    * (the min doc id — deterministic, matches the cluster label), with
+    * the number of documents it absorbed. This is the row a production
+    * pipeline actually writes back out: `corpus ⋉ survivors` is the
+    * deduplicated corpus. Composes the exact-oracled cluster closure,
+    * so the whole pair→cluster→survivor path stays oracle-checkable;
+    * one extra aggregation on cluster_id beyond [[nearDupClusters]]. */
+  def dedupSurvivors(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame =
+    nearDupClusters(spark, dir, minJaccard)
+      .groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_merged"))
+      .select(col("doc_id"), col("n_merged"))
+      .orderBy(col("doc_id"))
+
   /** 48-bit SimHash fingerprint per document, fully columnar: the token
     * array is hashed ONCE per doc, then the 48 ±1 bit votes are
     * fold-over-array aggregates inside one projection — no explode, no

@@ -407,6 +407,72 @@ object Algorithms {
     dist
   }
 
+  /** Harmonic centrality from a FIXED source sample (the scalable
+    * stand-in for exact closeness — full APSP is O(V·E) and never runs
+    * at 100 TB): h(v) = Σ_{s∈S, d(s,v)>0} 1/d(s,v) over bounded-hop
+    * BFS distances. One multi-source frontier loop keyed
+    * (source, node) — all |S| BFS waves share each join/aggregate, so
+    * the loop costs the same shuffles as a single-source BFS. Nodes
+    * unreached within `maxHops` from any source are absent (their
+    * contribution is 0). GDS closeness/harmonic family. */
+  def harmonicCentrality(edges: DataFrame, sources: Seq[Long], maxHops: Int = 3): DataFrame = {
+    require(sources.nonEmpty, "harmonic centrality needs >= 1 source")
+    val spark = edges.sparkSession
+    val bidir = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    import spark.implicits._
+    var dist = sources.map(s => (s, s, 0L)).toDF("source", "node_id", "hops")
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1))
+      val next = bidir
+        .join(frontier.select(col("source"), col("node_id").as("src")), Seq("src"))
+        .select(col("source"), col("dst").as("node_id"), lit(h.toLong).as("hops"))
+      dist = dist.unionAll(next)
+        .groupBy(col("source"), col("node_id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+    }
+    dist.filter(col("hops") > 0)
+      .groupBy(col("node_id"))
+      .agg(round(sum(lit(1.0) / col("hops")), 6).as("harmonic"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Personalized PageRank: teleport mass restricted to a fixed source
+    * set (GDS personalized-PageRank / RWR family) — ranks measure
+    * proximity to the sources instead of global importance. FIXED
+    * iteration count, no convergence exit, so the unrolled-CTE oracle
+    * replicates the loop exactly. Same normalized-shares join/aggregate
+    * shape (and scale profile) as [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+    val outW = e.groupBy("src").agg(sum(col("weight")).as("out_w"))
+    val norm = e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
+    val base = 1.0 / sources.size
+    def teleport = when(col("node_id").isin(sources: _*), lit(base)).otherwise(lit(0.0))
+    var ranks = nodes.select(col("node_id"), teleport.as("rank"))
+    for (_ <- 1 to iterations) {
+      ranks = norm
+        .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
+        .select(col("dst").as("node_id"), (col("share") * col("rank")).as("contrib"))
+        .unionAll(nodes.select(col("node_id"), lit(0.0).as("contrib")))
+        .groupBy(col("node_id"))
+        .agg(sum(col("contrib")).as("inflow"))
+        .select(col("node_id"),
+          (lit(1.0 - damping) * teleport + lit(damping) * col("inflow")).as("rank"))
+        .localCheckpoint()
+    }
+    norm.unpersist(blocking = false)
+    ranks
+  }
+
   /** Newman modularity Q of a community assignment over a weighted
     * graph (edges given in both directions). The reference's Louvain
     * call reports exactly this metric

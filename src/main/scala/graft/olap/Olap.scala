@@ -339,6 +339,25 @@ object Olap {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q13 shape: customer order-count distribution via a LEFT
+    * OUTER join with an ON-side exclusion filter (zero-order customers
+    * survive with count 0) and a second aggregation over the counts —
+    * the outer-join + double-aggregate histogram pattern. The exclusion
+    * is pushed below the join (filtering the orders side before a LEFT
+    * join ≡ the ON-condition form, and lets the scan prune). */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Conversion funnel view → click → purchase: per user, a stage counts
     * when its first event strictly follows the previous stage's first
     * event (epoch-second resolution — the coarsest grain both engines

@@ -299,6 +299,76 @@ object TextOps {
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 
+  /** Sequence packing (concat-and-chunk): assign documents to fixed-size
+    * token bins, the step that turns a filtered corpus into fixed-length
+    * training sequences. Documents are packed in deterministic doc_id
+    * order WITHIN hash shards — the running-sum window partitions on
+    * `shard`, so the sort never goes global: at 100 TB each shard packs
+    * independently (shuffle on shard, sort within partition), and bin
+    * ids are per-shard. A document crossing a bin boundary spans bins —
+    * `bin_id` is where it starts and `bin_offset` its token offset
+    * there — exactly the greedy concat-and-chunk a pretraining
+    * tokenizer shard job runs. */
+  def tokenPack(spark: SparkSession, dir: String,
+      budget: Int = 2048, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[^ \\t\\n\\f\\r]+', 0)"))
+          .cast("bigint").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_off") / budget).cast("bigint").as("bin_id"),
+        (col("start_off") % budget).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Training-mixture downsampling: a deterministic per-document keep
+    * decision at a per-source rate (the "2 epochs of wiki, 0.3 of
+    * web-crawl" mixing step, here for rates ≤ 1). The keep fraction is
+    * the first 32 md5 bits of doc_id over 2³² — the same md5 basis as
+    * [[splitOf]] / [[stratifiedSample]], reproduced bit-for-bit by the
+    * DuckDB oracle's hex-string cast (production swaps in xxhash64 via
+    * the same shape; a plain multiplicative hash is NOT enough — it is
+    * near-monotone on small dense ids and never mixes below the rate). */
+  def sourceMix(spark: SparkSession, dir: String,
+      rates: Map[String, Double] = Map("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.5),
+      defaultRate: Double = 0.75): DataFrame = {
+    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / 4294967296.0
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .filter(frac < rate)
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing: redact email addresses and long digit runs (ids,
+    * phone numbers) before training. The patterns avoid every
+    * Java-vs-RE2 divergence (no \\s, no backrefs, no lookaround), so
+    * the DuckDB `regexp_replace(…, 'g')` oracle produces byte-identical
+    * scrubbed text. One projection — count matches first, then replace;
+    * codegen dedupes the shared regex subtrees. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    // NB [.] not \. — the expr() path would strip the backslash in SQL
+    // literal escape processing; the bracket form is escape-free and
+    // identical under Java, Spark-SQL-literal, and RE2 parsing
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+    val num = "[0-9][0-9][0-9][0-9]+"
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("bigint").as("n_emails"),
+        size(expr(s"regexp_extract_all(text, '$num', 0)")).cast("bigint").as("n_numbers"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), num, "<NUM>")
+          .as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /

@@ -138,6 +138,119 @@ class NewOpsSpec extends AnyFunSuite {
       "a verified near-dup pair landed in two clusters")
   }
 
+  test("harmonicCentrality: path-graph distances invert exactly") {
+    // path 1-2-3-4-5, source {1}, maxHops 3: h(2)=1, h(3)=1/2, h(4)=1/3,
+    // node 5 unreached (dist 4), source itself excluded
+    val got = Algorithms.harmonicCentrality(
+        bidir((1L until 5L).map(i => (i, i + 1))), sources = Seq(1L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(2L -> 1.0, 3L -> 0.5, 4L -> 0.333333))
+  }
+
+  test("harmonicCentrality: two sources sum their inverse distances") {
+    // path 1-2-3, sources {1,3}: node 2 is at distance 1 from both
+    // (h=2); d(1,3)=2, so each source contributes 1/2 to the other
+    val got = Algorithms.harmonicCentrality(
+        bidir(Seq((1L, 2L), (2L, 3L))), sources = Seq(1L, 3L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 2.0, 3L -> 0.5))
+  }
+
+  test("personalizedPageRank: mass concentrates on the source side") {
+    // barbell: clique-ish pair 1-2 and 3-4, bridge 2-3; teleport to {1}
+    val edges = bidir(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+      .withColumn("weight", lit(1.0))
+    val ranks = Algorithms.personalizedPageRank(edges, Seq(1L), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 4)
+    // proximity ordering to the teleport source: 1 ≥ 2 ≥ 3 ≥ 4, strictly
+    // above zero everywhere reachable
+    assert(ranks(1L) > ranks(3L) && ranks(2L) > ranks(4L) && ranks(4L) > 0.0)
+    // a node with NO source proximity in a disjoint graph gets rank 0:
+    val twoIslands = bidir(Seq((1L, 2L), (3L, 4L))).withColumn("weight", lit(1.0))
+    val r2 = Algorithms.personalizedPageRank(twoIslands, Seq(1L), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r2(3L) == 0.0 && r2(4L) == 0.0 && r2(1L) > 0.0 && r2(2L) > 0.0)
+  }
+
+  test("tokenPack: offsets are the per-shard running sum, bins fill to the budget") {
+    val p = TextOps.tokenPack(spark, sf).collect()
+    val budget = 2048
+    assert(p.nonEmpty)
+    // recompute the packing sequentially per shard and compare exactly
+    p.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        val (nTok, binId, binOff) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(binId == run / budget && binOff == run % budget,
+          s"doc ${r.getLong(0)}: expected off $run")
+        run += nTok
+      }
+    }
+  }
+
+  test("sourceMix: keep decision is exactly the hash-rate rule, rates differ by source") {
+    val kept = TextOps.sourceMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val all = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rates = Map("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.5).withDefaultValue(0.75)
+    def frac(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expect = all.filter { case (id, src) => frac(id) < rates(src) }.toSet
+    assert(kept == expect)
+    // src0 keeps everything; src1 keeps strictly fewer than src0
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    val totals = all.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("src0") == totals("src0"))
+    assert(bySrc.getOrElse("src1", 0) < totals("src1"))
+  }
+
+  test("piiScrub: scrubbed text carries no emails or long digit runs") {
+    val s = TextOps.piiScrub(spark, sf)
+    val leftover = s.filter(
+      expr("scrubbed rlike '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'") ||
+      expr("scrubbed rlike '[0-9][0-9][0-9][0-9]+'"))
+    assert(leftover.isEmpty, "redaction left a match behind")
+    // count columns agree with the original text's matches
+    val n = s.agg(sum("n_numbers")).head().getLong(0)
+    val direct = Tables.documents(spark, sf)
+      .agg(sum(size(expr("regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+', 0)"))))
+      .head().getLong(0)
+    assert(n == direct)
+  }
+
+  test("q13Custdist: histogram covers every customer once, zero bucket = orderless customers") {
+    val h = Olap.q13Custdist(spark, sf)
+    val nCust = Tables.customer(spark, sf).count()
+    assert(h.agg(sum("custdist")).head().getLong(0) == nCust)
+    val zeroBucket = h.filter(col("c_count") === 0).select("custdist")
+      .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val orderless = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti").count()
+    assert(zeroBucket == orderless)
+  }
+
+  test("dedup_survivors: survivors = cluster minima, merged counts cover the corpus") {
+    val clusters = graft.dedup.Dedup.nearDupClusters(spark, sf)
+    val survivors = graft.dedup.Dedup.dedupSurvivors(spark, sf)
+    // one survivor per distinct cluster, and it IS the cluster's min id
+    assert(survivors.count() == clusters.select("cluster_id").distinct().count())
+    assert(survivors.join(clusters.groupBy("cluster_id").agg(min("doc_id").as("doc_id")),
+      Seq("doc_id"), "left_anti").isEmpty, "a survivor is not its cluster's min member")
+    // absorbed counts partition the corpus
+    val total = survivors.agg(sum("n_merged")).head().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+    // dropped docs are exactly the non-min members of multi-doc clusters
+    assert(survivors.filter(col("n_merged") < 1).isEmpty)
+  }
+
   test("tfidf_top_terms: at most k per doc, scores non-increasing, tf positive") {
     val t = TextOps.tfidfTopTerms(spark, sf)
     assert(t.groupBy("doc_id").count().filter(col("count") > 3).isEmpty)

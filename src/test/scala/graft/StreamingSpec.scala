@@ -127,6 +127,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichEvents: stream-static join equals the batch join, unknown users pass with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq((1L, "alice", 10L, "A"), (2L, "bob", 20L, "B"))
+      .toDF("user_id", "name", "community", "segment")
+    val input = MemoryStream[Event]
+    val evs = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 2, "view", 2.0),
+      Event(3, ts(15), 99, "click", 3.0)) // user 99 missing from the dim
+    input.addData(evs: _*)
+    val q = EventStreams.enrichEvents(input.toDF(), users)
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enr")
+        .select("event_id", "name", "community", "segment")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got == Set(
+        (1L, Some("alice"), 10L), (2L, Some("bob"), 20L), (3L, None, -1L)),
+        s"got $got")
+      // batch path: identical enrichment
+      val batch = EventStreams.enrichEvents(evs.toDF(), users)
+        .select("event_id", "name", "community", "segment")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions after the gap passes the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
