@@ -337,6 +337,7 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node_id")).limit(20)
     }),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
+    "corpus_pipeline" -> ((s, d) => TextOps.corpusPipeline(s, d)),
     "source_mix" -> ((s, d) => TextOps.sourceMix(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q13_custdist" -> ((s, d) => Olap.q13Custdist(s, d)),
@@ -639,6 +640,68 @@ object SparkEntry {
       |FROM documents d
       |LEFT JOIN (SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id) c
       |  ON d.doc_id = c.node_id""".stripMargin
+
+  /** The full corpus pipeline (quality gate → induced near-dup
+    * survivors → sequence packing) as ONE chained query: the
+    * quality_filter predicate feeds the cluster closure (restricted to
+    * kept docs), whose survivor minima feed the packing window. Every
+    * stage is also individually oracled; this proves the composition. */
+  private def corpusPipelineOracle: String =
+    s"""WITH RECURSIVE kept AS (
+       |  SELECT ts.doc_id, d.text
+       |  FROM ($TextStatsSql) ts
+       |  JOIN ($LangIdSql) li USING (doc_id)
+       |  JOIN documents d ON d.doc_id = ts.doc_id
+       |  WHERE ts.quality_score >= 0.7 AND li.lang_pred = 'en'
+       |), ptoks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS toks
+       |  FROM kept
+       |), psh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [array_to_string(toks, ' ')] END AS s
+       |  FROM ptoks
+       |), ppairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM psh a JOIN psh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+       |), pedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM ppairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM ppairs
+       |), plab(node_id, label) AS (
+       |  SELECT src, src FROM pedges
+       |  UNION
+       |  SELECT e.dst, l.label FROM plab l JOIN pedges e ON l.node_id = e.src
+       |  WHERE l.label < e.dst
+       |), clusters AS (
+       |  SELECT k.doc_id, COALESCE(c.component, k.doc_id) AS cluster_id
+       |  FROM kept k
+       |  LEFT JOIN (SELECT node_id, MIN(label) AS component
+       |             FROM plab GROUP BY node_id) c
+       |    ON k.doc_id = c.node_id
+       |), surv AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM clusters GROUP BY cluster_id
+       |), t AS (
+       |  SELECT d.doc_id, d.doc_id % 8 AS shard,
+       |    CAST(LEN(regexp_extract_all(d.text, '[^ \\t\\n\\f\\r]+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM surv s JOIN documents d USING (doc_id)
+       |), o AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM t
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(FLOOR(start_off / 2048) AS BIGINT) AS bin_id,
+       |  start_off % 2048 AS bin_offset
+       |FROM o ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -1548,6 +1611,8 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
         |    '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_pipeline" -> corpusPipelineOracle,
 
     "q13_custdist" ->
       """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

@@ -175,8 +175,30 @@ object Dedup {
   val ClustersLocalThresholdConf = "graft.dedup.clusters.localThreshold"
 
   def nearDupClusters(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame =
+    clusterClosure(spark, ngramJaccardPairs(spark, dir, minJaccard),
+      Tables.documents(spark, dir).select(col("doc_id")))
+
+  /** Near-dup clusters over an INDUCED document subset (e.g. the
+    * quality-filtered corpus): the verified pair graph restricted to
+    * `docIds` on both endpoints. Per-pair verification is
+    * subset-independent, so the induced pair set equals re-running the
+    * whole ladder on the subset — the session-cached corpus-wide pair
+    * stage is reused instead of recomputed. */
+  def nearDupClustersFor(spark: SparkSession, dir: String, docIds: DataFrame,
       minJaccard: Double = 0.5): DataFrame = {
+    val ids = docIds.select(col("doc_id"))
     val pairs = ngramJaccardPairs(spark, dir, minJaccard)
+      .join(ids.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    clusterClosure(spark, pairs, ids)
+  }
+
+  /** Component closure over a verified pair graph, size-adaptive (see
+    * [[ClustersLocalThresholdConf]]); every doc in `docs` gets a
+    * cluster (singletons keep their own id). */
+  private def clusterClosure(spark: SparkSession, pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
     val threshold = spark.conf.getOption(ClustersLocalThresholdConf)
       .map(_.toLong).getOrElse(1000000L)
     val cc =
@@ -206,7 +228,7 @@ object Dedup {
         graft.graph.Algorithms.connectedComponents(
           pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       }
-    Tables.documents(spark, dir).select(col("doc_id"))
+    docs
       .join(cc.withColumnRenamed("node_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .orderBy(col("doc_id"))

@@ -310,11 +310,16 @@ object TextOps {
     * there — exactly the greedy concat-and-chunk a pretraining
     * tokenizer shard job runs. */
   def tokenPack(spark: SparkSession, dir: String,
-      budget: Int = 2048, nShards: Int = 8): DataFrame = {
+      budget: Int = 2048, nShards: Int = 8): DataFrame =
+    packDocs(documents(spark, dir), budget, nShards)
+
+  /** The packing core over any (doc_id, text) frame — shared by
+    * [[tokenPack]] and [[corpusPipeline]]. */
+  private def packDocs(docs: DataFrame, budget: Int, nShards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    documents(spark, dir)
+    docs
       .select(col("doc_id"),
         size(expr("regexp_extract_all(text, '[^ \\t\\n\\f\\r]+', 0)"))
           .cast("bigint").as("n_tokens"))
@@ -324,6 +329,26 @@ object TextOps {
         floor(col("start_off") / budget).cast("bigint").as("bin_id"),
         (col("start_off") % budget).as("bin_offset"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The full pre-training corpus pipeline as ONE composed dataflow —
+    * policy filter ([[qualityFilter]]) → near-dup dedup over the
+    * SURVIVING subset ([[graft.dedup.Dedup.nearDupClustersFor]], keep
+    * the min doc per induced cluster) → sequence packing
+    * ([[packDocs]]). Every stage is individually exactly oracled; this
+    * entry proves the COMPOSITION end to end against one chained
+    * DuckDB query. All stages are declarative dataflows over the
+    * session-cached silver intermediates, so the pipeline costs little
+    * more than its most expensive stage. */
+  def corpusPipeline(spark: SparkSession, dir: String,
+      budget: Int = 2048, nShards: Int = 8, minScore: Double = 0.7,
+      langs: Seq[String] = Seq("en"), minJaccard: Double = 0.5): DataFrame = {
+    val kept = qualityFilter(spark, dir, minScore, langs).select(col("doc_id"))
+    val survivors = graft.dedup.Dedup.nearDupClustersFor(spark, dir, kept, minJaccard)
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    packDocs(documents(spark, dir).join(survivors, Seq("doc_id"), "left_semi"),
+      budget, nShards)
   }
 
   /** Training-mixture downsampling: a deterministic per-document keep

@@ -251,6 +251,30 @@ class NewOpsSpec extends AnyFunSuite {
     assert(survivors.filter(col("n_merged") < 1).isEmpty)
   }
 
+  test("corpusPipeline: output = packed quality-passed survivors, no near-dup pair survives intact") {
+    val out = TextOps.corpusPipeline(spark, sf)
+    val outIds = out.select("doc_id")
+    // every packed doc passed the quality gate
+    val kept = TextOps.qualityFilter(spark, sf).select("doc_id")
+    assert(outIds.join(kept, Seq("doc_id"), "left_anti").isEmpty,
+      "a packed doc failed the quality gate")
+    // no verified near-dup pair has BOTH endpoints in the output
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(spark, sf)
+    val both = pairs
+      .join(outIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(outIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    assert(both.isEmpty, "a near-dup pair survived dedup intact")
+    // offsets are still a valid packing (same invariant as tokenPack)
+    val budget = 2048
+    out.collect().groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == run / budget && r.getLong(4) == run % budget)
+        run += r.getLong(2)
+      }
+    }
+  }
+
   test("tfidf_top_terms: at most k per doc, scores non-increasing, tf positive") {
     val t = TextOps.tfidfTopTerms(spark, sf)
     assert(t.groupBy("doc_id").count().filter(col("count") > 3).isEmpty)
