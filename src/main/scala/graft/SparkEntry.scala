@@ -72,12 +72,7 @@ object SparkEntry {
       graft.graph.Algorithms.userCommunities(s, d).orderBy("node_id")),
     "communities_louvain" -> ((s, d) =>
       graft.graph.Louvain.userCommunities(s, d).orderBy("node_id")),
-    "triangle_count" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      graft.graph.Algorithms.triangleCount(
-        RatingsGraph.cooccurrenceEdges(s, d)
-          .select(col("u1").as("src"), col("u2").as("dst")))
-    }),
+    "triangle_count" -> ((s, d) => graft.graph.Algorithms.userTriangleCount(s, d)),
     "user_jaccard_topk" -> ((s, d) => graft.graph.Algorithms.userJaccardTopK(s, d)),
     "bfs_hops" -> ((s, d) =>
       graft.graph.Algorithms.bfsHops(
@@ -239,12 +234,11 @@ object SparkEntry {
     "adamic_adar_user" -> ((s, d) => graft.graph.Algorithms.adamicAdarUser(s, d)),
     "pagerank_fixed_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val edges = RatingsGraph.cooccurrenceEdges(s, d)
-        .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
-      // tol = 0 disables the convergence exit → exactly 5 iterations,
-      // the count the unrolled-CTE oracle replicates
-      val (ranks, _) = graft.graph.Algorithms.pageRankIters(edges, iterations = 5, tol = 0.0)
-      ranks.select(col("node_id"), round(col("rank"), 6).as("rank"))
+      // tol = 0 pins exactly 5 iterations — the count the unrolled-CTE
+      // oracle replicates; shares the cached co-occurrence out-shares
+      // with pagerank_topk and ppr_topk
+      graft.graph.Algorithms.userPageRankFixed(s, d, iterations = 5)
+        .select(col("node_id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node_id")).limit(20)
     }),
     "kcore_members" -> ((s, d) =>
@@ -325,14 +319,12 @@ object SparkEntry {
       graft.graph.Algorithms.harmonicCentrality(
         RatingsGraph.cooccurrenceEdges(s, d)
           .select(col("u1").as("src"), col("u2").as("dst")),
-        sources = Seq(1L, 2L, 3L, 4L), maxHops = 3)
+        sources = Seq(1L, 2L, 3L, 4L), maxHops = 3, symmetric = true)
     }),
     "ppr_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      graft.graph.Algorithms.personalizedPageRank(
-        RatingsGraph.cooccurrenceEdges(s, d)
-          .select(col("u1").as("src"), col("u2").as("dst"), col("weight")),
-        sources = Seq(1L, 2L, 3L), iterations = 5)
+      graft.graph.Algorithms.userPersonalizedPageRank(s, d,
+          sources = Seq(1L, 2L, 3L), iterations = 5)
         .select(col("node_id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node_id")).limit(20)
     }),

@@ -190,24 +190,35 @@ object Algorithms {
     * (57.6 s → ~8 s on the sf0.1 co-occurrence graph, 8.6 M triangles).
     * At scale the per-node arrays stay bounded by the √(2m) orientation
     * cap, so rows stay small and AQE can split any residual skew. */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
+  /** Canonical deduped undirected pair set (a < b) of any edge list. */
+  private def canonPairs(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // orient: keep (u -> w) iff (d_u, u) < (d_w, w)
-    val oriented = und
-      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+
+  /** Undirected degrees of a canonical pair set. */
+  private def undDegrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+
+  /** Degree-ordered orientation — keep (u → w) iff (d_u, u) < (d_w, w);
+    * bounds out-degrees by ~√(2m), the lever that makes wedge
+    * intersections tractable on dense graphs. */
+  private def orientOf(und: DataFrame, deg: DataFrame): DataFrame =
+    und
+      .join(deg.select(col("v").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("degree").as("db")), Seq("b"))
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a")).otherwise(col("b")).as("src"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint()
-    val adj = oriented.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+
+  /** Sorted out-adjacency arrays of an oriented edge list. */
+  private def sortedAdj(oriented: DataFrame): DataFrame =
+    oriented.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+
+  private def triangleCountFrom(oriented: DataFrame, adj: DataFrame): DataFrame =
     // inner joins: an edge whose dst has no out-neighbours closes no
     // wedge and contributes 0 — dropping it doesn't change the sum
     oriented
@@ -215,7 +226,44 @@ object Algorithms {
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_w")), Seq("dst"))
       .agg(coalesce(sum(size(array_intersect(col("nbrs_u"), col("nbrs_w")))), lit(0L))
         .as("n_triangles"))
+
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = canonPairs(edges)
+    val oriented = orientOf(und, undDegrees(und)).localCheckpoint()
+    triangleCountFrom(oriented, sortedAdj(oriented))
   }
+
+  // — Session-cached oriented co-occurrence machinery: the orientation
+  //   and adjacency arrays are the dominant cost of BOTH triangle
+  //   counting and clustering coefficients; build once, consume twice.
+  //   cooccurrenceEdges is symmetric + distinct by construction, so the
+  //   u1 < u2 filter IS the canonical dedup (no least/greatest pass). —
+  private def userCanonPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "cooc_canon") {
+      RatingsGraph.cooccurrenceEdges(spark, dir)
+        .filter(col("u1") < col("u2"))
+        .select(col("u1").as("a"), col("u2").as("b"))
+    }
+
+  private def userUndDegrees(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "cooc_und_degrees") {
+      undDegrees(userCanonPairs(spark, dir))
+    }
+
+  private def userOrientedEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "cooc_oriented") {
+      orientOf(userCanonPairs(spark, dir), userUndDegrees(spark, dir))
+    }
+
+  private[graft] def userOrientedAdj(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "cooc_oriented_adj") {
+      sortedAdj(userOrientedEdges(spark, dir))
+    }
+
+  /** Triangle count of the user co-occurrence graph over the shared
+    * cached orientation. */
+  def userTriangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountFrom(userOrientedEdges(spark, dir), userOrientedAdj(spark, dir))
 
   /** Per-node local clustering coefficient (GDS
     * `localClusteringCoefficient` family): c(v) = 2·t(v) / (d(v)·(d(v)−1))
@@ -228,25 +276,17 @@ object Algorithms {
     * nodes with degree ≥ minDegree (low-degree coefficients are noise). */
   def clusteringCoefficientTopK(edges: DataFrame, k: Int = 20,
       minDegree: Int = 10): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val und = canonPairs(edges)
+    val deg = undDegrees(und)
     // degree-ordered orientation bounds out-degrees by ~√(2m) like
     // [[triangleCount]] (the unoriented adjacency form measured ~2×
     // slower: hot nodes intersect their full neighbour lists per edge)
-    val oriented = und
-      .join(deg.select(col("v").as("a"), col("degree").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("degree").as("db")), Seq("b"))
-      .select(
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a")).otherwise(col("b")).as("src"),
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint()
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val oriented = orientOf(und, deg).localCheckpoint()
+    clusteringFrom(deg, oriented, sortedAdj(oriented), k, minDegree)
+  }
+
+  private def clusteringFrom(deg: DataFrame, oriented: DataFrame, adj: DataFrame,
+      k: Int, minDegree: Int): DataFrame = {
     // per oriented edge (u, w): X = N⁺(u) ∩ N⁺(w) closes one triangle
     // per member; credit all three corners in ONE exploded projection
     // (u and w get |X| each, every x ∈ X gets 1) — the per-node count
@@ -275,8 +315,8 @@ object Algorithms {
 
   /** Clustering coefficient of the user co-occurrence graph. */
   def userClusteringTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
-    clusteringCoefficientTopK(RatingsGraph.cooccurrenceEdges(spark, dir)
-      .select(col("u1").as("src"), col("u2").as("dst")), k)
+    clusteringFrom(userUndDegrees(spark, dir), userOrientedEdges(spark, dir),
+      userOrientedAdj(spark, dir), k, minDegree = 10)
 
   /** Per-user node similarity (GDS `nodeSimilarity` family): Jaccard of
     * liked-book sets for every user pair sharing at least one liked
@@ -415,12 +455,18 @@ object Algorithms {
     * the loop costs the same shuffles as a single-source BFS. Nodes
     * unreached within `maxHops` from any source are absent (their
     * contribution is 0). GDS closeness/harmonic family. */
-  def harmonicCentrality(edges: DataFrame, sources: Seq[Long], maxHops: Int = 3): DataFrame = {
+  def harmonicCentrality(edges: DataFrame, sources: Seq[Long], maxHops: Int = 3,
+      symmetric: Boolean = false): DataFrame = {
     require(sources.nonEmpty, "harmonic centrality needs >= 1 source")
     val spark = edges.sparkSession
-    val bidir = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    // symmetric = caller vouches both directions are present and deduped
+    // (the co-occurrence projection is, by construction) — skips a full
+    // union+distinct pass over the edge list
+    val bidir =
+      if (symmetric) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
     import spark.implicits._
     var dist = sources.map(s => (s, s, 0L)).toDF("source", "node_id", "hops")
     for (h <- 1 to maxHops) {
@@ -446,15 +492,17 @@ object Algorithms {
     * shape (and scale profile) as [[pageRank]]. */
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
       iterations: Int = 5, damping: Double = 0.85): DataFrame = {
-    require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
-    val outW = e.groupBy("src").agg(sum(col("weight")).as("out_w"))
-    val norm = e.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node_id"))
-      .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
+    val norm = normalizedShares(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodesOf(e).localCheckpoint()
+    val r = pprLoop(norm, nodes, sources, iterations, damping)
+    norm.unpersist(blocking = false)
+    r
+  }
+
+  private def pprLoop(norm: DataFrame, nodes: DataFrame, sources: Seq[Long],
+      iterations: Int, damping: Double): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
     val base = 1.0 / sources.size
     def teleport = when(col("node_id").isin(sources: _*), lit(base)).otherwise(lit(0.0))
     var ranks = nodes.select(col("node_id"), teleport.as("rank"))
@@ -469,7 +517,6 @@ object Algorithms {
           (lit(1.0 - damping) * teleport + lit(damping) * col("inflow")).as("rank"))
         .localCheckpoint()
     }
-    norm.unpersist(blocking = false)
     ranks
   }
 
@@ -508,8 +555,8 @@ object Algorithms {
     * by the top-k view and the invariant gate). */
   def userPageRank(spark: SparkSession, dir: String): DataFrame =
     graft.Cache.cached(spark, dir, "pagerank") {
-      pageRank(RatingsGraph.cooccurrenceEdges(spark, dir)
-        .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+      pageRankLoop(userCoocNorm(spark, dir), userCoocNodes(spark, dir),
+        iterations = 10, damping = 0.85, tol = 1e-6)._1
     }
 
   /** PageRank by power iteration (damping 0.85) with CONVERGENCE EARLY
@@ -524,20 +571,39 @@ object Algorithms {
       tol: Double = 1e-6): DataFrame =
     pageRankIters(edges, iterations, damping, tol)._1
 
+  /** Weight-proportional out-shares of an edge list, repartitioned on
+    * src so the per-iteration rank join only shuffles the ranks side. */
+  private def normalizedShares(e: DataFrame): DataFrame = {
+    val outW = e.groupBy("src").agg(sum(col("weight")).as("out_w"))
+    e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
+      .repartition(col("src"))
+  }
+
+  private def nodesOf(e: DataFrame): DataFrame =
+    e.select(col("src").as("node_id"))
+      .unionAll(e.select(col("dst").as("node_id"))).distinct()
+
   /** As [[pageRank]], also returning how many iterations actually ran
     * (observable early exit, for tests and tuning). */
   def pageRankIters(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
       tol: Double = 1e-6): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
-    val outW = e.groupBy("src").agg(sum(col("weight")).as("out_w"))
     // persist (NOT localCheckpoint): keeps the repartition(src) metadata
     // in the plan, so the per-iteration join only shuffles the ranks side
-    val norm = e.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node_id"))
-      .unionAll(e.select(col("dst").as("node_id"))).distinct().localCheckpoint()
+    val norm = normalizedShares(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodesOf(e).localCheckpoint()
+    val r = pageRankLoop(norm, nodes, iterations, damping, tol)
+    norm.unpersist(blocking = false)
+    r
+  }
+
+  /** The power-iteration loop over prebuilt shares/nodes — shared by
+    * [[pageRankIters]] and the session-cached user-graph variants (the
+    * share build is ~a third of a 5-iteration run; three queries
+    * consume the same shares). */
+  private def pageRankLoop(norm: DataFrame, nodes: DataFrame,
+      iterations: Int, damping: Double, tol: Double): (DataFrame, Int) = {
     var ranks = nodes.withColumn("rank", lit(1.0))
     var i = 0
     var converged = false
@@ -556,8 +622,9 @@ object Algorithms {
         .localCheckpoint()
       // probe every 2nd round: the probe is an extra Spark action, so
       // halving its cadence halves overhead at the cost of (at most)
-      // one surplus iteration after convergence
-      if (i % 2 == 1) {
+      // one surplus iteration after convergence. tol = 0 means a pinned
+      // iteration count — skip the probe actions entirely
+      if (tol > 0.0 && i % 2 == 1) {
         // max over an empty/NULL frame is NULL (empty graph) → converged
         val row = next.join(ranks.withColumnRenamed("rank", "_prev"), Seq("node_id"))
           .agg(max(abs(col("rank") - col("_prev")))).head()
@@ -566,7 +633,32 @@ object Algorithms {
       ranks = next
       i += 1
     }
-    norm.unpersist(blocking = false)
     (ranks, i)
   }
+
+  private def userCoocNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "cooc_norm") {
+      normalizedShares(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst"),
+          col("weight").cast("double")))
+    }
+
+  private def userCoocNodes(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "cooc_nodes") {
+      nodesOf(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")))
+    }
+
+  /** Fixed-iteration PageRank over the cached co-occurrence shares
+    * (tol = 0 pins the count — the unrolled-CTE oracle's contract). */
+  def userPageRankFixed(spark: SparkSession, dir: String,
+      iterations: Int = 5): DataFrame =
+    pageRankLoop(userCoocNorm(spark, dir), userCoocNodes(spark, dir),
+      iterations, damping = 0.85, tol = 0.0)._1
+
+  /** Personalized PageRank over the cached co-occurrence shares. */
+  def userPersonalizedPageRank(spark: SparkSession, dir: String,
+      sources: Seq[Long], iterations: Int = 5): DataFrame =
+    pprLoop(userCoocNorm(spark, dir), userCoocNodes(spark, dir),
+      sources, iterations, damping = 0.85)
 }

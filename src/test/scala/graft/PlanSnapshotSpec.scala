@@ -21,7 +21,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
   // (query, max Exchanges, max parquet scans) — measured r4
   private val pins = Seq(
     ("cooccurrence_edges", 10, 4),
-    ("triangle_count", 5, 0),
+    // triangle_count consumes the session-cached orientation + adjacency
+    // (shared with clustering_coef_topk): the snapshot counts the
+    // materialized AQE stage lines inside those InMemoryRelations, like
+    // the ngram pin below — the live query itself is two joins + one agg
+    ("triangle_count", 22, 2),
     ("q3_topk_join", 3, 3),
     ("q5_multijoin", 7, 6),
     ("q17_correlated", 3, 2),
