@@ -241,6 +241,31 @@ object EventStreams {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("name"), col("community"), col("segment"))
 
+  /** Streaming maintenance of the ratings SILVER table: every
+    * micro-batch of rating events folds into the running table through
+    * the associative batch MERGE
+    * ([[graft.graph.RatingsGraph.mergeRatings]], T8) inside
+    * foreachBatch — the operational loop that keeps a silver table
+    * current without rebuilds, closing the ring between the streaming
+    * upsert shape (S6) and the batch incremental maintenance (T8).
+    * `localCheckpoint` truncates the fold's growing lineage each batch;
+    * at 100 TB the analog is MERGE INTO a transactional bucketed table
+    * — the fold and the associativity argument are identical.
+    * `applyBatch` is the foreachBatch body and is also directly
+    * callable for batch backfills. */
+  final class RatingsSilverMaintainer(init: DataFrame) {
+    @volatile private var table: DataFrame = init.localCheckpoint()
+    def current: DataFrame = table
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      table = graft.graph.RatingsGraph.mergeRatings(table, batch).localCheckpoint()
+    }
+    /** Wire a rating-event stream into the maintainer; caller starts it. */
+    def attach(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => applyBatch(batch))
+  }
+
   /** Convenience: the events table of a sf dir as a typed Dataset. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

@@ -127,6 +127,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RatingsSilverMaintainer: stream-folded silver equals the one-shot MERGE build") {
+    import spark.implicits._
+    import EventStreams.RatingEvent
+    implicit val sqlCtx = spark.sqlContext
+    val init = Seq((1L, 10L, 5L), (2L, 20L, 7L))
+      .toDF("user_id", "book_id", "rating")
+    val input = MemoryStream[RatingEvent]
+    val maintainer = new EventStreams.RatingsSilverMaintainer(init)
+    val q = maintainer.attach(input.toDF()).start()
+    try {
+      // two micro-batches: an improvement, a no-op downgrade, a zero
+      // (filtered), and a brand-new pair — split across batches
+      input.addData(RatingEvent(1L, 10L, 9L), RatingEvent(2L, 20L, 3L))
+      q.processAllAvailable()
+      input.addData(RatingEvent(3L, 30L, 8L), RatingEvent(1L, 10L, 0L))
+      q.processAllAvailable()
+      val got = maintainer.current.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val oneShot = graft.graph.RatingsGraph.mergeRatings(init,
+          Seq((1L, 10L, 9L), (2L, 20L, 3L), (3L, 30L, 8L), (1L, 10L, 0L))
+            .toDF("user_id", "book_id", "rating")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == oneShot)
+      assert(got == Map((1L, 10L) -> 9L, (2L, 20L) -> 7L, (3L, 30L) -> 8L))
+    } finally q.stop()
+  }
+
   test("enrichEvents: stream-static join equals the batch join, unknown users pass with nulls") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
