@@ -368,6 +368,21 @@ object SparkEntry {
       |  FROM filtered_events GROUP BY user_id, book_id
       |)""".stripMargin
 
+  /** [[RatingsCte]] with the RECURSIVE modifier — a WITH list containing
+    * any recursive member needs it up front; ONE ratings-ETL definition
+    * feeds every oracle, recursive or not. */
+  private def RatingsCteRecursive: String =
+    "WITH RECURSIVE " + RatingsCte.stripPrefix("WITH ")
+
+  /** Bipartite node encoding (user = 2k, book = 2k+1) shared by the BFS
+    * and connected-components closure oracles. */
+  private def BipartiteEdgesCte: String =
+    s"""$RatingsCteRecursive, edges AS (
+       |  SELECT user_id * 2 AS src, book_id * 2 + 1 AS dst FROM ratings
+       |  UNION ALL
+       |  SELECT book_id * 2 + 1, user_id * 2 FROM ratings
+       |)""".stripMargin
+
   /** The LSH signature algebra of [[graft.ann.AnnSearch.lshTopK]],
     * re-generated as DuckDB SQL: the ±1 hyperplanes are deterministic
     * driver-side literals (splitmix64), so the oracle embeds the SAME
@@ -596,93 +611,62 @@ object SparkEntry {
         |    AS modularity
         |FROM per, mm""".stripMargin
 
-  /** The near-dup cluster closure (all-pairs jaccard truth → recursive
-    * min-label closure → every doc joins its component). Shared by the
-    * dedup_clusters oracle and the dedup_survivors aggregate over it.
-    * No trailing ORDER BY — consumers append their own. */
-  private val NearDupClustersSql: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-      |                             t -> length(t) > 0) AS toks
-      |  FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) >= 3 THEN
-      |      list_distinct(list_transform(range(1, len(toks) - 1),
-      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-      |    ELSE [array_to_string(toks, ' ')] END AS s
-      |  FROM toks
-      |), pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-      |), edges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION ALL
-      |  SELECT id_b, id_a FROM pairs
-      |), lab(node_id, label) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node_id = e.src
-      |  WHERE l.label < e.dst
-      |)
-      |SELECT d.doc_id,
-      |       COALESCE(c.component, d.doc_id) AS cluster_id
-      |FROM documents d
-      |LEFT JOIN (SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id) c
-      |  ON d.doc_id = c.node_id""".stripMargin
-
-  /** The full corpus pipeline (quality gate → induced near-dup
-    * survivors → sequence packing) as ONE chained query: the
-    * quality_filter predicate feeds the cluster closure (restricted to
-    * kept docs), whose survivor minima feed the packing window. Every
-    * stage is also individually oracled; this proves the composition. */
-  private def corpusPipelineOracle: String =
-    s"""WITH RECURSIVE kept AS (
-       |  SELECT ts.doc_id, d.text
-       |  FROM ($TextStatsSql) ts
-       |  JOIN ($LangIdSql) li USING (doc_id)
-       |  JOIN documents d ON d.doc_id = ts.doc_id
-       |  WHERE ts.quality_score >= 0.7 AND li.lang_pred = 'en'
-       |), ptoks AS (
+  /** The near-dup cluster closure CTE chain over `docsRel` (any
+    * relation carrying doc_id + text): all-pairs jaccard truth →
+    * recursive min-label closure → every doc joins its component
+    * (`${p}clusters`). ONE definition of the shingle construction, the
+    * 0.5 threshold and the closure feeds the clusters, survivors AND
+    * pipeline oracles — editing it in one place retunes them all. CTE
+    * names carry prefix `p` so the pipeline chain can nest it after
+    * its own CTEs without collisions. */
+  private def closureCtes(docsRel: String, p: String): String =
+    s"""${p}toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
        |                             t -> length(t) > 0) AS toks
-       |  FROM kept
-       |), psh AS (
+       |  FROM $docsRel
+       |), ${p}sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(toks) >= 3 THEN
        |      list_distinct(list_transform(range(1, len(toks) - 1),
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
        |    ELSE [array_to_string(toks, ' ')] END AS s
-       |  FROM ptoks
-       |), ppairs AS (
+       |  FROM ${p}toks
+       |), ${p}pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM psh a JOIN psh b ON a.doc_id < b.doc_id
+       |  FROM ${p}sh a JOIN ${p}sh b ON a.doc_id < b.doc_id
        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-       |), pedges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM ppairs
+       |), ${p}edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM ${p}pairs
        |  UNION ALL
-       |  SELECT id_b, id_a FROM ppairs
-       |), plab(node_id, label) AS (
-       |  SELECT src, src FROM pedges
+       |  SELECT id_b, id_a FROM ${p}pairs
+       |), ${p}lab(node_id, label) AS (
+       |  SELECT src, src FROM ${p}edges
        |  UNION
-       |  SELECT e.dst, l.label FROM plab l JOIN pedges e ON l.node_id = e.src
+       |  SELECT e.dst, l.label FROM ${p}lab l JOIN ${p}edges e ON l.node_id = e.src
        |  WHERE l.label < e.dst
-       |), clusters AS (
-       |  SELECT k.doc_id, COALESCE(c.component, k.doc_id) AS cluster_id
-       |  FROM kept k
+       |), ${p}clusters AS (
+       |  SELECT d.doc_id,
+       |         COALESCE(c.component, d.doc_id) AS cluster_id
+       |  FROM $docsRel d
        |  LEFT JOIN (SELECT node_id, MIN(label) AS component
-       |             FROM plab GROUP BY node_id) c
-       |    ON k.doc_id = c.node_id
-       |), surv AS (
-       |  SELECT MIN(doc_id) AS doc_id FROM clusters GROUP BY cluster_id
-       |), t AS (
+       |             FROM ${p}lab GROUP BY node_id) c
+       |    ON d.doc_id = c.node_id
+       |)""".stripMargin
+
+  private val NearDupClustersSql: String =
+    s"""WITH RECURSIVE ${closureCtes("documents", "")}
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  /** The packing tail (shard → running-sum window → bin assignment)
+    * over `docsRel` — the token_pack oracle body, reused verbatim by
+    * the pipeline oracle. Callers prepend `WITH [RECURSIVE] `. */
+  private def packSql(docsRel: String): String =
+    s"""t AS (
        |  SELECT d.doc_id, d.doc_id % 8 AS shard,
        |    CAST(LEN(regexp_extract_all(d.text, '[^ \\t\\n\\f\\r]+')) AS BIGINT)
        |      AS n_tokens
-       |  FROM surv s JOIN documents d USING (doc_id)
+       |  FROM $docsRel d
        |), o AS (
        |  SELECT doc_id, shard, n_tokens,
        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -694,6 +678,24 @@ object SparkEntry {
        |  CAST(FLOOR(start_off / 2048) AS BIGINT) AS bin_id,
        |  start_off % 2048 AS bin_offset
        |FROM o ORDER BY doc_id""".stripMargin
+
+  /** The full corpus pipeline (quality gate → induced near-dup
+    * survivors → sequence packing) as ONE chained query: the
+    * quality_filter predicate feeds THE closure chain ([[closureCtes]],
+    * restricted to kept docs), whose survivor minima feed THE packing
+    * tail ([[packSql]]) — the same definitions the standalone
+    * clusters/survivors/token_pack oracles use, so a retune anywhere
+    * re-proves everywhere. */
+  private def corpusPipelineOracle: String =
+    s"""WITH RECURSIVE kept AS (
+       |  SELECT ts.doc_id, d.text
+       |  FROM ($TextStatsSql) ts
+       |  JOIN ($LangIdSql) li USING (doc_id)
+       |  JOIN documents d ON d.doc_id = ts.doc_id
+       |  WHERE ts.quality_score >= 0.7 AND li.lang_pred = 'en'
+       |), ${closureCtes("kept", "p")}, surv AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM pclusters GROUP BY cluster_id
+       |), ${packSql("(SELECT dd.* FROM surv JOIN documents dd USING (doc_id))")}""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -959,41 +961,19 @@ object SparkEntry {
     // Exact BFS truth via bounded recursive CTE on the bipartite graph
     // (user node = 2k, book node = 2k+1; source user 1 = node 2).
     "bfs_hops" ->
-      """WITH RECURSIVE rating_events AS (
-        |  SELECT o_custkey AS user_id, l_partkey AS book_id,
-        |         CAST(CAST(l_quantity AS INTEGER) % 11 AS BIGINT) AS rating
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |), ratings AS (
-        |  SELECT user_id, book_id, MAX(rating) AS rating
-        |  FROM rating_events WHERE rating <> 0 GROUP BY user_id, book_id
-        |), edges AS (
-        |  SELECT user_id * 2 AS src, book_id * 2 + 1 AS dst FROM ratings
-        |  UNION ALL
-        |  SELECT book_id * 2 + 1, user_id * 2 FROM ratings
-        |), walk(node_id, hops) AS (
-        |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
-        |  UNION
-        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON w.node_id = e.src
-        |  WHERE w.hops < 3
-        |)
-        |SELECT node_id, MIN(hops) AS hops FROM walk GROUP BY node_id
-        |ORDER BY node_id""".stripMargin,
+      s"""$BipartiteEdgesCte, walk(node_id, hops) AS (
+         |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON w.node_id = e.src
+         |  WHERE w.hops < 3
+         |)
+         |SELECT node_id, MIN(hops) AS hops FROM walk GROUP BY node_id
+         |ORDER BY node_id""".stripMargin,
 
     // Exact per-node component truth: min-label transitive closure,
     // pruned to labels that can still lower their target (label < dst).
     "connected_components" ->
-      """WITH RECURSIVE rating_events AS (
-        |  SELECT o_custkey AS user_id, l_partkey AS book_id,
-        |         CAST(CAST(l_quantity AS INTEGER) % 11 AS BIGINT) AS rating
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |), ratings AS (
-        |  SELECT user_id, book_id, MAX(rating) AS rating
-        |  FROM rating_events WHERE rating <> 0 GROUP BY user_id, book_id
-        |), edges AS (
-        |  SELECT user_id * 2 AS src, book_id * 2 + 1 AS dst FROM ratings
-        |  UNION ALL
-        |  SELECT book_id * 2 + 1, user_id * 2 FROM ratings
-        |), lab(node_id, label) AS (
+      s"""$BipartiteEdgesCte, lab(node_id, label) AS (
         |  SELECT src, src FROM edges
         |  UNION
         |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node_id = e.src
@@ -1517,7 +1497,7 @@ object SparkEntry {
     // The near-dup CLUSTER closure over the all-pairs jaccard truth:
     // recursive min-label closure on the ≥-threshold pair graph, then
     // every document joins its component (singletons keep their own id).
-    "dedup_clusters" -> (NearDupClustersSql + "\nORDER BY d.doc_id"),
+    "dedup_clusters" -> (NearDupClustersSql + "\nORDER BY doc_id"),
 
     // One survivor (min id) per cluster with the absorbed-doc count —
     // the all-pairs truth closure again, aggregated per cluster.
@@ -1536,16 +1516,7 @@ object SparkEntry {
     // recovers the true BFS distance exactly as the Spark frontier
     // loop's min-aggregate does.
     "harmonic_centrality" ->
-      """WITH RECURSIVE rating_events AS (
-        |  SELECT o_custkey AS user_id, l_partkey AS book_id,
-        |         CAST(CAST(l_quantity AS INTEGER) % 11 AS BIGINT) AS rating
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |), filtered_events AS (
-        |  SELECT * FROM rating_events WHERE rating <> 0
-        |), ratings AS (
-        |  SELECT user_id, book_id, MAX(rating) AS rating
-        |  FROM filtered_events GROUP BY user_id, book_id
-        |), cooc AS (
+      s"""$RatingsCteRecursive, cooc AS (
         |  SELECT a.user_id AS src, b.user_id AS dst
         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
@@ -1566,26 +1537,11 @@ object SparkEntry {
         |FROM mind WHERE hops > 0
         |GROUP BY node_id ORDER BY node_id""".stripMargin,
 
-    "token_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(LEN(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), o AS (
-        |  SELECT doc_id, shard, n_tokens,
-        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS start_off
-        |  FROM t
-        |)
-        |SELECT doc_id, shard, n_tokens,
-        |  CAST(FLOOR(start_off / 2048) AS BIGINT) AS bin_id,
-        |  start_off % 2048 AS bin_offset
-        |FROM o ORDER BY doc_id""".stripMargin,
+    "token_pack" -> ("WITH " + packSql("documents")),
 
     "source_mix" ->
       """SELECT doc_id, source FROM documents
-        |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))
         |             AS BIGINT) AS DOUBLE) / 4294967296
         |  < (CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE)
         |                 WHEN 'src1' THEN 0.25
@@ -1593,16 +1549,24 @@ object SparkEntry {
         |                 ELSE 0.75 END)
         |ORDER BY doc_id""".stripMargin,
 
+    // n_numbers counts on the email-scrubbed intermediate, mirroring the
+    // Spark side: each count equals its token's occurrences in `scrubbed`
     "pii_scrub" ->
-      """SELECT doc_id,
-        |  CAST(LEN(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
-        |  CAST(LEN(regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_numbers,
-        |  regexp_replace(
+      """WITH de AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS BIGINT)
+        |      AS n_emails,
         |    regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-        |    '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g')
+        |      AS deemailed
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_emails,
+        |  CAST(LEN(regexp_extract_all(deemailed, '[0-9][0-9][0-9][0-9]+')) AS BIGINT)
+        |    AS n_numbers,
+        |  regexp_replace(deemailed, '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM de ORDER BY doc_id""".stripMargin,
 
     "corpus_pipeline" -> corpusPipelineOracle,
 

@@ -197,12 +197,16 @@ object Dedup {
   /** Component closure over a verified pair graph, size-adaptive (see
     * [[ClustersLocalThresholdConf]]); every doc in `docs` gets a
     * cluster (singletons keep their own id). */
-  private def clusterClosure(spark: SparkSession, pairs: DataFrame,
+  private def clusterClosure(spark: SparkSession, pairsIn: DataFrame,
       docs: DataFrame): DataFrame = {
     val threshold = spark.conf.getOption(ClustersLocalThresholdConf)
       .map(_.toLong).getOrElse(1000000L)
+    // materialize once: the threshold probe (count) and the closure
+    // (collect / CC) both read the pair set, and on the induced-subset
+    // path the semi-joins above it are NOT session-cached
+    val pairs = pairsIn.localCheckpoint()
     val cc =
-      if (pairs.count() <= threshold) { // cheap: pairs is session-cached
+      if (pairs.count() <= threshold) {
         val es = pairs.select(col("id_a"), col("id_b")).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -236,7 +240,9 @@ object Dedup {
 
   /** Final dedup output: ONE surviving document per near-dup cluster
     * (the min doc id — deterministic, matches the cluster label), with
-    * the number of documents it absorbed. This is the row a production
+    * `n_merged` = its CLUSTER SIZE (survivor included — a singleton
+    * reports 1; docs removed by dedup = Σ(n_merged − 1)). This is the
+    * row a production
     * pipeline actually writes back out: `corpus ⋉ survivors` is the
     * deduplicated corpus. Composes the exact-oracled cluster closure,
     * so the whole pair→cluster→survivor path stays oracle-checkable;

@@ -227,17 +227,20 @@ object EventStreams {
   /** Stream-static enrichment join: attach user dimension attributes to
     * the event stream. The static side is a plain batch DataFrame —
     * Spark re-plans it per micro-batch (picking up slowly-changing-dim
-    * updates between batches) and broadcasts it when small, so the
-    * stream side never shuffles; with a LEFT join, events whose user is
-    * missing from the dim pass through with nulls instead of silently
-    * dropping. The canonical "events → enriched events" hop of every
-    * streaming warehouse ingest. */
+    * updates between batches); size-based planning broadcasts a small
+    * dim so the stream side never shuffles, and degrades to a shuffle
+    * join for a dim too large to broadcast (no forced hint — a forced
+    * broadcast would OOM exactly at the scale the operator targets).
+    * With a LEFT join, events whose user is missing from the dim pass
+    * through with nulls instead of silently dropping. The canonical
+    * "events → enriched events" hop of every streaming warehouse
+    * ingest. */
   def enrichEvents(events: DataFrame, users: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .join(broadcast(users.select(col("user_id"), col("name"),
-        col("community"), col("segment"))), Seq("user_id"), "left")
+      .join(users.select(col("user_id"), col("name"),
+        col("community"), col("segment")), Seq("user_id"), "left")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("name"), col("community"), col("segment"))
 

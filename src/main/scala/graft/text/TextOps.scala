@@ -354,16 +354,19 @@ object TextOps {
   /** Training-mixture downsampling: a deterministic per-document keep
     * decision at a per-source rate (the "2 epochs of wiki, 0.3 of
     * web-crawl" mixing step, here for rates ≤ 1). The keep fraction is
-    * the first 32 md5 bits of doc_id over 2³² — the same md5 basis as
-    * [[splitOf]] / [[stratifiedSample]], reproduced bit-for-bit by the
-    * DuckDB oracle's hex-string cast (production swaps in xxhash64 via
-    * the same shape; a plain multiplicative hash is NOT enough — it is
-    * near-monotone on small dense ids and never mixes below the rate). */
+    * the first 32 md5 bits of doc_id over 2³², SALTED with ':mix' so
+    * the decision is independent of [[splitOf]]'s train/val/test
+    * bucketing (both consume leading md5(doc_id) bits — unsalted, every
+    * downsampled doc would land in the train split and the val/test
+    * strata of rate-limited sources would be empty). Reproduced
+    * bit-for-bit by the DuckDB oracle's hex-string cast; production
+    * swaps in xxhash64 via the same shape (a plain multiplicative hash
+    * is NOT enough — near-monotone on small dense ids). */
   def sourceMix(spark: SparkSession, dir: String,
       rates: Map[String, Double] = Map("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.5),
       defaultRate: Double = 0.75): DataFrame = {
-    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("bigint").cast("double") / 4294967296.0
+    val frac = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8),
+      16, 10).cast("bigint").cast("double") / 4294967296.0
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
     }
@@ -385,12 +388,16 @@ object TextOps {
     // identical under Java, Spark-SQL-literal, and RE2 parsing
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
     val num = "[0-9][0-9][0-9][0-9]+"
+    // n_numbers counts on the email-scrubbed INTERMEDIATE (digit runs
+    // inside an address vanish with it), so each count equals its
+    // token's occurrences in `scrubbed` — the audit a consumer runs
     documents(spark, dir)
       .select(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("bigint").as("n_emails"),
-        size(expr(s"regexp_extract_all(text, '$num', 0)")).cast("bigint").as("n_numbers"),
-        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), num, "<NUM>")
-          .as("scrubbed"))
+        regexp_replace(col("text"), email, "<EMAIL>").as("_deemailed"))
+      .select(col("doc_id"), col("n_emails"),
+        size(expr(s"regexp_extract_all(_deemailed, '$num', 0)")).cast("bigint").as("n_numbers"),
+        regexp_replace(col("_deemailed"), num, "<NUM>").as("scrubbed"))
       .orderBy(col("doc_id"))
   }
 

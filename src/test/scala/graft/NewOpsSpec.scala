@@ -197,7 +197,7 @@ class NewOpsSpec extends AnyFunSuite {
     val rates = Map("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.5).withDefaultValue(0.75)
     def frac(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
+        .digest(s"$id:mix".getBytes("UTF-8"))
       val hex = md.take(4).map(b => f"$b%02x").mkString
       java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
     }
@@ -216,12 +216,14 @@ class NewOpsSpec extends AnyFunSuite {
       expr("scrubbed rlike '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'") ||
       expr("scrubbed rlike '[0-9][0-9][0-9][0-9]+'"))
     assert(leftover.isEmpty, "redaction left a match behind")
-    // count columns agree with the original text's matches
-    val n = s.agg(sum("n_numbers")).head().getLong(0)
-    val direct = Tables.documents(spark, sf)
-      .agg(sum(size(expr("regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+', 0)"))))
-      .head().getLong(0)
-    assert(n == direct)
+    // count columns equal their token's occurrences in the OUTPUT — the
+    // audit a consumer actually runs (numbers counted post-email-scrub)
+    val audit = s.filter(
+      col("n_numbers") =!=
+        size(split(col("scrubbed"), "<NUM>", -1)) - 1 ||
+      col("n_emails") =!=
+        size(split(col("scrubbed"), "<EMAIL>", -1)) - 1)
+    assert(audit.isEmpty, "redaction counts disagree with output tokens")
   }
 
   test("q13Custdist: histogram covers every customer once, zero bucket = orderless customers") {
@@ -244,11 +246,17 @@ class NewOpsSpec extends AnyFunSuite {
     assert(survivors.count() == clusters.select("cluster_id").distinct().count())
     assert(survivors.join(clusters.groupBy("cluster_id").agg(min("doc_id").as("doc_id")),
       Seq("doc_id"), "left_anti").isEmpty, "a survivor is not its cluster's min member")
-    // absorbed counts partition the corpus
+    // cluster sizes partition the corpus
     val total = survivors.agg(sum("n_merged")).head().getLong(0)
     assert(total == Tables.documents(spark, sf).count())
-    // dropped docs are exactly the non-min members of multi-doc clusters
-    assert(survivors.filter(col("n_merged") < 1).isEmpty)
+    // dropped docs are EXACTLY the non-min members of their clusters
+    val dropped = Tables.documents(spark, sf).select("doc_id")
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+    val nonMin = clusters
+      .join(clusters.groupBy("cluster_id").agg(min("doc_id").as("min_id")), "cluster_id")
+      .filter(col("doc_id") =!= col("min_id")).select("doc_id")
+    assert(dropped.exceptAll(nonMin).isEmpty && nonMin.exceptAll(dropped).isEmpty,
+      "dropped set != non-min cluster members")
   }
 
   test("corpusPipeline: output = packed quality-passed survivors, no near-dup pair survives intact") {

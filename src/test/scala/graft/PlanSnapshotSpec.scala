@@ -47,6 +47,22 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("embedding_quantize", 1, 1),
     ("adamic_adar_user", 14, 2))
 
+  // The cached-query pins above dilute sensitivity for the operator
+  // UNDER the cache (the IMR stage lines dominate the count), so the
+  // wedge-intersection operator is also pinned raw: the generic
+  // triangleCount over an uncached edge frame must keep its lean shape
+  // regardless of how the entry-level caching evolves.
+  test("generic triangleCount plans ≤ 7 Exchanges over an uncached edge frame") {
+    import org.apache.spark.sql.functions.col
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val plan = graft.graph.Algorithms.triangleCount(edges)
+      .queryExecution.executedPlan.toString
+    val lines = plan.split("\n").map(_.replaceAll("^[-+:\\s*]+", "")).distinct
+    val ex = lines.count(_.contains("Exchange"))
+    assert(ex <= 7, s"triangleCount grew a shuffle: $ex Exchanges\n$plan")
+  }
+
   pins.foreach { case (name, maxExchanges, maxScans) =>
     test(s"$name plans ≤ $maxExchanges Exchanges and ≤ $maxScans parquet scans") {
       SparkEntry.queries(name)(spark, sf).count() // warm shared caches
