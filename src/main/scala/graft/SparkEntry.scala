@@ -330,6 +330,15 @@ object SparkEntry {
     }),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
     "corpus_pipeline" -> ((s, d) => TextOps.corpusPipeline(s, d)),
+    "degree_assortativity" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.degreeAssortativity(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst")))
+    }),
+    "component_sizes" -> ((s, d) =>
+      graft.graph.Algorithms.componentSizeHistogram(
+        graft.graph.Algorithms.bipartiteEdges(s, d))),
     "source_mix" -> ((s, d) => TextOps.sourceMix(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q13_custdist" -> ((s, d) => Olap.q13Custdist(s, d)),
@@ -1508,6 +1517,48 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "community_modularity" -> modularityLpaOracle,
+
+    // Pearson r of endpoint degrees over the symmetric co-occurrence
+    // edge list — integer-exact sums, one floating division at the end.
+    "degree_assortativity" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg AS (
+         |  SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM cooc GROUP BY src
+         |), xy AS (
+         |  SELECT dx.d AS x, dy.d AS y
+         |  FROM cooc e JOIN deg dx ON e.src = dx.v JOIN deg dy ON e.dst = dy.v
+         |), s AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |         SUM(x) AS sx, SUM(y) AS sy,
+         |         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+         |  FROM xy
+         |)
+         |SELECT ROUND((n * sxy - sx * sy) /
+         |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         |  AS assortativity
+         |FROM s""".stripMargin,
+
+    // CC closure → size per component → histogram.
+    "component_sizes" ->
+      s"""$BipartiteEdgesCte, lab(node_id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node_id = e.src
+         |  WHERE l.label < e.dst
+         |), comp AS (
+         |  SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id
+         |), sizes AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
+         |  FROM comp GROUP BY component
+         |)
+         |SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+         |FROM sizes GROUP BY component_size
+         |ORDER BY component_size""".stripMargin,
 
     "ppr_topk" -> pprOracle,
 

@@ -520,6 +520,41 @@ object Algorithms {
     ranks
   }
 
+  /** Degree assortativity (Newman's degree-correlation coefficient):
+    * Pearson r of the endpoint degrees over every directed edge of a
+    * symmetric graph. Positive = hubs link hubs, negative = hubs link
+    * leaves — the one-number mixing profile of the graph. All sums are
+    * integer-valued doubles (exact, order-independent), so the value is
+    * deterministic and exactly oracle-checkable; only the final
+    * division is floating. Two joins + one aggregate. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val xy = e
+      .join(deg.select(col("v").as("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("d").as("y")), Seq("dst"))
+      .select(col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("assortativity"))
+  }
+
+  /** Connected-component size histogram: how many components of each
+    * size — the fragmentation profile (composes the exactly-oracled CC
+    * fixpoint with a double aggregation). */
+  def componentSizeHistogram(edges: DataFrame): DataFrame =
+    connectedComponents(edges)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy(col("component_size"))
+
   /** Newman modularity Q of a community assignment over a weighted
     * graph (edges given in both directions). The reference's Louvain
     * call reports exactly this metric

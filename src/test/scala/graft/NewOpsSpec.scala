@@ -259,6 +259,24 @@ class NewOpsSpec extends AnyFunSuite {
       "dropped set != non-min cluster members")
   }
 
+  test("degreeAssortativity: star graph is perfectly disassortative, clique has zero variance") {
+    // star: every edge links the hub (deg 4) to a leaf (deg 1) → r = −1
+    val star = bidir((1L to 4L).map(l => (100L, l)))
+    val r = Algorithms.degreeAssortativity(star).head().getDouble(0)
+    assert(r == -1.0, s"star assortativity $r")
+    // regular graph (4-clique): zero degree variance → division yields
+    // NaN/null; the operator must not crash and must return one row
+    val clique = bidir(for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+    assert(Algorithms.degreeAssortativity(clique).count() == 1)
+  }
+
+  test("componentSizeHistogram: path + disjoint pair bucket by size") {
+    val edges = bidir(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val got = Algorithms.componentSizeHistogram(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   test("corpusPipeline: output = packed quality-passed survivors, no near-dup pair survives intact") {
     val out = TextOps.corpusPipeline(spark, sf)
     val outIds = out.select("doc_id")
