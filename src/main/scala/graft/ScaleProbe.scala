@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling probe (the SURVEY §6 methodology, committed so the
+  * 4× numbers are reproducible): materialise an N×-copy dataset — every
+  * id column shifted by copy × 10⁷ so the graph copies are DISJOINT and
+  * the document corpus is an N×-duplicated corpus (cross-copy texts are
+  * genuine exact dups: a realistic dedup load, and the reason dedup
+  * outputs grow super-linearly while dedup RUNTIME must not) — then
+  * time selected `SparkEntry.queries` against it. Fixed-core sublinear
+  * growth here is the property that justifies the 1000-executor
+  * extrapolation.
+  *
+  * Usage: runMain graft.ScaleProbe <srcDir> <outDir> <copies> [q1,q2,…]
+  * With outDir == srcDir the generation step is skipped (1× baseline).
+  */
+object ScaleProbe {
+  private val Offset = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, copiesS) = args.take(3)
+    val queries: Seq[String] =
+      if (args.length > 3) args(3).split(",").toSeq else Nil
+    val copies = copiesS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (out != src) generate(spark, src, out, copies)
+
+    val times = queries.map { q =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, out).count()
+      q -> (System.nanoTime() - t0) / 1e9
+    }
+    println(times.map { case (q, s) => f""""$q":$s%.2f""" }
+      .mkString(s"""{"copies":$copies,"dir":"$out",""", ",", "}"))
+    spark.stop()
+  }
+
+  private def generate(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    def shifted(name: String, idCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until copies).map { k =>
+        idCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(k * Offset))
+        }
+      }.reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    shifted("lineitem", Seq("l_orderkey", "l_partkey"))
+    shifted("orders", Seq("o_orderkey", "o_custkey"))
+    shifted("customer", Seq("c_custkey"))
+    shifted("part", Seq("p_partkey"))
+    shifted("documents", Seq("doc_id"))
+    shifted("embeddings", Seq("vec_id"))
+  }
+}
