@@ -113,6 +113,55 @@ object RatingsGraph {
     * survives). Default 0 = OFF for reference parity (the reference
     * projects ALL co-raters, `Alg_Community_Detection.py:20-30`).
     */
+  /** Incremental maintenance of the co-occurrence projection — the
+    * declared scale hazard of the whole graph build (§4): fold a delta
+    * of rating events into an existing (cooc, ratings) pair WITHOUT
+    * re-running the self-join over the full corpus. Sound because the
+    * ratings MERGE is max-MONOTONE: a delta can only raise a rating, so
+    * the liked set (rating ≥ 6) only GROWS and co-occurrence weights
+    * only increase — no retraction path is needed. The weight delta is
+    * exactly the directed pairs that NEWLY share a book, generated per
+    * affected book as (new likers × all likers) ∪ (old likers × new
+    * likers) — disjoint by the first factor, so each new pair counts
+    * once. Every join is keyed on the delta's books: at 100 TB the
+    * update touches the liked-index buckets of those books only, never
+    * the full projection (spec-proved ≡ the rebuilt projection).
+    * Returns (newCooc, newRatings). maxFanout is not supported here —
+    * the top-N-raters cap is not monotone under insertion. */
+  def mergeCooccurrence(oldCooc: DataFrame, oldRatings: DataFrame,
+      deltaEvents: DataFrame): (DataFrame, DataFrame) = {
+    val newRatings = mergeRatings(oldRatings, deltaEvents)
+    val oldLiked = oldRatings.filter(col("rating") >= 6)
+      .select(col("user_id"), col("book_id"))
+    // newly liked = liked now, not liked before (monotone: rating rose
+    // across the 6 threshold, or the pair is brand-new)
+    val newlyLiked = newRatings.filter(col("rating") >= 6)
+      .select(col("user_id"), col("book_id"))
+      .join(oldLiked, Seq("user_id", "book_id"), "left_anti")
+      .localCheckpoint()
+    val touchedBooks = newlyLiked.select(col("book_id")).distinct()
+    // NB the semi-join puts its key FIRST — re-project to (user, book)
+    // before the position-based union, or every newlyLiked row arrives
+    // with user/book swapped
+    val oldOnTouched = oldLiked.join(touchedBooks, Seq("book_id"), "left_semi")
+      .select(col("user_id"), col("book_id"))
+    val allOnTouched = oldOnTouched.unionAll(newlyLiked)
+    // directed new pairs: u newly-liked × v any-liked, plus u old-liked
+    // × v newly-liked — u's provenance makes the two sets disjoint
+    val delta = newlyLiked.select(col("user_id").as("u1"), col("book_id"))
+      .join(allOnTouched.select(col("user_id").as("u2"), col("book_id")), Seq("book_id"))
+      .unionAll(oldOnTouched.select(col("user_id").as("u1"), col("book_id"))
+        .join(newlyLiked.select(col("user_id").as("u2"), col("book_id")), Seq("book_id")))
+      .filter(col("u1") =!= col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("weight"))
+    val newCooc = oldCooc.select(col("u1"), col("u2"), col("weight"))
+      .unionAll(delta)
+      .groupBy(col("u1"), col("u2"))
+      .agg(sum(col("weight")).as("weight"))
+    (newCooc, newRatings)
+  }
+
   def cooccurrenceEdges(spark: SparkSession, dir: String,
       maxFanout: Int = 0): DataFrame =
     graft.Cache.cached(spark, dir, s"cooccurrence_$maxFanout") {

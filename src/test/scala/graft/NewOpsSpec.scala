@@ -344,6 +344,34 @@ class NewOpsSpec extends AnyFunSuite {
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
 
+  test("mergeCooccurrence: delta-folded projection equals the full rebuild") {
+    import graft.graph.RatingsGraph
+    val events = RatingsGraph.ratingEvents(spark, sf)
+    val h = pmod(xxhash64(col("user_id"), col("book_id"), col("rating")), lit(2))
+    val batch1 = events.filter(h === 0)
+    val batch2 = events.filter(h === 1)
+    // base state built from batch1 only
+    val baseRatings = batch1.filter(col("rating") =!= 0)
+      .groupBy("user_id", "book_id").agg(max("rating").as("rating"))
+    val baseLiked = baseRatings.filter(col("rating") >= 6)
+    val baseCooc = baseLiked.select(col("user_id").as("u1"), col("book_id"))
+      .join(baseLiked.select(col("user_id").as("u2"), col("book_id")), Seq("book_id"))
+      .filter(col("u1") =!= col("u2"))
+      .groupBy("u1", "u2").agg(count(lit(1)).as("weight"))
+    val (mergedCooc, mergedRatings) =
+      RatingsGraph.mergeCooccurrence(baseCooc, baseRatings, batch2)
+    // ratings fold still exact
+    val fullRatings = RatingsGraph.ratings(spark, sf)
+      .select("user_id", "book_id", "rating")
+    assert(mergedRatings.exceptAll(fullRatings).isEmpty &&
+      fullRatings.exceptAll(mergedRatings).isEmpty)
+    // the incrementally-maintained projection equals the rebuilt one
+    val fullCooc = RatingsGraph.cooccurrenceEdges(spark, sf)
+      .select("u1", "u2", "weight")
+    assert(mergedCooc.exceptAll(fullCooc).isEmpty &&
+      fullCooc.exceptAll(mergedCooc).isEmpty)
+  }
+
   test("embedding_quantize: codes in 0..255, mid-rise error bound holds") {
     val q = graft.ann.AnnSearch.quantize(spark, sf)
     val codes = q.select(explode(split(col("codes"), ",")).as("cs"))
