@@ -330,6 +330,13 @@ object SparkEntry {
     }),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
     "corpus_pipeline" -> ((s, d) => TextOps.corpusPipeline(s, d)),
+    "betweenness_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.betweennessSample(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst")),
+        sources = Seq(1L, 2L, 3L, 4L), maxHops = 4, symmetric = true)
+    }),
     "degree_assortativity" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.degreeAssortativity(
@@ -376,6 +383,67 @@ object SparkEntry {
       |  SELECT user_id, book_id, MAX(rating) AS rating
       |  FROM filtered_events GROUP BY user_id, book_id
       |)""".stripMargin
+
+  /** k-source Brandes betweenness unrolled as chained CTEs: bounded
+    * depth makes BOTH phases plain SQL — forward levels l0…l4 (σ = sum
+    * of predecessor σ, NOT EXISTS against the seen set = the Spark
+    * anti-join), then backward dependencies c4…c1 (δ(v) = Σ σv/σw·(1+δw)
+    * with a LEFT-join/COALESCE for successor-less nodes, exactly the
+    * DataFrame loop's shape). Double drift in δ is ~1e-15 ≪ the 1e-6
+    * rounding guard (the pagerank-oracle argument). */
+  private def betweennessOracle: String = {
+    val maxHops = 4
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), l0 AS (
+         |  SELECT CAST(v AS BIGINT) AS source, CAST(v AS BIGINT) AS node_id,
+         |         CAST(1 AS BIGINT) AS sigma
+         |  FROM (VALUES (1), (2), (3), (4)) t(v)
+         |), seen0 AS (SELECT source, node_id FROM l0)""".stripMargin
+    val fwd = (1 to maxHops).map { h =>
+      s""", l$h AS (
+         |  SELECT p.source, e.dst AS node_id, SUM(p.sigma) AS sigma
+         |  FROM cooc e JOIN l${h - 1} p ON e.src = p.node_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen${h - 1} s
+         |                    WHERE s.source = p.source AND s.node_id = e.dst)
+         |  GROUP BY p.source, e.dst
+         |), seen$h AS (
+         |  SELECT source, node_id FROM seen${h - 1}
+         |  UNION ALL SELECT source, node_id FROM l$h
+         |)""".stripMargin
+    }.mkString
+    val dInit = s", d$maxHops AS (SELECT source, node_id, CAST(0.0 AS DOUBLE) AS delta FROM l$maxHops)"
+    val bwd = (1 to maxHops).reverse.map { h =>
+      s""", w$h AS (
+         |  SELECT l.source, l.node_id, l.sigma, COALESCE(d.delta, 0.0) AS delta
+         |  FROM l$h l LEFT JOIN d$h d
+         |    ON d.source = l.source AND d.node_id = l.node_id
+         |), c$h AS (
+         |  SELECT v.source, v.node_id,
+         |    SUM(CAST(v.sigma AS DOUBLE) / w.sigma * (1.0 + w.delta)) AS delta
+         |  FROM l${h - 1} v
+         |  JOIN cooc e ON e.src = v.node_id
+         |  JOIN w$h w ON w.source = v.source AND w.node_id = e.dst
+         |  GROUP BY v.source, v.node_id
+         |), d${h - 1} AS (SELECT * FROM c$h)""".stripMargin
+    }.mkString
+    val accUnion = (1 to maxHops).reverse
+      .map(h => s"SELECT source, node_id, delta FROM c$h WHERE node_id <> source")
+      .mkString("\n  UNION ALL ")
+    base + fwd + dInit + bwd +
+      s""", acc AS (
+         |  $accUnion
+         |)
+         |SELECT node_id, ROUND(SUM(delta) / 2.0, 6) AS betweenness
+         |FROM acc GROUP BY node_id
+         |HAVING ROUND(SUM(delta) / 2.0, 6) > 0
+         |ORDER BY betweenness DESC, node_id""".stripMargin
+  }
 
   /** [[RatingsCte]] with the RECURSIVE modifier — a WITH list containing
     * any recursive member needs it up front; ONE ratings-ETL definition
@@ -1561,6 +1629,8 @@ object SparkEntry {
          |ORDER BY component_size""".stripMargin,
 
     "ppr_topk" -> pprOracle,
+
+    "betweenness_sample" -> betweennessOracle,
 
     // Bounded multi-source BFS closure → Σ 1/dist per node. The
     // recursive walk keeps every (source, node, hops) row; MIN(hops)

@@ -484,6 +484,76 @@ object Algorithms {
       .orderBy(col("node_id"))
   }
 
+  /** Betweenness centrality from a FIXED source sample (k-source
+    * Brandes — the standard scalable estimator; exact Brandes is
+    * O(V·E) and never runs at 100 TB). Unweighted, bounded depth.
+    * Forward phase: multi-source BFS keyed (source, node) carrying σ =
+    * #shortest paths (σ(v) = Σ σ(pred) summed level by level — one
+    * join + one aggregate per level, all |S| waves sharing them).
+    * Backward phase: dependency accumulation δ(v) = Σ_{succ w}
+    * σ(v)/σ(w)·(1+δ(w)) walked from the deepest level up. Betweenness
+    * = Σ_sources δ, halved (undirected double-count). Emits only
+    * nodes with positive score, rounded to 6. */
+  def betweennessSample(edges: DataFrame, sources: Seq[Long],
+      maxHops: Int = 4, symmetric: Boolean = false): DataFrame = {
+    require(sources.nonEmpty, "betweenness needs >= 1 source")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir =
+      if (symmetric) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+    // forward: levels(source, node_id, dist, sigma), one frame per level
+    var levels = Vector(
+      sources.map(s => (s, s, 1L)).toDF("source", "node_id", "sigma")
+        .localCheckpoint())
+    var seen = levels.head.select(col("source"), col("node_id"))
+    for (h <- 1 to maxHops) {
+      val prev = levels.last
+      val next = bidir
+        .join(prev.select(col("source"), col("node_id").as("src"), col("sigma")), Seq("src"))
+        .select(col("source"), col("dst").as("node_id"), col("sigma"))
+        .join(seen, Seq("source", "node_id"), "left_anti")
+        .groupBy(col("source"), col("node_id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      levels = levels :+ next
+      seen = seen.unionAll(next.select(col("source"), col("node_id"))).localCheckpoint()
+    }
+    // backward: δ accumulates from the deepest level toward the sources.
+    // A node v at level h is a BFS predecessor of w at level h+1 iff
+    // (v, w) is an edge — the same join shape as the forward phase.
+    // LEFT join + coalesce: a level-h node with no deeper successors is
+    // absent from the δ frame but still passes its (1 + 0) term up.
+    var delta = levels.last.select(col("source"), col("node_id"), lit(0.0).as("delta"))
+    var acc = Seq.empty[(Long, Long, Double)].toDF("source", "node_id", "dep")
+    for (h <- (1 to maxHops).reverse) {
+      val w = levels(h).join(delta, Seq("source", "node_id"), "left")
+        .select(col("source"), col("node_id").as("dst"),
+          col("sigma").as("sigma_w"), coalesce(col("delta"), lit(0.0)).as("delta_w"))
+      val contrib = bidir
+        .join(w, Seq("dst"))
+        .select(col("source"), col("src").as("node_id"),
+          col("sigma_w"), col("delta_w"))
+        .join(levels(h - 1).select(col("source"), col("node_id"), col("sigma")),
+          Seq("source", "node_id"))
+        .groupBy(col("source"), col("node_id"))
+        .agg(sum(col("sigma").cast("double") / col("sigma_w") *
+          (lit(1.0) + col("delta_w"))).as("delta"))
+        .localCheckpoint()
+      // non-source nodes of this level contribute their δ to the total
+      acc = acc.unionAll(contrib
+        .filter(col("node_id") =!= col("source"))
+        .select(col("source"), col("node_id"), col("delta").as("dep")))
+      delta = contrib
+    }
+    acc.groupBy(col("node_id"))
+      .agg(round(sum(col("dep")) / 2.0, 6).as("betweenness"))
+      .filter(col("betweenness") > 0)
+      .orderBy(col("betweenness").desc, col("node_id"))
+  }
+
   /** Personalized PageRank: teleport mass restricted to a fixed source
     * set (GDS personalized-PageRank / RWR family) — ranks measure
     * proximity to the sources instead of global importance. FIXED

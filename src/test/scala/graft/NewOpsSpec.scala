@@ -259,6 +259,27 @@ class NewOpsSpec extends AnyFunSuite {
       "dropped set != non-min cluster members")
   }
 
+  test("betweennessSample: path interior nodes carry all shortest paths, star centre dominates") {
+    // path 1-2-3-4-5, sources {1,5}: from each end δ(interior) = 3,2,1
+    // toward the far end; summed and halved → 2.0 for nodes 2,3,4;
+    // endpoints score 0 (excluded)
+    val path = bidir((1L until 5L).map(i => (i, i + 1)))
+    val got = Algorithms.betweennessSample(path, sources = Seq(1L, 5L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(2L -> 2.0, 3L -> 2.0, 4L -> 2.0), s"got $got")
+    // star centre 100 with leaves 1..4, source {1}: δ(centre) = 3 (one
+    // per far leaf), halved → 1.5; leaves score 0
+    val star = bidir((1L to 4L).map(l => (100L, l)))
+    val s = Algorithms.betweennessSample(star, sources = Seq(1L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s == Map(100L -> 1.5), s"got $s")
+    // diamond 1-2-4, 1-3-4: two equal shortest paths split σ credit
+    val diamond = bidir(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val d = Algorithms.betweennessSample(diamond, sources = Seq(1L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(2L -> 0.25, 3L -> 0.25), s"got $d")
+  }
+
   test("degreeAssortativity: star graph is perfectly disassortative, clique has zero variance") {
     // star: every edge links the hub (deg 4) to a leaf (deg 1) → r = −1
     val star = bidir((1L to 4L).map(l => (100L, l)))
