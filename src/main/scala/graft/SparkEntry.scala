@@ -330,6 +330,17 @@ object SparkEntry {
     }),
     "token_pack" -> ((s, d) => TextOps.tokenPack(s, d)),
     "corpus_pipeline" -> ((s, d) => TextOps.corpusPipeline(s, d)),
+    "sssp_nearest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // edge length = 1/weight: strong co-rating affinity = short hop
+      graft.graph.Algorithms.ssspWeighted(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst"),
+            (lit(1.0) / col("weight")).as("len")),
+        source = 1L, rounds = 5)
+        .select(col("node_id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("node_id")).limit(20)
+    }),
     "betweenness_sample" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.betweennessSample(
@@ -443,6 +454,40 @@ object SparkEntry {
          |FROM acc GROUP BY node_id
          |HAVING ROUND(SUM(delta) / 2.0, 6) > 0
          |ORDER BY betweenness DESC, node_id""".stripMargin
+  }
+
+  /** Bounded Bellman-Ford unrolled as chained CTEs — min-plus rounds
+    * are plain SQL. The recurrence performs the SAME left-to-right
+    * double additions in both engines, and MIN is order-independent, so
+    * the oracle is bit-exact even before the rounding guard. */
+  private def ssspOracle: String = {
+    val rounds = 5
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), lens AS (
+         |  SELECT src, dst, CAST(1.0 AS DOUBLE) / w AS len FROM cooc
+         |), d0 AS (
+         |  SELECT CAST(1 AS BIGINT) AS node_id, CAST(0.0 AS DOUBLE) AS dist
+         |)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s""", d$i AS (
+         |  SELECT node_id, MIN(dist) AS dist FROM (
+         |    SELECT e.dst AS node_id, d.dist + e.len AS dist
+         |    FROM lens e JOIN d${i - 1} d ON e.src = d.node_id
+         |    UNION ALL
+         |    SELECT node_id, dist FROM d${i - 1}
+         |  ) GROUP BY node_id
+         |)""".stripMargin
+    }.mkString
+    base + iters +
+      s"""
+         |SELECT node_id, ROUND(dist, 6) AS dist FROM d$rounds
+         |ORDER BY ROUND(dist, 6), node_id LIMIT 20""".stripMargin
   }
 
   /** [[RatingsCte]] with the RECURSIVE modifier — a WITH list containing
@@ -1631,6 +1676,8 @@ object SparkEntry {
     "ppr_topk" -> pprOracle,
 
     "betweenness_sample" -> betweennessOracle,
+
+    "sssp_nearest" -> ssspOracle,
 
     // Bounded multi-source BFS closure → Σ 1/dist per node. The
     // recursive walk keeps every (source, node, hops) row; MIN(hops)

@@ -484,6 +484,32 @@ object Algorithms {
       .orderBy(col("node_id"))
   }
 
+  /** Single-source WEIGHTED shortest paths by bounded Bellman-Ford
+    * relaxation (k rounds of min-plus: d ← min(d, min over in-edges
+    * d(src) + len)) — the weighted twin of [[bfsHops]]. A fixed round
+    * count bounds both the work and the reachable horizon (paths of ≤ k
+    * edges), and makes the loop exactly oracle-checkable by unrolling.
+    * One join + one aggregate per round, shuffles keyed on node id.
+    * `lengths` must provide (src, dst, len); nodes never relaxed are
+    * absent. */
+  def ssspWeighted(lengths: DataFrame, source: Long, rounds: Int = 5): DataFrame = {
+    val spark = lengths.sparkSession
+    import spark.implicits._
+    val e = lengths.select(col("src"), col("dst"), col("len").cast("double"))
+    var dist = Seq((source, 0.0)).toDF("node_id", "dist")
+    for (_ <- 1 to rounds) {
+      dist = e
+        .join(dist.withColumnRenamed("node_id", "src")
+          .withColumnRenamed("dist", "d_src"), Seq("src"))
+        .select(col("dst").as("node_id"), (col("d_src") + col("len")).as("dist"))
+        .unionAll(dist)
+        .groupBy(col("node_id"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Betweenness centrality from a FIXED source sample (k-source
     * Brandes — the standard scalable estimator; exact Brandes is
     * O(V·E) and never runs at 100 TB). Unweighted, bounded depth.

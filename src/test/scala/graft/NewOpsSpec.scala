@@ -259,6 +259,21 @@ class NewOpsSpec extends AnyFunSuite {
       "dropped set != non-min cluster members")
   }
 
+  test("ssspWeighted: the cheap 2-hop path beats the expensive direct edge, horizon bounded") {
+    // 1→3 direct costs 10; 1→2→3 costs 2 — relaxation must prefer it
+    val lens = Seq((1L, 3L, 10.0), (3L, 1L, 10.0), (1L, 2L, 1.0), (2L, 1L, 1.0),
+      (2L, 3L, 1.0), (3L, 2L, 1.0)).toDF("src", "dst", "len")
+    val got = Algorithms.ssspWeighted(lens, source = 1L, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0), s"got $got")
+    // bounded rounds: a 4-edge chain is unreachable in 3 rounds
+    val chain = (1L to 4L).flatMap(i => Seq((i, i + 1, 1.0), (i + 1, i, 1.0)))
+      .toDF("src", "dst", "len")
+    val h = Algorithms.ssspWeighted(chain, source = 1L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0), s"got $h")
+  }
+
   test("betweennessSample: path interior nodes carry all shortest paths, star centre dominates") {
     // path 1-2-3-4-5, sources {1,5}: from each end δ(interior) = 3,2,1
     // toward the far end; summed and halved → 2.0 for nodes 2,3,4;
