@@ -62,6 +62,9 @@ object SparkEntry {
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "corpus_ngrams" -> ((s, d) => TextOps.corpusNgrams(s, d)),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(s, d)),
+    "bloom_contamination" -> ((s, d) => TextOps.bloomContamination(s, d)),
+    "bpe_first_merge" -> ((s, d) => TextOps.bpeFirstMerge(s, d)),
+    "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
@@ -262,6 +265,34 @@ object SparkEntry {
           (col("thin_members") === 0).cast("bigint").as("core_degrees_ge_k"),
           (col("n_stray") === 0).cast("bigint").as("members_have_global_deg_ge_k"))
     }),
+    "random_walks" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.randomWalks(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst")),
+        sources = Seq(1L, 2L, 3L, 4L), steps = 4, walksPerSource = 2,
+        symmetric = true)
+    }),
+    "ktruss_edges" -> ((s, d) => graft.graph.Algorithms.userKtruss(s, d)),
+    "ktruss_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val k = 12
+      val truss = graft.graph.Algorithms.userKtruss(s, d, k)
+      val coocPairs = RatingsGraph.cooccurrenceEdges(s, d)
+        .filter(col("u1") < col("u2"))
+        .select(col("u1").as("u"), col("u2").as("v"))
+      val strays = truss.select(col("u"), col("v"))
+        .join(coocPairs, Seq("u", "v"), "left_anti")
+        .agg(count(lit(1)).as("n_stray"))
+      truss.agg(
+          coalesce(min((col("u") < col("v")).cast("bigint")), lit(1L)).as("canon"),
+          coalesce(min((col("support") >= k - 2).cast("bigint")), lit(1L)).as("sup"))
+        .crossJoin(strays)
+        .select(col("canon").as("edges_canonical"),
+          col("sup").as("support_ge_k_minus_2"),
+          (col("n_stray") === 0).cast("bigint").as("edges_subset_of_graph"))
+    }),
+    "degree_histogram" -> ((s, d) => graft.graph.Algorithms.degreeHistogram(s, d)),
     "q4_semi" -> ((s, d) => Olap.q4Semi(s, d)),
     "events_range_rolling" -> ((s, d) => Olap.eventsRangeRolling(s, d)),
     "events_retention" -> ((s, d) => Olap.eventsRetention(s, d)),
@@ -360,6 +391,11 @@ object SparkEntry {
     "source_mix" -> ((s, d) => TextOps.sourceMix(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q13_custdist" -> ((s, d) => Olap.q13Custdist(s, d)),
+    "q10_returns" -> ((s, d) => Olap.q10Returns(s, d)),
+    "q16_supplier_count" -> ((s, d) => Olap.q16SupplierCount(s, d)),
+    "q18_large_orders" -> ((s, d) => Olap.q18LargeOrders(s, d)),
+    "q19_disjunctive" -> ((s, d) => Olap.q19Disjunctive(s, d)),
+    "q22_global_filter" -> ((s, d) => Olap.q22GlobalFilter(s, d)),
     "simhash_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sigs = graft.dedup.Dedup.simhashes(
@@ -394,6 +430,38 @@ object SparkEntry {
       |  SELECT user_id, book_id, MAX(rating) AS rating
       |  FROM filtered_events GROUP BY user_id, book_id
       |)""".stripMargin
+
+  /** Deterministic random walks unrolled as chained CTEs: each step is
+    * one join + one per-walk `arg_min` over the same md5("walk:step:nbr")
+    * draw the Spark loop computes — string-identical hash inputs, so the
+    * sampled walks match bit for bit. Sources 1–4 × 2 walks, 4 steps
+    * (mirrors the `random_walks` entry's parameters). */
+  private def randomWalksOracle: String = {
+    val steps = 4
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), w0 AS (
+         |  SELECT CAST(s * 2 + w AS BIGINT) AS walk_id, CAST(0 AS BIGINT) AS step,
+         |         CAST(s AS BIGINT) AS node_id
+         |  FROM (VALUES (1), (2), (3), (4)) t(s), (VALUES (0), (1)) ww(w)
+         |)""".stripMargin
+    val stepsSql = (1 to steps).map { t =>
+      s""", w$t AS (
+         |  SELECT f.walk_id, CAST($t AS BIGINT) AS step,
+         |    arg_min(e.dst, md5(CAST(f.walk_id AS VARCHAR) || ':$t:'
+         |                       || CAST(e.dst AS VARCHAR))) AS node_id
+         |  FROM w${t - 1} f JOIN cooc e ON e.src = f.node_id
+         |  GROUP BY f.walk_id
+         |)""".stripMargin
+    }.mkString
+    val union = (0 to steps).map(t => s"SELECT * FROM w$t").mkString("\n", "\nUNION ALL ", "")
+    s"$base$stepsSql$union\nORDER BY walk_id, step"
+  }
 
   /** k-source Brandes betweenness unrolled as chained CTEs: bounded
     * depth makes BOTH phases plain SQL — forward levels l0…l4 (σ = sum
@@ -1255,6 +1323,72 @@ object SparkEntry {
         |GROUP BY t.doc_id, r.doc_id
         |ORDER BY test_doc_id, train_doc_id""".stripMargin,
 
+    "bloom_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f2' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, split, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 8 THEN
+        |      list_transform(range(1, len(toks) - 6),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])
+        |    ELSE [] END)) AS gram
+        |  FROM toks
+        |), tg AS (
+        |  SELECT DISTINCT gram FROM grams WHERE split = 'train'
+        |)
+        |SELECT g.doc_id AS test_doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_hits,
+        |  CAST(1 AS BIGINT) AS bloom_superset
+        |FROM (SELECT * FROM grams WHERE split = 'test') g
+        |LEFT JOIN tg ON g.gram = tg.gram
+        |GROUP BY g.doc_id
+        |ORDER BY test_doc_id""".stripMargin,
+
+    "bpe_first_merge" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            t -> length(t) > 0)) AS word
+        |  FROM documents
+        |), wf AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY word
+        |), pairs AS (
+        |  SELECT word, freq,
+        |    unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2)))
+        |      AS pair
+        |  FROM wf WHERE length(word) >= 2
+        |)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+        |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair
+        |LIMIT 20""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    t -> length(t) > 0)) AS token
+        |  FROM documents
+        |), freq AS (
+        |  SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+        |), vocab AS (
+        |  SELECT token FROM freq ORDER BY freq DESC, token LIMIT 100
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -1508,6 +1642,26 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS core_degrees_ge_k,
         |       CAST(1 AS BIGINT) AS members_have_global_deg_ge_k""".stripMargin,
 
+    "ktruss_invariants" ->
+      """SELECT CAST(1 AS BIGINT) AS edges_canonical,
+        |       CAST(1 AS BIGINT) AS support_ge_k_minus_2,
+        |       CAST(1 AS BIGINT) AS edges_subset_of_graph""".stripMargin,
+
+    "degree_histogram" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS weight
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg AS (
+         |  SELECT u1, CAST(COUNT(*) AS BIGINT) AS degree FROM cooc GROUP BY u1
+         |)
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "random_walks" -> randomWalksOracle,
+
     "q4_semi" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         |FROM orders o
@@ -1749,6 +1903,78 @@ object SparkEntry {
         |)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |           (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, c_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(24,4))) > 250
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |           (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q22_global_filter" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal
+        |  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2, 3)
+        |), avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,4))) AS DOUBLE) / COUNT(*)
+        |    AS avg_bal
+        |  FROM cust WHERE c_acctbal > 0
+        |)
+        |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS totacctbal
+        |FROM cust, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH toks AS (

@@ -426,6 +426,14 @@ object Algorithms {
         assumeDistinct = true) // one row per user pair by construction
     }
 
+  /** k-truss of the user co-occurrence graph, session-cached (the
+    * edges + invariants entries both consume it). */
+  def userKtruss(spark: SparkSession, dir: String, k: Int = 12): DataFrame =
+    graft.Cache.cached(spark, dir, s"ktruss_$k") {
+      ktruss(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")), k)
+    }
+
   /** Bounded BFS: hop distance from a source node to every node within
     * `maxHops` (the generalisation of the reference's 2-hop
     * `get_graph_data` expansion). One join + min-aggregate per hop. */
@@ -579,6 +587,101 @@ object Algorithms {
       .filter(col("betweenness") > 0)
       .orderBy(col("betweenness").desc, col("node_id"))
   }
+
+  /** Deterministic random-walk sampling — the corpus generator of the
+    * DeepWalk/node2vec embedding family (GDS randomWalk): from each
+    * source, `walksPerSource` walks of `steps` steps. The "random" draw
+    * at step t of walk w is the neighbour minimizing md5("w:t:nbr") — a
+    * seeded hash draw, bit-reproducible across runs and engines (no RNG
+    * state), so the whole sampler is exactly oracle-checkable by
+    * unrolling steps as chained CTEs with arg_min. Scale shape: one
+    * frontier join + one per-walk argmin aggregate per step, all walks
+    * sharing them; state is O(walks), never O(V). A walk whose current
+    * node has no out-neighbour simply stops (absent from later steps). */
+  def randomWalks(edges: DataFrame, sources: Seq[Long], steps: Int = 4,
+      walksPerSource: Int = 2, symmetric: Boolean = false): DataFrame = {
+    require(sources.nonEmpty && walksPerSource >= 1, "need sources and >= 1 walk each")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir =
+      if (symmetric) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+    val seeds = (for { s <- sources; w <- 0 until walksPerSource }
+      yield (s * walksPerSource + w, s)).toDF("walk_id", "node_id")
+      .withColumn("step", lit(0L))
+      .select(col("walk_id"), col("step"), col("node_id"))
+    var walk = seeds
+    var frontier = seeds
+    for (t <- 1 to steps) {
+      val score = md5(concat_ws(":", col("walk_id"), lit(t), col("dst")))
+      val next = bidir
+        .join(frontier.select(col("walk_id"), col("node_id").as("src")), Seq("src"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("dst"), score).as("node_id"))
+        .withColumn("step", lit(t.toLong))
+        .select(col("walk_id"), col("step"), col("node_id"))
+        .localCheckpoint()
+      walk = walk.unionAll(next)
+      frontier = next
+    }
+    walk.orderBy(col("walk_id"), col("step"))
+  }
+
+  /** k-truss decomposition by iterative support peeling (the
+    * triangle-density community core, one rung up from [[kcore]]): keep
+    * edges participating in ≥ k-2 triangles WITHIN the surviving
+    * subgraph, to fixpoint. Each round rebuilds sorted adjacency arrays
+    * and counts per-edge support via `array_intersect` — the same
+    * in-partition intersection shape as [[triangleCount]] (SURVEY §6
+    * rule 8: the wedge set never materialises or shuffles). Rounds are
+    * data-dependent; `maxIter` only guards pathological chains (each
+    * round must delete ≥1 edge or the loop has converged, so depth is
+    * bounded by |E| but in practice a handful). Returns the surviving
+    * canonical edges with their final support. */
+  def ktruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var cur = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var n = cur.count()
+    def supported(e: DataFrame): DataFrame = {
+      val bidir = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val adj = bidir.groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      e.join(adj.select(col("a").as("u"), col("nbrs").as("nu")), Seq("u"))
+        .join(adj.select(col("a").as("v"), col("nbrs").as("nv")), Seq("v"))
+        .select(col("u"), col("v"),
+          size(array_intersect(col("nu"), col("nv"))).cast("bigint").as("support"))
+    }
+    var done = n == 0
+    var i = 0
+    while (!done && i < maxIter) {
+      val next = supported(cur).filter(col("support") >= k - 2)
+        .select(col("u"), col("v")).localCheckpoint()
+      val m = next.count()
+      done = m == n || m == 0
+      cur = next
+      n = m
+      i += 1
+    }
+    if (!done)
+      System.err.println(s"[graft] ktruss hit maxIter=$maxIter before fixpoint")
+    supported(cur).orderBy(col("u"), col("v"))
+  }
+
+  /** Degree-distribution histogram of the co-occurrence graph (the
+    * standard graph-profile report next to [[componentSizeHistogram]]):
+    * two chained aggregates, both map-side combining. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    RatingsGraph.cooccurrenceEdges(spark, dir)
+      .groupBy(col("u1"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
 
   /** Personalized PageRank: teleport mass restricted to a fixed source
     * set (GDS personalized-PageRank / RWR family) — ranks measure

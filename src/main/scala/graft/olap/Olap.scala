@@ -402,4 +402,121 @@ object Olap {
       .select(col("user_id"), col("hr"), col("value"))
       .orderBy(col("user_id"), col("hr"))
   }
+
+  /** TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    * items in a quarter — fact⋈fact shuffle join on orderkey, then a
+    * grouped aggregate keyed on the customer dimension's attributes.
+    * The returnflag and date filters reach the parquet scans. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .agg(sum(price * disc1).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q16 shape: distinct-supplier counts per part profile with a
+    * NOT-IN exclusion — a grouped COUNT(DISTINCT) over a semi-structured
+    * key plus an anti-join against a (broadcast-small) exclusion list.
+    * lineitem stands in for partsupp (testdata has no partsupp table):
+    * the (l_partkey, l_suppkey) pairs ARE the observed supplier-part
+    * relationships. */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = supplier(spark, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val pt = part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — HAVING on an aggregated
+    * subquery, joined back to the parent facts. The per-order quantity
+    * sum is ONE map-side-combining aggregate on the fact's natural key;
+    * the survivors (top ~1%) then drive the orders/customer joins, so
+    * the expensive side is filtered before any wide row is formed. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 250)
+      .select(col("l_orderkey"), col("sum_qty_dec").cast("double").as("sum_qty"))
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-clause predicate revenue — an OR
+    * of three (brand ∧ size-range ∧ quantity-range) conjunctions across
+    * the lineitem⋈part join. The common `p_size >= 1` / quantity bounds
+    * let Spark push a superset filter to both scans while the full
+    * disjunction evaluates post-join in one codegen stage. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 40)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val pt = part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val clause = (col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 20) && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 30) && col("l_quantity").between(20, 40))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .agg(sum(price * disc1).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape: global-filter anti-join — customers above the
+    * positive-balance average (a broadcast scalar subquery) with no
+    * RECENT order (left_anti against a date-filtered orders scan; the
+    * testdata has no fully orderless customers, so the classic NOT
+    * EXISTS would be vacuously empty). Country code is derived from
+    * c_nationkey (testdata has no phone column). */
+  def q22GlobalFilter(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(0, 1, 2, 3)
+    val cust = customer(spark, dir)
+      .withColumn("cntrycode", (col("c_nationkey") % 5).cast("int"))
+      .filter(col("cntrycode").isin(codes: _*))
+      .select(col("c_custkey"), col("cntrycode"), col("c_acctbal"))
+    // exact decimal sum, then ONE double division — bit-identical across
+    // engines and shuffle orders (a double avg would accumulate in
+    // partition order)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
 }

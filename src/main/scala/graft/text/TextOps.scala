@@ -401,6 +401,98 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** First BPE merge candidates — the opening iteration of BPE tokenizer
+    * TRAINING: count adjacent character pairs across the corpus, weighted
+    * by word frequency. Scale shape: the corpus collapses to DISTINCT
+    * words first (one map-side-combined aggregate over exploded tokens),
+    * then char pairs explode from the distinct-word table only — pair
+    * rows are O(|vocab| · wordLen), independent of corpus size. This is
+    * exactly how production BPE trainers stay tractable: statistics on
+    * the word histogram, never the raw text. */
+  def bpeFirstMerge(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val wordFreq = documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+    wordFreq
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Bloom-filter decontamination gate — the SCALE path of
+    * [[contaminationCheck]]: at 100 TB the train-gram set is far too
+    * large to shuffle against every probe, so production pipelines build
+    * a Bloom filter over train n-grams once and stream eval/serving text
+    * through `mightContain` (a broadcast-sized bitset, no join). Here the
+    * Bloom verdict is computed per test document alongside the exact
+    * semi-join answer, and the output asserts the filter's ONE provable
+    * property — no false negatives (bloom hits ⊇ exact hits) — the same
+    * sketch-vs-exact gate shape as `approx_distinct_check`. The
+    * `mightContain` probe is a Scala UDF by necessity (the sketch is an
+    * opaque broadcast object); it runs only over test-split gram rows —
+    * a few % of the corpus — never the train side. */
+  def bloomContamination(spark: SparkSession, dir: String, n: Int = 8,
+      fpp: Double = 0.01, expectedItems: Long = 1L << 20): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val withSplit = documents(spark, dir)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        explode(array_distinct(grams)).as("gram"))
+    val trainGrams = withSplit.filter(col("split") === "train")
+      .select(col("gram")).distinct()
+    val bloom = trainGrams.stat.bloomFilter("gram", expectedItems, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bloomBc.value.mightContain(g))
+    withSplit.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc_id"), col("gram"))
+      .join(trainGrams.withColumn("in_train", lit(1L)), Seq("gram"), "left")
+      .withColumn("bloom_hit", mightContain(col("gram")))
+      .groupBy(col("test_doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("in_train").isNotNull, 1L).otherwise(0L)).as("n_exact_hits"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      .select(col("test_doc_id"), col("n_grams"), col("n_exact_hits"),
+        (col("n_bloom_hits") >= col("n_exact_hits")).cast("bigint").as("bloom_superset"))
+      .orderBy(col("test_doc_id"))
+  }
+
+  /** Vocabulary coverage: build the top-V vocabulary by corpus frequency
+    * (the "train a small word-level vocab" step), then score every
+    * document's out-of-vocabulary rate — the coverage report that decides
+    * V before committing to a tokenizer. The vocab is a TakeOrdered
+    * top-V (never a full sort) and broadcasts to the per-doc probe, so
+    * the corpus is exploded once for counting and once for scoring. */
+  def vocabCoverage(spark: SparkSession, dir: String, v: Int = 100): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val vocab = documents(spark, dir)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(v)
+      .select(col("token"))
+    documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: treat the payload as an opaque binary column
     * with typed metadata (here the UTF-8 bytes of `text` stand in for an
     * image/audio blob; a real decode step would run over `mapInPandas` /

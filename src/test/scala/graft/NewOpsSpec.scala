@@ -408,6 +408,126 @@ class NewOpsSpec extends AnyFunSuite {
       fullCooc.exceptAll(mergedCooc).isEmpty)
   }
 
+  test("q18LargeOrders: every row's quantity sum really exceeds the threshold") {
+    val got = Olap.q18LargeOrders(spark, sf)
+    assert(got.count() > 0)
+    assert(got.filter(col("sum_qty") <= 250.0).isEmpty)
+    // join-back parity: each reported sum equals a direct recompute
+    val direct = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(24,4)")).cast("double").as("direct_qty"))
+    assert(got.join(direct, "o_orderkey")
+      .filter(col("sum_qty") =!= col("direct_qty")).isEmpty)
+  }
+
+  test("q19Disjunctive: revenue equals the clause-by-clause recompute") {
+    val r = Olap.q19Disjunctive(spark, sf).head()
+    val joined = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+    def clause(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      joined.filter(col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi))
+    val n = clause("Brand#12", 10, 1, 20).count() +
+      clause("Brand#23", 20, 10, 30).count() + clause("Brand#34", 30, 20, 40).count()
+    assert(r.getLong(1) == n, s"n_items ${r.getLong(1)} != per-clause total $n")
+  }
+
+  test("q22GlobalFilter: only orderless customers above the positive-balance average") {
+    val got = Olap.q22GlobalFilter(spark, sf).collect()
+    assert(got.nonEmpty && got.forall(r => Set(0, 1, 2, 3)(r.getInt(0))))
+    val custWithOrders = graft.Tables.customer(spark, sf)
+      .join(graft.Tables.orders(spark, sf)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .filter((col("c_nationkey") % 5) < 4).count()
+    val allInCodes = graft.Tables.customer(spark, sf)
+      .filter((col("c_nationkey") % 5) < 4).count()
+    assert(got.map(_.getLong(1)).sum <= allInCodes - custWithOrders,
+      "more survivors than orderless customers in the code set")
+  }
+
+  test("q10/q16: shapes are non-empty with sane orderings") {
+    val q10 = Olap.q10Returns(spark, sf).collect()
+    assert(q10.nonEmpty && q10.length <= 20)
+    assert(q10.map(_.getDouble(4)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "q10 not sorted by revenue desc")
+    val q16 = Olap.q16SupplierCount(spark, sf).collect()
+    assert(q16.nonEmpty)
+    assert(q16.forall(_.getString(0) != "Brand#45"))
+    val sizes = Set(1, 4, 9, 14, 19, 23, 36, 45)
+    assert(q16.forall(r => sizes(r.getInt(2))))
+  }
+
+  test("randomWalks: forced path oscillates, every hop is a real edge") {
+    // single-edge graph: the only neighbour at every step is the other
+    // node, so the walk from 1 must oscillate 1,2,1,2,1 regardless of
+    // the hash draw
+    val one = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Algorithms.randomWalks(one, Seq(1L), steps = 4, walksPerSource = 1)
+      .orderBy("walk_id", "step").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 2L, 1L, 2L, 1L))
+    // richer graph: hops must follow edges and be reproducible
+    val tri = bidir(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val w1 = Algorithms.randomWalks(tri, Seq(1L, 3L), steps = 3, walksPerSource = 2)
+    val rows = w1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edgeSet = tri.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.groupBy(_._1).foreach { case (_, steps) =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet((a._3, b._3)), s"non-edge hop $a -> $b")
+        case _ =>
+      }
+    }
+    val w2 = Algorithms.randomWalks(tri, Seq(1L, 3L), steps = 3, walksPerSource = 2)
+    assert(w1.collect().toSeq == w2.collect().toSeq, "walks not deterministic")
+  }
+
+  test("ktruss: pendant triangle peels at k=4, clique survives with full support") {
+    // 5-clique {1..5} + triangle {5,6,7}: clique edges have support 3,
+    // triangle edges support 1
+    val clique = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val edges = bidir(clique ++ Seq((5L, 6L), (6L, 7L), (5L, 7L)))
+    val k4 = Algorithms.ktruss(edges, k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(k4.keySet == clique.toSet, s"k=4 truss wrong: ${k4.keySet}")
+    assert(k4.values.forall(_ == 3L))
+    val k3 = Algorithms.ktruss(edges, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k3 == clique.toSet ++ Set((5L, 6L), (6L, 7L), (5L, 7L)))
+    // k=6 needs support >= 4 — more than a 5-clique offers; everything peels
+    assert(Algorithms.ktruss(edges, k = 6).collect().isEmpty)
+  }
+
+  test("degreeHistogram: mass balances the directed co-occurrence edge count") {
+    val hist = Algorithms.degreeHistogram(spark, sf)
+    val mass = hist.agg(sum(col("degree") * col("n_nodes"))).head().getLong(0)
+    val rows = graft.graph.RatingsGraph.cooccurrenceEdges(spark, sf).count()
+    assert(mass == rows, s"histogram mass $mass != edge rows $rows")
+  }
+
+  test("bpeFirstMerge: pairs are 2 chars, weighted count bounds the word count") {
+    val got = TextOps.bpeFirstMerge(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getString(0).length == 2))
+    // a pair occurs at least once per distinct word containing it
+    assert(got.forall(r => r.getLong(1) >= r.getLong(2)))
+    assert(got.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("vocabCoverage: oov counts bounded by token counts, rate in [0,1]") {
+    val got = TextOps.vocabCoverage(spark, sf)
+    assert(got.count() > 0)
+    assert(got.filter(col("n_oov") > col("n_tokens") || col("n_oov") < 0).isEmpty)
+    assert(got.filter(col("oov_rate") < 0.0 || col("oov_rate") > 1.0).isEmpty)
+  }
+
+  test("bloomContamination: no false negatives — bloom hits cover every exact hit") {
+    val got = TextOps.bloomContamination(spark, sf)
+    assert(got.count() > 0)
+    assert(got.filter(col("bloom_superset") =!= 1L).isEmpty,
+      "Bloom filter produced a false negative")
+    assert(got.filter(col("n_exact_hits") > col("n_grams")).isEmpty)
+  }
+
   test("embedding_quantize: codes in 0..255, mid-rise error bound holds") {
     val q = graft.ann.AnnSearch.quantize(spark, sf)
     val codes = q.select(explode(split(col("codes"), ",")).as("cs"))
