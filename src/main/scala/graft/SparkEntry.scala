@@ -273,26 +273,25 @@ object SparkEntry {
         sources = Seq(1L, 2L, 3L, 4L), steps = 4, walksPerSource = 2,
         symmetric = true)
     }),
-    "ktruss_edges" -> ((s, d) => graft.graph.Algorithms.userKtruss(s, d)),
-    "ktruss_invariants" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val k = 12
-      val truss = graft.graph.Algorithms.userKtruss(s, d, k)
-      val coocPairs = RatingsGraph.cooccurrenceEdges(s, d)
-        .filter(col("u1") < col("u2"))
-        .select(col("u1").as("u"), col("u2").as("v"))
-      val strays = truss.select(col("u"), col("v"))
-        .join(coocPairs, Seq("u", "v"), "left_anti")
-        .agg(count(lit(1)).as("n_stray"))
-      truss.agg(
-          coalesce(min((col("u") < col("v")).cast("bigint")), lit(1L)).as("canon"),
-          coalesce(min((col("support") >= k - 2).cast("bigint")), lit(1L)).as("sup"))
-        .crossJoin(strays)
-        .select(col("canon").as("edges_canonical"),
-          col("sup").as("support_ge_k_minus_2"),
-          (col("n_stray") === 0).cast("bigint").as("edges_subset_of_graph"))
-    }),
+    "truss_decay" -> ((s, d) => graft.graph.Algorithms.trussDecayProfile(s, d)),
     "degree_histogram" -> ((s, d) => graft.graph.Algorithms.degreeHistogram(s, d)),
+    "ann_pq_topk" -> ((s, d) => graft.ann.AnnSearch.pqTopK(s, d)),
+    "pq_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val m = 8; val ksub = 16
+      val codes = graft.ann.AnnSearch.pqCodes(s, d, m, ksub)
+      val codesAgg = codes.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("code") < 0 || col("code") >= ksub, 1L)
+          .otherwise(0L)), lit(0L)).as("bad_codes"))
+      val nv = graft.Tables.embeddings(s, d).agg(count(lit(1)).as("n_emb"))
+      val overlap = graft.ann.AnnSearch.pqTopK(s, d).select(col("vec_id"))
+        .join(graft.ann.AnnSearch.bruteForceTopK(s, d).select(col("vec_id")), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      codesAgg.crossJoin(nv).crossJoin(overlap).select(
+        (col("n_rows") === col("n_emb") * m).cast("bigint").as("m_codes_per_vector"),
+        (col("bad_codes") === 0).cast("bigint").as("codes_in_range"),
+        (col("n_overlap") >= 5).cast("bigint").as("recall_at_10_ge_half"))
+    }),
     "q4_semi" -> ((s, d) => Olap.q4Semi(s, d)),
     "events_range_rolling" -> ((s, d) => Olap.eventsRangeRolling(s, d)),
     "events_retention" -> ((s, d) => Olap.eventsRetention(s, d)),
@@ -352,6 +351,14 @@ object SparkEntry {
           .select(col("u1").as("src"), col("u2").as("dst")),
         sources = Seq(1L, 2L, 3L, 4L), maxHops = 3, symmetric = true)
     }),
+    "closeness_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.closenessSample(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst")),
+        sources = Seq(1L, 2L, 3L, 4L), maxHops = 3, symmetric = true)
+    }),
+    "user_overlap_topk" -> ((s, d) => graft.graph.Algorithms.userOverlapTopK(s, d)),
     "ppr_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.userPersonalizedPageRank(s, d,
@@ -430,6 +437,81 @@ object SparkEntry {
       |  SELECT user_id, book_id, MAX(rating) AS rating
       |  FROM filtered_events GROUP BY user_id, book_id
       |)""".stripMargin
+
+  /** Truss-decay profile unrolled as chained CTEs: the initial per-edge
+    * triangle support (degree-ordered orientation → sorted adjacency
+    * lists → list_intersect triangles → 3-edge explode count) and every
+    * bounded delta-peel round (removed → dead-triangle dedup on the
+    * sorted triple → survivor decrement) are plain SQL — integer
+    * counting end to end, so the compare is drift-free. Mirrors
+    * [[graft.graph.Algorithms.trussDecayProfile]] k=25, rounds=3. */
+  private def trussDecayOracle: String = {
+    val k = 25
+    val rounds = 3
+    val base =
+      s"""$RatingsCte, cooc AS MATERIALIZED (
+         |  SELECT a.user_id AS u, b.user_id AS v
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg AS (
+         |  SELECT w, COUNT(*) AS degree FROM (
+         |    SELECT u AS w FROM cooc UNION ALL SELECT v AS w FROM cooc)
+         |  GROUP BY w
+         |), ori AS (
+         |  SELECT CASE WHEN d1.degree < d2.degree
+         |              OR (d1.degree = d2.degree AND e.u < e.v)
+         |         THEN e.u ELSE e.v END AS src,
+         |         CASE WHEN d1.degree < d2.degree
+         |              OR (d1.degree = d2.degree AND e.u < e.v)
+         |         THEN e.v ELSE e.u END AS dst
+         |  FROM cooc e JOIN deg d1 ON e.u = d1.w JOIN deg d2 ON e.v = d2.w
+         |), adj AS MATERIALIZED (
+         |  SELECT src, list_sort(list(dst)) AS nbrs FROM ori GROUP BY src
+         |), tri AS MATERIALIZED (
+         |  SELECT o.src AS x, o.dst AS y, unnest(list_intersect(a1.nbrs, a2.nbrs)) AS z
+         |  FROM ori o JOIN adj a1 ON o.src = a1.src JOIN adj a2 ON o.dst = a2.src
+         |), sup0 AS MATERIALIZED (
+         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+         |    SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM tri
+         |    UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri
+         |    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tri)
+         |  GROUP BY u, v
+         |), alive0 AS MATERIALIZED (
+         |  SELECT e.u, e.v, COALESCE(s.support, 0) AS support
+         |  FROM cooc e LEFT JOIN sup0 s ON e.u = s.u AND e.v = s.v
+         |)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      val p = r - 1
+      s""", removed$r AS MATERIALIZED (
+         |  SELECT u, v FROM alive$p WHERE support < ${k - 2}
+         |), bidir$r AS MATERIALIZED (
+         |  SELECT u AS s, v AS t FROM alive$p UNION ALL SELECT v AS s, u AS t FROM alive$p
+         |), dead$r AS MATERIALIZED (
+         |  SELECT DISTINCT t3[1] AS x, t3[2] AS y, t3[3] AS z FROM (
+         |    SELECT list_sort([r.u, r.v, b1.t]) AS t3
+         |    FROM removed$r r JOIN bidir$r b1 ON b1.s = r.u
+         |    WHERE EXISTS (SELECT 1 FROM bidir$r b2 WHERE b2.s = r.v AND b2.t = b1.t))
+         |), decr$r AS MATERIALIZED (
+         |  SELECT u, v, COUNT(*) AS n_dead FROM (
+         |    SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM dead$r
+         |    UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM dead$r
+         |    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM dead$r)
+         |  GROUP BY u, v
+         |), alive$r AS MATERIALIZED (
+         |  SELECT a.u, a.v, a.support - COALESCE(d.n_dead, 0) AS support
+         |  FROM alive$p a LEFT JOIN decr$r d ON a.u = d.u AND a.v = d.v
+         |  WHERE a.support >= ${k - 2}
+         |)""".stripMargin
+    }.mkString
+    val out = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT COUNT(*) FROM removed$r) AS n_removed,
+         |  (SELECT COUNT(*) FROM alive$r) AS n_alive""".stripMargin
+    }.mkString("\n", "\nUNION ALL ", "")
+    s"$base$roundsSql$out\nORDER BY round"
+  }
 
   /** Deterministic random walks unrolled as chained CTEs: each step is
     * one join + one per-walk `arg_min` over the same md5("walk:step:nbr")
@@ -1642,10 +1724,12 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS core_degrees_ge_k,
         |       CAST(1 AS BIGINT) AS members_have_global_deg_ge_k""".stripMargin,
 
-    "ktruss_invariants" ->
-      """SELECT CAST(1 AS BIGINT) AS edges_canonical,
-        |       CAST(1 AS BIGINT) AS support_ge_k_minus_2,
-        |       CAST(1 AS BIGINT) AS edges_subset_of_graph""".stripMargin,
+    "pq_invariants" ->
+      """SELECT CAST(1 AS BIGINT) AS m_codes_per_vector,
+        |       CAST(1 AS BIGINT) AS codes_in_range,
+        |       CAST(1 AS BIGINT) AS recall_at_10_ge_half""".stripMargin,
+
+    "truss_decay" -> trussDecayOracle,
 
     "degree_histogram" ->
       s"""$RatingsCte, cooc AS (
@@ -1858,6 +1942,49 @@ object SparkEntry {
         |SELECT node_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / hops), 6) AS harmonic
         |FROM mind WHERE hops > 0
         |GROUP BY node_id ORDER BY node_id""".stripMargin,
+
+    "closeness_sample" ->
+      s"""$RatingsCteRecursive, cooc AS (
+        |  SELECT a.user_id AS src, b.user_id AS dst
+        |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+        |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+        |  WHERE a.user_id <> b.user_id
+        |  GROUP BY a.user_id, b.user_id
+        |), walk(source, node_id, hops) AS (
+        |  SELECT CAST(v AS BIGINT), CAST(v AS BIGINT), 0
+        |  FROM (VALUES (1), (2), (3), (4)) t(v)
+        |  UNION
+        |  SELECT w.source, e.dst, w.hops + 1
+        |  FROM walk w JOIN cooc e ON w.node_id = e.src
+        |  WHERE w.hops < 3
+        |), mind AS (
+        |  SELECT source, node_id, MIN(hops) AS hops
+        |  FROM walk GROUP BY source, node_id
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(hops) AS BIGINT) AS sum_dist,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(hops), 6) AS closeness
+        |FROM mind WHERE hops > 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "user_overlap_topk" ->
+      s"""$RatingsCte, liked AS (
+         |  SELECT user_id, book_id FROM ratings WHERE rating >= 6
+         |), sizes AS (
+         |  SELECT user_id, COUNT(*) AS sz FROM liked GROUP BY user_id
+         |), inter AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_common
+         |  FROM liked a JOIN liked b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |)
+         |SELECT i.u1, i.u2, CAST(i.n_common AS BIGINT) AS n_common,
+         |  ROUND(CAST(i.n_common AS DOUBLE) / LEAST(s1.sz, s2.sz), 6) AS overlap
+         |FROM inter i
+         |JOIN sizes s1 ON i.u1 = s1.user_id
+         |JOIN sizes s2 ON i.u2 = s2.user_id
+         |ORDER BY ROUND(CAST(i.n_common AS DOUBLE) / LEAST(s1.sz, s2.sz), 6) DESC, i.u1, i.u2
+         |LIMIT 20""".stripMargin,
 
     "token_pack" -> ("WITH " + packSql("documents")),
 

@@ -179,6 +179,115 @@ object AnnSearch {
       .orderBy(col("vec_id"))
   }
 
+  /** Squared L2 between two array columns (any numeric element type). */
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Product-quantization codebooks: the vector splits into `m`
+    * subspaces of Dim/m dims; each subspace trains `ksub` centroids
+    * (deterministic xxhash64 seeds + one Lloyd refinement — the
+    * [[ivfCentroids]] recipe per subspace, all m subspaces trained in
+    * ONE pass: subvectors explode once and every window/aggregate keys
+    * on `sub`). Session-cached; at 100 TB this is the tiny index
+    * artifact built once per corpus version. */
+  private def pqCodebooks(spark: SparkSession, dir: String,
+      m: Int, ksub: Int): DataFrame =
+    graft.Cache.cached(spark, dir, s"pq_codebooks_${m}_$ksub") {
+      val subDim = Dim / m
+      val sub = emb(spark, dir).select(col("vec_id"),
+          posexplode(array((0 until m).map(s =>
+            slice(col("embedding"), s * subDim + 1, subDim)): _*)))
+        .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
+      val seeds = sub
+        .withColumn("h", xxhash64(col("vec_id"), col("sub")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))))
+        .filter(col("rn") <= ksub)
+        .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+          col("sv").as("centroid"))
+      val assign = sub.join(broadcast(seeds), Seq("sub"))
+        .withColumn("d", l2sq(col("sv"), col("centroid")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("d"), col("code"))))
+        .filter(col("rk") === 1)
+      assign.groupBy(col("sub"), col("code"))
+        .agg(VectorOps.vecSum(subDim)(
+            transform(col("sv"), v => v.cast("double"))).as("csum"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"),
+          transform(col("csum"), v => v / col("n")).as("centroid"))
+    }
+
+  /** PQ codes: every vector × subspace encoded to its nearest-centroid
+    * id — the 1-byte-per-subspace compressed representation ADC scans
+    * instead of raw vectors (here m codes ≈ m bytes vs Dim·4 bytes).
+    * Session-cached; at scale a (vec_id, codes) table. */
+  def pqCodes(spark: SparkSession, dir: String,
+      m: Int = 8, ksub: Int = 16): DataFrame =
+    graft.Cache.cached(spark, dir, s"pq_codes_${m}_$ksub") {
+      val subDim = Dim / m
+      val cb = pqCodebooks(spark, dir, m, ksub)
+      emb(spark, dir).select(col("vec_id"),
+          posexplode(array((0 until m).map(s =>
+            slice(col("embedding"), s * subDim + 1, subDim)): _*)))
+        .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("d", l2sq(col("sv"), col("centroid")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("d"), col("code"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+    }
+
+  /** PQ approximate top-k via asymmetric distance computation (ADC):
+    * the query builds an m×ksub distance table driver-side (m·ksub
+    * scalars — ships as one literal array), each encoded vector's
+    * approximate distance is m table LOOKUPS + a sum (never a vector
+    * op), the best k·candMult candidates re-rank by exact cosine. This
+    * is the RAM-resident leg of the standard 100 TB ANN stack
+    * (IVF routes, PQ scans in memory, exact re-rank touches ~k·candMult
+    * full vectors). */
+  def pqTopK(spark: SparkSession, dir: String,
+      queryId: Long = DefaultQueryId, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, candMult: Int = 8): DataFrame = {
+    val subDim = Dim / m
+    val qRows = emb(spark, dir).filter(col("vec_id") === queryId).collect()
+    if (qRows.isEmpty)
+      return emb(spark, dir).limit(0)
+        .select(col("vec_id"), lit(0.0).as("cosine"))
+    val q = qRows.head.getSeq[Float](1).map(_.toDouble)
+    val cb = pqCodebooks(spark, dir, m, ksub).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+    // flat (sub, code) → distance table, 1-based for element_at
+    val flat = Array.fill(m * ksub)(Double.MaxValue)
+    cb.foreach { case ((sub, code), c) =>
+      val qs = q.slice(sub * subDim, (sub + 1) * subDim)
+      flat(sub * ksub + code) = qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    }
+    val table = array(flat.map(lit): _*)
+    val qVec = array(q.map(lit): _*)
+    val candidates = pqCodes(spark, dir, m, ksub)
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("d", element_at(table,
+        (col("sub") * ksub + col("code") + 1).cast("int")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k * candMult)
+    candidates
+      .join(emb(spark, dir), Seq("vec_id"))
+      .withColumn("cosine", CosineSim.cosine(spark,
+        transform(col("embedding"), x => x.cast("double")), qVec))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF index build, session-cached per (dir, nCells): deterministic
     * seed centroids (smallest xxhash64(vec_id)) + one Lloyd refinement.
     * At 100 TB this is the persisted index table built once per corpus

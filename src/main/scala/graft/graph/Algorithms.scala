@@ -341,6 +341,30 @@ object Algorithms {
       .limit(k)
   }
 
+  /** Per-user OVERLAP node similarity (GDS `nodeSimilarity` with
+    * `similarityMetric: OVERLAP`): |A∩B| / min(|A|,|B|) over liked-book
+    * sets — flags containment (a niche user inside a power user's
+    * taste) that Jaccard's union denominator dilutes. Same intersection
+    * join and degree aggregate as [[userJaccardTopK]]. */
+  def userOverlapTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val liked = RatingsGraph.ratings(spark, dir)
+      .filter(col("rating") >= 6).select(col("user_id"), col("book_id"))
+    val sizes = liked.groupBy(col("user_id")).agg(count(lit(1)).as("sz"))
+    val inter = liked.select(col("user_id").as("u1"), col("book_id"))
+      .join(liked.select(col("user_id").as("u2"), col("book_id")), Seq("book_id"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("user_id").as("u1"), col("sz").as("sz1")), Seq("u1"))
+      .join(sizes.select(col("user_id").as("u2"), col("sz").as("sz2")), Seq("u2"))
+      .withColumn("overlap",
+        col("n_common").cast("double") / least(col("sz1"), col("sz2")))
+      .select(col("u1"), col("u2"), col("n_common"), round(col("overlap"), 6).as("overlap"))
+      .orderBy(col("overlap").desc, col("u1"), col("u2"))
+      .limit(k)
+  }
+
   /** Adamic–Adar link prediction for one source user over the
     * co-occurrence graph (GDS link-prediction family —
     * `gds.alpha.linkprediction.adamicAdar`; the per-user shape mirrors
@@ -426,14 +450,6 @@ object Algorithms {
         assumeDistinct = true) // one row per user pair by construction
     }
 
-  /** k-truss of the user co-occurrence graph, session-cached (the
-    * edges + invariants entries both consume it). */
-  def userKtruss(spark: SparkSession, dir: String, k: Int = 12): DataFrame =
-    graft.Cache.cached(spark, dir, s"ktruss_$k") {
-      ktruss(RatingsGraph.cooccurrenceEdges(spark, dir)
-        .select(col("u1").as("src"), col("u2").as("dst")), k)
-    }
-
   /** Bounded BFS: hop distance from a source node to every node within
     * `maxHops` (the generalisation of the reference's 2-hop
     * `get_graph_data` expansion). One join + min-aggregate per hop. */
@@ -464,8 +480,38 @@ object Algorithms {
     * unreached within `maxHops` from any source are absent (their
     * contribution is 0). GDS closeness/harmonic family. */
   def harmonicCentrality(edges: DataFrame, sources: Seq[Long], maxHops: Int = 3,
-      symmetric: Boolean = false): DataFrame = {
-    require(sources.nonEmpty, "harmonic centrality needs >= 1 source")
+      symmetric: Boolean = false): DataFrame =
+    multiSourceDistances(edges, sources, maxHops, symmetric)
+      .filter(col("hops") > 0)
+      .groupBy(col("node_id"))
+      .agg(round(sum(lit(1.0) / col("hops")), 6).as("harmonic"))
+      .orderBy(col("node_id"))
+
+  /** Closeness centrality OF a fixed source sample within a bounded
+    * horizon (GDS closeness family — the per-node twin of
+    * [[harmonicCentrality]]'s per-receiver view): closeness(s) =
+    * reached(s) / Σ_v d(s,v) over nodes within `maxHops` of s. Exact
+    * closeness is full APSP and never runs at 100 TB; a source sample
+    * with a bounded horizon is the standard estimator, and all |S|
+    * waves share each frontier join. */
+  def closenessSample(edges: DataFrame, sources: Seq[Long], maxHops: Int = 3,
+      symmetric: Boolean = false): DataFrame =
+    multiSourceDistances(edges, sources, maxHops, symmetric)
+      .filter(col("hops") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("hops")).as("sum_dist"))
+      .select(col("source"), col("n_reached"), col("sum_dist"),
+        round(col("n_reached").cast("double") / col("sum_dist"), 6).as("closeness"))
+      .orderBy(col("source"))
+
+  /** Bounded multi-source BFS: min hop distance keyed (source, node) —
+    * the shared frontier loop of [[harmonicCentrality]] and
+    * [[closenessSample]]; one join + one min-aggregate per hop, all
+    * sources sharing them. */
+  private def multiSourceDistances(edges: DataFrame, sources: Seq[Long],
+      maxHops: Int, symmetric: Boolean): DataFrame = {
+    require(sources.nonEmpty, "need >= 1 source")
     val spark = edges.sparkSession
     // symmetric = caller vouches both directions are present and deduped
     // (the co-occurrence projection is, by construction) — skips a full
@@ -486,10 +532,7 @@ object Algorithms {
         .groupBy(col("source"), col("node_id")).agg(min(col("hops")).as("hops"))
         .localCheckpoint()
     }
-    dist.filter(col("hops") > 0)
-      .groupBy(col("node_id"))
-      .agg(round(sum(lit(1.0) / col("hops")), 6).as("harmonic"))
-      .orderBy(col("node_id"))
+    dist
   }
 
   /** Single-source WEIGHTED shortest paths by bounded Bellman-Ford
@@ -640,36 +683,148 @@ object Algorithms {
     * round must delete ≥1 edge or the loop has converged, so depth is
     * bounded by |E| but in practice a handful). Returns the surviving
     * canonical edges with their final support. */
-  def ktruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+  def ktruss(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    var cur = edges
+    val canon = edges
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // the k-truss is contained in the (k-1)-core: a cheap degree peel
+    // (no intersections) shrinks the graph before any triangle work
+    val core = kcore(canon.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(canon.select(col("v").as("src"), col("u").as("dst"))),
+      k - 1, assumeDistinct = true).select(col("node_id"))
+    val cur = canon
+      .join(core.withColumnRenamed("node_id", "u"), Seq("u"), "left_semi")
+      .join(core.withColumnRenamed("node_id", "v"), Seq("v"), "left_semi")
       .localCheckpoint()
-    var n = cur.count()
-    def supported(e: DataFrame): DataFrame = {
-      val bidir = e.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
-      val adj = bidir.groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
-      e.join(adj.select(col("a").as("u"), col("nbrs").as("nu")), Seq("u"))
-        .join(adj.select(col("a").as("v"), col("nbrs").as("nv")), Seq("v"))
-        .select(col("u"), col("v"),
-          size(array_intersect(col("nu"), col("nv"))).cast("bigint").as("support"))
+    ktrussLoop(supportedCanon(cur), k, maxIter)
+  }
+
+  /** Per-edge triangle support of a canonical (u,v) pair set from a
+    * degree-ordered oriented edge list + its sorted adjacency (the
+    * [[triangleCount]] machinery — intersections bounded by ~√(2m), the
+    * wedge set never materialises): each triangle (x,y,z) explodes onto
+    * its three canonical edges, one count aggregate gives support. */
+  private def edgeSupportFrom(e: DataFrame, oriented: DataFrame,
+      adj: DataFrame): DataFrame = {
+    val tri = oriented
+      .join(adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), Seq("dst"))
+      .select(col("src").as("x"), col("dst").as("y"),
+        explode(array_intersect(col("na"), col("nb"))).as("z"))
+    val sup = tri.select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .unionAll(tri.select(least(col("x"), col("z")).as("u"), greatest(col("x"), col("z")).as("v")))
+      .unionAll(tri.select(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("v")))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+    e.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  private def supportedCanon(e: DataFrame): DataFrame = {
+    val und = e.select(col("u").as("a"), col("v").as("b"))
+    val oriented = orientOf(und, undDegrees(und)).localCheckpoint()
+    edgeSupportFrom(e, oriented, sortedAdj(oriented))
+  }
+
+  /** One peel round: remove every under-support edge, give the
+    * survivors their support IN the shrunken graph. Two plans for the
+    * SAME numbers (support in G\R = support in G minus triangles lost
+    * to R — an identity, so the choice never changes results):
+    *
+    *  - small removal set → DELTA: enumerate only the dead triangles by
+    *    joining the removed edges against the current graph (cost ∝
+    *    |removed|·deg, no adjacency arrays), dedup'd on the sorted
+    *    triple so a triangle losing 2–3 edges at once decrements once;
+    *  - large removal set (early rounds of a deep cascade) → RECOMPUTE
+    *    support on the survivor graph directly (one oriented triangle
+    *    pass over the now-much-smaller graph) — dead-triangle
+    *    enumeration would touch more triangles than survive.
+    *
+    * Returns (nRemoved, nextAlive). */
+  private def peelRound(alive: DataFrame, k: Int, nAlive: Long): (Long, DataFrame) = {
+    val removed = alive.filter(col("support") < k - 2)
+      .select(col("u"), col("v")).localCheckpoint()
+    val nRemoved = removed.count()
+    val keep = alive.filter(col("support") >= k - 2)
+    if (nRemoved == 0) return (0L, alive)
+    if (nRemoved * 2 > nAlive) {
+      val next = supportedCanon(keep.select(col("u"), col("v")).localCheckpoint())
+        .localCheckpoint()
+      return (nRemoved, next)
     }
-    var done = n == 0
+    val curBidir = alive.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(alive.select(col("v").as("s"), col("u").as("t")))
+    val deadTri = removed
+      .join(curBidir.select(col("s").as("u"), col("t").as("w")), Seq("u"))
+      .join(curBidir.select(col("s").as("v"), col("t").as("w")), Seq("v", "w"),
+        "left_semi")
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("tri"))
+      .distinct()
+      .select(col("tri")(0).as("x"), col("tri")(1).as("y"), col("tri")(2).as("z"))
+    val decr = deadTri.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(deadTri.select(col("x").as("u"), col("z").as("v")))
+      .unionAll(deadTri.select(col("y").as("u"), col("z").as("v")))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_dead"))
+    val next = keep.join(decr, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (col("support") - coalesce(col("n_dead"), lit(0L))).as("support"))
+      .localCheckpoint()
+    (nRemoved, next)
+  }
+
+  /** Delta support-peeling to fixpoint from a fully-support-annotated
+    * edge set: support is computed ONCE (the only full triangle pass),
+    * then [[peelRound]] maintains it incrementally. Cascade DEPTH is
+    * data-dependent — on near-uniform dense graphs it can be O(|E|)
+    * levels, which is why the *entry* surface exposes the
+    * bounded-round [[trussDecayProfile]] instead and this fixpoint form
+    * is the library operator for structured graphs. */
+  private def ktrussLoop(sup0: DataFrame, k: Int, maxIter: Int): DataFrame = {
+    var alive = sup0.localCheckpoint()
+    var nAlive = alive.count()
     var i = 0
+    var done = false
     while (!done && i < maxIter) {
-      val next = supported(cur).filter(col("support") >= k - 2)
-        .select(col("u"), col("v")).localCheckpoint()
-      val m = next.count()
-      done = m == n || m == 0
-      cur = next
-      n = m
+      val (nRemoved, next) = peelRound(alive, k, nAlive)
+      if (nRemoved == 0) done = true
+      else {
+        alive = next
+        nAlive -= nRemoved
+      }
       i += 1
     }
     if (!done)
       System.err.println(s"[graft] ktruss hit maxIter=$maxIter before fixpoint")
-    supported(cur).orderBy(col("u"), col("v"))
+    alive.filter(col("support") >= k - 2).orderBy(col("u"), col("v"))
+  }
+
+  /** Truss-DECAY profile of the co-occurrence graph (the graph-profile
+    * report next to [[degreeHistogram]] / [[componentSizeHistogram]]):
+    * per bounded delta-peel round at truss tier k, how many edges fall
+    * and how many survive. A fixed round count keeps the operator
+    * deterministic and cheap on ANY graph (fixpoint truss cascades can
+    * be O(|E|) levels deep on near-uniform dense graphs — this
+    * testdata's co-rating projection is one), and makes the whole
+    * computation — initial support included — exactly oracle-checkable
+    * as unrolled SQL. Round 0 reuses the session-cached orientation. */
+  def trussDecayProfile(spark: SparkSession, dir: String,
+      k: Int = 25, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val canon = userCanonPairs(spark, dir)
+      .select(col("a").as("u"), col("b").as("v"))
+    var alive = edgeSupportFrom(canon,
+      userOrientedEdges(spark, dir), userOrientedAdj(spark, dir))
+      .localCheckpoint()
+    var nAlive = alive.count()
+    val profile = (1 to rounds).map { r =>
+      val (nRemoved, next) = peelRound(alive, k, nAlive)
+      alive = next
+      nAlive -= nRemoved
+      (r.toLong, nRemoved, nAlive)
+    }
+    profile.toDF("round", "n_removed", "n_alive")
   }
 
   /** Degree-distribution histogram of the co-occurrence graph (the

@@ -43,6 +43,23 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("n_users_approx"), col("sum_value"))
 
+  /** SLIDING-window aggregation (1-hour window every 15 minutes): each
+    * event lands in windowLen/slide overlapping windows — Spark expands
+    * the row per window, then the stateful agg is identical to the
+    * tumbling case, with state bounded by watermark eviction the same
+    * way. The batch run of this same dataflow is its own oracle
+    * (StreamingSpec proves stream ≡ batch). */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization (30-minute inactivity) with
     * flatMapGroupsWithState + event-time timeout. State per user is the
     * set of OPEN session intervals (not just the latest): an event that

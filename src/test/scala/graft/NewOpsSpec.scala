@@ -497,6 +497,19 @@ class NewOpsSpec extends AnyFunSuite {
     assert(Algorithms.ktruss(edges, k = 6).collect().isEmpty)
   }
 
+  test("trussDecayProfile: rounds conserve edges (alive[r-1] = removed[r] + alive[r])") {
+    val rows = Algorithms.trussDecayProfile(spark, sf).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val total = graft.graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+      .filter(col("u1") < col("u2")).count()
+    var prev = total
+    rows.foreach { case (_, removed, alive) =>
+      assert(prev == removed + alive, s"round leak: $prev != $removed + $alive")
+      prev = alive
+    }
+  }
+
   test("degreeHistogram: mass balances the directed co-occurrence edge count") {
     val hist = Algorithms.degreeHistogram(spark, sf)
     val mass = hist.agg(sum(col("degree") * col("n_nodes"))).head().getLong(0)
@@ -526,6 +539,41 @@ class NewOpsSpec extends AnyFunSuite {
     assert(got.filter(col("bloom_superset") =!= 1L).isEmpty,
       "Bloom filter produced a false negative")
     assert(got.filter(col("n_exact_hits") > col("n_grams")).isEmpty)
+  }
+
+  test("pqTopK: decent recall vs brute force, codes well-formed, deterministic") {
+    import graft.ann.AnnSearch
+    val bf = AnnSearch.bruteForceTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val pq = AnnSearch.pqTopK(spark, sf).collect()
+    assert(pq.length == 10)
+    val overlap = pq.map(_.getLong(0)).count(bf)
+    assert(overlap >= 5, s"PQ recall@10 too low: $overlap/10")
+    val codes = AnnSearch.pqCodes(spark, sf)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).isEmpty)
+    assert(codes.count() ==
+      graft.Tables.embeddings(spark, sf).count() * 8)
+    assert(pq.toSeq == AnnSearch.pqTopK(spark, sf).collect().toSeq)
+  }
+
+  test("closenessSample: hand-computed path-graph fixture") {
+    // path 1-2-3-4-5, source 1, maxHops 3: reaches {2,3,4} at 1,2,3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Algorithms.closenessSample(path, Seq(1L), maxHops = 3).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 6L)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-9)
+  }
+
+  test("userOverlapTopK: overlap in (0,1], dominates jaccard on shared pairs") {
+    val ov = Algorithms.userOverlapTopK(spark, sf)
+    assert(ov.count() > 0)
+    assert(ov.filter(col("overlap") <= 0.0 || col("overlap") > 1.0).isEmpty)
+    val jac = Algorithms.userJaccardTopK(spark, sf)
+      .select(col("u1"), col("u2"), col("jaccard"))
+    val both = ov.join(jac, Seq("u1", "u2"))
+    assert(both.filter(col("overlap") < col("jaccard")).isEmpty,
+      "overlap must be >= jaccard (min-denominator vs union-denominator)")
   }
 
   test("embedding_quantize: codes in 0..255, mid-rise error bound holds") {

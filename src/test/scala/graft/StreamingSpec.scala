@@ -127,6 +127,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts over a MemoryStream matches the batch analog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val evs = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 2, "click", 2.0),
+      Event(3, ts(65), 1, "buy", 5.0), Event(4, ts(70), 1, "click", 1.5),
+      Event(5, ts(200), 3, "click", 0.5))
+    input.addData(evs: _*)
+    val q = EventStreams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("slc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => ((r.getTimestamp(0).getTime - 86400000L) / 60000,
+          r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val got = canon(spark.table("slc"))
+      // the clicks at minutes 5 and 10 belong to the 4 hour-long windows
+      // sliding by 15 min that contain them: starts -45, -30, -15, 0
+      assert(got.contains((0L, "click", 2L, 3.0)))
+      assert(got.contains((-45L, "click", 2L, 3.0)), s"missing early slide: $got")
+      assert(got == canon(EventStreams.slidingCounts(evs.toDF())))
+    } finally q.stop()
+  }
+
   test("RatingsSilverMaintainer: stream-folded silver equals the one-shot MERGE build") {
     import spark.implicits._
     import EventStreams.RatingEvent
