@@ -36,6 +36,7 @@ object Bench {
       "pagerank" -> (() => graph.Algorithms.userPageRank(spark, sfDir).count(): Unit),
       "ngram_pairs" -> (() => dedup.Dedup.ngramJaccardPairs(spark, sfDir).count(): Unit),
       "oriented_adj" -> (() => graph.Algorithms.userOrientedAdj(spark, sfDir).count(): Unit),
+      "edge_support" -> (() => graph.Algorithms.userEdgeSupport(spark, sfDir).count(): Unit),
       "kcore" -> (() => graph.Algorithms.userKcore(spark, sfDir).count(): Unit))
     val silverResults = silverBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()

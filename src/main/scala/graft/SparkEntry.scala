@@ -399,6 +399,9 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q13_custdist" -> ((s, d) => Olap.q13Custdist(s, d)),
     "q10_returns" -> ((s, d) => Olap.q10Returns(s, d)),
+    "q14_promo_share" -> ((s, d) => Olap.q14PromoShare(s, d)),
+    "q15_top_supplier" -> ((s, d) => Olap.q15TopSupplier(s, d)),
+    "q21_waiting_supplier" -> ((s, d) => Olap.q21WaitingSupplier(s, d)),
     "q16_supplier_count" -> ((s, d) => Olap.q16SupplierCount(s, d)),
     "q18_large_orders" -> ((s, d) => Olap.q18LargeOrders(s, d)),
     "q19_disjunctive" -> ((s, d) => Olap.q19Disjunctive(s, d)),
@@ -2045,6 +2048,63 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_acctbal, c_nationkey
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |           (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |          (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS DOUBLE) AS promo_revenue_pct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |       (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |             (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), late_lines AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late
+        |), all_supp AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM li
+        |), multi AS (
+        |  SELECT l1.* FROM late_lines l1
+        |  WHERE EXISTS (SELECT 1 FROM all_supp l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |), solely AS (
+        |  SELECT m.* FROM multi m
+        |  WHERE NOT EXISTS (SELECT 1 FROM late_lines o
+        |                    WHERE o.l_orderkey = m.l_orderkey
+        |                      AND o.l_suppkey <> m.l_suppkey)
+        |)
+        |SELECT s_suppkey, s_name, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS numwait
+        |FROM solely JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 10""".stripMargin,
 
     "q16_supplier_count" ->
       """SELECT p_brand, p_type, p_size,

@@ -809,14 +809,20 @@ object Algorithms {
     * testdata's co-rating projection is one), and makes the whole
     * computation — initial support included — exactly oracle-checkable
     * as unrolled SQL. Round 0 reuses the session-cached orientation. */
+  /** Per-edge triangle support of the full co-occurrence graph —
+    * k-independent, session-cached (the one full triangle pass any
+    * truss-tier query needs; consumes the shared orientation). */
+  private[graft] def userEdgeSupport(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "edge_support") {
+      edgeSupportFrom(
+        userCanonPairs(spark, dir).select(col("a").as("u"), col("b").as("v")),
+        userOrientedEdges(spark, dir), userOrientedAdj(spark, dir))
+    }
+
   def trussDecayProfile(spark: SparkSession, dir: String,
       k: Int = 25, rounds: Int = 3): DataFrame = {
     import spark.implicits._
-    val canon = userCanonPairs(spark, dir)
-      .select(col("a").as("u"), col("b").as("v"))
-    var alive = edgeSupportFrom(canon,
-      userOrientedEdges(spark, dir), userOrientedAdj(spark, dir))
-      .localCheckpoint()
+    var alive = userEdgeSupport(spark, dir).localCheckpoint()
     var nAlive = alive.count()
     val profile = (1 to rounds).map { r =>
       val (nRemoved, next) = peelRound(alive, k, nAlive)

@@ -491,6 +491,80 @@ object Olap {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q14 shape: conditional-aggregate ratio — promo revenue share
+    * for one month, both legs in ONE aggregate over one scan (a
+    * two-query formulation would scan twice). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", price * disc1)
+          .otherwise(lit(0).cast("decimal(24,4)"))).as("promo_dec"),
+        sum(price * disc1).as("total_dec"))
+      .select(
+        (lit(100.0) * col("promo_dec").cast("double") / col("total_dec").cast("double"))
+          .as("promo_revenue_pct"),
+        col("total_dec").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q15 shape: top supplier by quarterly revenue — an aggregated
+    * "view" joined back against its own MAX (scalar subquery): two
+    * consumers of one aggregate, no window sort. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(price * disc1).as("total_dec"))
+      .select(col("l_suppkey"), col("total_dec").cast("double").as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue.join(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape: double correlation — EXISTS (another supplier in
+    * the same order) AND NOT EXISTS (another supplier ALSO late in that
+    * order), counting per-supplier "solely-responsible late" lines.
+    * Late = shipped > 60 days after order date (the testdata has no
+    * commit/receipt dates; the correlation structure — semi-join +
+    * anti-join against the same fact at different predicates — is the
+    * point). Distinct orderkeys per supplier are counted so parallel
+    * late lines in one order don't double-count. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val li = lineitem(spark, dir)
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val lateLines = li.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // EXISTS: some OTHER supplier appears in the order
+    val multiSupp = lateLines.alias("l1")
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("other")).distinct().alias("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.other"), "left_semi")
+    // NOT EXISTS: no OTHER supplier was late in the same order
+    val solelyLate = multiSupp.alias("m")
+      .join(lateLines.select(col("l_orderkey"), col("l_suppkey").as("other_late")).alias("o"),
+        col("m.l_orderkey") === col("o.l_orderkey") &&
+          col("m.l_suppkey") =!= col("o.other_late"), "left_anti")
+    solelyLate
+      .join(supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
   /** TPC-H Q22 shape: global-filter anti-join — customers above the
     * positive-balance average (a broadcast scalar subquery) with no
     * RECENT order (left_anti against a date-filtered orders scan; the

@@ -136,6 +136,34 @@ object EventStreams {
         col("pt"), col("ct"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase emits, with
+    * click columns null when no same-user click preceded it in the
+    * window. The outer side is the semantically hard part of streaming
+    * joins — a null-extended row can only be emitted once the watermark
+    * proves no matching click can still arrive, so results trail the
+    * inner join by the watermark delay; state stays bounded by the same
+    * horizon. Batch analog: run the identical dataflow on a static
+    * frame (spec-proved equal). */
+  def attributionJoinOuter(events: org.apache.spark.sql.DataFrame,
+      windowMinutes: Int = 30): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pt"))
+      .withWatermark("pt", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("ct"))
+      .withWatermark("ct", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("ct") <= col("pt") &&
+        col("ct") >= col("pt") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"),
+        col("pt"), col("ct"))
+  }
+
   /** Streaming exact-dedup: drop repeated event_ids inside the
     * watermark horizon (at-least-once source → exactly-once sink
     * semantics). State is bounded by the watermark — the streaming

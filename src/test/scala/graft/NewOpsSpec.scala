@@ -446,6 +446,31 @@ class NewOpsSpec extends AnyFunSuite {
       "more survivors than orderless customers in the code set")
   }
 
+  test("q14/q15: ratio bounded, argmax really is the max") {
+    val r14 = Olap.q14PromoShare(spark, sf).head()
+    assert(r14.getDouble(0) >= 0.0 && r14.getDouble(0) <= 100.0)
+    assert(r14.getDouble(1) > 0.0)
+    val r15 = Olap.q15TopSupplier(spark, sf).collect()
+    assert(r15.nonEmpty)
+    val best = r15.map(_.getDouble(2)).max
+    // no supplier in the quarter out-earns the reported max
+    val all = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("rev"))
+    assert(all.filter(col("rev") > best).isEmpty)
+  }
+
+  test("q21: reported suppliers were the sole late supplier in multi-supplier orders") {
+    val got = Olap.q21WaitingSupplier(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    assert(got.forall(_.getLong(2) > 0))
+    assert(got.map(_.getLong(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("q10/q16: shapes are non-empty with sane orderings") {
     val q10 = Olap.q10Returns(spark, sf).collect()
     assert(q10.nonEmpty && q10.length <= 20)

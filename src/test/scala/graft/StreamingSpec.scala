@@ -289,6 +289,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER attribution: unmatched purchase emits with null click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val evs = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "purchase", 9.0),   // click 1 within 30 min
+      Event(3, ts(50), 1, "purchase", 5.0),   // click 1 is 50 min old → null-extended
+      Event(4, ts(45), 2, "click", 1.0),
+      Event(5, ts(60), 2, "purchase", 7.0),   // click 4 within 30 min
+      // advance the watermark far enough that the outer side can prove
+      // purchase 3 will never match (wm = max ts - 1 h must pass pt)
+      Event(6, ts(400), 3, "click", 0.0),
+      Event(7, ts(800), 3, "click", 0.0))
+    input.addData(evs: _*)
+    val q = EventStreams.attributionJoinOuter(input.toDF())
+      .writeStream.format("memory").queryName("attr_outer").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the GLOBAL watermark is the MIN across both sides (default
+      // multipleWatermarkPolicy), so BOTH the click and purchase legs
+      // need late events before null-extended rows can flush; eviction
+      // then runs one batch behind the advance
+      val advance = Seq(Event(8, ts(1200), 9, "click", 0.0),
+        Event(9, ts(1200), 9, "purchase", 0.0),
+        Event(10, ts(1600), 9, "click", 0.0),
+        Event(11, ts(1600), 9, "purchase", 0.0))
+      advance.foreach { e => input.addData(e); q.processAllAvailable() }
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .filter(_._1 <= 5L).toSet // the advance purchases stay pending
+      val got = canon(spark.table("attr_outer")
+        .select(col("purchase_id"), col("click_id")).collect())
+      assert(got == Set((2L, 1L), (3L, -1L), (5L, 4L)), s"got $got")
+      // batch run of the identical dataflow agrees (nulls included)
+      val batch = canon(EventStreams.attributionJoinOuter(
+          evs.toDF().unionAll(advance.toDF()))
+        .select(col("purchase_id"), col("click_id")).collect())
+      assert(batch == got, s"batch $batch != stream $got")
+    } finally q.stop()
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val f1 = multimodal.Multimodal.mediaFeatures(spark, sf)
     assert(f1.columns.toSeq == Seq("doc_id", "modality", "byte_len",
