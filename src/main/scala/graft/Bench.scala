@@ -37,7 +37,10 @@ object Bench {
       "ngram_pairs" -> (() => dedup.Dedup.ngramJaccardPairs(spark, sfDir).count(): Unit),
       "oriented_adj" -> (() => graph.Algorithms.userOrientedAdj(spark, sfDir).count(): Unit),
       "edge_support" -> (() => graph.Algorithms.userEdgeSupport(spark, sfDir).count(): Unit),
-      "kcore" -> (() => graph.Algorithms.userKcore(spark, sfDir).count(): Unit))
+      "kcore" -> (() => graph.Algorithms.userKcore(spark, sfDir).count(): Unit),
+      "bipartite_cc" -> (() => graph.Algorithms.userBipartiteCC(spark, sfDir).count(): Unit),
+      "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
+      "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit))
     val silverResults = silverBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()
       val ok =

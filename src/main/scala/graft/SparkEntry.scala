@@ -90,9 +90,7 @@ object SparkEntry {
         .select(col("n_communities"), round(col("modularity"), 6).as("modularity"))
     }),
     "connected_components" -> ((s, d) =>
-      graft.graph.Algorithms.connectedComponents(
-        graft.graph.Algorithms.bipartiteEdges(s, d))
-        .orderBy("node_id")),
+      graft.graph.Algorithms.userBipartiteCC(s, d).orderBy("node_id")),
     "pagerank_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.userPageRank(s, d)
@@ -344,20 +342,10 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) => graft.ann.AnnSearch.quantize(s, d)),
     // — r4 continuation: sampled centrality, personalized PageRank,
     //   packing/mixing/scrubbing pipeline ops, Q13 —
-    "harmonic_centrality" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      graft.graph.Algorithms.harmonicCentrality(
-        RatingsGraph.cooccurrenceEdges(s, d)
-          .select(col("u1").as("src"), col("u2").as("dst")),
-        sources = Seq(1L, 2L, 3L, 4L), maxHops = 3, symmetric = true)
-    }),
-    "closeness_sample" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      graft.graph.Algorithms.closenessSample(
-        RatingsGraph.cooccurrenceEdges(s, d)
-          .select(col("u1").as("src"), col("u2").as("dst")),
-        sources = Seq(1L, 2L, 3L, 4L), maxHops = 3, symmetric = true)
-    }),
+    "harmonic_centrality" -> ((s, d) =>
+      graft.graph.Algorithms.userHarmonicCentrality(s, d)),
+    "closeness_sample" -> ((s, d) =>
+      graft.graph.Algorithms.userClosenessSample(s, d)),
     "user_overlap_topk" -> ((s, d) => graft.graph.Algorithms.userOverlapTopK(s, d)),
     "ppr_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -392,9 +380,14 @@ object SparkEntry {
         RatingsGraph.cooccurrenceEdges(s, d)
           .select(col("u1").as("src"), col("u2").as("dst")))
     }),
-    "component_sizes" -> ((s, d) =>
-      graft.graph.Algorithms.componentSizeHistogram(
-        graft.graph.Algorithms.bipartiteEdges(s, d))),
+    "component_sizes" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.userBipartiteCC(s, d)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy(col("component_size"))
+    }),
     "source_mix" -> ((s, d) => TextOps.sourceMix(s, d)),
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q13_custdist" -> ((s, d) => Olap.q13Custdist(s, d)),

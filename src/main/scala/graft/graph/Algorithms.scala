@@ -481,7 +481,10 @@ object Algorithms {
     * contribution is 0). GDS closeness/harmonic family. */
   def harmonicCentrality(edges: DataFrame, sources: Seq[Long], maxHops: Int = 3,
       symmetric: Boolean = false): DataFrame =
-    multiSourceDistances(edges, sources, maxHops, symmetric)
+    harmonicFrom(multiSourceDistances(edges, sources, maxHops, symmetric))
+
+  private def harmonicFrom(dist: DataFrame): DataFrame =
+    dist
       .filter(col("hops") > 0)
       .groupBy(col("node_id"))
       .agg(round(sum(lit(1.0) / col("hops")), 6).as("harmonic"))
@@ -496,7 +499,10 @@ object Algorithms {
     * waves share each frontier join. */
   def closenessSample(edges: DataFrame, sources: Seq[Long], maxHops: Int = 3,
       symmetric: Boolean = false): DataFrame =
-    multiSourceDistances(edges, sources, maxHops, symmetric)
+    closenessFrom(multiSourceDistances(edges, sources, maxHops, symmetric))
+
+  private def closenessFrom(dist: DataFrame): DataFrame =
+    dist
       .filter(col("hops") > 0)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_reached"),
@@ -504,6 +510,32 @@ object Algorithms {
       .select(col("source"), col("n_reached"), col("sum_dist"),
         round(col("n_reached").cast("double") / col("sum_dist"), 6).as("closeness"))
       .orderBy(col("source"))
+
+  /** Bounded multi-source BFS distances over the co-occurrence graph
+    * from the standard source sample — session-cached: harmonic and
+    * closeness are two aggregates over the SAME frontier loop. */
+  private[graft] def userCoocDistances(spark: SparkSession, dir: String,
+      sources: Seq[Long] = Seq(1L, 2L, 3L, 4L), maxHops: Int = 3): DataFrame =
+    graft.Cache.cached(spark, dir, s"msbfs_${sources.mkString("_")}_h$maxHops") {
+      multiSourceDistances(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")),
+        sources, maxHops, symmetric = true)
+    }
+
+  /** Harmonic centrality over the cached distance frame. */
+  def userHarmonicCentrality(spark: SparkSession, dir: String): DataFrame =
+    harmonicFrom(userCoocDistances(spark, dir))
+
+  /** Closeness of the source sample over the cached distance frame. */
+  def userClosenessSample(spark: SparkSession, dir: String): DataFrame =
+    closenessFrom(userCoocDistances(spark, dir))
+
+  /** Bipartite-graph connected components, session-cached (the labels
+    * entry and the size histogram consume the same closure). */
+  def userBipartiteCC(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "bipartite_cc") {
+      connectedComponents(bipartiteEdges(spark, dir))
+    }
 
   /** Bounded multi-source BFS: min hop distance keyed (source, node) —
     * the shared frontier loop of [[harmonicCentrality]] and

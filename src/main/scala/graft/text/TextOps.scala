@@ -205,14 +205,7 @@ object TextOps {
     * key — cost is Σ|grams| rows through one shuffle, with map-side
     * combine on the (test, train) pair; never all-pairs of documents. */
   def contaminationCheck(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val withSplit = documents(spark, dir)
-      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
-        explode(array_distinct(grams)).as("gram"))
+    val withSplit = gramSplitFrame(spark, dir, n)
     val train = withSplit.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc_id"), col("gram"))
     val test = withSplit.filter(col("split") === "test")
@@ -222,6 +215,22 @@ object TextOps {
       .agg(count(lit(1)).as("shared_ngrams"))
       .orderBy(col("test_doc_id"), col("train_doc_id"))
   }
+
+  /** (doc_id, split, gram): each document's DISTINCT word n-grams with
+    * its deterministic split — session-cached, the shared substrate of
+    * [[contaminationCheck]] and [[bloomContamination]] (both explode
+    * the same grams; at 100 TB this is a materialised silver table). */
+  private[graft] def gramSplitFrame(spark: SparkSession, dir: String, n: Int): DataFrame =
+    graft.Cache.cached(spark, dir, s"grams_split_$n") {
+      val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      documents(spark, dir)
+        .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+          explode(array_distinct(grams)).as("gram"))
+    }
 
   /** Normalised exact dedup — the canonical-form sibling of
     * [[dedupExact]]: case-fold, collapse every non-alphanumeric run to a
@@ -441,14 +450,7 @@ object TextOps {
     * a few % of the corpus — never the train side. */
   def bloomContamination(spark: SparkSession, dir: String, n: Int = 8,
       fpp: Double = 0.01, expectedItems: Long = 1L << 20): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val withSplit = documents(spark, dir)
-      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
-        explode(array_distinct(grams)).as("gram"))
+    val withSplit = gramSplitFrame(spark, dir, n)
     val trainGrams = withSplit.filter(col("split") === "train")
       .select(col("gram")).distinct()
     val bloom = trainGrams.stat.bloomFilter("gram", expectedItems, fpp)
