@@ -61,5 +61,15 @@ object ScaleProbe {
     shifted("part", Seq("p_partkey"))
     shifted("documents", Seq("doc_id"))
     shifted("embeddings", Seq("vec_id"))
+    // un-shifted dimensions/streams (supplier ids are not copied in
+    // lineitem, so the 1× tables stay correct for the N× facts); raw
+    // file copy — no Spark read, so events' TIMESTAMP(NANOS) (readable
+    // only through graft.Tables.events) passes through untouched
+    Seq("supplier", "nation", "region", "events").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
   }
 }

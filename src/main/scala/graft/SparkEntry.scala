@@ -392,6 +392,8 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q13_custdist" -> ((s, d) => Olap.q13Custdist(s, d)),
     "q10_returns" -> ((s, d) => Olap.q10Returns(s, d)),
+    "q6_forecast" -> ((s, d) => Olap.q6Forecast(s, d)),
+    "q20_excess_stock" -> ((s, d) => Olap.q20ExcessStock(s, d)),
     "q14_promo_share" -> ((s, d) => Olap.q14PromoShare(s, d)),
     "q15_top_supplier" -> ((s, d) => Olap.q15TopSupplier(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Olap.q21WaitingSupplier(s, d)),
@@ -2041,6 +2043,34 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_acctbal, c_nationkey
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q20_excess_stock" ->
+      """WITH psp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(24,4))) AS vol
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_partkey, l_suppkey
+        |), pp AS (
+        |  SELECT l_partkey, SUM(vol) AS total_vol FROM psp GROUP BY l_partkey
+        |), excess AS (
+        |  SELECT DISTINCT l_suppkey FROM psp JOIN pp USING (l_partkey)
+        |  WHERE vol * 6 > total_vol
+        |)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey < 10
+        |  AND s_suppkey IN (SELECT l_suppkey FROM excess)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q14_promo_share" ->
       """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'

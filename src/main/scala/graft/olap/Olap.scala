@@ -565,6 +565,46 @@ object Olap {
       .limit(k)
   }
 
+  /** TPC-H Q6 shape: the canonical scan-filter-aggregate — forecasting
+    * revenue change from a quantity/discount band. Every predicate
+    * reaches the parquet scan (PushedFilters); one exact decimal sum. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(price * col("l_discount").cast("decimal(4,2)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q20 shape: nested semi-join chain — suppliers (in a nation
+    * band) who stocked an above-average volume of a part family. With
+    * no partsupp table, per-(supplier, part) shipped volume stands in
+    * for availqty: suppliers having some part where their shipped
+    * volume > 1/6 of that part's total across suppliers (the synthetic
+    * volumes are near-uniform, so a literal majority never occurs). semi ∘ semi —
+    * each level a left_semi, nothing widens. */
+  def q20ExcessStock(spark: SparkSession, dir: String): DataFrame = {
+    val parts = part(spark, dir)
+      .filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val perSuppPart = lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("vol"))
+    val perPart = perSuppPart.groupBy(col("l_partkey"))
+      .agg(sum(col("vol")).as("total_vol"))
+    val excess = perSuppPart.join(perPart, Seq("l_partkey"))
+      .filter(col("vol") * 6 > col("total_vol"))
+      .select(col("l_suppkey")).distinct()
+    supplier(spark, dir)
+      .filter(col("s_nationkey") < 10)
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q22 shape: global-filter anti-join — customers above the
     * positive-balance average (a broadcast scalar subquery) with no
     * RECENT order (left_anti against a date-filtered orders scan; the

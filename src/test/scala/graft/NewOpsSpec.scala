@@ -446,6 +446,19 @@ class NewOpsSpec extends AnyFunSuite {
       "more survivors than orderless customers in the code set")
   }
 
+  test("q6/q20: filter-agg consistent; excess-stock suppliers are distinct and present") {
+    val r6 = Olap.q6Forecast(spark, sf).head()
+    assert(r6.getLong(1) > 0 && r6.getDouble(0) > 0.0)
+    val direct = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24).count()
+    assert(r6.getLong(1) == direct)
+    val q20 = Olap.q20ExcessStock(spark, sf).collect()
+    assert(q20.nonEmpty)
+    assert(q20.map(_.getLong(0)).distinct.length == q20.length, "dup suppliers")
+  }
+
   test("q14/q15: ratio bounded, argmax really is the max") {
     val r14 = Olap.q14PromoShare(spark, sf).head()
     assert(r14.getDouble(0) >= 0.0 && r14.getDouble(0) <= 100.0)

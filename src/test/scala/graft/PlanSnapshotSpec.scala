@@ -45,7 +45,24 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("events_funnel", 2, 1),
     ("dedup_normalized", 2, 1),
     ("embedding_quantize", 1, 1),
-    ("adamic_adar_user", 14, 2))
+    ("adamic_adar_user", 14, 2),
+    // r4c additions. q21/q20 re-plan a shared subtree per correlation
+    // leg (no CTE materialization in Spark) — the scan pins record that
+    // honestly; at 100 TB the joined fact would be a materialized temp.
+    ("q10_returns", 3, 3),
+    ("q16_supplier_count", 5, 3),
+    ("q18_large_orders", 3, 3),
+    ("q19_disjunctive", 2, 2),
+    ("q21_waiting_supplier", 11, 7),
+    ("q20_excess_stock", 9, 5),
+    ("q22_global_filter", 5, 3),
+    ("q14_promo_share", 2, 2),
+    ("q15_top_supplier", 6, 3),
+    ("q6_forecast", 1, 1),
+    ("vocab_coverage", 4, 2),
+    ("bpe_first_merge", 2, 1),
+    ("bloom_contamination", 4, 1),
+    ("user_overlap_topk", 10, 2))
 
   // The cached-query pins above dilute sensitivity for the operator
   // UNDER the cache (the IMR stage lines dominate the count), so the
