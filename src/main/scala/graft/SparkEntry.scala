@@ -64,6 +64,14 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(s, d)),
     "bloom_contamination" -> ((s, d) => TextOps.bloomContamination(s, d)),
     "bpe_first_merge" -> ((s, d) => TextOps.bpeFirstMerge(s, d)),
+    "lang_id_accuracy" -> ((s, d) => TextOps.langIdAccuracy(s, d)),
+    "eigenvector_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.eigenvectorCentrality(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+    }),
+    "user_cosine_topk" -> ((s, d) => graft.graph.Algorithms.userCosineTopK(s, d)),
     "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
@@ -436,6 +444,42 @@ object SparkEntry {
       |  FROM filtered_events GROUP BY user_id, book_id
       |)""".stripMargin
 
+  /** Fixed-iteration eigenvector centrality unrolled as chained CTEs:
+    * each power iteration is one weighted-sum aggregate plus a global
+    * L2 norm (a scalar subquery); double drift across engines is
+    * ~1e-15 relative — far inside the round(…, 6) guard (the
+    * pagerank-oracle argument). Every co-occurrence node has an
+    * in-edge, so the Spark loop's keep-isolated-nodes union of zero
+    * contributions adds exactly 0.0 to existing sums — the plain
+    * join/aggregate here is value-identical. */
+  private def eigenvectorOracle: String = {
+    val iters = 5
+    val base =
+      s"""$RatingsCte, cooc AS MATERIALIZED (
+         |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), x0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node_id, CAST(1.0 AS DOUBLE) AS score FROM cooc
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", r$i AS MATERIALIZED (
+         |  SELECT e.dst AS node_id, SUM(e.weight * x.score) AS raw
+         |  FROM cooc e JOIN x${i - 1} x ON e.src = x.node_id
+         |  GROUP BY e.dst
+         |), x$i AS MATERIALIZED (
+         |  SELECT node_id, raw / (SELECT SQRT(SUM(raw * raw)) FROM r$i) AS score
+         |  FROM r$i
+         |)""".stripMargin
+    }.mkString
+    s"""$base$steps
+       |SELECT node_id, ROUND(score, 6) AS score FROM x$iters
+       |ORDER BY score DESC, node_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** Truss-decay profile unrolled as chained CTEs: the initial per-edge
     * triangle support (degree-ordered orientation → sorted adjacency
     * lists → list_intersect triangles → 3-edge explode count) and every
@@ -717,20 +761,25 @@ object SparkEntry {
       |ORDER BY doc_id""".stripMargin
 
   /** lang_id oracle — also a subquery of quality_filter's. */
-  private val LangIdSql: String =
+  /** Shared stopword-argmax CTE (carries the labelled `lang` through
+    * for the accuracy report). */
+  private val LangScoredCte: String =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-      |                             t -> length(t) > 0) AS toks
+      |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                                   t -> length(t) > 0) AS toks
       |  FROM documents
       |), scored AS (
-      |  SELECT doc_id, list_aggregate([
+      |  SELECT doc_id, lang, list_aggregate([
       |    {'score': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit'], t))), 'lang': 'de'},
       |    {'score': len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))), 'lang': 'en'},
       |    {'score': len(list_filter(toks, t -> list_contains(['el','los','las','y','es','un','una','en','por'], t))), 'lang': 'es'},
       |    {'score': len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','dans','pour'], t))), 'lang': 'fr'},
       |    {'score': len(list_filter(toks, t -> list_contains(['的','是','在','了','和','有','我','不'], t))), 'lang': 'zh'}
       |  ], 'max') AS best FROM toks
-      |)
+      |)""".stripMargin
+
+  private val LangIdSql: String =
+    s"""$LangScoredCte
       |SELECT doc_id,
       |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
       |  CAST(best.score AS BIGINT) AS stopword_hits
@@ -1616,6 +1665,43 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "lang_id" -> LangIdSql,
+
+    "lang_id_accuracy" ->
+      s"""$LangScoredCte, pred AS (
+        |  SELECT lang,
+        |    CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred
+        |  FROM scored
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS accuracy
+        |FROM pred GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "eigenvector_topk" -> eigenvectorOracle,
+
+    "user_cosine_topk" ->
+      s"""$RatingsCte, liked AS (
+         |  SELECT user_id, book_id, rating FROM ratings WHERE rating >= 6
+         |), norms AS (
+         |  SELECT user_id, SUM(rating * rating) AS sq FROM liked GROUP BY user_id
+         |), num AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, SUM(a.rating * b.rating) AS dot
+         |  FROM liked a JOIN liked b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |)
+         |SELECT n.u1, n.u2, CAST(n.dot AS BIGINT) AS dot,
+         |  ROUND(CAST(n.dot AS DOUBLE) /
+         |        (SQRT(CAST(s1.sq AS DOUBLE)) * SQRT(CAST(s2.sq AS DOUBLE))), 6)
+         |    AS cosine
+         |FROM num n
+         |JOIN norms s1 ON n.u1 = s1.user_id
+         |JOIN norms s2 ON n.u2 = s2.user_id
+         |ORDER BY ROUND(CAST(n.dot AS DOUBLE) /
+         |        (SQRT(CAST(s1.sq AS DOUBLE)) * SQRT(CAST(s2.sq AS DOUBLE))), 6) DESC,
+         |  n.u1, n.u2
+         |LIMIT 20""".stripMargin,
 
     "multimodal_resize" ->
       """WITH m AS (

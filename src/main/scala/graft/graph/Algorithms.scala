@@ -912,6 +912,67 @@ object Algorithms {
     ranks
   }
 
+  /** Eigenvector centrality: fixed-iteration power method on the
+    * weighted adjacency with per-iteration L2 normalization — the last
+    * member of the GDS centrality family here (degree / PageRank / PPR
+    * / betweenness / closeness / harmonic are all present). A FIXED
+    * iteration count keeps the loop exactly oracle-checkable by
+    * unrolling (the only floats are weight·score products and the
+    * global norm — double drift ~1e-15 ≪ the 1e-6 rounding guard, the
+    * PageRank-oracle argument). One join + one aggregate per iteration,
+    * keyed on node id; the norm is an O(1) scalar probe per round. */
+  def eigenvectorCentrality(edges: DataFrame, iterations: Int = 5,
+      topK: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodesOf(e).localCheckpoint()
+    var x = nodes.select(col("node_id"), lit(1.0).as("score"))
+    for (_ <- 1 to iterations) {
+      val raw = e
+        .join(x.select(col("node_id").as("src"), col("score").as("xs")), Seq("src"))
+        .select(col("dst").as("node_id"), (col("weight") * col("xs")).as("c"))
+        .unionAll(nodes.select(col("node_id"), lit(0.0).as("c")))
+        .groupBy(col("node_id"))
+        .agg(sum(col("c")).as("raw"))
+        .localCheckpoint()
+      val norm = math.sqrt(raw.agg(sum(col("raw") * col("raw"))).head().getDouble(0))
+      x = raw.select(col("node_id"), (col("raw") / norm).as("score"))
+    }
+    e.unpersist(blocking = false)
+    x.select(col("node_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("node_id"))
+      .limit(topK)
+  }
+
+  /** Per-user COSINE node similarity (GDS `nodeSimilarity` with
+    * `similarityMetric: COSINE`) over liked-book RATING vectors: the
+    * weighted sibling of [[userJaccardTopK]] / [[userOverlapTopK]].
+    * Every sum is over small integers (exact, order-independent); only
+    * the final sqrt/division floats, so the top-k is exactly
+    * oracle-checkable. */
+  def userCosineTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val liked = RatingsGraph.ratings(spark, dir)
+      .filter(col("rating") >= 6)
+      .select(col("user_id"), col("book_id"), col("rating"))
+    val norms = liked.groupBy(col("user_id"))
+      .agg(sum(col("rating") * col("rating")).as("sq"))
+    val num = liked.select(col("user_id").as("u1"), col("book_id"), col("rating").as("r1"))
+      .join(liked.select(col("user_id").as("u2"), col("book_id"), col("rating").as("r2")),
+        Seq("book_id"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(sum(col("r1") * col("r2")).as("dot"))
+    num
+      .join(norms.select(col("user_id").as("u1"), col("sq").as("sq1")), Seq("u1"))
+      .join(norms.select(col("user_id").as("u2"), col("sq").as("sq2")), Seq("u2"))
+      .select(col("u1"), col("u2"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("sq1").cast("double")) * sqrt(col("sq2").cast("double"))), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("u1"), col("u2"))
+      .limit(k)
+  }
+
   /** Degree assortativity (Newman's degree-correlation coefficient):
     * Pearson r of the endpoint degrees over every directed edge of a
     * symmetric graph. Positive = hubs link hubs, negative = hubs link

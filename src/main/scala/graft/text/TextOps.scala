@@ -108,6 +108,23 @@ object TextOps {
         col("best.score").cast("bigint").as("stopword_hits"))
       .orderBy(col("doc_id"))
 
+  /** Language-ID evaluation report: per TRUE language (the labelled
+    * `lang` column), how often the stopword heuristic agrees — the
+    * model-quality check a pipeline runs before trusting [[langId]] as
+    * a corpus filter. One scan, one aggregate; the accuracy division is
+    * the only float. */
+  def langIdAccuracy(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"), langBest(col("text")).as("best"))
+      .select(col("lang"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("pred"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("lang"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 6).as("accuracy"))
+      .orderBy(col("lang"))
+
   /** Per-source corpus profile: doc counts, language diversity, exact
     * length percentiles (linear interpolation — matches SQL
     * quantile_cont), total volume. The pre-training "what's in this

@@ -535,6 +535,33 @@ class NewOpsSpec extends AnyFunSuite {
     assert(Algorithms.ktruss(edges, k = 6).collect().isEmpty)
   }
 
+  test("eigenvectorCentrality: star centre dominates, symmetric clique ties") {
+    // star: centre 100 ↔ leaves 1..6 — centre must rank first; all
+    // leaves tie (identical positions) and normalization keeps order
+    val star = bidir((1L to 6L).map(l => (100L, l)))
+      .withColumn("weight", lit(1.0))
+    val got = Algorithms.eigenvectorCentrality(star, topK = 10).collect()
+    assert(got.head.getLong(0) == 100L, s"star centre not top: ${got.toSeq}")
+    val leafScores = got.tail.map(_.getDouble(1)).distinct
+    assert(leafScores.length == 1, s"leaves should tie: ${got.toSeq}")
+    assert(got.head.getDouble(1) > leafScores.head)
+  }
+
+  test("userCosineTopK: scores in (0,1], dot consistent with liked ratings") {
+    val got = Algorithms.userCosineTopK(spark, sf)
+    assert(got.count() > 0)
+    assert(got.filter(col("cosine") <= 0.0 || col("cosine") > 1.0).isEmpty)
+    assert(got.filter(col("dot") <= 0).isEmpty)
+  }
+
+  test("langIdAccuracy: rows cover the corpus, accuracy bounded") {
+    val got = TextOps.langIdAccuracy(spark, sf)
+    assert(got.agg(sum(col("n_docs"))).head().getLong(0) ==
+      Tables.documents(spark, sf).count())
+    assert(got.filter(col("accuracy") < 0.0 || col("accuracy") > 1.0).isEmpty)
+    assert(got.filter(col("n_correct") > col("n_docs")).isEmpty)
+  }
+
   test("trussDecayProfile: rounds conserve edges (alive[r-1] = removed[r] + alive[r])") {
     val rows = Algorithms.trussDecayProfile(spark, sf).orderBy("round").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
