@@ -72,6 +72,8 @@ object SparkEntry {
           .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
     }),
     "user_cosine_topk" -> ((s, d) => graft.graph.Algorithms.userCosineTopK(s, d)),
+    "hits_topk" -> ((s, d) => graft.graph.Algorithms.hitsTopK(s, d)),
+    "predict_ratings" -> ((s, d) => graft.graph.Algorithms.predictRatings(s, d)),
     "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
@@ -478,6 +480,41 @@ object SparkEntry {
        |SELECT node_id, ROUND(score, 6) AS score FROM x$iters
        |ORDER BY score DESC, node_id
        |LIMIT 20""".stripMargin
+  }
+
+  /** HITS unrolled as chained CTEs: each half-iteration is one weighted
+    * aggregate plus an L2-norm scalar subquery (the eigenvector-oracle
+    * shape, alternating sides of the bipartite RATED graph). */
+  private def hitsOracle: String = {
+    val iters = 5
+    val base =
+      s"""$RatingsCte, h0 AS MATERIALIZED (
+         |  SELECT DISTINCT user_id, CAST(1.0 AS DOUBLE) AS h FROM ratings
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", ar$i AS MATERIALIZED (
+         |  SELECT r.book_id, SUM(CAST(r.rating AS DOUBLE) * h.h) AS raw
+         |  FROM ratings r JOIN h${i - 1} h USING (user_id) GROUP BY r.book_id
+         |), a$i AS MATERIALIZED (
+         |  SELECT book_id, raw / (SELECT SQRT(SUM(raw * raw)) FROM ar$i) AS a
+         |  FROM ar$i
+         |), hr$i AS MATERIALIZED (
+         |  SELECT r.user_id, SUM(CAST(r.rating AS DOUBLE) * a.a) AS raw
+         |  FROM ratings r JOIN a$i a USING (book_id) GROUP BY r.user_id
+         |), h$i AS MATERIALIZED (
+         |  SELECT user_id, raw / (SELECT SQRT(SUM(raw * raw)) FROM hr$i) AS h
+         |  FROM hr$i
+         |)""".stripMargin
+    }.mkString
+    s"""$base$steps
+       |SELECT * FROM (
+       |  (SELECT 'hub' AS role, user_id AS node_id, ROUND(h, 6) AS score
+       |   FROM h$iters ORDER BY score DESC, node_id LIMIT 10)
+       |  UNION ALL
+       |  (SELECT 'authority' AS role, book_id AS node_id, ROUND(a, 6) AS score
+       |   FROM a$iters ORDER BY score DESC, node_id LIMIT 10)
+       |)
+       |ORDER BY role, score DESC, node_id""".stripMargin
   }
 
   /** Truss-decay profile unrolled as chained CTEs: the initial per-edge
@@ -1679,6 +1716,37 @@ object SparkEntry {
         |FROM pred GROUP BY lang ORDER BY lang""".stripMargin,
 
     "eigenvector_topk" -> eigenvectorOracle,
+
+    "hits_topk" -> hitsOracle,
+
+    "predict_ratings" ->
+      s"""$RatingsCte, liked AS (
+         |  SELECT user_id, book_id, rating FROM ratings WHERE rating >= 6
+         |), norms AS (
+         |  SELECT user_id, SUM(rating * rating) AS sq FROM liked GROUP BY user_id
+         |), mine AS (
+         |  SELECT book_id, rating AS r_me FROM liked WHERE user_id = 1
+         |), sims AS (
+         |  SELECT l.user_id, SUM(l.rating * m.r_me) AS dot
+         |  FROM liked l JOIN mine m USING (book_id)
+         |  WHERE l.user_id <> 1 GROUP BY l.user_id
+         |), scored AS (
+         |  SELECT s.user_id,
+         |    CAST(s.dot AS DOUBLE) /
+         |      (SQRT(CAST(n.sq AS DOUBLE)) *
+         |       SQRT(CAST((SELECT sq FROM norms WHERE user_id = 1) AS DOUBLE))) AS sim
+         |  FROM sims s JOIN norms n ON s.user_id = n.user_id
+         |  ORDER BY sim DESC, s.user_id LIMIT 20
+         |), cand AS (
+         |  SELECT r.book_id, sc.sim, r.rating
+         |  FROM ratings r JOIN scored sc ON r.user_id = sc.user_id
+         |  WHERE r.book_id NOT IN (SELECT book_id FROM ratings WHERE user_id = 1)
+         |)
+         |SELECT book_id, ROUND(SUM(sim * rating) / SUM(sim), 6) AS pred_rating,
+         |  CAST(COUNT(*) AS BIGINT) AS n_raters
+         |FROM cand GROUP BY book_id
+         |ORDER BY pred_rating DESC, book_id
+         |LIMIT 10""".stripMargin,
 
     "user_cosine_topk" ->
       s"""$RatingsCte, liked AS (

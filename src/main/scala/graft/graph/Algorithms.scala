@@ -973,6 +973,91 @@ object Algorithms {
       .limit(k)
   }
 
+  /** HITS (hubs & authorities), the natural centrality of a BIPARTITE
+    * graph — here users are hubs, books authorities over the weighted
+    * RATED edges. Fixed-iteration mutual power method with per-side L2
+    * normalization (a ← Aᵀh/‖·‖, h ← Aa/‖·‖), exactly oracle-checkable
+    * unrolled (the eigenvector-oracle argument). Emits the top-k of
+    * each side with a role column. */
+  def hitsTopK(spark: SparkSession, dir: String, iterations: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val e = RatingsGraph.ratings(spark, dir)
+      .select(col("user_id"), col("book_id"), col("rating").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val users = e.select(col("user_id")).distinct().localCheckpoint()
+    var hubs = users.select(col("user_id"), lit(1.0).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hubs, Seq("user_id"))
+        .groupBy(col("book_id"))
+        .agg(sum(col("w") * col("h")).as("raw"))
+        .localCheckpoint()
+      val aNorm = math.sqrt(aRaw.agg(sum(col("raw") * col("raw"))).head().getDouble(0))
+      auths = aRaw.select(col("book_id"), (col("raw") / aNorm).as("a"))
+      val hRaw = e.join(auths, Seq("book_id"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("w") * col("a")).as("raw"))
+        .localCheckpoint()
+      val hNorm = math.sqrt(hRaw.agg(sum(col("raw") * col("raw"))).head().getDouble(0))
+      hubs = hRaw.select(col("user_id"), (col("raw") / hNorm).as("h"))
+    }
+    e.unpersist(blocking = false)
+    val topHubs = hubs
+      .select(lit("hub").as("role"), col("user_id").as("node_id"),
+        round(col("h"), 6).as("score"))
+      .orderBy(col("score").desc, col("node_id")).limit(topK)
+    val topAuths = auths
+      .select(lit("authority").as("role"), col("book_id").as("node_id"),
+        round(col("a"), 6).as("score"))
+      .orderBy(col("score").desc, col("node_id")).limit(topK)
+    topHubs.unionAll(topAuths).orderBy(col("role"), col("score").desc, col("node_id"))
+  }
+
+  /** User-based collaborative-filtering rating PREDICTION for one
+    * target user (the classic CF formulation the reference's top-3
+    * recommenders summarise away): for each book the target hasn't
+    * rated, r̂ = Σ sim(u,v)·r_v(b) / Σ sim(u,v) over the target's
+    * cosine-top-`kSim` neighbours who rated b. The similarity leg is
+    * one per-user row against the liked table (never all-pairs), the
+    * prediction one join + one aggregate over the neighbours' ratings. */
+  def predictRatings(spark: SparkSession, dir: String, user: Long = 1L,
+      kSim: Int = 20, k: Int = 10): DataFrame = {
+    val liked = RatingsGraph.ratings(spark, dir)
+      .filter(col("rating") >= 6)
+      .select(col("user_id"), col("book_id"), col("rating"))
+    val norms = liked.groupBy(col("user_id"))
+      .agg(sum(col("rating") * col("rating")).as("sq"))
+    val mine = liked.filter(col("user_id") === user)
+      .select(col("book_id"), col("rating").as("r_me"))
+    val sims = liked.join(broadcast(mine), Seq("book_id"))
+      .filter(col("user_id") =!= user)
+      .groupBy(col("user_id"))
+      .agg(sum(col("rating") * col("r_me")).as("dot"))
+      .join(norms.select(col("user_id"), col("sq").as("sq_v")), Seq("user_id"))
+      .join(broadcast(norms.filter(col("user_id") === user)
+        .select(col("sq").as("sq_me"))))
+      .select(col("user_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("sq_v").cast("double")) * sqrt(col("sq_me").cast("double"))))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("user_id"))
+      .limit(kSim)
+    // anti-join on EVERYTHING the target rated (not just liked): a
+    // recommender must not resurface a book the user already judged
+    val allMine = RatingsGraph.ratings(spark, dir)
+      .filter(col("user_id") === user).select(col("book_id"))
+    val candidates = RatingsGraph.ratings(spark, dir)
+      .join(broadcast(sims), Seq("user_id"))
+      .join(broadcast(allMine), Seq("book_id"), "left_anti")
+    candidates
+      .groupBy(col("book_id"))
+      .agg((sum(col("sim") * col("rating")) / sum(col("sim"))).as("pred"),
+        count(lit(1)).as("n_raters"))
+      .select(col("book_id"), round(col("pred"), 6).as("pred_rating"), col("n_raters"))
+      .orderBy(col("pred_rating").desc, col("book_id"))
+      .limit(k)
+  }
+
   /** Degree assortativity (Newman's degree-correlation coefficient):
     * Pearson r of the endpoint degrees over every directed edge of a
     * symmetric graph. Positive = hubs link hubs, negative = hubs link

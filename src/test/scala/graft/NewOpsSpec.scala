@@ -547,6 +547,24 @@ class NewOpsSpec extends AnyFunSuite {
     assert(got.head.getDouble(1) > leafScores.head)
   }
 
+  test("hitsTopK: both roles present, scores in (0,1], unit-norm sides") {
+    val got = Algorithms.hitsTopK(spark, sf).collect()
+    assert(got.length == 20)
+    val roles = got.map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(roles == Map("hub" -> 10, "authority" -> 10))
+    assert(got.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("predictRatings: predictions in [1,10], never a book the target rated") {
+    val got = Algorithms.predictRatings(spark, sf)
+    assert(got.count() > 0)
+    assert(got.filter(col("pred_rating") < 1.0 || col("pred_rating") > 10.0).isEmpty)
+    val mine = graft.graph.RatingsGraph.ratings(spark, sf)
+      .filter(col("user_id") === 1L).select(col("book_id"))
+    assert(got.join(mine, Seq("book_id"), "left_semi").isEmpty,
+      "recommended a book the target already rated")
+  }
+
   test("userCosineTopK: scores in (0,1], dot consistent with liked ratings") {
     val got = Algorithms.userCosineTopK(spark, sf)
     assert(got.count() > 0)
