@@ -66,17 +66,40 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       (name, sec, ok)
     }
+    def r3(d: Double) = math.rint(d * 1000) / 1000
     def timesJson(rs: Iterable[(String, Double, Boolean)]) =
-      rs.map { case (k, sec, _) => s"\"$k\":$sec" }.mkString("{", ",", "}")
+      rs.map { case (k, sec, _) => s"\"$k\":${r3(sec)}" }.mkString("{", ",", "}")
     val silverTotal = silverResults.collect { case (_, sec, true) => sec }.sum
     val queriesTotal = results.collect { case (_, sec, true) => sec }.sum
     val oks = results.map { case (k, _, ok) => s"\"$k\":$ok" }.mkString("{", ",", "}")
-    val failed = (silverResults.collect { case (k, _, false) => s"\"silver:$k\"" } ++
-      results.collect { case (k, _, false) => s"\"$k\"" }).mkString("[", ",", "]")
-    // "value" = query-only total: comparable across rounds (and equal to
-    // the sum of the "queries" map); the silver pre-warm cost is reported
-    // separately as silver_total, never folded into value
-    println(s"""{"metric":"total","value":$queriesTotal,"unit":"sec","silver":${timesJson(silverResults)},"silver_total":$silverTotal,"queries_total":$queriesTotal,"queries":${timesJson(results)},"ok":$oks,"failed":$failed,"sf":"$sfDir"}""")
+    val failedSeq = silverResults.collect { case (k, _, false) => s"silver:$k" } ++
+      results.collect { case (k, _, false) => k }
+    def failedJson(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full per-query detail goes to a FILE — the one printed JSON line
+    // must stay short: the driver captures only the tail of stdout, so
+    // a multi-KB line gets its head truncated and fails to parse.
+    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults)},"silver_total":${r3(silverTotal)},"queries_total":${r3(queriesTotal)},"queries":${timesJson(results)},"ok":$oks,"failed":${failedJson(failedSeq)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes("UTF-8")): Unit
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // Printed line: headline subset only (one per family), plus the
+    // query-only total ("value" — comparable across rounds, silver
+    // pre-warm reported separately and never folded in).
+    val headline = Set(
+      "q1_agg", "q3_topk_join", "q5_multijoin", "window_rank", "asof_join",
+      "events_windowed_agg", "events_sessionize", "ratings_edges",
+      "cooccurrence_edges", "communities_lpa", "communities_louvain",
+      "connected_components", "pagerank_topk", "triangle_count", "bfs_hops",
+      "knn_similar_edges_ref", "fastrp_embeddings", "recommend_knn",
+      "recommend_community", "dedup_exact", "dedup_minhash_pairs",
+      "ngram_jaccard_pairs", "dedup_embedding", "ann_bruteforce_topk",
+      "ann_lsh_topk", "ann_ivf_topk", "text_stats", "lang_id",
+      "quality_filter", "corpus_pipeline", "multimodal_features")
+    val headlineTimes = timesJson(results.filter { case (k, _, _) => headline(k) })
+    val line = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","n_queries":${results.size},"silver_total":${r3(silverTotal)},"queries":$headlineTimes,"failed":${failedJson(failedSeq.take(8))},"n_failed":${failedSeq.size},"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING printed line ${line.length} chars > 1800 — may truncate in driver tail")
+    println(line)
     spark.stop()
     if (silverResults.exists(!_._3) || results.exists(!_._3)) sys.exit(1)
   }

@@ -411,6 +411,12 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Olap.q18LargeOrders(s, d)),
     "q19_disjunctive" -> ((s, d) => Olap.q19Disjunctive(s, d)),
     "q22_global_filter" -> ((s, d) => Olap.q22GlobalFilter(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Olap.q2MinCostSupplier(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Olap.q7VolumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => Olap.q8MarketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => Olap.q9ProductProfit(s, d)),
+    "q11_important_stock" -> ((s, d) => Olap.q11ImportantStock(s, d)),
+    "q12_late_priority" -> ((s, d) => Olap.q12LatePriority(s, d)),
     "simhash_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sigs = graft.dedup.Dedup.simhashes(
@@ -2339,6 +2345,111 @@ object SparkEntry {
         |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH elig AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), pt AS (
+        |  SELECT p_partkey, p_brand FROM part
+        |  WHERE p_type = 'LARGE' AND p_size <= 10
+        |), cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS cost_dec
+        |  FROM lineitem
+        |  JOIN pt ON l_partkey = p_partkey
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM elig)
+        |  GROUP BY l_partkey, l_suppkey
+        |), min_cost AS (
+        |  SELECT l_partkey, MIN(cost_dec) AS min_cost_dec FROM cost GROUP BY l_partkey
+        |)
+        |SELECT s_acctbal, s_name, n_name, c.l_partkey AS p_partkey, p_brand,
+        |  CAST(c.cost_dec AS DOUBLE) AS supply_cost
+        |FROM cost c
+        |JOIN min_cost m ON c.l_partkey = m.l_partkey AND c.cost_dec = m.min_cost_dec
+        |JOIN elig ON c.l_suppkey = s_suppkey
+        |JOIN pt ON c.l_partkey = p_partkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        |  AND o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    - CAST(p_retailprice AS DECIMAL(6,2)) * CAST(0.10 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5')
+        |  GROUP BY l_partkey
+        |)
+        |SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM per_part
+        |WHERE value_dec > (SELECT SUM(value_dec) * CAST(0.001 AS DECIMAL(6,4)) FROM per_part)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH toks AS (

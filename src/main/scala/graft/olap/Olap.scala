@@ -633,4 +633,167 @@ object Olap {
         sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
       .orderBy(col("cntrycode"))
   }
+
+  /** TPC-H Q2 shape: minimum-cost supplier — a correlated-MIN scalar
+    * subquery joined back to the rows achieving it. With no partsupp
+    * table, the observed (part, supplier) supply cost is
+    * MIN(l_extendedprice) over their lineitems. The per-part minimum is
+    * computed ONCE over the region-eligible suppliers (a grouped agg,
+    * not a per-row subquery — Catalyst would otherwise re-scan per
+    * part) and joined back; supplier/nation/region dims broadcast. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eligSupp = supplier(spark, dir)
+      .join(nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pt = part(spark, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"))
+    val cost = lineitem(spark, dir)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eligSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(price).as("cost_dec"))
+    val minCost = cost.groupBy(col("l_partkey"))
+      .agg(min(col("cost_dec")).as("min_cost_dec"))
+    cost.join(minCost, Seq("l_partkey"))
+      .filter(col("cost_dec") === col("min_cost_dec"))
+      .join(broadcast(eligSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_brand"),
+        col("cost_dec").cast("double").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q7 shape: volume shipping between two nations — a two-sided
+    * dimension join (supplier nation × customer nation) with the pair
+    * filter applied symmetrically, grouped by the pair and ship year.
+    * Both nation legs broadcast; the fact shuffles once for the
+    * group-by. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val suppNation = supplier(spark, dir)
+      .join(nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = customer(spark, dir)
+      .join(nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), year(col("l_shipdate")).as("l_year"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(price * disc1).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape: national market share — one nation's fraction of
+    * regional revenue per year. Both legs (nation-restricted and total
+    * volume) ride ONE aggregate as conditional decimal sums; the single
+    * double division happens after, so the ratio is bit-stable. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val suppNation = supplier(spark, dir)
+      .join(nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custRegion = customer(spark, dir)
+      .join(nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", price * disc1)
+          .otherwise(lit(0).cast("decimal(14,2)"))).cast("double") /
+        sum(price * disc1).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape: product-type profit by nation and year. Supply
+    * cost stands in as 10% of the part's retail price per unit (no
+    * partsupp table); profit = revenue − cost stays in exact decimal
+    * until the final cast. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val suppNation = supplier(spark, dir)
+      .join(nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val pt = part(spark, dir).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val amount = price * disc1 -
+      col("p_retailprice").cast("decimal(6,2)") * lit(0.10).cast("decimal(4,2)") *
+        col("l_quantity").cast("decimal(12,2)")
+    lineitem(spark, dir)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, dir).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape: important stock — per-part inventory value for
+    * one nation's suppliers, kept only when above a fraction of the
+    * grand total (a scalar-subquery HAVING). Both the per-part values
+    * and the threshold come from the SAME aggregated frame (computed
+    * once, the threshold side is a 1-row broadcast); the comparison
+    * stays in exact decimal. */
+  def q11ImportantStock(spark: SparkSession, dir: String, frac: Double = 0.001): DataFrame = {
+    val natSupp = supplier(spark, dir)
+      .join(nation(spark, dir).filter(col("n_name") === "NATION_5"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(price * col("l_quantity").cast("decimal(12,2)")).as("value_dec"))
+    val threshold = perPart
+      .agg((sum(col("value_dec")) * lit(frac).cast("decimal(6,4)")).as("thresh_dec"))
+    perPart.join(broadcast(threshold))
+      .filter(col("value_dec") > col("thresh_dec"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape: late-shipment priority counts — a join with a
+    * date-arithmetic filter and two conditional counts per group.
+    * l_returnflag stands in for shipmode and "late" is shipping >90
+    * days after the order date (no commit/receipt dates in testdata).
+    * One scan of each side, one aggregate. */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
 }
