@@ -72,10 +72,13 @@ object SparkEntry {
           .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
     }),
     "user_cosine_topk" -> ((s, d) => graft.graph.Algorithms.userCosineTopK(s, d)),
+    "user_pearson_topk" -> ((s, d) => graft.graph.Algorithms.userPearsonTopK(s, d)),
+    "top_triangles" -> ((s, d) => graft.graph.Algorithms.topTriangles(s, d)),
     "hits_topk" -> ((s, d) => graft.graph.Algorithms.hitsTopK(s, d)),
     "predict_ratings" -> ((s, d) => graft.graph.Algorithms.predictRatings(s, d)),
     "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "doc_logprob" -> ((s, d) => TextOps.docLogProb(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -243,6 +246,7 @@ object SparkEntry {
     //   join OLAP shapes, normalized dedup, repetition signals,
     //   embedding quantization —
     "adamic_adar_user" -> ((s, d) => graft.graph.Algorithms.adamicAdarUser(s, d)),
+    "link_prediction_user" -> ((s, d) => graft.graph.Algorithms.linkPredictionUser(s, d)),
     "pagerank_fixed_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // tol = 0 pins exactly 5 iterations — the count the unrolled-CTE
@@ -276,6 +280,14 @@ object SparkEntry {
     "random_walks" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.randomWalks(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst")),
+        sources = Seq(1L, 2L, 3L, 4L), steps = 4, walksPerSource = 2,
+        symmetric = true)
+    }),
+    "node2vec_walks" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.node2vecWalks(
         RatingsGraph.cooccurrenceEdges(s, d)
           .select(col("u1").as("src"), col("u2").as("dst")),
         sources = Seq(1L, 2L, 3L, 4L), steps = 4, walksPerSource = 2,
@@ -417,6 +429,8 @@ object SparkEntry {
     "q9_product_profit" -> ((s, d) => Olap.q9ProductProfit(s, d)),
     "q11_important_stock" -> ((s, d) => Olap.q11ImportantStock(s, d)),
     "q12_late_priority" -> ((s, d) => Olap.q12LatePriority(s, d)),
+    "events_quantiles" -> ((s, d) => Olap.eventsQuantiles(s, d)),
+    "events_cube" -> ((s, d) => Olap.eventsCube(s, d)),
     "simhash_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sigs = graft.dedup.Dedup.simhashes(
@@ -627,6 +641,50 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString
     val union = (0 to steps).map(t => s"SELECT * FROM w$t").mkString("\n", "\nUNION ALL ", "")
+    s"$base$stepsSql$union\nORDER BY walk_id, step"
+  }
+
+  /** node2vec walks unrolled as chained CTEs — the replicated arg_min
+    * makes the weighted draw exact SQL: each candidate row explodes
+    * into `w` replicas (w from the return / triangle / outward CASE,
+    * the triangle class via a LEFT self-join on (prev, nxt)) and the
+    * hash arg-min over all replicas IS the weighted categorical
+    * choice, byte-identical to the Spark md5 keys. */
+  private def node2vecOracle: String = {
+    val steps = 4
+    val (wBack, wNbr, wOut) = (1, 2, 4)
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), w0 AS (
+         |  SELECT CAST(s * 2 + w AS BIGINT) AS walk_id, CAST(0 AS BIGINT) AS step,
+         |         CAST(s AS BIGINT) AS node_id, CAST(s AS BIGINT) AS prev
+         |  FROM (VALUES (1), (2), (3), (4)) t(s), (VALUES (0), (1)) ww(w)
+         |)""".stripMargin
+    val stepsSql = (1 to steps).map { t =>
+      s""", c$t AS (
+         |  SELECT f.walk_id, f.node_id AS src, e.dst AS nxt,
+         |    CASE WHEN e.dst = f.prev THEN $wBack
+         |         WHEN a.src IS NOT NULL THEN $wNbr ELSE $wOut END AS w
+         |  FROM w${t - 1} f
+         |  JOIN cooc e ON e.src = f.node_id
+         |  LEFT JOIN cooc a ON a.src = f.prev AND a.dst = e.dst
+         |), w$t AS (
+         |  SELECT walk_id, CAST($t AS BIGINT) AS step,
+         |    arg_min(nxt, md5(CAST(walk_id AS VARCHAR) || ':$t:'
+         |      || CAST(nxt AS VARCHAR) || ':' || CAST(r AS VARCHAR))) AS node_id,
+         |    MIN(src) AS prev
+         |  FROM (SELECT *, unnest(generate_series(1, w)) AS r FROM c$t)
+         |  GROUP BY walk_id
+         |)""".stripMargin
+    }.mkString
+    val union = (0 to steps)
+      .map(t => s"SELECT walk_id, step, node_id FROM w$t")
+      .mkString("\n", "\nUNION ALL ", "")
     s"$base$stepsSql$union\nORDER BY walk_id, step"
   }
 
@@ -1777,6 +1835,46 @@ object SparkEntry {
          |  n.u1, n.u2
          |LIMIT 20""".stripMargin,
 
+    "user_pearson_topk" ->
+      s"""$RatingsCte, pairs AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common,
+         |    SUM(a.rating) AS s1, SUM(b.rating) AS s2,
+         |    SUM(a.rating * a.rating) AS q1, SUM(b.rating * b.rating) AS q2,
+         |    SUM(a.rating * b.rating) AS dot
+         |  FROM ratings a JOIN ratings b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |  HAVING COUNT(*) >= 3
+         |)
+         |SELECT u1, u2, n_common,
+         |  ROUND(CAST(n_common * dot - s1 * s2 AS DOUBLE) /
+         |    (SQRT(CAST(n_common * q1 - s1 * s1 AS DOUBLE)) *
+         |     SQRT(CAST(n_common * q2 - s2 * s2 AS DOUBLE))), 6) AS pearson
+         |FROM pairs
+         |WHERE n_common * q1 - s1 * s1 > 0 AND n_common * q2 - s2 * s2 > 0
+         |ORDER BY pearson DESC, u1, u2
+         |LIMIT 20""".stripMargin,
+
+    "top_triangles" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, CAST(COUNT(*) AS BIGINT) AS weight
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), top AS (
+         |  SELECT u1, u2, weight FROM cooc
+         |  ORDER BY weight DESC, u1, u2 LIMIT 1000
+         |)
+         |SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c,
+         |  e1.weight + e2.weight + e3.weight AS total_weight
+         |FROM top e1
+         |JOIN top e2 ON e1.u1 = e2.u1 AND e1.u2 < e2.u2
+         |JOIN top e3 ON e3.u1 = e1.u2 AND e3.u2 = e2.u2
+         |ORDER BY total_weight DESC, a, b, c
+         |LIMIT 20""".stripMargin,
+
     "multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id, source AS modality,
@@ -1877,6 +1975,34 @@ object SparkEntry {
          |ORDER BY aa_score DESC, user_id
          |LIMIT 10""".stripMargin,
 
+    "link_prediction_user" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg AS (
+         |  SELECT u1 AS w, CAST(COUNT(*) AS BIGINT) AS deg FROM cooc GROUP BY u1
+         |), nbrs AS (
+         |  SELECT u2 AS w FROM cooc WHERE u1 = 1
+         |), scored AS (
+         |  SELECT c.u2 AS user_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_common,
+         |         ROUND(SUM(1.0 / d.deg), 6) AS ra_score
+         |  FROM cooc c JOIN nbrs n ON c.u1 = n.w JOIN deg d ON c.u1 = d.w
+         |  WHERE c.u2 <> 1 AND c.u2 NOT IN (SELECT w FROM nbrs)
+         |  GROUP BY c.u2
+         |)
+         |SELECT s.user_id, s.n_common, s.ra_score,
+         |       CAST(ds.deg * dc.deg AS BIGINT) AS pa_score,
+         |       CAST(ds.deg + dc.deg - s.n_common AS BIGINT) AS tn_score
+         |FROM scored s
+         |JOIN deg dc ON s.user_id = dc.w
+         |JOIN deg ds ON ds.w = 1
+         |ORDER BY ra_score DESC, user_id
+         |LIMIT 10""".stripMargin,
+
     "kcore_invariants" ->
       """SELECT CAST(1 AS BIGINT) AS one_row_per_node,
         |       CAST(1 AS BIGINT) AS core_degrees_ge_k,
@@ -1903,6 +2029,7 @@ object SparkEntry {
          |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
 
     "random_walks" -> randomWalksOracle,
+    "node2vec_walks" -> node2vecOracle,
 
     "q4_semi" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
@@ -2375,18 +2502,20 @@ object SparkEntry {
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
 
     "q7_volume_shipping" ->
-      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      """SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
         |  CAST(year(l_shipdate) AS INT) AS l_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |  AND ((sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA')
+        |    OR (sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE'))
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
 
@@ -2433,12 +2562,14 @@ object SparkEntry {
         |  FROM lineitem
         |  WHERE l_suppkey IN (
         |    SELECT s_suppkey FROM supplier
-        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5')
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
         |  GROUP BY l_partkey
         |)
         |SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
         |FROM per_part
-        |WHERE value_dec > (SELECT SUM(value_dec) * CAST(0.001 AS DECIMAL(6,4)) FROM per_part)
+        |WHERE value_dec * (SELECT CAST(COUNT(*) AS DECIMAL(10,0)) FROM per_part)
+        |      > CAST(1.1 AS DECIMAL(3,2)) * (SELECT SUM(value_dec) FROM per_part)
         |ORDER BY part_value DESC, p_partkey""".stripMargin,
 
     "q12_late_priority" ->
@@ -2450,6 +2581,39 @@ object SparkEntry {
         |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "events_quantiles" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "events_cube" ->
+      """SELECT event_type, date_trunc('month', ts) AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, date_trunc('month', ts))
+        |ORDER BY event_type ASC NULLS FIRST, month ASC NULLS FIRST""".stripMargin,
+
+    "doc_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    t -> length(t) > 0)) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM toks GROUP BY tok
+        |), total AS (
+        |  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM freq
+        |)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM(-ln(f.cnt / tt.n_total)) / COUNT(*), 6) AS nll_per_token
+        |FROM toks t JOIN freq f ON t.tok = f.tok, total tt
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH toks AS (

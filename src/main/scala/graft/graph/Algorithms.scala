@@ -408,6 +408,105 @@ object Algorithms {
       .limit(k)
   }
 
+  /** node2vec-biased second-order random walks (`gds.node2vec`'s walk
+    * stage): the step from `cur` (arrived from `prev`) weights each
+    * candidate `nxt` by the return / triangle / outward class —
+    * `wBack` for nxt == prev (1/p), `wNbr` for nxt adjacent to prev
+    * (distance 1), `wOut` otherwise (1/q). Defaults (1, 2, 4) encode
+    * p = 2, q = 0.5 — the outward-exploring regime.
+    *
+    * Determinism with EXACT weighted draws: each candidate is
+    * replicated `w` times (w ≤ wOut, a bounded explode) and the walk
+    * takes the arg-min seeded hash over ALL replicas — min over
+    * exchangeable per-replica hashes lands on a candidate with
+    * probability w/Σw, so the draw is a true weighted categorical yet
+    * reproducible in SQL (the same replicated arg_min unrolls per
+    * step). Per step: one frontier⋈edges join for candidates, one
+    * (prev, nxt) edge join for the triangle class, one bounded explode,
+    * one arg-min aggregate — all map-side-combining, no driver loop
+    * over walks. */
+  def node2vecWalks(edges: DataFrame, sources: Seq[Long], steps: Int = 4,
+      walksPerSource: Int = 2, wBack: Int = 1, wNbr: Int = 2, wOut: Int = 4,
+      symmetric: Boolean = false): DataFrame = {
+    require(sources.nonEmpty && walksPerSource >= 1, "need sources and >= 1 walk each")
+    require(wBack >= 1 && wNbr >= 1 && wOut >= 1, "class weights must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir =
+      if (symmetric) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+    val adj = bidir.select(col("src").as("prev"), col("dst").as("nxt"),
+      lit(true).as("is_nbr"))
+    // step 0: prev = the source itself — nxt == prev can't occur (no
+    // self-loops) and every candidate is adjacent to prev, so the first
+    // hop is uniform, matching node2vec's unbiased first step
+    val seeds = (for { s <- sources; w <- 0 until walksPerSource }
+      yield (s * walksPerSource + w, s)).toDF("walk_id", "node_id")
+      .withColumn("step", lit(0L))
+      .withColumn("prev", col("node_id"))
+    var walk = seeds.select(col("walk_id"), col("step"), col("node_id"))
+    var frontier = seeds.select(col("walk_id"), col("prev"), col("node_id"))
+    for (t <- 1 to steps) {
+      val w = when(col("nxt") === col("prev"), lit(wBack))
+        .when(col("is_nbr"), lit(wNbr))
+        .otherwise(lit(wOut))
+      val score = md5(concat_ws(":", col("walk_id"), lit(t), col("nxt"), col("r")))
+      val next = bidir
+        .join(frontier.select(col("walk_id"), col("prev"), col("node_id").as("src")),
+          Seq("src"))
+        .select(col("walk_id"), col("prev"), col("src"), col("dst").as("nxt"))
+        .join(adj, Seq("prev", "nxt"), "left")
+        .select(col("walk_id"), col("src"), col("nxt"),
+          explode(sequence(lit(1), w)).as("r"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(struct(col("nxt"), col("src")), score).as("pick"))
+        .select(col("walk_id"), lit(t.toLong).as("step"),
+          col("pick.nxt").as("node_id"), col("pick.src").as("prev"))
+        .localCheckpoint()
+      walk = walk.unionAll(next.select(col("walk_id"), col("step"), col("node_id")))
+      frontier = next.select(col("walk_id"), col("prev"), col("node_id"))
+    }
+    walk.orderBy(col("walk_id"), col("step"))
+  }
+
+  /** The rest of the GDS link-prediction function family in ONE frame
+    * (`gds.alpha.linkprediction.{commonNeighbors, preferentialAttachment,
+    * resourceAllocation, totalNeighbors}`) for one source user over the
+    * co-occurrence graph: candidates are 2-hop neighbours not already
+    * adjacent to the source, scored
+    * CN = |N(u)∩N(c)|, RA = Σ_w 1/deg(w), PA = deg(u)·deg(c),
+    * TN = |N(u)∪N(c)| = deg(u)+deg(c)−CN. Same scale shape as
+    * [[adamicAdar]]: one broadcast wedge join from the source's
+    * adjacency row, only the candidate aggregation shuffles; CN/PA/TN
+    * are exact integers, RA rounds a short float sum. */
+  def linkPredictionUser(spark: SparkSession, dir: String,
+      user: Long = 1L, k: Int = 10): DataFrame = {
+    val e = RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("src"), col("u2").as("dst"))
+    val deg = e.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    val srcNbrs = e.filter(col("src") === user).select(col("dst").as("w"))
+    val srcDeg = deg.filter(col("w") === user)
+      .select(col("deg").as("deg_src"))
+    e.select(col("src").as("w"), col("dst").as("cand"))
+      .join(broadcast(srcNbrs), Seq("w"))
+      .filter(col("cand") =!= user)
+      .join(srcNbrs.select(col("w").as("cand")), Seq("cand"), "left_anti")
+      .join(deg, Seq("w"))
+      .groupBy(col("cand"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / col("deg").cast("double")).as("ra"))
+      .join(deg.select(col("w").as("cand"), col("deg").as("deg_cand")), Seq("cand"))
+      .join(broadcast(srcDeg))
+      .select(col("cand").as("user_id"), col("n_common"),
+        round(col("ra"), 6).as("ra_score"),
+        (col("deg_src") * col("deg_cand")).as("pa_score"),
+        (col("deg_src") + col("deg_cand") - col("n_common")).as("tn_score"))
+      .orderBy(col("ra_score").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** k-core of an undirected graph (edges in both directions): the
     * maximal subgraph where every node has degree ≥ k, via iterative
     * peeling to a fixpoint. Each round is one degree aggregate + two
@@ -942,6 +1041,71 @@ object Algorithms {
     x.select(col("node_id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("node_id"))
       .limit(topK)
+  }
+
+  /** Per-user PEARSON similarity (GDS `gds.similarity.pearson`, the
+    * classic CF correlation) over CO-RATED books: for each user pair,
+    * the correlation of their rating vectors restricted to the books
+    * both rated, pairs with ≥ `minCommon` co-rated books and non-zero
+    * variance on both sides. Every aggregate is an exact small-integer
+    * sum (n, Σr, Σr², Σr₁r₂); the single float expression at the end
+    * makes the top-k exactly oracle-checkable. Same scale shape as the
+    * cosine/Jaccard siblings: one book-keyed self-join (the bounded
+    * co-rating fanout), one pair aggregation. */
+  def userPearsonTopK(spark: SparkSession, dir: String, k: Int = 20,
+      minCommon: Int = 3): DataFrame = {
+    val r = RatingsGraph.ratings(spark, dir)
+      .select(col("user_id"), col("book_id"), col("rating"))
+    val pairs = r.select(col("user_id").as("u1"), col("book_id"), col("rating").as("r1"))
+      .join(r.select(col("user_id").as("u2"), col("book_id"), col("rating").as("r2")),
+        Seq("book_id"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("r1")).as("s1"), sum(col("r2")).as("s2"),
+        sum(col("r1") * col("r1")).as("q1"),
+        sum(col("r2") * col("r2")).as("q2"),
+        sum(col("r1") * col("r2")).as("dot"))
+      .filter(col("n_common") >= minCommon)
+    // var·n² stays integer: n·Σr² − (Σr)² — compare > 0 exactly, then
+    // one float sqrt/division
+    val v1 = col("n_common") * col("q1") - col("s1") * col("s1")
+    val v2 = col("n_common") * col("q2") - col("s2") * col("s2")
+    pairs
+      .filter(v1 > 0 && v2 > 0)
+      .select(col("u1"), col("u2"), col("n_common"),
+        round((col("n_common") * col("dot") - col("s1") * col("s2")).cast("double") /
+          (sqrt(v1.cast("double")) * sqrt(v2.cast("double"))), 6).as("pearson"))
+      .orderBy(col("pearson").desc, col("u1"), col("u2"))
+      .limit(k)
+  }
+
+  /** Top-k heaviest triangles, enumerated (GDS `alpha.triangles`
+    * streams the triangle list; listing every triangle of a dense
+    * graph is quadratic noise at scale, so the enumeration is scoped
+    * to the densest-edge subgraph): the top `edgeBudget` co-occurrence
+    * edges by (weight, id) — a deterministic, scale-free cut — closed
+    * into triangles by an id-ordered three-way self-join INSIDE that
+    * bounded subgraph (≤ budget³ᐟ² candidates by arboricity, trivially
+    * broadcastable at any corpus size). */
+  def topTriangles(spark: SparkSession, dir: String, k: Int = 20,
+      edgeBudget: Int = 1000): DataFrame = {
+    val top = RatingsGraph.cooccurrenceEdges(spark, dir)
+      .filter(col("u1") < col("u2"))
+      .orderBy(col("weight").desc, col("u1"), col("u2"))
+      .limit(edgeBudget)
+      .select(col("u1"), col("u2"), col("weight"))
+      .localCheckpoint() // three self-join arms: cut the sort lineage
+    top.select(col("u1").as("a"), col("u2").as("b"), col("weight").as("w_ab"))
+      .join(top.select(col("u1").as("a"), col("u2").as("c"), col("weight").as("w_ac")),
+        Seq("a"))
+      .filter(col("b") < col("c"))
+      .join(top.select(col("u1").as("b"), col("u2").as("c"), col("weight").as("w_bc")),
+        Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"),
+        (col("w_ab") + col("w_ac") + col("w_bc")).as("total_weight"))
+      .orderBy(col("total_weight").desc, col("a"), col("b"), col("c"))
+      .limit(k)
   }
 
   /** Per-user COSINE node similarity (GDS `nodeSimilarity` with

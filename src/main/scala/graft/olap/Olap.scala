@@ -650,15 +650,19 @@ object Olap {
     val pt = part(spark, dir)
       .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
       .select(col("p_partkey"), col("p_brand"))
+    // per-part minimum as a window over the SAME aggregated frame — one
+    // lineitem pass (a groupBy + join-back would re-derive the cost
+    // aggregate on a second branch; Spark has no CTE materialization)
     val cost = lineitem(spark, dir)
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(pt.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .join(broadcast(eligSupp.select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(price).as("cost_dec"))
-    val minCost = cost.groupBy(col("l_partkey"))
-      .agg(min(col("cost_dec")).as("min_cost_dec"))
-    cost.join(minCost, Seq("l_partkey"))
+      .withColumn("min_cost_dec",
+        min(col("cost_dec")).over(Window.partitionBy(col("l_partkey"))))
+    cost
       .filter(col("cost_dec") === col("min_cost_dec"))
       .join(broadcast(eligSupp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
@@ -675,12 +679,17 @@ object Olap {
     * Both nation legs broadcast; the fact shuffles once for the
     * group-by. */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
-    val suppNation = supplier(spark, dir)
+    // the shipping pair is region-grained (Q7 uses a nation pair; a
+    // single synthetic nation can have zero suppliers at tiny SFs, so
+    // the region is the smallest always-populated analog)
+    val suppRegion = supplier(spark, dir)
       .join(nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val custNation = customer(spark, dir)
+      .join(region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name").as("supp_region"))
+    val custRegion = customer(spark, dir)
       .join(nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      .join(region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("cust_region"))
     lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -688,13 +697,13 @@ object Olap {
         col("l_discount"), year(col("l_shipdate")).as("l_year"))
       .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_region") === "EUROPE" && col("cust_region") === "ASIA") ||
+        (col("supp_region") === "ASIA" && col("cust_region") === "EUROPE"))
+      .groupBy(col("supp_region"), col("cust_region"), col("l_year"))
       .agg(sum(price * disc1).cast("double").as("revenue"))
-      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
   }
 
   /** TPC-H Q8 shape: national market share — one nation's fraction of
@@ -759,19 +768,33 @@ object Olap {
     * and the threshold come from the SAME aggregated frame (computed
     * once, the threshold side is a 1-row broadcast); the comparison
     * stays in exact decimal. */
-  def q11ImportantStock(spark: SparkSession, dir: String, frac: Double = 0.001): DataFrame = {
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    // region-scoped supplier set (Q11 restricts to one country's
+    // suppliers; a single synthetic nation can be empty at tiny SFs —
+    // 10 suppliers spread over 25 nations — so the region is the
+    // smallest always-populated analog)
     val natSupp = supplier(spark, dir)
-      .join(nation(spark, dir).filter(col("n_name") === "NATION_5"),
-        col("s_nationkey") === col("n_nationkey"))
+      .join(nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
+    // the HAVING threshold is 1.1× the MEAN per-part value (scale-free —
+    // a fixed fraction of the grand total, Q11's literal form, degrades
+    // to empty when the part count is below 1/frac), compared in exact
+    // cross-multiplied decimal: value·n > 1.1·total. Computed as a
+    // global window over the SAME per-part aggregate — one lineitem
+    // pass; the windowed frame is part-dimension-sized (one row per
+    // part key), so the single-partition global window is a dim-table
+    // sort, never a fact-table one
     val perPart = lineitem(spark, dir)
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(price * col("l_quantity").cast("decimal(12,2)")).as("value_dec"))
-    val threshold = perPart
-      .agg((sum(col("value_dec")) * lit(frac).cast("decimal(6,4)")).as("thresh_dec"))
-    perPart.join(broadcast(threshold))
-      .filter(col("value_dec") > col("thresh_dec"))
+      .withColumn("total_dec", sum(col("value_dec")).over(Window.partitionBy()))
+      .withColumn("n_parts", count(lit(1)).over(Window.partitionBy()))
+    perPart
+      .filter(col("value_dec") * col("n_parts").cast("decimal(10,0)") >
+        lit(1.1).cast("decimal(3,2)") * col("total_dec"))
       .select(col("l_partkey").as("p_partkey"),
         col("value_dec").cast("double").as("part_value"))
       .orderBy(col("part_value").desc, col("p_partkey"))
@@ -796,4 +819,35 @@ object Olap {
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
           .otherwise(1L)).as("low_line_count"))
       .orderBy(col("l_returnflag"))
+
+  /** Exact distribution quantiles (p50/p90/p99 of event value per type)
+    * via the sort-based `percentile` aggregate — the latency-report
+    * shape every analytics engine needs. Exact, not approx: the driver
+    * oracle compares against DuckDB's quantile_cont, so this entry pins
+    * real interpolated quantiles (round(6) absorbs the two engines'
+    * interpolation-algebra ULPs). At 100 TB swap in approx_percentile —
+    * same plan shape, sketch-mergeable; here the per-group sort is the
+    * point (it IS the semantics being tested). */
+  def eventsQuantiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** CUBE over (event_type, month): all four grouping sets in one pass
+    * (Spark expands the cube in the aggregate — one shuffle, not four
+    * queries). Decimal-exact value sums; NULLS FIRST ordering matches
+    * the oracle's. */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        date_trunc("month", col("ts")).as("month"),
+        col("value"))
+      .cube(col("event_type"), col("month"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("month"))
 }

@@ -527,4 +527,31 @@ object TextOps {
         md5(col("payload")).as("payload_md5"),
         ceil(octet_length(col("payload")).cast("double") / 256.0).cast("bigint").as("n_chunks"))
       .orderBy(col("doc_id"))
+
+  /** Per-document unigram-LM negative log-likelihood (nats/token) — the
+    * cheap perplexity proxy pretraining pipelines use to rank corpus
+    * quality (a KenLM stand-in trained on the corpus itself, so every
+    * token is in-vocab by construction). Two aggregates: the unigram
+    * frequency table (the "LM"), then token⋈freq → per-doc mean of
+    * −ln(cnt/N). At 100 TB the frequency table is vocabulary-sized
+    * (≪ corpus, broadcastable after a heavy-hitter cutoff); the token
+    * stream shuffles once on the token key and once on doc_id — both
+    * with map-side partial aggregation. Rounded at 1e-6: per-token
+    * terms are bit-identical across engines (same double division, same
+    * libm ln), only the sum order varies, ~1e-13 relative. */
+  def docLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val docToks = documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val freq = docToks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    docToks.join(freq, Seq("tok"))
+      .join(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(-log(col("cnt").cast("double") / col("n_total").cast("double"))).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll_sum") / col("n_tokens").cast("double"), 6).as("nll_per_token"))
+      .orderBy(col("doc_id"))
+  }
 }

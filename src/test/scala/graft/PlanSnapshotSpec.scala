@@ -62,7 +62,20 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("vocab_coverage", 4, 2),
     ("bpe_first_merge", 2, 1),
     ("bloom_contamination", 4, 1),
-    ("user_overlap_topk", 10, 2))
+    ("user_overlap_topk", 10, 2),
+    // r5 additions: the remaining TPC-H shapes + link prediction + the
+    // unigram-LM scorer. q2/q11 reuse an aggregated frame on two plan
+    // branches (no CTE materialization in Spark) — scan pins record it.
+    ("q2_min_cost_supplier", 10, 9),
+    ("q7_volume_shipping", 9, 8),
+    ("q8_market_share", 9, 8),
+    ("q9_product_profit", 6, 5),
+    ("q11_important_stock", 5, 4),
+    ("q12_late_priority", 3, 2),
+    ("link_prediction_user", 18, 2),
+    ("doc_logprob", 7, 3),
+    ("user_pearson_topk", 6, 2),
+    ("top_triangles", 2, 1))
 
   // The cached-query pins above dilute sensitivity for the operator
   // UNDER the cache (the IMR stage lines dominate the count), so the
