@@ -74,11 +74,46 @@ object SparkEntry {
     "user_cosine_topk" -> ((s, d) => graft.graph.Algorithms.userCosineTopK(s, d)),
     "user_pearson_topk" -> ((s, d) => graft.graph.Algorithms.userPearsonTopK(s, d)),
     "top_triangles" -> ((s, d) => graft.graph.Algorithms.topTriangles(s, d)),
+    "mst_edges" -> ((s, d) => graft.graph.Algorithms.userSpanningForest(s, d)),
+    // forest + spanning + edge-count identity in ONE hash-compared row:
+    // |F| = |V| − c(G) and c(F) = c(G) together force F to be a spanning
+    // forest (maximality of the weight objective is spec-gated — the
+    // Kruskal cross-check in GraphAlgoSpec)
+    "mst_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cooc = RatingsGraph.cooccurrenceEdges(s, d)
+        .filter(col("u1") < col("u2"))
+        .select(col("u1").as("src"), col("u2").as("dst"))
+      val f = graft.graph.Algorithms.userSpanningForest(s, d)
+      val nNodes = cooc.select(col("src").as("v"))
+        .unionAll(cooc.select(col("dst").as("v"))).distinct().count()
+      val nComp = graft.graph.Algorithms.connectedComponents(cooc)
+        .select(col("component")).distinct().count()
+      val nForestEdges = f.count()
+      // a spanning TREE is the worst-diameter graph CC can see (the
+      // default 20 rounds cover dense graphs); the doubling shortcut
+      // needs ~5 + log2(diameter) rounds — 60 covers any realistic tree
+      val nForestComp = graft.graph.Algorithms
+        .connectedComponents(f.select(col("src"), col("dst")), maxIter = 60)
+        .select(col("component")).distinct().count()
+      s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(nNodes, nComp, nForestEdges, nForestComp)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nodes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_components",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_forest_edges",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_forest_components",
+            org.apache.spark.sql.types.LongType))))
+    }),
     "hits_topk" -> ((s, d) => graft.graph.Algorithms.hitsTopK(s, d)),
     "predict_ratings" -> ((s, d) => graft.graph.Algorithms.predictRatings(s, d)),
     "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "doc_logprob" -> ((s, d) => TextOps.docLogProb(s, d)),
+    "source_cap" -> ((s, d) => TextOps.sourceCap(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -1835,6 +1870,29 @@ object SparkEntry {
          |  n.u1, n.u2
          |LIMIT 20""".stripMargin,
 
+    "mst_invariants" ->
+      s"""$RatingsCteRecursive, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), reach(node_id, lab) AS (
+         |  SELECT src, src FROM cooc
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN cooc e ON r.node_id = e.src
+         |), comp AS (
+         |  SELECT node_id, MIN(lab) AS component FROM reach GROUP BY node_id
+         |), counts AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+         |  FROM comp
+         |)
+         |SELECT n_nodes, n_components,
+         |       n_nodes - n_components AS n_forest_edges,
+         |       n_components AS n_forest_components
+         |FROM counts""".stripMargin,
+
     "user_pearson_topk" ->
       s"""$RatingsCte, pairs AS (
          |  SELECT a.user_id AS u1, b.user_id AS u2,
@@ -2598,6 +2656,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY CUBE (event_type, date_trunc('month', ts))
         |ORDER BY event_type ASC NULLS FIRST, month ASC NULLS FIRST""".stripMargin,
+
+    "source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 100
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_logprob" ->
       """WITH toks AS (

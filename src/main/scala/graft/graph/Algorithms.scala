@@ -1043,6 +1043,106 @@ object Algorithms {
       .limit(topK)
   }
 
+  /** Maximum (or minimum) spanning FOREST via distributed Borůvka (GDS
+    * `gds.spanningTree` family): each round every component hooks its
+    * best incident cross-edge under a TOTAL order — (∓weight, src, dst)
+    * — so the forest is UNIQUE and deterministic; picked edges can
+    * never close a cycle (a cycle needs some component to pick a
+    * non-extremal edge, impossible under a total order). Components
+    * then contract by pointer-jumping the comp→comp pick graph (an
+    * in-forest after mutual-pair roots are fixed — O(log) jumps on a
+    * frame that is component-sized, not node-sized). O(log n) rounds,
+    * each: one edges⋈labels join, one arg-min aggregate, comp-sized
+    * relabel — the edge table is never mutated, so the big frame is
+    * scanned once per round with the (tiny) labels side shuffled to
+    * it. Input: one row per undirected pair. Returns the forest edges
+    * (src, dst, weight). */
+  def spanningForest(edges: DataFrame, maximum: Boolean = true,
+      maxRounds: Int = 25): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wkey = (if (maximum) -col("e.weight") else col("e.weight"))
+    var labels = e.select(col("src").as("node_id"))
+      .unionAll(e.select(col("dst").as("node_id")))
+      .distinct()
+      .withColumn("comp", col("node_id"))
+      .localCheckpoint()
+    var forest = e.limit(0).localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val cross = e
+        .join(labels.select(col("node_id").as("src"), col("comp").as("comp_s")), Seq("src"))
+        .join(labels.select(col("node_id").as("dst"), col("comp").as("comp_d")), Seq("dst"))
+        .filter(col("comp_s") =!= col("comp_d"))
+      // each component votes from both sides of its incident cross
+      // edges; arg-min under the total order picks its hook edge
+      val packed = struct(col("src"), col("dst"), col("weight"),
+        col("comp_s"), col("comp_d")).as("e")
+      val picks = cross.select(col("comp_s").as("comp"), packed)
+        .unionAll(cross.select(col("comp_d").as("comp"), packed))
+        .groupBy(col("comp"))
+        .agg(min_by(col("e"), struct(wkey, col("e.src"), col("e.dst"))).as("e"))
+        .localCheckpoint()
+      if (picks.isEmpty) { done = true }
+      else {
+        forest = forest
+          .unionAll(picks.select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.weight").as("weight")).distinct())
+          .localCheckpoint()
+        // comp→comp hook graph: functional (one out-edge per comp);
+        // mutual pairs become roots at their smaller id, the rest
+        // pointer-jump to their root
+        var par = picks.select(col("comp"),
+          when(col("comp") === col("e.comp_s"), col("e.comp_d"))
+            .otherwise(col("e.comp_s")).as("par"))
+        par = par.alias("a")
+          .join(par.select(col("comp").as("par"), col("par").as("pp")).alias("b"),
+            Seq("par"), "left")
+          .select(col("comp"),
+            when(col("pp") === col("comp") && col("comp") < col("par"), col("comp"))
+              .otherwise(col("par")).as("par"))
+          .localCheckpoint()
+        var jumping = true
+        var jumps = 0
+        while (jumping && jumps < 20) {
+          val nxt = par.alias("a")
+            .join(par.select(col("comp").as("par"), col("par").as("pp")).alias("b"),
+              Seq("par"), "left")
+            .select(col("comp"), coalesce(col("pp"), col("par")).as("par"))
+            .localCheckpoint()
+          jumping = nxt.alias("n")
+            .join(par.withColumnRenamed("par", "old"), Seq("comp"))
+            .filter(col("par") =!= col("old")).limit(1).count() > 0
+          par = nxt
+          jumps += 1
+        }
+        labels = labels
+          .join(par.withColumnRenamed("comp", "old_comp"),
+            labels("comp") === col("old_comp"), "left")
+          .select(col("node_id"), coalesce(col("par"), col("comp")).as("comp"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    if (!done) System.err.println(
+      s"[graft] spanningForest hit maxRounds=$maxRounds before convergence")
+    e.unpersist(blocking = false)
+    forest.orderBy(col("weight").desc, col("src"), col("dst"))
+  }
+
+  /** Session-cached MAXIMUM spanning forest of the co-occurrence graph
+    * (the strongest-co-rating backbone; GDS `gds.spanningTree` with
+    * objective MAXIMUM): one row per undirected pair in, forest out. */
+  def userSpanningForest(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "mst_forest") {
+      spanningForest(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .filter(col("u1") < col("u2"))
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+    }
+
   /** Per-user PEARSON similarity (GDS `gds.similarity.pearson`, the
     * classic CF correlation) over CO-RATED books: for each user pair,
     * the correlation of their rating vectors restricted to the books

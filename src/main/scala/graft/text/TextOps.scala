@@ -528,6 +528,25 @@ object TextOps {
         ceil(octet_length(col("payload")).cast("double") / 256.0).cast("bigint").as("n_chunks"))
       .orderBy(col("doc_id"))
 
+  /** Per-source document cap (the per-domain cap pretraining mixtures
+    * apply so no single source dominates): keep at most `cap` docs per
+    * source, chosen by seeded-hash rank — a deterministic uniform
+    * reservoir, reproducible across engines and runs. One window per
+    * source partition; at 100 TB the rank never sorts globally and a
+    * skewed mega-source is exactly the case the cap exists for (its
+    * partition sort is the cost of sampling it). */
+  def sourceCap(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":cap"))), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document unigram-LM negative log-likelihood (nats/token) — the
     * cheap perplexity proxy pretraining pipelines use to rank corpus
     * quality (a KenLM stand-in trained on the corpus itself, so every

@@ -23,6 +23,43 @@ class GraphAlgoSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("spanningForest: fixture forest is the unique maximum spanning tree") {
+    // path-ish graph where the max forest is forced: edges (1-2, 10),
+    // (2-3, 9), (1-3, 1) → the triangle drops its lightest edge; plus a
+    // separate pair (7-8, 5). Forest = {1-2, 2-3, 7-8}.
+    val edges = Seq((1L, 2L, 10.0), (2L, 3L, 9.0), (1L, 3L, 1.0), (7L, 8L, 5.0))
+      .toDF("src", "dst", "weight")
+    val f = Algorithms.spanningForest(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(f == Set((1L, 2L, 10.0), (2L, 3L, 9.0), (7L, 8L, 5.0)))
+  }
+
+  test("spanningForest: matches driver-side Kruskal on the sf co-occurrence graph") {
+    val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+      .filter(col("u1") < col("u2"))
+      .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+    val edges = cooc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+    // Kruskal under the SAME total order (weight desc, src, dst):
+    // sorts globally, union-find greedily — the unique maximum forest
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = edges.sortBy { case (s, d, w) => (-w, s, d) }
+      .filter { case (s, d, _) =>
+        val (rs, rd) = (find(s), find(d))
+        if (rs == rd) false else { parent(rs) = rd; true }
+      }.toSet
+    val boruvka = Algorithms.spanningForest(cooc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (s, d, w) => (s, d, w) }.toSet
+    assert(boruvka.size == kruskal.size,
+      s"forest sizes differ: boruvka=${boruvka.size} kruskal=${kruskal.size}")
+    assert(boruvka == kruskal.map { case (s, d, w) => (s, d, w) })
+  }
+
   test("labelPropagation: two dense cliques joined by a weak bridge") {
     // clique A = {1,2,3}, clique B = {4,5,6}, bridge 3-4 with weight 0.1
     def clique(ids: Seq[Long], w: Double) =
