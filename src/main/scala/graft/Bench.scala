@@ -40,7 +40,8 @@ object Bench {
       "kcore" -> (() => graph.Algorithms.userKcore(spark, sfDir).count(): Unit),
       "bipartite_cc" -> (() => graph.Algorithms.userBipartiteCC(spark, sfDir).count(): Unit),
       "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
-      "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit))
+      "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit),
+      "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit))
     val silverResults = silverBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()
       val ok =

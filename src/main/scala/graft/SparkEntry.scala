@@ -465,6 +465,7 @@ object SparkEntry {
     "q11_important_stock" -> ((s, d) => Olap.q11ImportantStock(s, d)),
     "q12_late_priority" -> ((s, d) => Olap.q12LatePriority(s, d)),
     "events_quantiles" -> ((s, d) => Olap.eventsQuantiles(s, d)),
+    "events_approx_users" -> ((s, d) => Olap.eventsApproxUsers(s, d)),
     "events_cube" -> ((s, d) => Olap.eventsCube(s, d)),
     "simhash_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2645,6 +2646,14 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
         |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "events_approx_users" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  TRUE AS approx_within_5pct
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

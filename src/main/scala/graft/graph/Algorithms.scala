@@ -1058,7 +1058,7 @@ object Algorithms {
     * it. Input: one row per undirected pair. Returns the forest edges
     * (src, dst, weight). */
   def spanningForest(edges: DataFrame, maximum: Boolean = true,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25, driverContractLimit: Long = 5000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .filter(col("src") =!= col("dst"))
       .repartition(col("src"))
@@ -1086,43 +1086,66 @@ object Algorithms {
         .groupBy(col("comp"))
         .agg(min_by(col("e"), struct(wkey, col("e.src"), col("e.dst"))).as("e"))
         .localCheckpoint()
-      if (picks.isEmpty) { done = true }
+      val nPicks = picks.count()
+      if (nPicks == 0) { done = true }
       else {
         forest = forest
           .unionAll(picks.select(col("e.src").as("src"), col("e.dst").as("dst"),
             col("e.weight").as("weight")).distinct())
           .localCheckpoint()
-        // comp→comp hook graph: functional (one out-edge per comp);
-        // mutual pairs become roots at their smaller id, the rest
-        // pointer-jump to their root
-        var par = picks.select(col("comp"),
+        // comp→comp hook graph: functional (one out-edge per comp).
+        // Contraction is size-adaptive (the dedup-clusters lever): the
+        // hook graph is COMPONENT-sized and shrinks geometrically, so
+        // under the limit a driver union-find collapses it in one pass
+        // (two longs per comp — no convergence probes, no per-jump
+        // jobs); above it, distributed pointer jumping with a bounded
+        // jump count (log2 of the comp count — the in-forest depth
+        // can't exceed it) keeps the 100 TB path shuffle-only.
+        val pairs = picks.select(col("comp"),
           when(col("comp") === col("e.comp_s"), col("e.comp_d"))
-            .otherwise(col("e.comp_s")).as("par"))
-        par = par.alias("a")
-          .join(par.select(col("comp").as("par"), col("par").as("pp")).alias("b"),
-            Seq("par"), "left")
-          .select(col("comp"),
-            when(col("pp") === col("comp") && col("comp") < col("par"), col("comp"))
-              .otherwise(col("par")).as("par"))
-          .localCheckpoint()
-        var jumping = true
-        var jumps = 0
-        while (jumping && jumps < 20) {
-          val nxt = par.alias("a")
-            .join(par.select(col("comp").as("par"), col("par").as("pp")).alias("b"),
-              Seq("par"), "left")
-            .select(col("comp"), coalesce(col("pp"), col("par")).as("par"))
-            .localCheckpoint()
-          jumping = nxt.alias("n")
-            .join(par.withColumnRenamed("par", "old"), Seq("comp"))
-            .filter(col("par") =!= col("old")).limit(1).count() > 0
-          par = nxt
-          jumps += 1
-        }
+            .otherwise(col("e.comp_s")).as("tgt"))
+        val mapping: DataFrame =
+          if (nPicks <= driverContractLimit) {
+            val parent = scala.collection.mutable.Map[Long, Long]()
+            def find(x: Long): Long = {
+              val p = parent.getOrElseUpdate(x, x)
+              if (p == x) x else { val r = find(p); parent(x) = r; r }
+            }
+            val arr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+            arr.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+            }
+            // canonical label = min member comp id per merged set
+            val minOf = scala.collection.mutable.Map[Long, Long]()
+            parent.keys.foreach { c =>
+              val r = find(c)
+              minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), c)
+            }
+            import e.sparkSession.implicits._
+            parent.keys.toSeq.map(c => (c, minOf(find(c))))
+              .toDF("old_comp", "new_comp")
+          } else {
+            var par = pairs.withColumnRenamed("tgt", "par")
+            par = par.alias("a")
+              .join(par.select(col("comp").as("par"), col("par").as("pp")).alias("b"),
+                Seq("par"), "left")
+              .select(col("comp"),
+                when(col("pp") === col("comp") && col("comp") < col("par"), col("comp"))
+                  .otherwise(col("par")).as("par"))
+              .localCheckpoint()
+            val bound = (64 - java.lang.Long.numberOfLeadingZeros(nPicks)) + 1
+            for (_ <- 1 to bound) {
+              par = par.alias("a")
+                .join(par.select(col("comp").as("par"), col("par").as("pp")).alias("b"),
+                  Seq("par"), "left")
+                .select(col("comp"), coalesce(col("pp"), col("par")).as("par"))
+                .localCheckpoint()
+            }
+            par.select(col("comp").as("old_comp"), col("par").as("new_comp"))
+          }
         labels = labels
-          .join(par.withColumnRenamed("comp", "old_comp"),
-            labels("comp") === col("old_comp"), "left")
-          .select(col("node_id"), coalesce(col("par"), col("comp")).as("comp"))
+          .join(mapping, labels("comp") === col("old_comp"), "left")
+          .select(col("node_id"), coalesce(col("new_comp"), col("comp")).as("comp"))
           .localCheckpoint()
       }
       round += 1

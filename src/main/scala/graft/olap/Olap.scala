@@ -837,6 +837,22 @@ object Olap {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Distinct-user counts per event type, exact AND HyperLogLog++:
+    * the exact side is the oracle-compared truth; the sketch side is
+    * asserted in-row to land within 5% (rsd is configured at 1% — a
+    * miss means the sketch plumbing broke, not noise). At 100 TB the
+    * approx column IS the operator (mergeable sketch, no distinct
+    * shuffle) and the exact column becomes the spot-check. */
+  def eventsApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("approx") - col("n_users_exact")).cast("double") <=
+          col("n_users_exact").cast("double") * 0.05).as("approx_within_5pct"))
+      .orderBy(col("event_type"))
+
   /** CUBE over (event_type, month): all four grouping sets in one pass
     * (Spark expands the cube in the aggregate — one shuffle, not four
     * queries). Decimal-exact value sums; NULLS FIRST ordering matches
