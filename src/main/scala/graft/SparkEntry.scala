@@ -90,12 +90,27 @@ object SparkEntry {
       val nComp = graft.graph.Algorithms.connectedComponents(cooc)
         .select(col("component")).distinct().count()
       val nForestEdges = f.count()
-      // a spanning TREE is the worst-diameter graph CC can see (the
-      // default 20 rounds cover dense graphs); the doubling shortcut
-      // needs ~5 + log2(diameter) rounds — 60 covers any realistic tree
-      val nForestComp = graft.graph.Algorithms
-        .connectedComponents(f.select(col("src"), col("dst")), maxIter = 60)
-        .select(col("component")).distinct().count()
+      // a spanning TREE is the worst-diameter graph label propagation
+      // can see, so the CHECK side counts forest components with a
+      // driver union-find when the forest fits (it is |V|−c rows —
+      // 15 K at sf0.1; the check is not the operator) and falls back to
+      // distributed CC at maxIter=60 (~5 + log2(diameter) rounds) for
+      // forests beyond driver reach
+      val nForestComp =
+        if (nForestEdges <= 5000000L) {
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          f.select(col("src"), col("dst")).collect().foreach { r =>
+            val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+            if (a != b) parent(a) = b
+          }
+          parent.keys.map(find).toSet.size.toLong
+        } else graft.graph.Algorithms
+          .connectedComponents(f.select(col("src"), col("dst")), maxIter = 60)
+          .select(col("component")).distinct().count()
       s.createDataFrame(java.util.Arrays.asList(
           org.apache.spark.sql.Row(nNodes, nComp, nForestEdges, nForestComp)),
         org.apache.spark.sql.types.StructType(Seq(

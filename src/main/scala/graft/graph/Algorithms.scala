@@ -32,6 +32,20 @@ object Algorithms {
     fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
   }
 
+  /** localCheckpoint that ALSO resets plan statistics. Spark 4's
+    * checkpoint rewrites the source plan's stats/constraints into the
+    * LogicalRDD it returns, so an iterative loop whose round SELF-JOINS
+    * the previous checkpoint SQUARES the estimated sizeInBytes every
+    * round — by round ~25 the stats BigInt has millions of digits and
+    * the driver spends minutes per round inside Toom-Cook
+    * multiplication (observed: CC at maxIter=60 on a spanning tree
+    * froze the bench). The Row-RDD round trip rebuilds the frame with
+    * DEFAULT leaf stats; the data itself is the same materialised
+    * checkpoint blocks, and the frames this guards are label-table
+    * sized, so the extra encode hop is noise. */
+  private[graph] def checkpointFresh(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
+
   /** Connected components by iterated min-label propagation until
     * convergence. Returns (node_id, component) where component is the
     * smallest node id in the component. */
@@ -41,22 +55,23 @@ object Algorithms {
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = bidir.select(col("src").as("node_id"))
+    var labels = checkpointFresh(bidir.select(col("src").as("node_id"))
       .distinct()
-      .withColumn("component", col("node_id"))
-      .localCheckpoint()
+      .withColumn("component", col("node_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // candidate label = min over (self, neighbours' labels); the self
       // rows ride the same aggregation, so one shuffle, no join
-      val prop = bidir
+      // materialise once (probe + next round read it) WITH fresh stats:
+      // the round-5+ shortcut self-joins this frame, which would square
+      // carried-over stats every round — see [[checkpointFresh]]
+      val prop = checkpointFresh(bidir
         .join(labels.withColumnRenamed("node_id", "src"), Seq("src"))
         .select(col("dst").as("node_id"), col("component"))
         .unionAll(labels)
         .groupBy(col("node_id"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint() // materialise once: probe + next round read it
+        .agg(min(col("component")).as("component")))
       // pointer-jumping shortcut from round 5 on: also adopt the label
       // OF my label (labels only decrease and every label value is
       // itself a labelled node), squaring the propagation distance per
@@ -67,13 +82,12 @@ object Algorithms {
       // per-round |V| join.
       val next =
         if (i < 4) prop
-        else prop
+        else checkpointFresh(prop
           .join(prop.select(col("node_id").as("component"),
             col("component").as("comp2")), Seq("component"), "left")
           .select(col("node_id"),
             least(col("component"), coalesce(col("comp2"), col("component")))
-              .as("component"))
-          .localCheckpoint() // the probe and the next round both read it
+              .as("component"))) // the probe and the next round both read it
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node_id"))
         .filter(col("component") =!= col("old")).limit(1).count()
       labels = next
@@ -1125,28 +1139,28 @@ object Algorithms {
             parent.keys.toSeq.map(c => (c, minOf(find(c))))
               .toDF("old_comp", "new_comp")
           } else {
+            // checkpointFresh, not bare localCheckpoint: every jump
+            // self-joins the previous frame, which would square carried
+            // stats per jump
             var par = pairs.withColumnRenamed("tgt", "par")
-            par = par.alias("a")
+            par = checkpointFresh(par.alias("a")
               .join(par.select(col("comp").as("par"), col("par").as("pp")).alias("b"),
                 Seq("par"), "left")
               .select(col("comp"),
                 when(col("pp") === col("comp") && col("comp") < col("par"), col("comp"))
-                  .otherwise(col("par")).as("par"))
-              .localCheckpoint()
+                  .otherwise(col("par")).as("par")))
             val bound = (64 - java.lang.Long.numberOfLeadingZeros(nPicks)) + 1
             for (_ <- 1 to bound) {
-              par = par.alias("a")
+              par = checkpointFresh(par.alias("a")
                 .join(par.select(col("comp").as("par"), col("par").as("pp")).alias("b"),
                   Seq("par"), "left")
-                .select(col("comp"), coalesce(col("pp"), col("par")).as("par"))
-                .localCheckpoint()
+                .select(col("comp"), coalesce(col("pp"), col("par")).as("par")))
             }
             par.select(col("comp").as("old_comp"), col("par").as("new_comp"))
           }
-        labels = labels
+        labels = checkpointFresh(labels
           .join(mapping, labels("comp") === col("old_comp"), "left")
-          .select(col("node_id"), coalesce(col("new_comp"), col("comp")).as("comp"))
-          .localCheckpoint()
+          .select(col("node_id"), coalesce(col("new_comp"), col("comp")).as("comp")))
       }
       round += 1
     }

@@ -51,10 +51,9 @@ object Louvain {
     }
     val m2 = m2Row.getDouble(0) // = 2m
     // labels CARRY the node degree k — saves a nodeDeg join per sweep
-    var labels = e.groupBy(col("src").as("node_id"))
+    var labels = Algorithms.checkpointFresh(e.groupBy(col("src").as("node_id"))
       .agg(sum(col("weight")).as("k"))
-      .select(col("node_id"), col("node_id").as("comm"), col("k"))
-      .localCheckpoint()
+      .select(col("node_id"), col("node_id").as("comm"), col("k")))
     var sweep = 1
     var zeroMoveSweeps = 0
     var tSweep = System.nanoTime()
@@ -136,13 +135,13 @@ object Louvain {
       // later plan and Catalyst analysis goes quadratic in sweep count
       // (measured: the sf0.1 run went from 20 s to minutes stuck in
       // TreeNode.transform).
-      val updated = labels.join(best, Seq("node_id"), "left")
-        .select(col("node_id"),
-          coalesce(col("best_comm"), col("comm")).as("comm"),
-          col("k"),
-          (col("best_comm").isNotNull && col("best_comm") =!= col("comm")).as("moved"),
-          (col("best_gain") - col("stay_gain")).as("delta"))
-        .localCheckpoint()
+      val updated = Algorithms.checkpointFresh(
+        labels.join(best, Seq("node_id"), "left")
+          .select(col("node_id"),
+            coalesce(col("best_comm"), col("comm")).as("comm"),
+            col("k"),
+            (col("best_comm").isNotNull && col("best_comm") =!= col("comm")).as("moved"),
+            (col("best_gain") - col("stay_gain")).as("delta")))
       val moveStats = updated.filter(col("moved"))
         .agg(count(lit(1)), sum(col("delta"))).head()
       val nMoves = moveStats.getLong(0)

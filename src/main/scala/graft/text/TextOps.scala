@@ -560,15 +560,27 @@ object TextOps {
     * libm ln), only the sum order varies, ~1e-13 relative. */
   def docLogProb(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val docToks = documents(spark, dir)
+    // (doc, token) grain FIRST: the per-instance token stream never
+    // reaches a join — in-doc repeats fold into a count in the same
+    // shuffle that builds the grain, the frequency table derives from
+    // the grain (no second corpus pass), and the tok-keyed join carries
+    // distinct pairs only. Checkpointed: freq and the scoring join both
+    // read it. (The per-instance form went 12× on 4× data — duplicated
+    // corpora make token postings heavy exactly when dedup hasn't run
+    // yet, which is when this scorer runs.)
+    val docTok = documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
-    val freq = docToks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val freq = docTok.groupBy(col("tok")).agg(sum(col("c")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("n_total"))
-    docToks.join(freq, Seq("tok"))
+    docTok.join(freq, Seq("tok"))
       .join(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(-log(col("cnt").cast("double") / col("n_total").cast("double"))).as("nll_sum"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(-col("c").cast("double") *
+          log(col("cnt").cast("double") / col("n_total").cast("double"))).as("nll_sum"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("nll_sum") / col("n_tokens").cast("double"), 6).as("nll_per_token"))
       .orderBy(col("doc_id"))
