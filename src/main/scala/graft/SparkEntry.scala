@@ -87,8 +87,25 @@ object SparkEntry {
       val f = graft.graph.Algorithms.userSpanningForest(s, d)
       val nNodes = cooc.select(col("src").as("v"))
         .unionAll(cooc.select(col("dst").as("v"))).distinct().count()
-      val nComp = graft.graph.Algorithms.connectedComponents(cooc)
-        .select(col("component")).distinct().count()
+      val nEdges = cooc.count()
+      // graph-side component count, size-adaptive like the forest side:
+      // union-find over collected (src, dst) pairs below 5M edges (the
+      // check is not the operator — `connected_components` exercises
+      // the distributed CC), distributed CC beyond
+      val nComp =
+        if (nEdges <= 5000000L) {
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          cooc.select(col("src"), col("dst")).collect().foreach { r =>
+            val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+            if (a != b) parent(a) = b
+          }
+          parent.keys.map(find).toSet.size.toLong
+        } else graft.graph.Algorithms.connectedComponents(cooc)
+          .select(col("component")).distinct().count()
       val nForestEdges = f.count()
       // a spanning TREE is the worst-diameter graph label propagation
       // can see, so the CHECK side counts forest components with a
