@@ -363,6 +363,8 @@ object SparkEntry {
     "truss_decay" -> ((s, d) => graft.graph.Algorithms.trussDecayProfile(s, d)),
     "degree_histogram" -> ((s, d) => graft.graph.Algorithms.degreeHistogram(s, d)),
     "ann_pq_topk" -> ((s, d) => graft.ann.AnnSearch.pqTopK(s, d)),
+    "kmeans_clusters" -> ((s, d) => graft.ann.KMeans.assign(s, d)),
+    "kmeans_invariants" -> ((s, d) => graft.ann.KMeans.invariants(s, d)),
     "pq_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val m = 8; val ksub = 16
@@ -498,6 +500,8 @@ object SparkEntry {
     "q12_late_priority" -> ((s, d) => Olap.q12LatePriority(s, d)),
     "events_quantiles" -> ((s, d) => Olap.eventsQuantiles(s, d)),
     "events_approx_users" -> ((s, d) => Olap.eventsApproxUsers(s, d)),
+    "window_distribution" -> ((s, d) => Olap.windowDistribution(s, d)),
+    "events_value_histogram" -> ((s, d) => Olap.eventsValueHistogram(s, d)),
     "events_cube" -> ((s, d) => Olap.eventsCube(s, d)),
     "simhash_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2099,6 +2103,14 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS core_degrees_ge_k,
         |       CAST(1 AS BIGINT) AS members_have_global_deg_ge_k""".stripMargin,
 
+    "kmeans_invariants" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  TRUE AS one_assignment_per_vector,
+        |  TRUE AS clusters_in_range,
+        |  TRUE AS no_empty_cluster,
+        |  TRUE AS wss_monotone
+        |FROM embeddings""".stripMargin,
+
     "pq_invariants" ->
       """SELECT CAST(1 AS BIGINT) AS m_codes_per_vector,
         |       CAST(1 AS BIGINT) AS codes_in_range,
@@ -2681,6 +2693,25 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "window_distribution" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "events_value_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "events_approx_users" ->
       """SELECT event_type,

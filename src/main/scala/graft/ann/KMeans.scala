@@ -1,0 +1,116 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Lloyd's k-means over the embedding corpus (GDS `gds.kmeans` parity;
+  * the clustering complement of the IVF routing stage in
+  * [[AnnSearch]]).
+  *
+  * Determinism: init picks the k vectors with the smallest seeded
+  * md5(vec_id) hash — a uniform, engine-reproducible draw — and every
+  * iteration is a pure function of the previous centroids, so two runs
+  * produce identical assignments (float reductions ride a fixed
+  * aggregation shape).
+  *
+  * Scale shape: centroids are k·dim doubles — broadcast as LITERALS
+  * into the assignment projection (no join, stays inside whole-stage
+  * codegen); the update is one groupBy(cluster) over 64 columnar sums
+  * (map-side partial aggregation — the FastRP lever), so each
+  * iteration is ONE shuffle of k×64 partial rows, never a vector
+  * exchange. The corpus is scanned once per iteration. */
+object KMeans {
+
+  /** (vec_id, cluster) for every embedding, k clusters, `iters`
+    * Lloyd iterations from the hash-seeded init. */
+  def assign(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3): DataFrame =
+    lloyd(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k, iters, dim = 64)
+
+  /** Lloyd's over any (vec_id, embedding: Array[Float]) frame. */
+  def lloyd(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    // hash-seeded init: k smallest md5(vec_id || ':kmeans') — collect
+    // just the seed vectors (k rows)
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit(":kmeans"))), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(emb, centroids)
+      // columnar update: 64 conditional-free sums per cluster + count,
+      // one aggregate — partials combine map-side
+      val sums = assigned
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(col("embedding").getItem(i).cast("double")).as(s"s$i")): _*)
+        .collect()
+      centroids = centroids.indices.map { c =>
+        sums.find(_.getInt(0) == c) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+      out = assigned.select(col("vec_id"), col("cluster"))
+    }
+    out.orderBy(col("vec_id"))
+  }
+
+  /** Argmin-squared-distance assignment with centroid LITERALS: the
+    * distance for each centroid is an inlined codegen expression;
+    * argmin via least-of-structs (distance, cluster id — total order,
+    * deterministic ties). */
+  private def assignTo(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (ctr, ci) =>
+      val d2 = (0 until ctr.length).map { i =>
+        val diff = col("embedding").getItem(i).cast("double") - lit(ctr(i))
+        diff * diff
+      }.reduce(_ + _)
+      struct(d2.as("d2"), lit(ci).as("cluster"))
+    }
+    emb.withColumn("cluster", least(dists: _*).getField("cluster"))
+  }
+
+  /** SQL-oracle-able gates: every vector assigned exactly once, cluster
+    * ids in range, no empty cluster at this data scale, and the
+    * within-cluster sum of squares does not increase across the final
+    * Lloyd step (the defining monotonicity of the algorithm). */
+  def invariants(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val a2 = assign(spark, dir, k, iters = 2)
+    val a3 = assign(spark, dir, k, iters = 3)
+    val emb = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def wss(a: DataFrame): Double = {
+      // centroid of each cluster, then Σ‖x − c‖²: two aggregates
+      val dim = 64
+      val joined = a.join(emb, Seq("vec_id"))
+      val avgs = (0 until dim).map(i =>
+        avg(col("embedding").getItem(i).cast("double")).as(s"c$i"))
+      val ctr = joined.groupBy(col("cluster"))
+        .agg(avgs.head, avgs.tail: _*)
+      joined.join(ctr, Seq("cluster"))
+        .select(((0 until dim).map { i =>
+          val d = col("embedding").getItem(i).cast("double") - col(s"c$i")
+          d * d
+        }.reduce(_ + _)).as("d2"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    }
+    val n = emb.count()
+    val nAssigned = a3.count()
+    val distinctVecs = a3.select(col("vec_id")).distinct().count()
+    val inRange = a3.filter(col("cluster") < 0 || col("cluster") >= k).count() == 0
+    val nonEmpty = a3.select(col("cluster")).distinct().count() == k.toLong
+    val monotone = wss(a3) <= wss(a2) + 1e-6
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((n, nAssigned == n && distinctVecs == n, inRange, nonEmpty, monotone))
+      .toDF("n_vectors", "one_assignment_per_vector", "clusters_in_range",
+        "no_empty_cluster", "wss_monotone")
+  }
+}

@@ -853,6 +853,34 @@ object Olap {
           col("n_users_exact").cast("double") * 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
 
+  /** The distribution-window family in one frame (ntile, percent_rank,
+    * cume_dist, first/last_value over a running frame) — per-customer
+    * order-price positioning. One window sort per customer partition;
+    * the whole family shares it. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("cheapest", first_value(col("o_orderkey")).over(wRun))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Fixed-width value histogram per event type (width_bucket shape):
+    * integer bucket arithmetic end to end — the profiling primitive
+    * next to [[eventsQuantiles]]'s exact quantiles. */
+  def eventsValueHistogram(spark: SparkSession, dir: String, width: Double = 10.0): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / lit(width)).cast("bigint").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** CUBE over (event_type, month): all four grouping sets in one pass
     * (Spark expands the cube in the aggregate — one shuffle, not four
     * queries). Decimal-exact value sums; NULLS FIRST ordering matches

@@ -668,4 +668,38 @@ class NewOpsSpec extends AnyFunSuite {
     // here span ≲1.0 → step ≤ 1/255 → mse well under 1e-4
     assert(q.filter(col("mse") < 0.0 || col("mse") > 1e-4).isEmpty)
   }
+
+  test("kmeans: recovers three planted well-separated blobs") {
+    // three blobs on orthogonal axes; ids are arranged so the three
+    // smallest seeded-hash ids (the init picks) land in DIFFERENT
+    // blobs — with separated blobs and one seed each, Lloyd cannot
+    // split a blob
+    val ids = (0L until 30L)
+    val hashOrder = ids.map(i => i -> java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:kmeans".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .sortBy(_._2).map(_._1)
+    val seeds = hashOrder.take(3)
+    // blob of id = (its position among seeds) if seed else round-robin
+    val blobOf = ids.map { i =>
+      val s = seeds.indexOf(i)
+      i -> (if (s >= 0) s else (i % 3).toInt)
+    }.toMap
+    val rows = ids.map { i =>
+      val b = blobOf(i)
+      val v = Array.fill(64)(0.0f)
+      v(b) = 10.0f
+      v(20 + b) = 5.0f + (i % 5) * 0.01f // tiny in-blob jitter
+      (i, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.ann.KMeans.lloyd(emb, k = 3, iters = 3, dim = 64).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // same blob -> same cluster, different blobs -> different clusters
+    val byBlob = ids.groupBy(blobOf)
+    byBlob.foreach { case (_, members) =>
+      assert(members.map(out).toSet.size == 1,
+        s"blob split across clusters: ${members.map(m => m -> out(m))}")
+    }
+    assert(byBlob.keys.map(b => out(byBlob(b).head)).toSet.size == 3)
+  }
 }
