@@ -155,6 +155,13 @@ object SparkEntry {
       graft.graph.Algorithms.userCommunities(s, d).orderBy("node_id")),
     "communities_louvain" -> ((s, d) =>
       graft.graph.Louvain.userCommunities(s, d).orderBy("node_id")),
+    "community_conductance" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.conductance(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst"), col("weight")),
+        graft.graph.Algorithms.userCommunities(s, d))
+    }),
     "triangle_count" -> ((s, d) => graft.graph.Algorithms.userTriangleCount(s, d)),
     "user_jaccard_topk" -> ((s, d) => graft.graph.Algorithms.userJaccardTopK(s, d)),
     "bfs_hops" -> ((s, d) =>
@@ -2256,6 +2263,28 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "community_modularity" -> modularityLpaOracle,
+
+    // per-community conductance over the exact LPA lab5 labels:
+    // integer cut/volume sums, one guarded division
+    "community_conductance" -> (lpaCtes +
+      """, labelled AS (
+        |  SELECT e.src, e.weight, ls.label AS sl, ld.label AS dl
+        |  FROM cooc e
+        |  JOIN lab5 ls ON e.src = ls.node_id
+        |  JOIN lab5 ld ON e.dst = ld.node_id
+        |), per AS (
+        |  SELECT sl AS community,
+        |    CAST(SUM(CASE WHEN sl <> dl THEN weight ELSE 0 END) AS BIGINT) AS cut_w,
+        |    CAST(SUM(weight) AS BIGINT) AS vol_w
+        |  FROM labelled GROUP BY sl
+        |), tot AS (SELECT SUM(vol_w) AS vol_all FROM per)
+        |SELECT community, cut_w, vol_w,
+        |  CASE WHEN LEAST(vol_w, tot.vol_all - vol_w) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(cut_w AS DOUBLE) /
+        |                  CAST(LEAST(vol_w, tot.vol_all - vol_w) AS DOUBLE), 6)
+        |  END AS conductance
+        |FROM per, tot
+        |ORDER BY community""".stripMargin),
 
     // Pearson r of endpoint degrees over the symmetric co-occurrence
     // edge list — integer-exact sums, one floating division at the end.

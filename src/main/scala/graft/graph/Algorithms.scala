@@ -1170,6 +1170,29 @@ object Algorithms {
     forest.orderBy(col("weight").desc, col("src"), col("dst"))
   }
 
+  /** Per-community conductance (GDS `gds.conductance`): for each
+    * community, cut weight / min(vol, totalVol − vol) over the
+    * symmetric weighted graph — the community-quality metric next to
+    * [[modularity]]. Integer-exact sums (cut, volume), one guarded
+    * float division at the end; one labels join + one aggregate. */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val labelled = edges
+      .join(labels.select(col("node_id").as("src"), col("label").as("sl")), Seq("src"))
+      .join(labels.select(col("node_id").as("dst"), col("label").as("dl")), Seq("dst"))
+    val per = labelled.groupBy(col("sl").as("community"))
+      .agg(sum(when(col("sl") =!= col("dl"), col("weight")).otherwise(lit(0L)))
+        .cast("bigint").as("cut_w"),
+        sum(col("weight")).cast("bigint").as("vol_w"))
+    val tot = per.agg(sum(col("vol_w")).as("vol_all"))
+    per.join(broadcast(tot))
+      .select(col("community"), col("cut_w"), col("vol_w"),
+        when(least(col("vol_w"), col("vol_all") - col("vol_w")) === 0, lit(0.0))
+          .otherwise(round(col("cut_w").cast("double") /
+            least(col("vol_w"), col("vol_all") - col("vol_w")).cast("double"), 6))
+          .as("conductance"))
+      .orderBy(col("community"))
+  }
+
   /** Session-cached MAXIMUM spanning forest of the co-occurrence graph
     * (the strongest-co-rating backbone; GDS `gds.spanningTree` with
     * objective MAXIMUM): one row per undirected pair in, forest out. */

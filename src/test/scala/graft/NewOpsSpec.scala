@@ -702,4 +702,19 @@ class NewOpsSpec extends AnyFunSuite {
     }
     assert(byBlob.keys.map(b => out(byBlob(b).head)).toSet.size == 3)
   }
+
+  test("conductance: two triangles joined by one bridge edge") {
+    // communities {1,2,3} and {4,5,6}; bridge 3-4 weight 1; all clique
+    // edges weight 2. Per community: cut = 1 (the bridge, one direction
+    // per community row), vol = 6*2 + 1 = 13 -> conductance = 1/13.
+    def clique(ids: Seq[Long], w: Long) =
+      for { a <- ids; b <- ids if a != b } yield (a, b, w)
+    val edges = (clique(Seq(1L, 2L, 3L), 2L) ++ clique(Seq(4L, 5L, 6L), 2L) ++
+      Seq((3L, 4L, 1L), (4L, 3L, 1L))).toDF("src", "dst", "weight")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node_id", "label")
+    val out = Algorithms.conductance(edges, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 1L, 13L, 0.076923), (4L, 1L, 13L, 0.076923)))
+  }
 }
