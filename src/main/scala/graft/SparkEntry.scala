@@ -155,6 +155,55 @@ object SparkEntry {
       graft.graph.Algorithms.userCommunities(s, d).orderBy("node_id")),
     "communities_louvain" -> ((s, d) =>
       graft.graph.Louvain.userCommunities(s, d).orderBy("node_id")),
+    // coloring runs on the SPARSE KNN similarity graph (degree <= 20 --
+    // the GDS-realistic target): Jones-Plassmann independent sets are
+    // priority maxima, so a near-clique graph (the co-occurrence
+    // projection) degenerates to K rounds for a K-clique, while the
+    // bounded-degree KNN graph colors in O(deg + log n) rounds
+    "graph_coloring" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "k1_coloring") {
+        graft.graph.Algorithms.k1Coloring(
+          graft.graph.Algorithms.userKnnEdges(s, d)
+            .select(col("src"), col("dst")))
+      }
+    }),
+    // proper-coloring gate, exactly hash-compared: zero monochrome
+    // edges (spark counts them on its own output), every node colored
+    // exactly once, palette within the max-degree+1 greedy bound
+    "coloring_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val knn = graft.graph.Algorithms.userKnnEdges(s, d)
+        .select(col("src"), col("dst"))
+      val coloring = graft.Cache.cached(s, d, "k1_coloring") {
+        graft.graph.Algorithms.k1Coloring(knn)
+      }
+      // the coloring treats edges as undirected: count monochrome over
+      // the symmetric closure, check nodes over both endpoint sets
+      val cooc = knn.select(col("src"), col("dst"))
+        .unionAll(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val mono = cooc
+        .join(coloring.select(col("node_id").as("src"), col("color").as("cs")), Seq("src"))
+        .join(coloring.select(col("node_id").as("dst"), col("color").as("cd")), Seq("dst"))
+        .filter(col("cs") === col("cd")).count()
+      // the KNN graph itself derives from FastRP+LSH (not
+      // SQL-expressible), so the oracle row carries only the
+      // graph-independent facts: zero monochrome edges, full coverage,
+      // greedy palette bound
+      val nNodes = cooc.select(col("src").as("v")).distinct().count()
+      val nColored = coloring.count()
+      val distinctNodes = coloring.select(col("node_id")).distinct().count()
+      val nColors = coloring.select(col("color")).distinct().count()
+      val maxDeg = cooc.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      val s2 = s
+      import s2.implicits._
+      Seq((mono, nColored == nNodes && distinctNodes == nNodes,
+          nColors <= maxDeg + 1))
+        .toDF("monochrome_edges", "one_color_per_node",
+          "palette_within_greedy_bound")
+    }),
     "community_conductance" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.conductance(
@@ -2109,6 +2158,11 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS one_row_per_node,
         |       CAST(1 AS BIGINT) AS core_degrees_ge_k,
         |       CAST(1 AS BIGINT) AS members_have_global_deg_ge_k""".stripMargin,
+
+    "coloring_invariants" ->
+      """SELECT CAST(0 AS BIGINT) AS monochrome_edges,
+        |  TRUE AS one_color_per_node,
+        |  TRUE AS palette_within_greedy_bound""".stripMargin,
 
     "kmeans_invariants" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,

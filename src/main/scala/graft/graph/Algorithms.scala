@@ -1170,6 +1170,71 @@ object Algorithms {
     forest.orderBy(col("weight").desc, col("src"), col("dst"))
   }
 
+  /** Greedy graph coloring via Jones–Plassmann (GDS
+    * `gds.beta.k1coloring`): each round, every uncolored node that is a
+    * LOCAL MAXIMUM of the seeded-hash priority among its uncolored
+    * neighbours takes the smallest color absent from its colored
+    * neighbourhood. Hash priorities are distinct (md5 over distinct
+    * ids), so winners form an independent set and the coloring is
+    * PROPER by construction; the global max always wins, so every
+    * round makes progress and rounds are O(log n) in expectation.
+    * Per round: two semi-joins scope the live subgraph, one max-
+    * aggregate elects winners, one collect_set gathers used colors,
+    * and the smallest-absent color is pure array algebra
+    * (array_min(array_except(sequence(0, |used|), used))) — no UDF.
+    * checkpointFresh per round (the stats-squaring hazard class). */
+  def k1Coloring(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def prio(c: org.apache.spark.sql.Column) =
+      md5(concat(c.cast("string"), lit(":color")))
+    var uncolored = checkpointFresh(
+      bidir.select(col("src").as("node_id")).distinct())
+    var colored = checkpointFresh(
+      uncolored.limit(0).withColumn("color", lit(0)))
+    var round = 0
+    var remaining = uncolored.count()
+    while (remaining > 0 && round < maxRounds) {
+      // live = edges with BOTH endpoints uncolored; a node with no live
+      // neighbour has no uncolored competitor and wins by default
+      val live = bidir
+        .join(uncolored.select(col("node_id").as("src")), Seq("src"), "left_semi")
+        .join(uncolored.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
+      val maxNbr = live
+        .groupBy(col("src").as("node_id"))
+        .agg(max(prio(col("dst"))).as("np"))
+      val winners = checkpointFresh(uncolored
+        .join(maxNbr, Seq("node_id"), "left")
+        .filter(col("np").isNull || prio(col("node_id")) > col("np"))
+        .select(col("node_id")))
+      // smallest color absent from the winner's already-colored
+      // neighbourhood; |used| + 1 candidate slots always suffice
+      val used = bidir
+        .join(winners.select(col("node_id").as("src")), Seq("src"), "left_semi")
+        .join(colored.select(col("node_id").as("dst"), col("color")), Seq("dst"))
+        .groupBy(col("src").as("node_id"))
+        .agg(collect_set(col("color")).as("used"))
+      val newlyColored = winners
+        .join(used, Seq("node_id"), "left")
+        .select(col("node_id"),
+          array_min(array_except(
+            sequence(lit(0), coalesce(size(col("used")), lit(0))),
+            coalesce(col("used"), array().cast("array<int>")))).as("color"))
+      colored = checkpointFresh(colored.unionAll(newlyColored))
+      uncolored = checkpointFresh(
+        uncolored.join(winners, Seq("node_id"), "left_anti"))
+      remaining = uncolored.count()
+      round += 1
+    }
+    if (remaining > 0) System.err.println(
+      s"[graft] k1Coloring hit maxRounds=$maxRounds with $remaining uncolored")
+    bidir.unpersist(blocking = false)
+    colored.orderBy(col("node_id"))
+  }
+
   /** Per-community conductance (GDS `gds.conductance`): for each
     * community, cut weight / min(vol, totalVol − vol) over the
     * symmetric weighted graph — the community-quality metric next to

@@ -717,4 +717,20 @@ class NewOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq((1L, 1L, 13L, 0.076923), (4L, 1L, 13L, 0.076923)))
   }
+
+  test("k1Coloring: clique needs exactly 4 colors, path at most 2, both proper") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val ck4 = Algorithms.k1Coloring(k4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ck4.size == 4 && ck4.values.toSet.size == 4)
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("src", "dst")
+    val cp = Algorithms.k1Coloring(path).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cp.size == 5 && cp.values.toSet.size <= 2)
+    path.collect().foreach { r =>
+      assert(cp(r.getLong(0)) != cp(r.getLong(1)), s"monochrome edge $r")
+    }
+  }
 }
