@@ -41,7 +41,8 @@ object Bench {
       "bipartite_cc" -> (() => graph.Algorithms.userBipartiteCC(spark, sfDir).count(): Unit),
       "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
       "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit),
-      "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit))
+      "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit),
+      "k1_coloring" -> (() => SparkEntry.queries("graph_coloring")(spark, sfDir).count(): Unit))
     val silverResults = silverBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()
       val ok =

@@ -73,6 +73,7 @@ object SparkEntry {
     }),
     "user_cosine_topk" -> ((s, d) => graft.graph.Algorithms.userCosineTopK(s, d)),
     "user_pearson_topk" -> ((s, d) => graft.graph.Algorithms.userPearsonTopK(s, d)),
+    "user_euclidean_topk" -> ((s, d) => graft.graph.Algorithms.userEuclideanTopK(s, d)),
     "top_triangles" -> ((s, d) => graft.graph.Algorithms.topTriangles(s, d)),
     "mst_edges" -> ((s, d) => graft.graph.Algorithms.userSpanningForest(s, d)),
     // forest + spanning + edge-count identity in ONE hash-compared row:
@@ -1985,6 +1986,23 @@ object SparkEntry {
          |       n_nodes - n_components AS n_forest_edges,
          |       n_components AS n_forest_components
          |FROM counts""".stripMargin,
+
+    "user_euclidean_topk" ->
+      s"""$RatingsCte, pairs AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common,
+         |    CAST(SUM(a.rating * a.rating + b.rating * b.rating
+         |             - 2 * a.rating * b.rating) AS BIGINT) AS dist_sq
+         |  FROM ratings a JOIN ratings b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |  HAVING COUNT(*) >= 3
+         |)
+         |SELECT u1, u2, n_common, dist_sq,
+         |  ROUND(1.0 / (1.0 + SQRT(CAST(dist_sq AS DOUBLE))), 6) AS euclidean_sim
+         |FROM pairs
+         |ORDER BY euclidean_sim DESC, u1, u2
+         |LIMIT 20""".stripMargin,
 
     "user_pearson_topk" ->
       s"""$RatingsCte, pairs AS (

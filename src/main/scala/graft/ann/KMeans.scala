@@ -27,11 +27,26 @@ object KMeans {
     * Lloyd iterations from the hash-seeded init. */
   def assign(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3): DataFrame =
-    lloyd(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      k, iters, dim = 64)
+    // session-cached per (k, iters): the invariants gate reads the
+    // 2- and 3-iteration assignments and the clusters entry reads the
+    // 3-iteration one — one Lloyd run each per session
+    graft.Cache.cached(spark, dir, s"kmeans_${k}_$iters") {
+      lloyd(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        k, iters, dim = 64)
+    }
 
   /** Lloyd's over any (vec_id, embedding: Array[Float]) frame. */
-  def lloyd(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+  def lloyd(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame =
+    lloydWithTrace(emb, k, iters, dim)._1
+
+  /** [[lloyd]] plus the per-iteration within-cluster sum of squares,
+    * PIGGYBACKED on the update step's own aggregates:
+    * wss(Aᵢ, μ(Aᵢ)) = Σ‖x‖² − Σ_c ‖s_c‖²/n_c — the cluster sums and
+    * counts are already collected for the centroid update, and Σ‖x‖²
+    * is assignment-independent (one extra scalar aggregate per run).
+    * No re-clustering joins, no second pass. */
+  def lloydWithTrace(emb: DataFrame, k: Int, iters: Int,
+      dim: Int): (DataFrame, Seq[Double]) = {
     // hash-seeded init: k smallest md5(vec_id || ':kmeans') — collect
     // just the seed vectors (k rows)
     var centroids: Array[Array[Double]] = emb
@@ -39,7 +54,13 @@ object KMeans {
       .limit(k)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val sumSqAll = emb.select(
+      (0 until dim).map(i => {
+        val x = col("embedding").getItem(i).cast("double"); x * x
+      }).reduce(_ + _).as("sq"))
+      .agg(sum(col("sq"))).head().getDouble(0)
     var out: DataFrame = null
+    val trace = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to iters) {
       val assigned = assignTo(emb, centroids)
       // columnar update: 64 conditional-free sums per cluster + count,
@@ -58,9 +79,13 @@ object KMeans {
           case None => centroids(c) // empty cluster keeps its centroid
         }
       }.toArray
+      trace += sumSqAll - sums.map { r =>
+        val n = r.getLong(1).toDouble
+        (0 until dim).map(i => r.getDouble(2 + i) * r.getDouble(2 + i)).sum / n
+      }.sum
       out = assigned.select(col("vec_id"), col("cluster"))
     }
-    out.orderBy(col("vec_id"))
+    (out.orderBy(col("vec_id")), trace.toSeq)
   }
 
   /** Argmin-squared-distance assignment with centroid LITERALS: the
@@ -83,30 +108,20 @@ object KMeans {
     * within-cluster sum of squares does not increase across the final
     * Lloyd step (the defining monotonicity of the algorithm). */
   def invariants(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val a2 = assign(spark, dir, k, iters = 2)
-    val a3 = assign(spark, dir, k, iters = 3)
     val emb = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    def wss(a: DataFrame): Double = {
-      // centroid of each cluster, then Σ‖x − c‖²: two aggregates
-      val dim = 64
-      val joined = a.join(emb, Seq("vec_id"))
-      val avgs = (0 until dim).map(i =>
-        avg(col("embedding").getItem(i).cast("double")).as(s"c$i"))
-      val ctr = joined.groupBy(col("cluster"))
-        .agg(avgs.head, avgs.tail: _*)
-      joined.join(ctr, Seq("cluster"))
-        .select(((0 until dim).map { i =>
-          val d = col("embedding").getItem(i).cast("double") - col(s"c$i")
-          d * d
-        }.reduce(_ + _)).as("d2"))
-        .agg(sum(col("d2"))).head().getDouble(0)
-    }
+    // one traced Lloyd run covers BOTH the assignment gates and the
+    // full per-iteration WSS monotonicity (the wss rides the update
+    // step's own aggregates — no re-clustering joins)
+    val (a3, trace) = lloydWithTrace(emb, k, iters = 3, dim = 64)
     val n = emb.count()
     val nAssigned = a3.count()
     val distinctVecs = a3.select(col("vec_id")).distinct().count()
     val inRange = a3.filter(col("cluster") < 0 || col("cluster") >= k).count() == 0
     val nonEmpty = a3.select(col("cluster")).distinct().count() == k.toLong
-    val monotone = wss(a3) <= wss(a2) + 1e-6
+    val monotone = trace.sliding(2).forall {
+      case Seq(a, b) => b <= a + 1e-6 * math.max(1.0, math.abs(a))
+      case _         => true
+    }
     val spark2 = spark
     import spark2.implicits._
     Seq((n, nAssigned == n && distinctVecs == n, inRange, nonEmpty, monotone))

@@ -1183,12 +1183,44 @@ object Algorithms {
     * and the smallest-absent color is pure array algebra
     * (array_min(array_except(sequence(0, |used|), used))) — no UDF.
     * checkpointFresh per round (the stats-squaring hazard class). */
-  def k1Coloring(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
+  def k1Coloring(edges: DataFrame, maxRounds: Int = 60,
+      driverLimit: Long = 5000000L): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // size-adaptive (the dedup-clusters lever): below the limit the JP
+    // rounds are SIMULATED on the driver — same priorities, same
+    // round-atomic winner/mex semantics, bit-identical output to the
+    // distributed path (spec-asserted) — because ~60 distributed rounds
+    // of driver-actions on a label-sized frame cost more than the data
+    val nEdges = bidir.count()
+    if (nEdges <= driverLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      bidir.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer[Long]()) += r.getLong(1)
+      }
+      def prio(v: Long): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$v:color".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = adj.keys.map(v => v -> prio(v)).toMap
+      val color = scala.collection.mutable.Map[Long, Int]()
+      var uncolored = adj.keySet.toSet
+      while (uncolored.nonEmpty) {
+        val winners = uncolored.filter(v =>
+          adj(v).forall(u => !uncolored.contains(u) || p(v) > p(u)))
+        winners.foreach { v =>
+          val used = adj(v).flatMap(color.get).toSet
+          color(v) = Iterator.from(0).find(!used.contains(_)).get
+        }
+        uncolored --= winners
+      }
+      bidir.unpersist(blocking = false)
+      return color.toSeq.sortBy(_._1).toDF("node_id", "color")
+    }
     def prio(c: org.apache.spark.sql.Column) =
       md5(concat(c.cast("string"), lit(":color")))
     var uncolored = checkpointFresh(
@@ -1330,6 +1362,32 @@ object Algorithms {
       .select(col("a"), col("b"), col("c"),
         (col("w_ab") + col("w_ac") + col("w_bc")).as("total_weight"))
       .orderBy(col("total_weight").desc, col("a"), col("b"), col("c"))
+      .limit(k)
+  }
+
+  /** Per-user EUCLIDEAN similarity (GDS `gds.similarity.euclidean` —
+    * completes the similarity-function family next to
+    * cosine/Jaccard/OVERLAP/Pearson): over co-rated books,
+    * dist² = Σr₁² + Σr₂² − 2Σr₁r₂ stays an exact integer; similarity
+    * = 1/(1+√dist²) floats once at the end. Same one-self-join shape
+    * as the Pearson sibling. */
+  def userEuclideanTopK(spark: SparkSession, dir: String, k: Int = 20,
+      minCommon: Int = 3): DataFrame = {
+    val r = RatingsGraph.ratings(spark, dir)
+      .select(col("user_id"), col("book_id"), col("rating"))
+    r.select(col("user_id").as("u1"), col("book_id"), col("rating").as("r1"))
+      .join(r.select(col("user_id").as("u2"), col("book_id"), col("rating").as("r2")),
+        Seq("book_id"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("r1") * col("r1") + col("r2") * col("r2") -
+          lit(2) * col("r1") * col("r2")).as("dist_sq"))
+      .filter(col("n_common") >= minCommon)
+      .select(col("u1"), col("u2"), col("n_common"), col("dist_sq"),
+        round(lit(1.0) / (lit(1.0) + sqrt(col("dist_sq").cast("double"))), 6)
+          .as("euclidean_sim"))
+      .orderBy(col("euclidean_sim").desc, col("u1"), col("u2"))
       .limit(k)
   }
 

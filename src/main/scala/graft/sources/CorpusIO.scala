@@ -40,4 +40,14 @@ object CorpusIO {
       schema.add(StructField("_corrupt_record", StringType)) else schema
     base.schema(s).json(path)
   }
+
+  /** ORC interchange (the columnar archive format next to parquet in
+    * warehouse estates): same engine-native pushdown/pruning contract
+    * as the parquet sources — predicate pushdown and column pruning
+    * reach the ORC reader (asserted in SourcesSpec), zlib by default. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zlib").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -733,4 +733,15 @@ class NewOpsSpec extends AnyFunSuite {
       assert(cp(r.getLong(0)) != cp(r.getLong(1)), s"monochrome edge $r")
     }
   }
+
+  test("k1Coloring: driver simulation is bit-identical to the distributed rounds") {
+    // random-ish sparse fixture exercising multi-round behaviour
+    val edges = (for { i <- 0L until 40L; j <- Seq((i * 7 + 3) % 40, (i * 11 + 5) % 40)
+      if i != j } yield (i, j)).distinct.toDF("src", "dst")
+    val fast = Algorithms.k1Coloring(edges).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dist = Algorithms.k1Coloring(edges, driverLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fast == dist)
+  }
 }

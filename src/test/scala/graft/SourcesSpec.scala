@@ -75,4 +75,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(reread.count() == orig.count())
     assert(reread.exceptAll(orig).isEmpty && orig.exceptAll(reread).isEmpty)
   }
+
+  test("orc corpus: roundtrips exactly and pushes filters + pruning to the reader") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/docs"
+    sources.CorpusIO.writeOrc(docs, path)
+    val reread = sources.CorpusIO.readOrc(spark, path)
+    assert(reread.schema == docs.schema)
+    assert(reread.exceptAll(docs).isEmpty && docs.exceptAll(reread).isEmpty)
+    val plan = reread.filter(col("lang") === "en").select(col("doc_id"), col("lang"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"ORC scan lost the pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"ORC scan reads more than the projected columns:\n$plan")
+  }
 }
