@@ -96,9 +96,14 @@ object SparkEntry {
       val nComp =
         if (nEdges <= 5000000L) {
           val parent = scala.collection.mutable.Map[Long, Long]()
+          // iterative find + path compression (recursion would stack-
+          // overflow on chains near the 5M collect limit)
           def find(x: Long): Long = {
-            val p = parent.getOrElseUpdate(x, x)
-            if (p == x) x else { val r = find(p); parent(x) = r; r }
+            var r = x
+            while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
           }
           cooc.select(col("src"), col("dst")).collect().foreach { r =>
             val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
@@ -117,9 +122,14 @@ object SparkEntry {
       val nForestComp =
         if (nForestEdges <= 5000000L) {
           val parent = scala.collection.mutable.Map[Long, Long]()
+          // iterative find + path compression (recursion would stack-
+          // overflow on chains near the 5M collect limit)
           def find(x: Long): Long = {
-            val p = parent.getOrElseUpdate(x, x)
-            if (p == x) x else { val r = find(p); parent(x) = r; r }
+            var r = x
+            while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
           }
           f.select(col("src"), col("dst")).collect().foreach { r =>
             val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))

@@ -1121,9 +1121,14 @@ object Algorithms {
         val mapping: DataFrame =
           if (nPicks <= driverContractLimit) {
             val parent = scala.collection.mutable.Map[Long, Long]()
+            // iterative find + path compression: a recursive find would
+            // recurse chain-length deep (stack overflow near the 5M limit)
             def find(x: Long): Long = {
-              val p = parent.getOrElseUpdate(x, x)
-              if (p == x) x else { val r = find(p); parent(x) = r; r }
+              var r = x
+              while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+              var c = x
+              while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+              r
             }
             val arr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
             arr.foreach { case (a, b) =>
