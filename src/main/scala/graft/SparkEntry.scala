@@ -228,6 +228,13 @@ object SparkEntry {
       graft.graph.Algorithms.bfsHops(
         graft.graph.Algorithms.bipartiteEdges(s, d), source = 2L, maxHops = 3)
         .orderBy("node_id")),
+    "shortest_path_nodes" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.shortestPathNodes(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst")),
+        source = 1L, target = 42L)
+    }),
     "community_modularity" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val edges = RatingsGraph.cooccurrenceEdges(s, d)
@@ -566,6 +573,7 @@ object SparkEntry {
     "q11_important_stock" -> ((s, d) => Olap.q11ImportantStock(s, d)),
     "q12_late_priority" -> ((s, d) => Olap.q12LatePriority(s, d)),
     "events_quantiles" -> ((s, d) => Olap.eventsQuantiles(s, d)),
+    "events_quantiles_approx" -> ((s, d) => Olap.eventsQuantilesApprox(s, d)),
     "events_approx_users" -> ((s, d) => Olap.eventsApproxUsers(s, d)),
     "window_distribution" -> ((s, d) => Olap.windowDistribution(s, d)),
     "events_value_histogram" -> ((s, d) => Olap.eventsValueHistogram(s, d)),
@@ -1974,6 +1982,40 @@ object SparkEntry {
          |  n.u1, n.u2
          |LIMIT 20""".stripMargin,
 
+    // shortestPath with node reconstruction: min-dist closure, parent =
+    // MIN predecessor one level up (the Spark BFS's exact tie-break),
+    // then a recursive backtrack from the target — the path is UNIQUE
+    // so the whole thing hash-compares
+    "shortest_path_nodes" ->
+      s"""$RatingsCteRecursive, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), walk(node_id, dist) AS (
+         |  SELECT CAST(1 AS BIGINT), 0
+         |  UNION
+         |  SELECT e.dst, w.dist + 1 FROM walk w JOIN cooc e ON w.node_id = e.src
+         |  WHERE w.dist < 6
+         |), mind AS (
+         |  SELECT node_id, MIN(dist) AS dist FROM walk GROUP BY node_id
+         |), par AS (
+         |  SELECT mv.node_id, MIN(c.src) AS parent
+         |  FROM cooc c
+         |  JOIN mind mu ON c.src = mu.node_id
+         |  JOIN mind mv ON c.dst = mv.node_id
+         |  WHERE mv.dist = mu.dist + 1
+         |  GROUP BY mv.node_id
+         |), path(step, node_id) AS (
+         |  SELECT dist, node_id FROM mind WHERE node_id = 42
+         |  UNION ALL
+         |  SELECT p.step - 1, par.parent FROM path p
+         |  JOIN par ON p.node_id = par.node_id WHERE p.step > 0
+         |)
+         |SELECT CAST(step AS INT) AS step, node_id FROM path
+         |ORDER BY step""".stripMargin,
+
     "mst_invariants" ->
       s"""$RatingsCteRecursive, cooc AS (
          |  SELECT a.user_id AS src, b.user_id AS dst
@@ -2801,6 +2843,16 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
         |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "events_quantiles_approx" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99_exact,
+        |  TRUE AS p50_within_2pct,
+        |  TRUE AS p99_within_2pct
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

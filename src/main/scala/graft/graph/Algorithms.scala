@@ -1272,6 +1272,58 @@ object Algorithms {
     colored.orderBy(col("node_id"))
   }
 
+  /** Cypher's `shortestPath((a)-[*..maxHops]-(b))` with the actual node
+    * sequence — the reference's one traversal primitive not yet
+    * surfaced as a query (distances alone ride [[bfsHops]]-style
+    * frames). BFS levels carry a DETERMINISTIC parent (the minimum
+    * predecessor id at the previous level), so the reconstructed path
+    * is unique and exactly SQL-checkable; the backtrack is ≤ maxHops
+    * single-row lookups against the (checkpointed) visited frame —
+    * depth-bounded driver work, never a collect of the frontier.
+    * Returns (step, node_id), step 0 = source; empty if unreachable
+    * within maxHops. */
+  def shortestPathNodes(edges: DataFrame, source: Long, target: Long,
+      maxHops: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = Seq(source).toDF("node_id")
+    var visited = checkpointFresh(
+      Seq((source, 0, Long.MinValue)).toDF("node_id", "dist", "parent"))
+    var dist = 0
+    var found = source == target
+    while (!found && dist < maxHops && !frontier.isEmpty) {
+      val next = checkpointFresh(bidir
+        .join(frontier.select(col("node_id").as("src")), Seq("src"))
+        .select(col("dst").as("node_id"), col("src"))
+        .join(visited.select(col("node_id")), Seq("node_id"), "left_anti")
+        .groupBy(col("node_id"))
+        .agg(min(col("src")).as("parent")))
+      dist += 1
+      visited = checkpointFresh(visited.unionAll(
+        next.select(col("node_id"), lit(dist).as("dist"), col("parent"))))
+      found = next.filter(col("node_id") === target).limit(1).count() > 0
+      frontier = next.select(col("node_id"))
+    }
+    if (!found) return visited.limit(0)
+      .select(col("dist").as("step"), col("node_id"))
+    // backtrack: one indexed lookup per hop
+    val path = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    var cur = target
+    var step = dist
+    while (cur != source) {
+      path += ((step, cur))
+      cur = visited.filter(col("node_id") === cur).head().getLong(2)
+      step -= 1
+    }
+    path += ((0, source))
+    bidir.unpersist(blocking = false)
+    path.sortBy(_._1).toSeq.toDF("step", "node_id")
+      .select(col("step"), col("node_id"))
+  }
+
   /** Per-community conductance (GDS `gds.conductance`): for each
     * community, cut weight / min(vol, totalVol − vol) over the
     * symmetric weighted graph — the community-quality metric next to

@@ -881,6 +881,26 @@ object Olap {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** KLL/GK-style approximate quantiles next to [[eventsQuantiles]]'s
+    * exact ones: approx_percentile at accuracy 1000, gated in-row
+    * within 2% relative of the exact sort-based value (same pattern as
+    * the HLL gate — at 100 TB the mergeable sketch IS the operator and
+    * the exact sort becomes the spot check). */
+  def eventsQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99_exact"),
+        expr("approx_percentile(value, 0.99, 1000)").as("p99_approx"))
+      .select(col("event_type"), col("n_events"), col("p50_exact"), col("p99_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          lit(0.02) * abs(col("p50_exact")) + lit(0.5)).as("p50_within_2pct"),
+        (abs(col("p99_approx") - col("p99_exact")) <=
+          lit(0.02) * abs(col("p99_exact")) + lit(0.5)).as("p99_within_2pct"))
+      .orderBy(col("event_type"))
+
   /** CUBE over (event_type, month): all four grouping sets in one pass
     * (Spark expands the cube in the aggregate — one shuffle, not four
     * queries). Decimal-exact value sums; NULLS FIRST ordering matches

@@ -744,4 +744,17 @@ class NewOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(fast == dist)
   }
+
+  test("shortestPathNodes: unique path on a weighted-tie fixture, empty when unreachable") {
+    // 1-2-3-4 path plus a longer detour 1-10-11-3: BFS must take the
+    // short route; parent tie at node 3 (from 2 and 11, both dist 2?
+    // no - 2 is dist 1, 11 is dist 2, so parent(3) = 2 by level)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 10L), (10L, 11L), (11L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val path = Algorithms.shortestPathNodes(edges, 1L, 4L, maxHops = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(path == Seq((0, 1L), (1, 2L), (2, 3L), (3, 4L)))
+    val none = Algorithms.shortestPathNodes(edges, 1L, 99L, maxHops = 6)
+    assert(none.count() == 0)
+  }
 }
