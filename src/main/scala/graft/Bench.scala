@@ -28,8 +28,11 @@ object Bench {
     // failed build times as -1 and reports in `failed` like a query.
     val silverBuilds: Seq[(String, () => Unit)] = Seq(
       "ratings" -> (() => graph.RatingsGraph.ratings(spark, sfDir).count(): Unit),
+      "pair_stats" -> (() => graph.Algorithms.coRatedPairStats(spark, sfDir).count(): Unit),
+      "pair_stats_liked" -> (() => graph.Algorithms.coRatedPairStats(spark, sfDir, minRating = 6).count(): Unit),
       "cooccurrence" -> (() => graph.RatingsGraph.cooccurrenceEdges(spark, sfDir).count(): Unit),
       "fastrp" -> (() => graph.FastRP.userEmbeddings(spark, sfDir).count(): Unit),
+      "node2vec_emb" -> (() => graph.Node2Vec.userEmbeddings(spark, sfDir).count(): Unit),
       "knn_scored_pairs" -> (() => graph.Algorithms.userScoredPairs(spark, sfDir).count(): Unit),
       "lpa_communities" -> (() => graph.Algorithms.userCommunities(spark, sfDir).count(): Unit),
       "louvain_communities" -> (() => graph.Louvain.userCommunities(spark, sfDir).count(): Unit),

@@ -66,8 +66,14 @@ object ScaleProbe {
     // file copy — no Spark read, so events' TIMESTAMP(NANOS) (readable
     // only through graft.Tables.events) passes through untouched
     Seq("supplier", "nation", "region", "events").foreach { t =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$src/$t.parquet"),
+      val from = java.nio.file.Paths.get(s"$src/$t.parquet")
+      // a Spark-written table is a DIRECTORY; Files.copy of one creates
+      // an empty dir and later reads silently return nothing — fail
+      // fast instead (chaining the probe on its own `shifted` output is
+      // exactly this case)
+      require(java.nio.file.Files.isRegularFile(from),
+        s"$from is not a single parquet file — raw copy would lose its contents")
+      java.nio.file.Files.copy(from,
         java.nio.file.Paths.get(s"$out/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }

@@ -38,6 +38,10 @@ object SparkEntry {
     "users_in_large_groups_louvain" -> ((s, d) => Recommend.usersInLargeGroupsLouvain(s, d)),
     "graph_neighborhood" -> ((s, d) => Recommend.graphNeighborhood(s, d)),
     "similar_books_cooc" -> ((s, d) => Recommend.similarBooksCooc(s, d)),
+    // — Serving path: bucketed-silver point lookups (zero Exchange,
+    //   one bucket read — plan shape pinned in ScaleToolsSpec) —
+    "serve_user_books" -> ((s, d) => graft.recommend.Serving.userBooksLookup(s, d)),
+    "serve_recommendations" -> ((s, d) => graft.recommend.Serving.recommendationsLookup(s, d)),
     // — OLAP core —
     "q1_agg" -> ((s, d) => Olap.q1Agg(s, d)),
     "q3_topk_join" -> ((s, d) => Olap.q3TopkJoin(s, d)),
@@ -268,6 +272,25 @@ object SparkEntry {
     "fastrp_norms" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.FastRP.userEmbeddings(s, d)
+        .select(col("user_id"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x * x)), 4).as("l2_norm"))
+        .orderBy("user_id")
+    }),
+    // node2vec embeddings (walk corpus → SPPMI → sparse projection):
+    // hash-seeded like fastrp_embeddings — rows entry + norms oracle
+    "node2vec_embeddings" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Node2Vec.userEmbeddings(s, d)
+        .select(col("user_id"),
+          concat_ws(",", transform(col("embedding"),
+            x => round(x, 6).cast("string"))).as("embedding_csv"))
+        .orderBy("user_id")
+    }),
+    "node2vec_norms" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.graph.Node2Vec.userEmbeddings(s, d)
         .select(col("user_id"),
           size(col("embedding")).cast("bigint").as("dim"),
           round(sqrt(aggregate(col("embedding"), lit(0.0),
@@ -1327,6 +1350,37 @@ object SparkEntry {
          |WHERE r.user_id = 1
          |ORDER BY r.rating DESC, r.book_id""".stripMargin,
 
+    // serving lookups: the precomputed bucketed silver must answer the
+    // point query EXACTLY like the online per-user queries it serves —
+    // same oracle shape as user_rated_books / recommend_knn
+    "serve_user_books" ->
+      s"""$RatingsCte
+         |SELECT r.book_id, p.p_name AS title, r.rating
+         |FROM ratings r JOIN part p ON r.book_id = p.p_partkey
+         |WHERE r.user_id = 1
+         |ORDER BY r.rating DESC, r.book_id""".stripMargin,
+
+    "serve_recommendations" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS weight
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), sims AS (
+         |  SELECT u2 AS user_id FROM cooc WHERE u1 = 1
+         |  ORDER BY weight DESC, u2 LIMIT 20
+         |), mine AS (SELECT book_id FROM ratings WHERE user_id = 1)
+         |SELECT r.book_id, p.p_name AS title,
+         |       CAST(SUM(r.rating) AS DOUBLE) / COUNT(*) AS avg_rating,
+         |       COUNT(*) AS votes
+         |FROM ratings r
+         |JOIN sims s ON r.user_id = s.user_id
+         |JOIN part p ON r.book_id = p.p_partkey
+         |WHERE r.book_id NOT IN (SELECT book_id FROM mine)
+         |GROUP BY r.book_id, p.p_name
+         |ORDER BY avg_rating DESC, votes DESC, r.book_id LIMIT 3""".stripMargin,
+
     "similar_users_cooc" ->
       s"""$RatingsCte, cooc AS (
          |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS weight
@@ -1862,6 +1916,18 @@ object SparkEntry {
          |SELECT user_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2_norm
          |FROM (SELECT DISTINCT user_id FROM ratings)
          |ORDER BY user_id""".stripMargin,
+
+    // node2vec node universe = the co-occurrence graph's users (walk
+    // seeds come from its node set); the vectors are hash-seeded but
+    // "one dim-64 unit vector per node" is exact
+    "node2vec_norms" ->
+      s"""$RatingsCte
+         |SELECT a.user_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2_norm
+         |FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |WHERE a.user_id <> b.user_id
+         |GROUP BY a.user_id
+         |ORDER BY a.user_id""".stripMargin,
 
     "multimodal_shape" ->
       """SELECT doc_id, source AS modality,

@@ -47,6 +47,10 @@ object KMeans {
     * No re-clustering joins, no second pass. */
   def lloydWithTrace(emb: DataFrame, k: Int, iters: Int,
       dim: Int): (DataFrame, Seq[Double]) = {
+    // iters=0 would leave the output frame unbuilt; k=1 would hand
+    // assignTo's least() a single column (it requires >= 2)
+    require(iters >= 1, s"lloyd needs iters >= 1, got $iters")
+    require(k >= 2, s"lloyd needs k >= 2, got $k")
     // hash-seeded init: k smallest md5(vec_id || ':kmeans') — collect
     // just the seed vectors (k rows)
     var centroids: Array[Array[Double]] = emb

@@ -443,39 +443,96 @@ object Algorithms {
       walksPerSource: Int = 2, wBack: Int = 1, wNbr: Int = 2, wOut: Int = 4,
       symmetric: Boolean = false): DataFrame = {
     require(sources.nonEmpty && walksPerSource >= 1, "need sources and >= 1 walk each")
-    require(wBack >= 1 && wNbr >= 1 && wOut >= 1, "class weights must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
+    val seeds = (for { s <- sources; w <- 0 until walksPerSource }
+      yield (s * walksPerSource + w, s)).toDF("walk_id", "node_id")
+    node2vecWalksFromSeeds(edges, seeds, steps, wBack, wNbr, wOut, symmetric)
+  }
+
+  /** Walk corpus from EVERY node of the graph — the training input for
+    * [[Node2Vec]] embeddings. Seeds are derived from the edge frame
+    * itself (never a driver-side source list), so the corpus build is
+    * fully distributed at any graph size; walk ids follow the same
+    * `node·walksPerNode + w` scheme as [[node2vecWalks]], making the
+    * corpus restricted to any source set bit-identical to the (exactly
+    * oracled) per-source entry — spec-asserted. */
+  def node2vecWalkCorpus(edges: DataFrame, walksPerNode: Int = 2,
+      steps: Int = 4, wBack: Int = 1, wNbr: Int = 2, wOut: Int = 4,
+      symmetric: Boolean = false, weighted: Boolean = false): DataFrame = {
+    require(walksPerNode >= 1, "need >= 1 walk per node")
+    val nodes =
+      if (symmetric) edges.select(col("src").as("node_id"))
+        .unionAll(edges.select(col("dst").as("node_id"))).distinct()
+      else edges.select(col("src").as("node_id")).distinct()
+    val seeds = nodes
+      .select(col("node_id"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"))
+      .select((col("node_id") * walksPerNode + col("w")).as("walk_id"), col("node_id"))
+    node2vecWalksFromSeeds(edges, seeds, steps, wBack, wNbr, wOut, symmetric, weighted)
+  }
+
+  private def node2vecWalksFromSeeds(edges: DataFrame, seedIds: DataFrame,
+      steps: Int, wBack: Int, wNbr: Int, wOut: Int, symmetric: Boolean,
+      weighted: Boolean = false): DataFrame = {
+    require(wBack >= 1 && wNbr >= 1 && wOut >= 1, "class weights must be >= 1")
+    require(!weighted || symmetric,
+      "weighted walks expect a symmetric (both-directions, weight-carrying) edge frame")
+    val wCol = if (weighted) col("weight").cast("double") else lit(1.0)
     val bidir =
-      if (symmetric) edges.select(col("src"), col("dst"))
-      else edges.select(col("src"), col("dst"))
-        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      if (symmetric) edges.select(col("src"), col("dst"), wCol.as("weight"))
+      else edges.select(col("src"), col("dst"), wCol.as("weight"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+          wCol.as("weight")))
         .distinct().localCheckpoint()
     val adj = bidir.select(col("src").as("prev"), col("dst").as("nxt"),
       lit(true).as("is_nbr"))
     // step 0: prev = the source itself — nxt == prev can't occur (no
     // self-loops) and every candidate is adjacent to prev, so the first
     // hop is uniform, matching node2vec's unbiased first step
-    val seeds = (for { s <- sources; w <- 0 until walksPerSource }
-      yield (s * walksPerSource + w, s)).toDF("walk_id", "node_id")
+    val seeds = seedIds
       .withColumn("step", lit(0L))
       .withColumn("prev", col("node_id"))
     var walk = seeds.select(col("walk_id"), col("step"), col("node_id"))
     var frontier = seeds.select(col("walk_id"), col("prev"), col("node_id"))
     for (t <- 1 to steps) {
-      val w = when(col("nxt") === col("prev"), lit(wBack))
+      val classW = when(col("nxt") === col("prev"), lit(wBack))
         .when(col("is_nbr"), lit(wNbr))
         .otherwise(lit(wOut))
-      val score = md5(concat_ws(":", col("walk_id"), lit(t), col("nxt"), col("r")))
-      val next = bidir
+      val cands = bidir
         .join(frontier.select(col("walk_id"), col("prev"), col("node_id").as("src")),
           Seq("src"))
-        .select(col("walk_id"), col("prev"), col("src"), col("dst").as("nxt"))
+        .select(col("walk_id"), col("prev"), col("src"), col("dst").as("nxt"),
+          col("weight"))
         .join(adj, Seq("prev", "nxt"), "left")
-        .select(col("walk_id"), col("src"), col("nxt"),
-          explode(sequence(lit(1), w)).as("r"))
-        .groupBy(col("walk_id"))
-        .agg(min_by(struct(col("nxt"), col("src")), score).as("pick"))
+      val next = (if (weighted) {
+        // exact weighted categorical draw WITHOUT replica explosion
+        // (Efraimidis–Spirakis exponential clocks): candidate score
+        // −ln(u)/w with u a deterministic 53-bit uniform from
+        // xxhash64(walk, step, cand); the min-score candidate wins with
+        // probability ∝ w = classWeight · edgeWeight. Replicating the
+        // md5 arg-min here would explode Σ(classW·edgeW) rows per
+        // candidate — unbounded on a weighted graph; the clock draw is
+        // one row per candidate at any weight.
+        val u = (shiftrightunsigned(
+            xxhash64(col("walk_id"), lit(t), col("nxt")), 11).cast("double") + 0.5) /
+          lit(9007199254740992.0) // 2^53
+        val score = -log(u) / (classW * col("weight"))
+        cands
+          .select(col("walk_id"), col("src"), col("nxt"), score.as("score"))
+          .groupBy(col("walk_id"))
+          .agg(min_by(struct(col("nxt"), col("src")), col("score")).as("pick"))
+      } else {
+        // unweighted: small-integer class weights only — the replicated
+        // md5 arg-min IS the exact draw, and (unlike float clocks) it
+        // unrolls to the SQL the node2vec_walks oracle checks
+        val score = md5(concat_ws(":", col("walk_id"), lit(t), col("nxt"), col("r")))
+        cands
+          .select(col("walk_id"), col("src"), col("nxt"),
+            explode(sequence(lit(1), classW)).as("r"))
+          .groupBy(col("walk_id"))
+          .agg(min_by(struct(col("nxt"), col("src")), score).as("pick"))
+      })
         .select(col("walk_id"), lit(t.toLong).as("step"),
           col("pick.nxt").as("node_id"), col("pick.src").as("prev"))
         .localCheckpoint()
@@ -1214,7 +1271,13 @@ object Algorithms {
       val p = adj.keys.map(v => v -> prio(v)).toMap
       val color = scala.collection.mutable.Map[Long, Int]()
       var uncolored = adj.keySet.toSet
-      while (uncolored.nonEmpty) {
+      // same maxRounds bound as the distributed branch: an md5 priority
+      // tie between adjacent nodes (however improbable) makes neither a
+      // winner, and an unbounded loop would then never terminate —
+      // bounding BOTH branches also keeps their outputs identical on a
+      // graph that legitimately needs more than maxRounds
+      var driverRound = 0
+      while (uncolored.nonEmpty && driverRound < maxRounds) {
         val winners = uncolored.filter(v =>
           adj(v).forall(u => !uncolored.contains(u) || p(v) > p(u)))
         winners.foreach { v =>
@@ -1222,7 +1285,10 @@ object Algorithms {
           color(v) = Iterator.from(0).find(!used.contains(_)).get
         }
         uncolored --= winners
+        driverRound += 1
       }
+      if (uncolored.nonEmpty) System.err.println(
+        s"[graft] k1Coloring hit maxRounds=$maxRounds with ${uncolored.size} uncolored")
       bidir.unpersist(blocking = false)
       return color.toSeq.sortBy(_._1).toDF("node_id", "color")
     }
@@ -1307,8 +1373,14 @@ object Algorithms {
       found = next.filter(col("node_id") === target).limit(1).count() > 0
       frontier = next.select(col("node_id"))
     }
-    if (!found) return visited.limit(0)
-      .select(col("dist").as("step"), col("node_id"))
+    if (!found) {
+      // the empty frame is checkpointed (lineage-free), so the persist
+      // can drop before the early return — leaking it would pin one
+      // MEMORY_AND_DISK edge copy per unreachable query
+      bidir.unpersist(blocking = false)
+      return visited.limit(0)
+        .select(col("dist").as("step"), col("node_id"))
+    }
     // backtrack: one indexed lookup per hop
     val path = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     var cur = target
@@ -1357,29 +1429,53 @@ object Algorithms {
         .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
     }
 
+  /** Session-cached co-rated pair-statistics silver shared by the
+    * whole similarity-function family (pearson, euclidean, the liked
+    * cosine): one row per undirected user pair with ≥ 1 co-rated book
+    * carrying every sufficient statistic the metrics need —
+    * (n, Σr₁, Σr₂, Σr₁², Σr₂², Σr₁r₂). The ratings R⋈R self-join — the
+    * §4 co-occurrence hazard — is paid ONCE per session instead of once
+    * per metric, and the same `maxFanout` top-N-raters degree cap the
+    * co-occurrence projection has bounds the per-book quadratic term
+    * for 100 TB runs (deterministic: highest rating first, then
+    * smallest user id). Default 0 = OFF for reference/oracle parity.
+    * `minRating` restricts to the liked subset (the ≥ 6 cosine
+    * variant); each (minRating, maxFanout) point caches separately. */
+  def coRatedPairStats(spark: SparkSession, dir: String, minRating: Int = 0,
+      maxFanout: Int = 0): DataFrame =
+    graft.Cache.cached(spark, dir, s"pair_stats_${minRating}_$maxFanout") {
+      val all = RatingsGraph.ratings(spark, dir)
+        .filter(col("rating") >= minRating)
+        .select(col("user_id"), col("book_id"), col("rating"))
+      val r =
+        if (maxFanout <= 0) all
+        else graft.plans.TopKPerKey.topKPerKey(all, Seq("book_id"),
+            Seq(("rating", false), ("user_id", true)), maxFanout)
+          .select(col("user_id"), col("book_id"), col("rating"))
+      r.select(col("user_id").as("u1"), col("book_id"), col("rating").as("r1"))
+        .join(r.select(col("user_id").as("u2"), col("book_id"), col("rating").as("r2")),
+          Seq("book_id"))
+        .filter(col("u1") < col("u2"))
+        .groupBy(col("u1"), col("u2"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(col("r1")).as("s1"), sum(col("r2")).as("s2"),
+          sum(col("r1") * col("r1")).as("q1"),
+          sum(col("r2") * col("r2")).as("q2"),
+          sum(col("r1") * col("r2")).as("dot"))
+    }
+
   /** Per-user PEARSON similarity (GDS `gds.similarity.pearson`, the
     * classic CF correlation) over CO-RATED books: for each user pair,
     * the correlation of their rating vectors restricted to the books
     * both rated, pairs with ≥ `minCommon` co-rated books and non-zero
     * variance on both sides. Every aggregate is an exact small-integer
     * sum (n, Σr, Σr², Σr₁r₂); the single float expression at the end
-    * makes the top-k exactly oracle-checkable. Same scale shape as the
-    * cosine/Jaccard siblings: one book-keyed self-join (the bounded
-    * co-rating fanout), one pair aggregation. */
+    * makes the top-k exactly oracle-checkable. Derives from the shared
+    * [[coRatedPairStats]] silver — the R⋈R join is built once for the
+    * whole metric family, with its degree cap. */
   def userPearsonTopK(spark: SparkSession, dir: String, k: Int = 20,
-      minCommon: Int = 3): DataFrame = {
-    val r = RatingsGraph.ratings(spark, dir)
-      .select(col("user_id"), col("book_id"), col("rating"))
-    val pairs = r.select(col("user_id").as("u1"), col("book_id"), col("rating").as("r1"))
-      .join(r.select(col("user_id").as("u2"), col("book_id"), col("rating").as("r2")),
-        Seq("book_id"))
-      .filter(col("u1") < col("u2"))
-      .groupBy(col("u1"), col("u2"))
-      .agg(count(lit(1)).as("n_common"),
-        sum(col("r1")).as("s1"), sum(col("r2")).as("s2"),
-        sum(col("r1") * col("r1")).as("q1"),
-        sum(col("r2") * col("r2")).as("q2"),
-        sum(col("r1") * col("r2")).as("dot"))
+      minCommon: Int = 3, maxFanout: Int = 0): DataFrame = {
+    val pairs = coRatedPairStats(spark, dir, maxFanout = maxFanout)
       .filter(col("n_common") >= minCommon)
     // var·n² stays integer: n·Σr² − (Σr)² — compare > 0 exactly, then
     // one float sqrt/division
@@ -1426,21 +1522,15 @@ object Algorithms {
     * completes the similarity-function family next to
     * cosine/Jaccard/OVERLAP/Pearson): over co-rated books,
     * dist² = Σr₁² + Σr₂² − 2Σr₁r₂ stays an exact integer; similarity
-    * = 1/(1+√dist²) floats once at the end. Same one-self-join shape
-    * as the Pearson sibling. */
+    * = 1/(1+√dist²) floats once at the end. Derives from the shared
+    * [[coRatedPairStats]] silver (dist² = q1 + q2 − 2·dot, exactly the
+    * per-row sum by linearity) — after Pearson warms the silver this
+    * entry is one filter + projection, no join at all. */
   def userEuclideanTopK(spark: SparkSession, dir: String, k: Int = 20,
-      minCommon: Int = 3): DataFrame = {
-    val r = RatingsGraph.ratings(spark, dir)
-      .select(col("user_id"), col("book_id"), col("rating"))
-    r.select(col("user_id").as("u1"), col("book_id"), col("rating").as("r1"))
-      .join(r.select(col("user_id").as("u2"), col("book_id"), col("rating").as("r2")),
-        Seq("book_id"))
-      .filter(col("u1") < col("u2"))
-      .groupBy(col("u1"), col("u2"))
-      .agg(count(lit(1)).as("n_common"),
-        sum(col("r1") * col("r1") + col("r2") * col("r2") -
-          lit(2) * col("r1") * col("r2")).as("dist_sq"))
+      minCommon: Int = 3, maxFanout: Int = 0): DataFrame = {
+    coRatedPairStats(spark, dir, maxFanout = maxFanout)
       .filter(col("n_common") >= minCommon)
+      .withColumn("dist_sq", col("q1") + col("q2") - lit(2) * col("dot"))
       .select(col("u1"), col("u2"), col("n_common"), col("dist_sq"),
         round(lit(1.0) / (lit(1.0) + sqrt(col("dist_sq").cast("double"))), 6)
           .as("euclidean_sim"))
@@ -1453,19 +1543,18 @@ object Algorithms {
     * weighted sibling of [[userJaccardTopK]] / [[userOverlapTopK]].
     * Every sum is over small integers (exact, order-independent); only
     * the final sqrt/division floats, so the top-k is exactly
-    * oracle-checkable. */
-  def userCosineTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    * oracle-checkable. The pair dot products come from the liked
+    * variant of the shared [[coRatedPairStats]] silver (minRating = 6);
+    * only the per-user full-vector norms are computed here. */
+  def userCosineTopK(spark: SparkSession, dir: String, k: Int = 20,
+      maxFanout: Int = 0): DataFrame = {
     val liked = RatingsGraph.ratings(spark, dir)
       .filter(col("rating") >= 6)
       .select(col("user_id"), col("book_id"), col("rating"))
     val norms = liked.groupBy(col("user_id"))
       .agg(sum(col("rating") * col("rating")).as("sq"))
-    val num = liked.select(col("user_id").as("u1"), col("book_id"), col("rating").as("r1"))
-      .join(liked.select(col("user_id").as("u2"), col("book_id"), col("rating").as("r2")),
-        Seq("book_id"))
-      .filter(col("u1") < col("u2"))
-      .groupBy(col("u1"), col("u2"))
-      .agg(sum(col("r1") * col("r2")).as("dot"))
+    val num = coRatedPairStats(spark, dir, minRating = 6, maxFanout = maxFanout)
+      .select(col("u1"), col("u2"), col("dot"))
     num
       .join(norms.select(col("user_id").as("u1"), col("sq").as("sq1")), Seq("u1"))
       .join(norms.select(col("user_id").as("u2"), col("sq").as("sq2")), Seq("u2"))

@@ -53,6 +53,17 @@ object FastRP {
   /** Compute embeddings for every node in `edges` (src, dst, weight).
     * Edges should already contain both directions for undirected
     * semantics. Returns (node_id, embedding: array<double>). */
+  /** The normalised iteration-0 state on its own: one deterministic
+    * unit-norm sparse base vector per node of `nodes` (node_id).
+    * [[graft.graph.Node2Vec]] uses it as the fallback identity for
+    * nodes whose every walk context has non-positive SPPMI. */
+  def baseVectors(nodes: DataFrame, dim: Int = 64, seed: Int = 42): DataFrame =
+    normalized(
+      nodes.select(col("node_id") +: eCols(dim).zipWithIndex.map {
+        case (c, j) => baseEntry(col("node_id"), j, seed).as(c)
+      }: _*), dim)
+      .select(col("node_id"), array(eCols(dim).map(col): _*).as("embedding"))
+
   def embed(edges: DataFrame, dim: Int = 64,
       iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0), seed: Int = 42): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))

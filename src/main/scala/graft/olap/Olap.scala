@@ -222,19 +222,20 @@ object Olap {
   }
 
   /** Argmin-per-group (TPC-H Q2 shape): for every part, the lineitem
-    * achieving the minimum extended price (ties → smallest orderkey) —
-    * the correlated-subquery pattern, decorrelated into one window pass. */
-  def minPricePerPart(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    * achieving the minimum extended price (ties → smallest orderkey,
+    * then linenumber). One hash aggregate on a lexicographic struct
+    * min — the tie-break total order lives INSIDE the struct, so no
+    * per-partition sort is ever paid (a window row_number() gets the
+    * same answer at the price of a full sort shuffle; min gets
+    * map-side partials for free). */
+  def minPricePerPart(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("l_partkey").as("book_id"), col("l_orderkey").as("min_orderkey"),
-        col("l_extendedprice").as("min_price"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("m"))
+      .select(col("l_partkey").as("book_id"), col("m.l_orderkey").as("min_orderkey"),
+        col("m.l_extendedprice").as("min_price"))
       .orderBy(col("book_id"))
-  }
 
   /** Click→purchase attribution: for every purchase, the number of
     * clicks by the same user in the preceding 30 minutes, and the most

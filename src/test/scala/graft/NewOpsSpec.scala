@@ -572,6 +572,29 @@ class NewOpsSpec extends AnyFunSuite {
     assert(got.filter(col("dot") <= 0).isEmpty)
   }
 
+  test("node2vecWalkCorpus: every node walks; restriction to a source set ≡ node2vecWalks; SPPMI symmetric") {
+    val edges = graft.graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+      .select(col("u1").as("src"), col("u2").as("dst"))
+    val corpus = Algorithms.node2vecWalkCorpus(edges, walksPerNode = 2,
+      steps = 4, symmetric = true)
+    // every co-occurrence node seeds exactly 2 walks of 5 rows each
+    val nNodes = edges.select(col("src")).distinct().count()
+    assert(corpus.count() == nNodes * 2 * 5)
+    // the corpus IS the per-source entry on that source set — same
+    // walk ids, same hash draws, bit-identical rows
+    val sources = Seq(1L, 2L, 3L, 4L)
+    val ids = sources.flatMap(s => Seq(s * 2, s * 2 + 1))
+    val sub = corpus.filter(col("walk_id").isin(ids: _*))
+    val direct = Algorithms.node2vecWalks(edges, sources, steps = 4,
+      walksPerSource = 2, symmetric = true)
+    assert(sub.exceptAll(direct).isEmpty && direct.exceptAll(sub).isEmpty)
+    // SPPMI context weights are symmetric and strictly positive
+    val ctx = graft.graph.Node2Vec.sppmiContexts(corpus)
+    assert(ctx.filter(col("weight") <= 0).isEmpty)
+    val flipped = ctx.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+    assert(ctx.exceptAll(flipped).isEmpty && flipped.exceptAll(ctx).isEmpty)
+  }
+
   test("langIdAccuracy: rows cover the corpus, accuracy bounded") {
     val got = TextOps.langIdAccuracy(spark, sf)
     assert(got.agg(sum(col("n_docs"))).head().getLong(0) ==

@@ -40,6 +40,28 @@ class QualitySpec extends AnyFunSuite {
       s"strong co-raters avg cos $strongAvg not above random $randomAvg")
   }
 
+  test("node2vec: strongly co-rating user pairs embed closer than random pairs") {
+    val emb = graft.graph.Node2Vec.userEmbeddings(spark, sf)
+    val cooc = RatingsGraph.cooccurrenceEdges(spark, sf)
+    val strong = cooc.filter(col("u1") < col("u2"))
+      .orderBy(col("weight").desc, col("u1"), col("u2")).limit(100)
+      .select(col("u1"), col("u2"))
+    def cosOf(pairs: org.apache.spark.sql.DataFrame): Double = pairs
+      .join(emb.select(col("user_id").as("u1"), col("embedding").as("e1")), Seq("u1"))
+      .join(emb.select(col("user_id").as("u2"), col("embedding").as("e2")), Seq("u2"))
+      .select(CosineSim.cosine(spark, col("e1"), col("e2")).as("c"))
+      .agg(avg(col("c"))).head().getDouble(0)
+    val users = emb.select(col("user_id")).orderBy("user_id")
+      .collect().map(_.getLong(0))
+    val random = users.take(100).zip(users.reverse.take(100))
+      .filter { case (a, b) => a != b }.toSeq
+    import spark.implicits._
+    val strongAvg = cosOf(strong)
+    val randomAvg = cosOf(random.toDF("u1", "u2"))
+    assert(strongAvg > randomAvg + 0.05,
+      s"node2vec strong co-raters avg cos $strongAvg not above random $randomAvg")
+  }
+
   test("minhash estimate correlates with exact jaccard on candidate pairs") {
     val est = dedup.Dedup.minhashPairs(spark, sf, minEstJaccard = 0.0)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))

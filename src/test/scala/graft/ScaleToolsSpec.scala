@@ -55,6 +55,63 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(generous.exceptAll(full).isEmpty && full.exceptAll(generous).isEmpty)
   }
 
+  test("serving lookups: one bucket read, zero Exchange, ≡ the online per-user queries") {
+    import graft.recommend.{Recommend, Serving}
+    val books = Serving.userBooksLookup(spark, sf)
+    val plan = books.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serving lookup shuffles:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 1 out of"),
+      s"lookup does not prune to one bucket:\n$plan")
+    // the premise that makes the in-partition sort a total order: the
+    // pruned scan leaves every surviving row in ONE partition (pruned
+    // buckets surface as empty partitions — that's fine)
+    val nonEmpty = books.rdd
+      .mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).collect().sum
+    assert(nonEmpty <= 1, s"lookup rows spread over $nonEmpty partitions")
+    // the precomputed silver answers EXACTLY like the online queries —
+    // for the fixture user and a sample of others (order-sensitive)
+    val sample = graft.graph.RatingsGraph.ratings(spark, sf)
+      .select("user_id").distinct().orderBy("user_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    sample.foreach { u =>
+      assert(Serving.userBooksLookup(spark, sf, u).collect().toSeq ==
+        Recommend.userRatedBooks(spark, sf, u).collect().toSeq,
+        s"user $u: serving books != online query")
+      assert(Serving.recommendationsLookup(spark, sf, u).collect().toSeq ==
+        Recommend.recommendKnn(spark, sf, u).collect().toSeq,
+        s"user $u: serving recommendations != online query")
+    }
+    val rplan = Serving.recommendationsLookup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!rplan.contains("Exchange") &&
+      rplan.contains("SelectedBucketsCount: 1 out of"),
+      s"recommendation lookup plan not serving-shaped:\n$rplan")
+  }
+
+  test("coRatedPairStats maxFanout: capped pairs subset, generous cap exact, stats sufficient") {
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Algorithms, RatingsGraph}
+    val full = Algorithms.coRatedPairStats(spark, sf)
+    val capped = Algorithms.coRatedPairStats(spark, sf, maxFanout = 3)
+    assert(capped.count() < full.count(), "tight cap should prune pairs")
+    assert(capped.select("u1", "u2").exceptAll(full.select("u1", "u2")).isEmpty)
+    // cap >= max per-book raters → bit-identical statistics
+    val maxDeg = RatingsGraph.ratings(spark, sf)
+      .groupBy("book_id").count().agg(max("count")).head().getLong(0).toInt
+    val generous = Algorithms.coRatedPairStats(spark, sf, maxFanout = maxDeg)
+    assert(generous.exceptAll(full).isEmpty && full.exceptAll(generous).isEmpty)
+    // the statistics really are sufficient: dist² = q1+q2−2·dot is a
+    // sum of squares, so it can never go negative, and Cauchy–Schwarz
+    // bounds dot² ≤ q1·q2 for every pair
+    assert(full.filter(col("q1") + col("q2") - lit(2) * col("dot") < 0).isEmpty)
+    assert(full.filter(col("dot") * col("dot") > col("q1") * col("q2")).isEmpty)
+    // capped pearson/euclidean stay well-formed (the 100 TB operating
+    // point): same schema, scores in range
+    val eu = Algorithms.userEuclideanTopK(spark, sf, maxFanout = 3)
+    assert(eu.columns.toSeq == Seq("u1", "u2", "n_common", "dist_sq", "euclidean_sim"))
+    assert(eu.filter(col("euclidean_sim") <= 0.0 || col("euclidean_sim") > 1.0).isEmpty)
+  }
+
   test("silver mode: ratings() reads the bucketed table, matches the rebuilt ETL, and aggregates with no Exchange") {
     import graft.graph.RatingsGraph
     import org.apache.spark.sql.functions._
