@@ -45,7 +45,9 @@ object Bench {
       "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
       "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit),
       "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit),
-      "k1_coloring" -> (() => SparkEntry.queries("graph_coloring")(spark, sfDir).count(): Unit))
+      "k1_coloring" -> (() => SparkEntry.queries("graph_coloring")(spark, sfDir).count(): Unit),
+      "serve_books_table" -> (() => recommend.Serving.userBooksTable(spark, sfDir): Unit),
+      "serve_recs_table" -> (() => recommend.Serving.recommendationsTable(spark, sfDir): Unit))
     val silverResults = silverBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()
       val ok =
@@ -72,6 +74,18 @@ object Bench {
       (name, sec, ok)
     }
     def r3(d: Double) = math.rint(d * 1000) / 1000
+    // machine-load context: the box is multi-tenant, so cross-round
+    // per-query comparisons need the load the run actually saw
+    def loadAvg: Double = try {
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    val loadEnd = loadAvg
+    val hostUptime = try
+      scala.io.Source.fromFile("/proc/uptime").getLines().next()
+        .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+    val loadJson = s""""load_avg":${r3(loadEnd)},"host_uptime_sec":${r3(hostUptime)},"cpus":$cpus"""
     def timesJson(rs: Iterable[(String, Double, Boolean)]) =
       rs.map { case (k, sec, _) => s"\"$k\":${r3(sec)}" }.mkString("{", ",", "}")
     val silverTotal = silverResults.collect { case (_, sec, true) => sec }.sum
@@ -83,7 +97,7 @@ object Bench {
     // Full per-query detail goes to a FILE — the one printed JSON line
     // must stay short: the driver captures only the tail of stdout, so
     // a multi-KB line gets its head truncated and fails to parse.
-    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults)},"silver_total":${r3(silverTotal)},"queries_total":${r3(queriesTotal)},"queries":${timesJson(results)},"ok":$oks,"failed":${failedJson(failedSeq)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults)},"silver_total":${r3(silverTotal)},"queries_total":${r3(queriesTotal)},"queries":${timesJson(results)},"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8")): Unit
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
@@ -101,7 +115,7 @@ object Bench {
       "ann_lsh_topk", "ann_ivf_topk", "text_stats", "lang_id",
       "quality_filter", "corpus_pipeline", "multimodal_features")
     val headlineTimes = timesJson(results.filter { case (k, _, _) => headline(k) })
-    val line = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","n_queries":${results.size},"silver_total":${r3(silverTotal)},"queries":$headlineTimes,"failed":${failedJson(failedSeq.take(8))},"n_failed":${failedSeq.size},"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+    val line = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","n_queries":${results.size},"silver_total":${r3(silverTotal)},"queries":$headlineTimes,"failed":${failedJson(failedSeq.take(8))},"n_failed":${failedSeq.size},$loadJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING printed line ${line.length} chars > 1800 — may truncate in driver tail")
     println(line)

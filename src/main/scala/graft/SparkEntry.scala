@@ -42,6 +42,14 @@ object SparkEntry {
     //   one bucket read — plan shape pinned in ScaleToolsSpec) —
     "serve_user_books" -> ((s, d) => graft.recommend.Serving.userBooksLookup(s, d)),
     "serve_recommendations" -> ((s, d) => graft.recommend.Serving.recommendationsLookup(s, d)),
+    // the WHOLE recommendation precompute, totally ordered — proves the
+    // serving silver is right for EVERY user, not just sampled lookups
+    "serve_recommendations_all" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      s.table(graft.recommend.Serving.recommendationsTable(s, d))
+        .orderBy(col("user_id"), col("avg_rating").desc, col("votes").desc,
+          col("book_id"))
+    }),
     // — OLAP core —
     "q1_agg" -> ((s, d) => Olap.q1Agg(s, d)),
     "q3_topk_join" -> ((s, d) => Olap.q3TopkJoin(s, d)),
@@ -598,6 +606,7 @@ object SparkEntry {
     "events_quantiles" -> ((s, d) => Olap.eventsQuantiles(s, d)),
     "events_quantiles_approx" -> ((s, d) => Olap.eventsQuantilesApprox(s, d)),
     "events_approx_users" -> ((s, d) => Olap.eventsApproxUsers(s, d)),
+    "events_sketch_merge" -> ((s, d) => Olap.eventsSketchMerge(s, d)),
     "window_distribution" -> ((s, d) => Olap.windowDistribution(s, d)),
     "events_value_histogram" -> ((s, d) => Olap.eventsValueHistogram(s, d)),
     "events_cube" -> ((s, d) => Olap.eventsCube(s, d)),
@@ -1380,6 +1389,44 @@ object SparkEntry {
          |WHERE r.book_id NOT IN (SELECT book_id FROM mine)
          |GROUP BY r.book_id, p.p_name
          |ORDER BY avg_rating DESC, votes DESC, r.book_id LIMIT 3""".stripMargin,
+
+    // the all-user precompute as one windowed query: per-user top-20
+    // sims, candidate aggregate with a correlated anti-join, per-user
+    // top-3 — avg_rating = exact-integer sum / count divides to the
+    // same IEEE double in both engines, so the total order matches
+    "serve_recommendations_all" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS weight
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), sims AS (
+         |  SELECT target, user_id FROM (
+         |    SELECT u1 AS target, u2 AS user_id,
+         |      ROW_NUMBER() OVER (PARTITION BY u1 ORDER BY weight DESC, u2) AS rk
+         |    FROM cooc) t
+         |  WHERE rk <= 20
+         |), cand AS (
+         |  SELECT s.target, r.book_id,
+         |    CAST(SUM(r.rating) AS DOUBLE) / COUNT(*) AS avg_rating,
+         |    CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM ratings r JOIN sims s USING (user_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM ratings m
+         |                    WHERE m.user_id = s.target AND m.book_id = r.book_id)
+         |  GROUP BY s.target, r.book_id
+         |), top3 AS (
+         |  SELECT target, book_id, avg_rating, votes FROM (
+         |    SELECT target, book_id, avg_rating, votes,
+         |      ROW_NUMBER() OVER (PARTITION BY target
+         |        ORDER BY avg_rating DESC, votes DESC, book_id) AS rk
+         |    FROM cand) t
+         |  WHERE rk <= 3
+         |)
+         |SELECT t.target AS user_id, t.book_id, p.p_name AS title,
+         |       t.avg_rating, t.votes
+         |FROM top3 t JOIN part p ON t.book_id = p.p_partkey
+         |ORDER BY user_id, avg_rating DESC, votes DESC, book_id""".stripMargin,
 
     "similar_users_cooc" ->
       s"""$RatingsCte, cooc AS (
@@ -2949,6 +2996,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // partitioned-merge sketch gate: the exact leg is the oracle, the
+    // two sketch estimates (per-shard-merged, single-pass global) are
+    // gated in-row — same pattern as events_approx_users
+    "events_sketch_merge" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  TRUE AS merged_within_5pct,
+        |  TRUE AS merge_consistent
+        |FROM events""".stripMargin,
 
     "events_cube" ->
       """SELECT event_type, date_trunc('month', ts) AS month,

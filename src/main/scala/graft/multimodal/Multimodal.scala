@@ -54,6 +54,59 @@ object Multimodal {
     (width, height, frames, feature)
   }
 
+  /** REAL decoder for the pure-JVM image formats (BMP/PNG/GIF via
+    * javax.imageio — in every JRE, no native codec dependency): proves
+    * the seam decodes actual bytes, not just the stub's arithmetic.
+    * Feature = 8-bin luminance histogram, L1-normalised (a real, if
+    * minimal, visual descriptor). Returns None when the payload is not
+    * a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Float](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      Some((w, h, 1, hist.map(_ / n)))
+    }
+  }
+
+  /** [[extractFeatures]] with the REAL ImageIO codec in the seam: same
+    * partition-batched shape, same output schema; payloads that are not
+    * decodable images (this corpus's text stand-ins) fall through to
+    * the stub, so the two paths compose in one pass. The stub remains
+    * the default for [[mediaFeatures]] — the driver testdata carries no
+    * image bytes; this path is spec-proved on real encoded payloads. */
+  def extractFeaturesImage(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // ImageIO reader lookup is per-call; a production codec would
+      // init once here per partition
+      rows.map { r =>
+        decodeImage(r.payload) match {
+          case Some((w, h, f, feat)) =>
+            MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, f, feat)
+          case None =>
+            val (w, h, f, feat) = decodeStub(r.payload)
+            MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, f, feat)
+        }
+      }
+    }
+  }
+
   /** Partition-batched feature extraction over the media table. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -854,6 +854,34 @@ object Olap {
           col("n_users_exact").cast("double") * 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
 
+  /** Partitioned HLL sketch MERGE — demonstrating the property that
+    * makes the sketch THE 100 TB distinct-count operator: every shard
+    * builds its own DataSketches HLL over its rows (`hll_sketch_agg`),
+    * and the shard sketches union (`hll_union_agg`) into the global
+    * estimate with no re-scan and no exact set union — exactly how a
+    * 1000-executor count-distinct (or a day-partitioned incremental
+    * one) composes. Gated in-row: the merged estimate must (a) sit
+    * within 5% of the exact count and (b) agree with the single-pass
+    * global sketch within max(2%, 1) — the union path re-estimates
+    * without the HIP accumulator, so bit-equality is not the contract,
+    * bounded drift is. Exact leg oracled. */
+  def eventsSketchMerge(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"))
+    val merged = ev
+      .groupBy(pmod(col("user_id"), lit(shards)).as("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged"))
+    ev.agg(countDistinct(col("user_id")).as("n_users_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("global"))
+      .crossJoin(broadcast(merged))
+      .select(col("n_users_exact"),
+        (abs(col("merged") - col("n_users_exact")).cast("double") <=
+          col("n_users_exact").cast("double") * 0.05).as("merged_within_5pct"),
+        (abs(col("merged") - col("global")).cast("double") <=
+          greatest(col("n_users_exact").cast("double") * 0.02, lit(1.0)))
+          .as("merge_consistent"))
+  }
+
   /** The distribution-window family in one frame (ntile, percent_rank,
     * cume_dist, first/last_value over a running frame) — per-customer
     * order-price positioning. One window sort per customer partition;

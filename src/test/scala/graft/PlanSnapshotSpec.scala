@@ -74,7 +74,18 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("q12_late_priority", 3, 2),
     ("link_prediction_user", 18, 2),
     ("doc_logprob", 7, 3),
-    ("user_pearson_topk", 6, 2),
+    // r5 re-baselines/additions: the similarity family reads the shared
+    // pair-stats silver (the pins count its materialized IMR stage
+    // lines — the silver R⋈R is built ONCE for all three metrics);
+    // truss_decay's profile is computed entirely over session-cached /
+    // checkpointed frames (0 exchanges, 0 base scans — pinned to stay
+    // that way); min_price_per_part is the struct-min hash aggregate
+    // (2 stage lines, down from the window sort's 3)
+    ("user_pearson_topk", 8, 2),
+    ("user_euclidean_topk", 8, 2),
+    ("user_cosine_topk", 12, 2),
+    ("truss_decay", 0, 0),
+    ("min_price_per_part", 2, 1),
     ("top_triangles", 2, 1))
 
   // The cached-query pins above dilute sensitivity for the operator

@@ -344,4 +344,34 @@ class StreamingSpec extends AnyFunSuite {
     val again = multimodal.Multimodal.mediaFeatures(spark, sf).limit(5).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("multimodal REAL codec: ImageIO BMP bytes decode through the seam with exact histogram") {
+    import multimodal.Multimodal
+    import spark.implicits._
+    // a real 4x2 BMP, encoded in-memory: left half black, right half white
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos), "JRE lost its BMP writer")
+    val payload = bos.toByteArray
+    // mixed batch: one real image, one non-image payload (falls back to
+    // the stub) — both through the ONE partition-batched pass
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", payload),
+      Multimodal.MediaRow(2L, "text", "not an image".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.extractFeaturesImage(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val real = out(1L)
+    assert(real.width == 4 && real.height == 2 && real.n_frames == 1)
+    // luminance 0 → bin 0 for 4 px, luminance 255 → bin 7 for 4 px
+    assert(real.feature.toSeq == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f),
+      s"histogram off: ${real.feature.toSeq}")
+    // non-image row survives via the stub with the stub's shape math
+    val stub = out(2L)
+    assert(stub.byte_len == 12L && stub.width == 16 + 12 % 64)
+    // and the pure decoder refuses garbage rather than guessing
+    assert(Multimodal.decodeImage("garbage".getBytes("UTF-8")).isEmpty)
+  }
 }
