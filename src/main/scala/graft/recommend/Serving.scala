@@ -45,6 +45,13 @@ object Serving {
     if (fs.exists(path)) fs.delete(path, true): Unit
   }
 
+  /** The user-books serving payload from any (ratings, books) pair —
+    * shared by the full table build and the incremental merge. */
+  private[graft] def userBooksPayload(ratings: DataFrame, books: DataFrame): DataFrame =
+    ratings
+      .join(books.select(col("book_id"), col("title")), Seq("book_id"))
+      .select(col("user_id"), col("book_id"), col("title"), col("rating"))
+
   /** Serving silver #1: every user's rated books with the UI payload
     * (title, rating), bucketed+sorted by user_id. Built once per
     * session; SaveMode.Overwrite clears any stale files a previous JVM
@@ -53,10 +60,8 @@ object Serving {
     val t = s"graft_serve_books_${tag(dir)}"
     if (!spark.catalog.tableExists(t)) {
       dropOrphanedLocation(spark, t)
-      RatingsGraph.ratings(spark, dir)
-        .join(RatingsGraph.ratedBooks(spark, dir).select(col("book_id"), col("title")),
-          Seq("book_id"))
-        .select(col("user_id"), col("book_id"), col("title"), col("rating"))
+      userBooksPayload(RatingsGraph.ratings(spark, dir),
+          RatingsGraph.ratedBooks(spark, dir))
         .write.bucketBy(buckets, "user_id").sortBy("user_id")
         .format("parquet").mode(SaveMode.Overwrite).saveAsTable(t)
     }
@@ -82,40 +87,96 @@ object Serving {
       .sortWithinPartitions(col("rating").desc, col("book_id"))
   }
 
-  /** Serving silver #2: top-k KNN recommendations for EVERY user —
-    * the batch precompute behind interactive recommend_books. Per-user
-    * top-simK similar users (TopKPerKey, never a global sort), their
-    * books with the per-(target,book) avg/votes aggregate, anti-join
-    * of each target's own books, per-user top-k — all shuffle-keyed,
-    * no driver loops — then bucketed by the serving key. */
+  /** The all-user recommendation payload from any (ratings, cooc,
+    * books) state — the batch precompute behind interactive
+    * recommend_books: per-user top-simK similar users (TopKPerKey,
+    * never a global sort), the per-(target, book) avg/votes candidate
+    * aggregate, anti-join of each target's own books, per-user top-k —
+    * all shuffle-keyed, no driver loops. Shared by the full table
+    * build and the incremental merge (which passes a target-restricted
+    * cooc frame). */
+  private[graft] def recommendationsPayload(ratings: DataFrame, cooc: DataFrame,
+      books: DataFrame, simK: Int = 20, k: Int = 3): DataFrame = {
+    val sims = graft.plans.TopKPerKey.topKPerKey(cooc,
+        Seq("u1"), Seq(("weight", false), ("u2", true)), simK)
+      .select(col("u1").as("target"), col("u2").as("user_id"))
+    val cand = ratings
+      .join(sims, Seq("user_id"))
+      .join(ratings.select(col("user_id").as("target"), col("book_id")),
+        Seq("target", "book_id"), "left_anti")
+      .groupBy(col("target"), col("book_id"))
+      .agg((sum(col("rating")).cast("double") / count(lit(1))).as("avg_rating"),
+        count(lit(1)).as("votes"))
+    graft.plans.TopKPerKey.topKPerKey(cand, Seq("target"),
+        Seq(("avg_rating", false), ("votes", false), ("book_id", true)), k)
+      .join(books.select(col("book_id"), col("title")), Seq("book_id"))
+      .select(col("target").as("user_id"), col("book_id"), col("title"),
+        col("avg_rating"), col("votes"))
+  }
+
   def recommendationsTable(spark: SparkSession, dir: String, simK: Int = 20,
       k: Int = 3, buckets: Int = 8): String = {
     val t = s"graft_serve_recs_${tag(dir)}"
     if (!spark.catalog.tableExists(t)) {
       dropOrphanedLocation(spark, t)
-      val ratings = RatingsGraph.ratings(spark, dir)
-      val sims = graft.plans.TopKPerKey.topKPerKey(
+      recommendationsPayload(RatingsGraph.ratings(spark, dir),
           RatingsGraph.cooccurrenceEdges(spark, dir),
-          Seq("u1"), Seq(("weight", false), ("u2", true)), simK)
-        .select(col("u1").as("target"), col("u2").as("user_id"))
-      val cand = ratings
-        .join(sims, Seq("user_id"))
-        .join(ratings.select(col("user_id").as("target"), col("book_id")),
-          Seq("target", "book_id"), "left_anti")
-        .groupBy(col("target"), col("book_id"))
-        .agg((sum(col("rating")).cast("double") / count(lit(1))).as("avg_rating"),
-          count(lit(1)).as("votes"))
-      val top = graft.plans.TopKPerKey.topKPerKey(cand, Seq("target"),
-        Seq(("avg_rating", false), ("votes", false), ("book_id", true)), k)
-      top
-        .join(RatingsGraph.ratedBooks(spark, dir).select(col("book_id"), col("title")),
-          Seq("book_id"))
-        .select(col("target").as("user_id"), col("book_id"), col("title"),
-          col("avg_rating"), col("votes"))
+          RatingsGraph.ratedBooks(spark, dir), simK, k)
         .write.bucketBy(buckets, "user_id").sortBy("user_id")
         .format("parquet").mode(SaveMode.Overwrite).saveAsTable(t)
     }
     t
+  }
+
+  /** Incremental maintenance of the user-books serving payload (T8's
+    * ratings MERGE carried through to the serving layer): only the
+    * delta's users' rows can change, so the fold is one anti-join on
+    * the touched-user set plus a payload rebuild RESTRICTED to it —
+    * every join keyed on the delta, never a full recompute. At 100 TB
+    * this is a keyed MERGE into the bucketed table (the delta's user
+    * ids prune to their buckets); locally the dataflow is spec-proved
+    * ≡ the full rebuild on the merged ratings. */
+  def mergeUserBooksServing(base: DataFrame, oldRatings: DataFrame,
+      deltaEvents: DataFrame, books: DataFrame): DataFrame = {
+    val newRatings = RatingsGraph.mergeRatings(oldRatings, deltaEvents)
+    val touched = deltaEvents.filter(col("rating") =!= 0)
+      .select(col("user_id")).distinct()
+    val rebuilt = userBooksPayload(
+      newRatings.join(touched, Seq("user_id"), "left_semi"), books)
+    base.join(touched, Seq("user_id"), "left_anti").unionAll(rebuilt)
+  }
+
+  /** Incremental maintenance of the recommendation serving payload —
+    * the serving-freshness story composed with T9's incremental
+    * co-occurrence MERGE. A target's top-k can change only if
+    *  (a) its own rated set changed (the anti-join and its seed), or
+    *  (b) an incident co-occurrence edge changed — every changed edge
+    *      touches a user whose delta crossed the liked threshold, or
+    *  (c) a current top-simK sim's ratings changed (the avg/votes) —
+    *      that sim IS a delta user and shares an edge with the target.
+    * All three put the target inside deltaUsers ∪ N_newCooc(deltaUsers)
+    * (edges only grow under the monotone MERGE, so the NEW adjacency
+    * covers the old), so the payload rebuild is restricted to that
+    * blast radius and every join stays keyed on it. Returns
+    * (mergedServing, newCooc, newRatings); spec-proved ≡ the full
+    * rebuild. */
+  def mergeRecommendationsServing(base: DataFrame, oldCooc: DataFrame,
+      oldRatings: DataFrame, deltaEvents: DataFrame, books: DataFrame,
+      simK: Int = 20, k: Int = 3): (DataFrame, DataFrame, DataFrame) = {
+    val (newCooc, newRatings) =
+      RatingsGraph.mergeCooccurrence(oldCooc, oldRatings, deltaEvents)
+    val deltaUsers = deltaEvents.filter(col("rating") =!= 0)
+      .select(col("user_id")).distinct()
+    val affected = deltaUsers
+      .unionAll(newCooc
+        .join(deltaUsers.select(col("user_id").as("u2")), Seq("u2"), "left_semi")
+        .select(col("u1").as("user_id")))
+      .distinct().localCheckpoint()
+    val rebuilt = recommendationsPayload(newRatings,
+      newCooc.join(affected.select(col("user_id").as("u1")), Seq("u1"), "left_semi"),
+      books, simK, k)
+    (base.join(affected, Seq("user_id"), "left_anti").unionAll(rebuilt),
+      newCooc, newRatings)
   }
 
   /** Point lookup against [[recommendationsTable]]: the recommend_books

@@ -408,6 +408,43 @@ class NewOpsSpec extends AnyFunSuite {
       fullCooc.exceptAll(mergedCooc).isEmpty)
   }
 
+  test("serving MERGE: delta-folded serving payloads equal the full rebuilds") {
+    import graft.graph.RatingsGraph
+    import graft.recommend.Serving
+    val events = RatingsGraph.ratingEvents(spark, sf)
+    val h = pmod(xxhash64(col("user_id"), col("book_id"), col("rating")), lit(2))
+    val batch1 = events.filter(h === 0)
+    val batch2 = events.filter(h === 1)
+    val books = RatingsGraph.ratedBooks(spark, sf).select(col("book_id"), col("title"))
+    val baseRatings = batch1.filter(col("rating") =!= 0)
+      .groupBy("user_id", "book_id").agg(max("rating").as("rating"))
+    val fullRatings = RatingsGraph.ratings(spark, sf)
+      .select("user_id", "book_id", "rating")
+    // user-books serving: touched-user fold ≡ full rebuild
+    val mergedBooks = Serving.mergeUserBooksServing(
+      Serving.userBooksPayload(baseRatings, books), baseRatings, batch2, books)
+    val fullBooks = Serving.userBooksPayload(fullRatings, books)
+    assert(mergedBooks.exceptAll(fullBooks).isEmpty &&
+      fullBooks.exceptAll(mergedBooks).isEmpty,
+      "incremental user-books serving diverged from the rebuild")
+    // recommendations serving: blast-radius fold ≡ full rebuild —
+    // this is the proof of the affected-set argument (delta users +
+    // their new-cooc neighbourhood cover every changed top-k)
+    val baseLiked = baseRatings.filter(col("rating") >= 6)
+    val baseCooc = baseLiked.select(col("user_id").as("u1"), col("book_id"))
+      .join(baseLiked.select(col("user_id").as("u2"), col("book_id")), Seq("book_id"))
+      .filter(col("u1") =!= col("u2"))
+      .groupBy("u1", "u2").agg(count(lit(1)).as("weight"))
+    val (mergedRecs, _, _) = Serving.mergeRecommendationsServing(
+      Serving.recommendationsPayload(baseRatings, baseCooc, books),
+      baseCooc, baseRatings, batch2, books)
+    val fullRecs = Serving.recommendationsPayload(fullRatings,
+      RatingsGraph.cooccurrenceEdges(spark, sf), books)
+    assert(mergedRecs.exceptAll(fullRecs).isEmpty &&
+      fullRecs.exceptAll(mergedRecs).isEmpty,
+      "incremental recommendation serving diverged from the rebuild")
+  }
+
   test("q18LargeOrders: every row's quantity sum really exceeds the threshold") {
     val got = Olap.q18LargeOrders(spark, sf)
     assert(got.count() > 0)
