@@ -24,6 +24,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // machine-load context, sampled BEFORE the first query — a
+    // co-tenant burst early in a 5-minute sweep must leave a trace,
+    // not just whatever the final minute looked like
+    def loadAvg: Double = try {
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg
+
     // the silver phase: each build materialised (count) and timed. A
     // failed build times as -1 and reports in `failed` like a query.
     val silverBuilds: Seq[(String, () => Unit)] = Seq(
@@ -74,18 +83,15 @@ object Bench {
       (name, sec, ok)
     }
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    // machine-load context: the box is multi-tenant, so cross-round
-    // per-query comparisons need the load the run actually saw
-    def loadAvg: Double = try {
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-    } catch { case _: Throwable => -1.0 }
     val loadEnd = loadAvg
     val hostUptime = try
       scala.io.Source.fromFile("/proc/uptime").getLines().next()
         .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
-    val loadJson = s""""load_avg":${r3(loadEnd)},"host_uptime_sec":${r3(hostUptime)},"cpus":$cpus"""
+    // cpus stays a QUOTED string: the env accepts non-numeric Spark
+    // master thread specs (e.g. "*"), which unquoted would corrupt
+    // both JSON outputs
+    val loadJson = s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"host_uptime_sec":${r3(hostUptime)},"cpus":"$cpus""""
     def timesJson(rs: Iterable[(String, Double, Boolean)]) =
       rs.map { case (k, sec, _) => s"\"$k\":${r3(sec)}" }.mkString("{", ",", "}")
     val silverTotal = silverResults.collect { case (_, sec, true) => sec }.sum

@@ -461,10 +461,13 @@ object Algorithms {
       steps: Int = 4, wBack: Int = 1, wNbr: Int = 2, wOut: Int = 4,
       symmetric: Boolean = false, weighted: Boolean = false): DataFrame = {
     require(walksPerNode >= 1, "need >= 1 walk per node")
+    // the walk step symmetrizes a one-directional frame (symmetric =
+    // false), so ITS node universe is src ∪ dst; a both-directions
+    // frame (symmetric = true) already lists every node as a src
     val nodes =
-      if (symmetric) edges.select(col("src").as("node_id"))
+      if (symmetric) edges.select(col("src").as("node_id")).distinct()
+      else edges.select(col("src").as("node_id"))
         .unionAll(edges.select(col("dst").as("node_id"))).distinct()
-      else edges.select(col("src").as("node_id")).distinct()
     val seeds = nodes
       .select(col("node_id"),
         explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"))

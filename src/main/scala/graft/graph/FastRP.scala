@@ -50,9 +50,6 @@ object FastRP {
         when(col("_norm") > 0, col(c) / col("_norm")).otherwise(lit(0.0)).as(c)): _*)
   }
 
-  /** Compute embeddings for every node in `edges` (src, dst, weight).
-    * Edges should already contain both directions for undirected
-    * semantics. Returns (node_id, embedding: array<double>). */
   /** The normalised iteration-0 state on its own: one deterministic
     * unit-norm sparse base vector per node of `nodes` (node_id).
     * [[graft.graph.Node2Vec]] uses it as the fallback identity for
@@ -64,6 +61,9 @@ object FastRP {
       }: _*), dim)
       .select(col("node_id"), array(eCols(dim).map(col): _*).as("embedding"))
 
+  /** Compute embeddings for every node in `edges` (src, dst, weight).
+    * Edges should already contain both directions for undirected
+    * semantics. Returns (node_id, embedding: array<double>). */
   def embed(edges: DataFrame, dim: Int = 64,
       iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0), seed: Int = 42): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))

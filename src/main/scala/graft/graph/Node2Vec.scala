@@ -67,7 +67,7 @@ object Node2Vec {
       iterationWeights = Seq(0.0, 1.0), seed = seed)
 
   /** Session-cached node2vec embeddings of the user co-occurrence
-    * graph: a 2-walks-per-node corpus with the same biased-draw
+    * graph: a 4-walks-per-node corpus with the same biased-draw
     * parameters as the oracled `node2vec_walks` entry (p=2, q=0.5 as
     * class weights wBack=1, wNbr=2, wOut=4), then [[embedWalks]].
     * Mirrors the reference family's embedding write-back

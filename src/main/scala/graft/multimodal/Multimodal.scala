@@ -61,7 +61,12 @@ object Multimodal {
     * minimal, visual descriptor). Returns None when the payload is not
     * a decodable image. */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    // a reader can CLAIM a payload by its header and then throw on
+    // corrupt pixel data — that must be a None (fall through to the
+    // stub), not a task-killing exception
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
     if (img == null) None
     else {
       val w = img.getWidth

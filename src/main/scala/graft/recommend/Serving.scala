@@ -57,7 +57,9 @@ object Serving {
     * session; SaveMode.Overwrite clears any stale files a previous JVM
     * left in the warehouse dir. */
   def userBooksTable(spark: SparkSession, dir: String, buckets: Int = 8): String = {
-    val t = s"graft_serve_books_${tag(dir)}"
+    // parameters live in the name: a same-session call with different
+    // buckets must build its own table, not silently serve the old one
+    val t = s"graft_serve_books_${tag(dir)}_$buckets"
     if (!spark.catalog.tableExists(t)) {
       dropOrphanedLocation(spark, t)
       userBooksPayload(RatingsGraph.ratings(spark, dir),
@@ -71,17 +73,24 @@ object Serving {
   /** The planner's DisableUnnecessaryBucketedScan rule turns the
     * bucketed scan OFF for filter-only queries (no join/agg needs the
     * partitioning) — but bucket PRUNING is exactly what a point lookup
-    * is for. A serving session pins auto-bucketed-scan off so the
-    * pruned read (`SelectedBucketsCount: 1 out of N`) survives. */
-  private def pinBucketedScan(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    * is for. Lookups therefore plan on their OWN session (shared
+    * SparkContext + catalog, independent runtime conf) with
+    * auto-bucketed-scan pinned off, so the pruned read
+    * (`SelectedBucketsCount: 1 out of N`) survives WITHOUT mutating
+    * the caller's planner config — plans of unrelated queries must not
+    * depend on whether a serving lookup ran first. */
+  private def servingSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s
+  }
 
   /** Point lookup against [[userBooksTable]]: the get_user_rated_books
     * serving story. One bucket read, zero Exchange. */
   def userBooksLookup(spark: SparkSession, dir: String,
       user: Long = Recommend.TargetUser): DataFrame = {
-    pinBucketedScan(spark)
-    spark.table(userBooksTable(spark, dir))
+    val t = userBooksTable(spark, dir) // build (if needed) on the caller's session
+    servingSession(spark).table(t)
       .filter(col("user_id") === user)
       .select(col("book_id"), col("title"), col("rating"))
       .sortWithinPartitions(col("rating").desc, col("book_id"))
@@ -116,7 +125,8 @@ object Serving {
 
   def recommendationsTable(spark: SparkSession, dir: String, simK: Int = 20,
       k: Int = 3, buckets: Int = 8): String = {
-    val t = s"graft_serve_recs_${tag(dir)}"
+    // parameters live in the name (see userBooksTable)
+    val t = s"graft_serve_recs_${tag(dir)}_${simK}_${k}_$buckets"
     if (!spark.catalog.tableExists(t)) {
       dropOrphanedLocation(spark, t)
       recommendationsPayload(RatingsGraph.ratings(spark, dir),
@@ -183,8 +193,8 @@ object Serving {
     * serving story. Same plan shape as [[userBooksLookup]]. */
   def recommendationsLookup(spark: SparkSession, dir: String,
       user: Long = Recommend.TargetUser): DataFrame = {
-    pinBucketedScan(spark)
-    spark.table(recommendationsTable(spark, dir))
+    val t = recommendationsTable(spark, dir)
+    servingSession(spark).table(t)
       .filter(col("user_id") === user)
       .select(col("book_id"), col("title"), col("avg_rating"), col("votes"))
       .sortWithinPartitions(col("avg_rating").desc, col("votes").desc, col("book_id"))

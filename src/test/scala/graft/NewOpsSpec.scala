@@ -630,6 +630,13 @@ class NewOpsSpec extends AnyFunSuite {
     assert(ctx.filter(col("weight") <= 0).isEmpty)
     val flipped = ctx.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
     assert(ctx.exceptAll(flipped).isEmpty && flipped.exceptAll(ctx).isEmpty)
+    // one-directional input (symmetric = false): the node universe is
+    // src ∪ dst — dst-only nodes walk too (the walk step symmetrizes)
+    val oneWay = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val oneWayCorpus = Algorithms.node2vecWalkCorpus(oneWay, walksPerNode = 1, steps = 2)
+    assert(oneWayCorpus.select(col("node_id")).filter(col("step") === 0)
+      .distinct().count() == 3, "dst-only nodes must seed walks")
+    assert(oneWayCorpus.count() == 3 * 1 * 3)
   }
 
   test("langIdAccuracy: rows cover the corpus, accuracy bounded") {

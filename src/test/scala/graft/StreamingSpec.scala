@@ -371,7 +371,11 @@ class StreamingSpec extends AnyFunSuite {
     // non-image row survives via the stub with the stub's shape math
     val stub = out(2L)
     assert(stub.byte_len == 12L && stub.width == 16 + 12 % 64)
-    // and the pure decoder refuses garbage rather than guessing
+    // and the pure decoder refuses garbage rather than guessing —
+    // both bytes no reader claims AND a claimed-but-truncated payload
+    // (a reader that throws mid-decode must yield None, not kill the
+    // task)
     assert(Multimodal.decodeImage("garbage".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(payload.take(payload.length / 2)).isEmpty)
   }
 }
