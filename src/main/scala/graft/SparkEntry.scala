@@ -563,6 +563,16 @@ object SparkEntry {
         .select(col("node_id"), round(col("dist"), 6).as("dist"))
         .orderBy(col("dist"), col("node_id")).limit(20)
     }),
+    "dijkstra_path" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // same 1/weight lengths as sssp_nearest; path 1 → 42 with the
+      // deterministic (dist, parent) struct-min tie-break
+      graft.graph.Algorithms.dijkstraPath(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst"),
+            (lit(1.0) / col("weight")).as("len")),
+        source = 1L, target = 42L, rounds = 6)
+    }),
     "betweenness_sample" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.betweennessSample(
@@ -576,6 +586,14 @@ object SparkEntry {
         RatingsGraph.cooccurrenceEdges(s, d)
           .select(col("u1").as("src"), col("u2").as("dst")))
     }),
+    "rich_club" -> ((s, d) => graft.graph.Algorithms.userRichClub(s, d)),
+    // directed SCC (FW-BW-Trim coloring) over the supply-return flow
+    // graph; exactly oracled by the mutual-reachability closure
+    "scc_components" -> ((s, d) => graft.graph.Algorithms.supplyChainScc(s, d)),
+    // DBSCAN over the embeddings table: candidate-then-verify eps-graph,
+    // core/border/noise roles, min-core-id cluster labels — exactly
+    // oracled against the all-pairs DuckDB truth (recall AND precision)
+    "dbscan_clusters" -> ((s, d) => graft.ann.Dbscan.dbscan(s, d)),
     "component_sizes" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.userBipartiteCC(s, d)
@@ -960,6 +978,53 @@ object SparkEntry {
       s"""
          |SELECT node_id, ROUND(dist, 6) AS dist FROM d$rounds
          |ORDER BY ROUND(dist, 6), node_id LIMIT 20""".stripMargin
+  }
+
+  /** Bounded min-plus rounds carrying (dist, parent) — the per-node
+    * struct-MIN is a ROW_NUMBER over (dist, parent), the same
+    * lexicographic tie-break as the Spark struct ordering; additions are
+    * the identical left-to-right doubles, so the parent pointers (and
+    * hence the backtracked path) are bit-deterministic across engines. */
+  private def dijkstraOracle: String = {
+    val rounds = 6
+    val base =
+      s"""$RatingsCteRecursive, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), lens AS (
+         |  SELECT src, dst, CAST(1.0 AS DOUBLE) / w AS len FROM cooc
+         |), d0 AS (
+         |  SELECT CAST(1 AS BIGINT) AS node_id, CAST(0.0 AS DOUBLE) AS dist,
+         |         CAST(-1 AS BIGINT) AS parent
+         |)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s""", d$i AS (
+         |  SELECT node_id, dist, parent FROM (
+         |    SELECT node_id, dist, parent,
+         |      ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY dist, parent) AS rn
+         |    FROM (
+         |      SELECT e.dst AS node_id, d.dist + e.len AS dist, e.src AS parent
+         |      FROM lens e JOIN d${i - 1} d ON e.src = d.node_id
+         |      UNION ALL
+         |      SELECT node_id, dist, parent FROM d${i - 1}
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    base + iters +
+      s""", bt(node_id, parent, dist, depth) AS (
+         |  SELECT node_id, parent, dist, 0 FROM d$rounds WHERE node_id = 42
+         |  UNION ALL
+         |  SELECT d.node_id, d.parent, d.dist, b.depth + 1
+         |  FROM bt b JOIN d$rounds d ON b.parent = d.node_id
+         |)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY depth DESC) - 1 AS INT) AS step,
+         |  node_id, ROUND(dist, 6) AS dist
+         |FROM bt
+         |ORDER BY step""".stripMargin
   }
 
   /** [[RatingsCte]] with the RECURSIVE modifier — a WITH list containing
@@ -2548,6 +2613,118 @@ object SparkEntry {
          |  AS assortativity
          |FROM s""".stripMargin,
 
+    // Suffix sums over the degree / min-end-degree histograms; density
+    // division mirrors the Spark expression shape exactly.
+    "rich_club" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg AS (
+         |  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM cooc GROUP BY src
+         |), canon AS (
+         |  SELECT LEAST(dx.d, dy.d) AS min_deg
+         |  FROM cooc e JOIN deg dx ON e.src = dx.v JOIN deg dy ON e.dst = dy.v
+         |  WHERE e.src < e.dst
+         |), ks(k) AS (SELECT * FROM (VALUES (1),(2),(4),(8),(16),(32),(64))),
+         |counts AS (
+         |  SELECT ks.k AS k,
+         |    (SELECT COUNT(*) FROM deg WHERE d > ks.k) AS n_nodes,
+         |    (SELECT COUNT(*) FROM canon WHERE min_deg > ks.k) AS n_edges
+         |  FROM ks
+         |)
+         |SELECT CAST(k AS INT) AS k,
+         |  CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CASE WHEN n_nodes >= 2
+         |       THEN ROUND(CAST(n_edges AS DOUBLE) * 2.0 /
+         |                  (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)), 6)
+         |       ELSE 0.0 END AS density
+         |FROM counts
+         |ORDER BY k""".stripMargin,
+
+    // Mutual-reachability truth: v,w share an SCC iff reach(v,w) AND
+    // reach(w,v); label = MIN of the mutual set — matches the engine's
+    // re-canonicalised trim/color/backward-closure output exactly.
+    "scc_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT l_returnflag AS rf, o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity >= 50
+        |), edges AS (
+        |  SELECT DISTINCT c * 2 AS src, s * 2 + 1 AS dst FROM base WHERE rf <> 'R'
+        |  UNION
+        |  SELECT DISTINCT s * 2 + 1 AS src, c * 2 AS dst FROM base WHERE rf = 'R'
+        |), nodes AS (
+        |  SELECT src AS node_id FROM edges UNION SELECT dst FROM edges
+        |), reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        |), mutual AS (
+        |  SELECT r1.a AS v, r1.b AS w
+        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        |)
+        |SELECT n.node_id,
+        |  CAST(LEAST(n.node_id, COALESCE(MIN(m.w), n.node_id)) AS BIGINT) AS scc_id
+        |FROM nodes n LEFT JOIN mutual m ON n.node_id = m.v
+        |GROUP BY n.node_id
+        |ORDER BY n.node_id""".stripMargin,
+
+    // All-pairs exact eps-graph truth (proves the candidate stage's
+    // recall AND precision), core = n_eps >= 4, min-label closure over
+    // core-core edges, border = MIN core-neighbour cluster. The squared
+    // threshold is the DECIMAL literal 1.3689 on both sides and the
+    // per-element accumulation order matches Spark's sequential fold, so
+    // the boundary comparison is bit-identical.
+    "dbscan_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+        |       * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))
+        |    <= 1.3689
+        |), und AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), cnts AS (
+        |  SELECT e.vec_id, COALESCE(n.n_eps, 0) AS n_eps
+        |  FROM embeddings e LEFT JOIN (
+        |    SELECT u AS vec_id, COUNT(*) AS n_eps FROM und GROUP BY u) n
+        |  ON e.vec_id = n.vec_id
+        |), core AS (
+        |  SELECT vec_id FROM cnts WHERE n_eps >= 4
+        |), core_edges AS (
+        |  SELECT u, v FROM und
+        |  WHERE u IN (SELECT vec_id FROM core) AND v IN (SELECT vec_id FROM core)
+        |), reach(node_id, lab) AS (
+        |  SELECT vec_id, vec_id FROM core
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN core_edges e ON r.node_id = e.u
+        |  WHERE r.lab < e.v
+        |), comp AS (
+        |  SELECT node_id AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node_id
+        |), border AS (
+        |  SELECT d.u AS vec_id, MIN(c.cluster_id) AS cluster_id
+        |  FROM und d JOIN comp c ON d.v = c.vec_id
+        |  WHERE d.u NOT IN (SELECT vec_id FROM core)
+        |  GROUP BY d.u
+        |)
+        |SELECT n.vec_id,
+        |  CASE WHEN cm.cluster_id IS NOT NULL THEN 'core'
+        |       WHEN b.cluster_id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(cm.cluster_id, b.cluster_id, CAST(-1 AS BIGINT)) AS cluster_id,
+        |  CAST(n.n_eps AS BIGINT) AS n_eps
+        |FROM cnts n
+        |LEFT JOIN comp cm ON n.vec_id = cm.vec_id
+        |LEFT JOIN border b ON n.vec_id = b.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
+
     // CC closure → size per component → histogram.
     "component_sizes" ->
       s"""$BipartiteEdgesCte, lab(node_id, label) AS (
@@ -2570,6 +2747,7 @@ object SparkEntry {
     "betweenness_sample" -> betweennessOracle,
 
     "sssp_nearest" -> ssspOracle,
+    "dijkstra_path" -> dijkstraOracle,
 
     // Bounded multi-source BFS closure → Σ 1/dist per node. The
     // recursive walk keeps every (source, node, hops) row; MIN(hops)

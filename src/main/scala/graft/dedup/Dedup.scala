@@ -197,7 +197,7 @@ object Dedup {
   /** Component closure over a verified pair graph, size-adaptive (see
     * [[ClustersLocalThresholdConf]]); every doc in `docs` gets a
     * cluster (singletons keep their own id). */
-  private def clusterClosure(spark: SparkSession, pairsIn: DataFrame,
+  private[graft] def clusterClosure(spark: SparkSession, pairsIn: DataFrame,
       docs: DataFrame): DataFrame = {
     val threshold = spark.conf.getOption(ClustersLocalThresholdConf)
       .map(_.toLong).getOrElse(1000000L)

@@ -766,6 +766,63 @@ object Algorithms {
     dist
   }
 
+  /** Weighted shortest path source→target WITH the node sequence (the
+    * `gds.shortestPath.dijkstra` result shape; `sssp_nearest` returns
+    * only distances). Bounded-hop min-plus rounds (Bellman-Ford — the
+    * dataflow form of Dijkstra; a priority queue is inherently
+    * sequential) carrying `(dist, parent)` as a lexicographic
+    * struct-MIN, so the predecessor tie-break is deterministic (min
+    * dist, then min parent id) and the reconstructed path is UNIQUE —
+    * the whole output hash-compares against the unrolled oracle.
+    * Backtrack is ≤ rounds+1 single-row lookups against the persisted
+    * distance frame — never a frontier collect; positive lengths make
+    * the parent chain strictly dist-decreasing, so it terminates at the
+    * source. Unreachable target → empty frame (and the persisted state
+    * is released on every exit path). */
+  def dijkstraPath(lengths: DataFrame, source: Long, target: Long,
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = lengths.sparkSession
+    import spark.implicits._
+    val e = lengths.select(col("src"), col("dst"), col("len").cast("double"))
+    var dist = Seq((source, 0.0, -1L)).toDF("node_id", "dist", "parent")
+    for (_ <- 1 to rounds) {
+      val cand = e
+        .join(dist.select(col("node_id").as("src"), col("dist").as("d_src")),
+          Seq("src"))
+        .select(col("dst").as("node_id"),
+          (col("d_src") + col("len")).as("dist"), col("src").as("parent"))
+        .unionByName(dist)
+      dist = cand.groupBy(col("node_id"))
+        .agg(min(struct(col("dist"), col("parent"))).as("s"))
+        .select(col("node_id"), col("s.dist").as("dist"), col("s.parent").as("parent"))
+        .localCheckpoint()
+    }
+    val d = dist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val chain = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+      var cur = target
+      var done = false
+      var broken = false
+      var hops = 0
+      while (!done && !broken && hops <= rounds + 1) {
+        val r = d.filter(col("node_id") === lit(cur)).head(1)
+        if (r.isEmpty) broken = true
+        else {
+          chain.prepend((cur, r(0).getDouble(1)))
+          val p = r(0).getLong(2)
+          if (p == -1L) done = true else { cur = p; hops += 1 }
+        }
+      }
+      val rows =
+        if (done) chain.toSeq.zipWithIndex.map { case ((n, dd), i) => (i, n, dd) }
+        else Seq.empty[(Int, Long, Double)]
+      rows.toDF("step", "node_id", "dist")
+        .select(col("step"), col("node_id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("step"))
+    } finally d.unpersist()
+  }
+
   /** Betweenness centrality from a FIXED source sample (k-source
     * Brandes — the standard scalable estimator; exact Brandes is
     * O(V·E) and never runs at 100 TB). Unweighted, bounded depth.
@@ -1830,4 +1887,203 @@ object Algorithms {
       sources: Seq[Long], iterations: Int = 5): DataFrame =
     pprLoop(userCoocNorm(spark, dir), userCoocNodes(spark, dir),
       sources, iterations, damping = 0.85)
+
+  /** Rich-club profile: for each degree threshold k, the sub-graph
+    * induced on nodes with degree > k — node count, edge count, and
+    * density 2E/(N(N-1)). The network-science companion to
+    * `degree_assortativity` (do hubs preferentially link to hubs?).
+    *
+    * Shape: both aggregates reduce to HISTOGRAM lookups — per-edge
+    * min(end degrees) and per-node degree histograms (tiny: one row per
+    * distinct degree), then each threshold sums its suffix via a
+    * broadcast range join. The full edge set is scanned exactly once
+    * regardless of how many thresholds are requested.
+    *
+    * `edges` carries BOTH directions of each undirected edge (the
+    * co-occurrence projection contract). */
+  def richClub(edges: DataFrame, thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("deg"))
+    val canon = e.filter(col("src") < col("dst"))
+    val edgeMinDeg = canon
+      .join(deg.select(col("node_id").as("src"), col("deg").as("deg_a")), Seq("src"))
+      .join(deg.select(col("node_id").as("dst"), col("deg").as("deg_b")), Seq("dst"))
+      .select(least(col("deg_a"), col("deg_b")).as("min_deg"))
+    val edgeHist = edgeMinDeg.groupBy(col("min_deg"))
+      .agg(count(lit(1)).as("cnt"))
+    val nodeHist = deg.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+    import spark.implicits._
+    val ks = thresholds.sorted.toDF("k")
+    val nodesK = ks.join(broadcast(nodeHist), col("deg") > col("k"), "left")
+      .groupBy(col("k")).agg(sum(col("cnt")).as("n_nodes"))
+    val edgesK = ks.join(broadcast(edgeHist), col("min_deg") > col("k"), "left")
+      .groupBy(col("k")).agg(sum(col("cnt")).as("n_edges"))
+    nodesK.join(edgesK, Seq("k"))
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("density",
+        when(col("n_nodes") >= 2,
+          round(col("n_edges").cast("double") * 2.0 /
+            (col("n_nodes").cast("double") * (col("n_nodes").cast("double") - 1.0)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("k"))
+  }
+
+  /** Strongly connected components of a DIRECTED graph — the
+    * Trim + forward-coloring / backward-closure algorithm (the standard
+    * distributed SCC decomposition; Tarjan's stack is inherently
+    * sequential, this is the dataflow re-expression):
+    *
+    *   1. TRIM to fixpoint: a node with no in-edge or no out-edge in
+    *      the live subgraph is its own SCC — this removes the singleton
+    *      mass (most real graphs are mostly acyclic) in a handful of
+    *      cheap semi-join rounds before any propagation runs;
+    *   2. forward MAX-color propagation to fixpoint: color(v) = max
+    *      node id that reaches v; roots (color(v)=v) are the max
+    *      members of their SCCs;
+    *   3. backward closure within equal color: v joins SCC root c iff
+    *      some out-neighbour w with color(w)=color(v)=c is already
+    *      assigned — after the fixpoint the assigned set of root r is
+    *      exactly {v : r→v and v→r};
+    *   4. peel the assigned nodes, repeat from 1.
+    *
+    * Every phase is bounded label propagation (one hash join + aggregate
+    * per round, linear in live edges); rounds are convergence-checked
+    * against `maxInner`/`maxOuter` like the k-core peel. Labels are
+    * re-canonicalised to the MIN member id at the end (one aggregate) so
+    * the output is deterministic and matches the mutual-reachability
+    * oracle's MIN-label contract. */
+  def stronglyConnectedComponents(edgesIn: DataFrame, maxOuter: Int = 30,
+      maxInner: Int = 100): DataFrame = {
+    val spark = edgesIn.sparkSession
+    var e = checkpointFresh(edgesIn.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var active = checkpointFresh(
+      e.select(col("src").as("node_id"))
+        .unionByName(e.select(col("dst").as("node_id"))).distinct())
+    // accumulated (node_id, scc_root) — roots are per-phase canonical
+    // ids (self for trimmed nodes, max member for colored SCCs)
+    var out: DataFrame = null
+    def emit(df: DataFrame): Unit =
+      out = if (out == null) checkpointFresh(df)
+            else checkpointFresh(out.unionByName(df))
+    var outer = 0
+    var live = active.count()
+    while (live > 0 && outer < maxOuter) {
+      outer += 1
+      // ---- 1. trim to fixpoint ----
+      var trimming = true
+      var trimRound = 0
+      while (trimming && live > 0 && trimRound < maxInner) {
+        trimRound += 1
+        val both = e.select(col("src").as("node_id")).distinct()
+          .join(e.select(col("dst").as("node_id")).distinct(), Seq("node_id"))
+        val trimmed = active.join(both, Seq("node_id"), "left_anti")
+        if (trimmed.isEmpty) trimming = false
+        else {
+          emit(trimmed.select(col("node_id"), col("node_id").as("scc_root")))
+          active = checkpointFresh(active.join(both, Seq("node_id"), "left_semi"))
+          e = checkpointFresh(e
+            .join(active.select(col("node_id").as("src")), Seq("src"), "left_semi")
+            .join(active.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")))
+          live = active.count()
+        }
+      }
+      if (live > 0) {
+        // ---- 2. forward max-color fixpoint ----
+        var color = active.select(col("node_id"), col("node_id").as("color"))
+        var changed = true
+        var it = 0
+        while (changed && it < maxInner) {
+          it += 1
+          val pushed = e
+            .join(color.select(col("node_id").as("src"), col("color").as("c_src")),
+              Seq("src"))
+            .groupBy(col("dst").as("node_id"))
+            .agg(max(col("c_src")).as("cand"))
+          val next = checkpointFresh(color.join(pushed, Seq("node_id"), "left")
+            .select(col("node_id"),
+              greatest(col("color"), coalesce(col("cand"), col("color")))
+                .as("color")))
+          changed = next.join(
+              color.withColumnRenamed("color", "old"), Seq("node_id"))
+            .filter(col("color") =!= col("old")).limit(1).count() > 0
+          color = next
+        }
+        if (changed)
+          System.err.println(s"[graft] scc: forward coloring hit maxInner=$maxInner without converging")
+        // ---- 3. backward closure within equal color ----
+        var assigned = color.filter(col("color") === col("node_id"))
+          .select(col("node_id"), col("node_id").as("scc_root"))
+        var growing = true
+        var it2 = 0
+        while (growing && it2 < maxInner) {
+          it2 += 1
+          val fresh = e
+            .join(assigned.select(col("node_id").as("dst"), col("scc_root")), Seq("dst"))
+            .join(color.select(col("node_id").as("dst"), col("color").as("c_dst")),
+              Seq("dst"))
+            .join(color.select(col("node_id").as("src"), col("color").as("c_src")),
+              Seq("src"))
+            .filter(col("c_src") === col("c_dst") && col("c_dst") === col("scc_root"))
+            .select(col("src").as("node_id"), col("scc_root")).distinct()
+            .join(assigned.select(col("node_id")), Seq("node_id"), "left_anti")
+          val freshChk = checkpointFresh(fresh)
+          if (freshChk.isEmpty) growing = false
+          else assigned = checkpointFresh(assigned.unionByName(freshChk))
+        }
+        emit(assigned)
+        // ---- 4. peel ----
+        active = checkpointFresh(
+          active.join(assigned.select(col("node_id")), Seq("node_id"), "left_anti"))
+        e = checkpointFresh(e
+          .join(active.select(col("node_id").as("src")), Seq("src"), "left_semi")
+          .join(active.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+        live = active.count()
+      }
+    }
+    if (live > 0) {
+      System.err.println(s"[graft] scc: maxOuter=$maxOuter exhausted with $live nodes unassigned")
+      emit(active.select(col("node_id"), col("node_id").as("scc_root")))
+    }
+    // canonical MIN-member labels (coloring roots are MAX members)
+    val relabel = out.groupBy(col("scc_root"))
+      .agg(min(col("node_id")).as("scc_id"))
+    out.join(relabel, Seq("scc_root"))
+      .select(col("node_id"), col("scc_id"))
+  }
+
+  /** SCC of the supply-return flow graph: customer→supplier for kept
+    * full-quantity lineitems, supplier→customer for RETURNED ones
+    * (l_returnflag = 'R') — cycles are customer/supplier groups coupled
+    * through return flows. Disjoint node ids via the bipartite 2n/2n+1
+    * trick. */
+  def supplyChainScc(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_quantity") >= 50)
+    val fwd = li.filter(col("l_returnflag") =!= "R")
+      .select((col("o_custkey") * 2).cast("bigint").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("bigint").as("dst")).distinct()
+    val bwd = li.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") * 2 + 1).cast("bigint").as("src"),
+        (col("o_custkey") * 2).cast("bigint").as("dst")).distinct()
+    stronglyConnectedComponents(fwd.unionByName(bwd))
+      .orderBy(col("node_id"))
+  }
+
+  /** Rich-club profile of the user co-occurrence graph. */
+  def userRichClub(spark: SparkSession, dir: String,
+      thresholds: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame =
+    richClub(
+      RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")),
+      thresholds)
 }

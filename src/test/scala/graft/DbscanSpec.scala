@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Dbscan
+
+/** DBSCAN: hand fixture (roles + labels), eps boundary inclusivity, and
+  * LSH-candidate-path parity with the exact all-pairs path. */
+class DbscanSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** 64-dim point with the given first coordinate, rest zero. */
+  private def pt(id: Long, x: Double) =
+    (id, Array.fill(64)(0.0).updated(0, x).toSeq)
+
+  test("dbscan: two blobs, a border point, a noise point — roles and min-id labels") {
+    // eps = 1 (epsSq 1.0), minPts = 3. Blob A ids 1-4 at x 0.0..0.3 (all
+    // core, label 1); id 5 at x 1.2 reaches only cores 3 (d=1.0, ON the
+    // boundary — inclusive) and 4 (d=0.9): n_eps=2 < 3 → border, label 1.
+    // Blob B ids 6-9 at x 10.0..10.3 (core, label 6); id 10 at x 5 →
+    // noise (-1).
+    val pts = Seq(
+      pt(1, 0.0), pt(2, 0.1), pt(3, 0.2), pt(4, 0.3), pt(5, 1.2),
+      pt(6, 10.0), pt(7, 10.1), pt(8, 10.2), pt(9, 10.3), pt(10, 5.0))
+      .toDF("id", "vec")
+    val got = Dbscan.dbscanFrom(pts, epsSq = 1.0, minPts = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val expect = Map[Long, (String, Long, Long)](
+      1L -> (("core", 1L, 3L)), 2L -> (("core", 1L, 3L)),
+      3L -> (("core", 1L, 4L)), 4L -> (("core", 1L, 4L)),
+      5L -> (("border", 1L, 2L)),
+      6L -> (("core", 6L, 3L)), 7L -> (("core", 6L, 3L)),
+      8L -> (("core", 6L, 3L)), 9L -> (("core", 6L, 3L)),
+      10L -> (("noise", -1L, 0L)))
+    assert(got == expect)
+  }
+
+  test("dbscan: LSH candidate path ≡ exact all-pairs path on real embeddings") {
+    val sfDir = "/root/testdata/sf0.001"
+    val points = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Dbscan.dbscanFrom(points).collect().map(_.toSeq)
+    spark.conf.set(Dbscan.ExactPointsThresholdConf, "0")
+    try {
+      val viaLsh = Dbscan.dbscanFrom(points).collect().map(_.toSeq)
+      assert(viaLsh.toSeq == exact.toSeq)
+    } finally spark.conf.unset(Dbscan.ExactPointsThresholdConf)
+  }
+
+  test("dbscan: isolated core pair below minPts stays noise (no 1-point clusters from border rule)") {
+    // two points within eps of each other but minPts=2 not reached
+    // (n_eps=1 each): neither is core, so neither can be border — both
+    // noise even though they have neighbours
+    val pts = Seq(pt(1, 0.0), pt(2, 0.5)).toDF("id", "vec")
+    val got = Dbscan.dbscanFrom(pts, epsSq = 1.0, minPts = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set((1L, "noise", -1L, 1L), (2L, "noise", -1L, 1L)))
+  }
+}

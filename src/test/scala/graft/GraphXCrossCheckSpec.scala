@@ -30,6 +30,33 @@ class GraphXCrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("stronglyConnectedComponents matches GraphX SCC on the supply-return graph") {
+    val ours = Algorithms.supplyChainScc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_quantity") >= 50)
+    val fwd = li.filter(col("l_returnflag") =!= "R")
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    val bwd = li.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+        (col("o_custkey") * 2).cast("long").as("dst"))
+    val gxEdges = fwd.unionByName(bwd).distinct()
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    // GraphX SCC also labels by the minimum vertex id in the component;
+    // restrict to edge-incident vertices (fromEdges adds no extras)
+    val gxScc = Graph.fromEdges(gxEdges, 0)
+      .stronglyConnectedComponents(numIter = 20)
+      .vertices.collect().toMap
+
+    assert(ours.keySet == gxScc.keySet)
+    ours.foreach { case (node, comp) =>
+      assert(gxScc(node) == comp, s"node $node: ours=$comp graphx=${gxScc(node)}")
+    }
+  }
+
   test("triangleCount matches GraphX TriangleCount total on the cooc graph") {
     val edges = graph.RatingsGraph.cooccurrenceEdges(spark, sf)
       .select(col("u1").as("src"), col("u2").as("dst"))

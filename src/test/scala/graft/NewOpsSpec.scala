@@ -15,6 +15,57 @@ class NewOpsSpec extends AnyFunSuite {
   private def bidir(pairs: Seq[(Long, Long)]) =
     (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
 
+  test("dijkstraPath: cheap 3-hop route beats expensive 2-hop route; ties break to min parent; unreachable is empty") {
+    val lens = Seq(
+      (1L, 2L, 1.0), (2L, 4L, 1.0),              // cost 2.0 in 2 hops
+      (1L, 3L, 0.3), (3L, 5L, 0.3), (5L, 4L, 0.3)) // cost 0.9 in 3 hops
+      .toDF("src", "dst", "len")
+    val got = Algorithms.dijkstraPath(lens, source = 1L, target = 4L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0, 1L, 0.0), (1, 3L, 0.3), (2, 5L, 0.6), (3, 4L, 0.9)))
+
+    val tied = Seq((1L, 2L, 0.5), (2L, 4L, 0.5), (1L, 3L, 0.5), (3L, 4L, 0.5))
+      .toDF("src", "dst", "len")
+    val viaMin = Algorithms.dijkstraPath(tied, source = 1L, target = 4L).collect()
+      .map(_.getLong(1))
+    assert(viaMin.toSeq == Seq(1L, 2L, 4L)) // equal dists → min parent id wins
+
+    assert(Algorithms.dijkstraPath(lens, source = 1L, target = 99L).isEmpty)
+  }
+
+  test("scc: cycles, tails, and a 2-cycle resolve to min-member labels") {
+    // triangle {1,2,3}, tail 3→4→5, 2-cycle {6,7} hung off 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 6L)).toDF("src", "dst")
+    val got = Algorithms.stronglyConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L))
+  }
+
+  test("scc: chain of cycles against the peel direction needs multiple outer rounds") {
+    // 5⇄6 → 3⇄4 → 1⇄2: every node has in+out degree (trim removes
+    // nothing), one coloring root per round → three peel rounds
+    val edges = Seq((5L, 6L), (6L, 5L), (6L, 3L), (3L, 4L), (4L, 3L),
+      (4L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Algorithms.stronglyConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("richClub: clique-plus-pendant profile by hand") {
+    // 4-clique {1,2,3,4} + pendant 5-1. Degrees: 1→4, 2/3/4→3, 5→1.
+    // k=0: N=5, E=7, density 0.7; k=2: the clique, density 1.0;
+    // k=3: only node 1 → density 0 (N<2); k=9: empty.
+    val clique = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (clique ++ Seq((1L, 5L), (5L, 1L))).toDF("src", "dst")
+    val got = Algorithms.richClub(edges, Seq(0, 2, 3, 9)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0 -> ((5L, 7L, 0.7)), 2 -> ((4L, 6L, 1.0)),
+      3 -> ((1L, 0L, 0.0)), 9 -> ((0L, 0L, 0.0))))
+  }
+
   test("adamicAdar: hand-computed square + diagonal fixture") {
     // square 1-2-3-4-1 plus chord 2-4: from node 1, candidate 3 is the
     // only non-adjacent 2-hop node, via common neighbours 2 (deg 3) and
