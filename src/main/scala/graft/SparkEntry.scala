@@ -74,6 +74,8 @@ object SparkEntry {
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "corpus_ngrams" -> ((s, d) => TextOps.corpusNgrams(s, d)),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(s, d)),
+    "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
+    "span_decontaminate" -> ((s, d) => TextOps.spanDecontaminate(s, d)),
     "bloom_contamination" -> ((s, d) => TextOps.bloomContamination(s, d)),
     "bpe_first_merge" -> ((s, d) => TextOps.bpeFirstMerge(s, d)),
     "lang_id_accuracy" -> ((s, d) => TextOps.langIdAccuracy(s, d)),
@@ -1865,6 +1867,96 @@ object SparkEntry {
         |JOIN (SELECT * FROM grams WHERE split = 'train') r USING (gram)
         |GROUP BY t.doc_id, r.doc_id
         |ORDER BY test_doc_id, train_doc_id""".stripMargin,
+
+    // Chunk winners are ROW_NUMBER over (doc_id, chunk_idx) — the same
+    // lexicographic min as the Spark struct-MIN; reassembly is the
+    // ordered string_agg mirror of the array_sort + array_join.
+    "chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(CEIL(len(toks) / 8.0) AS INT))) AS chunk_idx,
+        |    toks
+        |  FROM toks WHERE len(toks) > 0
+        |), chunks AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(toks[chunk_idx * 8 + 1 : chunk_idx * 8 + 8], ' ') AS chunk
+        |  FROM ch
+        |), ranked AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks
+        |), kept AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id
+        |), totals AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(k.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(t.n_chunks, 0) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM documents d
+        |LEFT JOIN totals t USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Covered-position set from test-gram hits, token-level NOT EXISTS
+    // anti-join, ordered reassembly — the exact mirror of the engine's
+    // posexplode/left_anti/array_sort pipeline.
+    "span_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f2' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), test_grams AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8 THEN
+        |      list_transform(range(1, len(toks) - 6),
+        |        i -> array_to_string(toks[i : i + 7], ' '))
+        |    ELSE [] END) AS gram
+        |  FROM toks WHERE split = 'test'
+        |), train AS (
+        |  SELECT doc_id, toks FROM toks WHERE split = 'train'
+        |), tg AS (
+        |  SELECT doc_id, start FROM (
+        |    SELECT doc_id, start,
+        |      array_to_string(toks[start + 1 : start + 8], ' ') AS gram
+        |    FROM (
+        |      SELECT doc_id, unnest(range(0, len(toks) - 7)) AS start, toks
+        |      FROM train WHERE len(toks) >= 8))
+        |  WHERE gram IN (SELECT gram FROM test_grams)
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(range(start, start + 8)) AS pos FROM tg)
+        |), tokens AS (
+        |  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+        |  FROM train
+        |), kept AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+        |  FROM tokens t
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+        |  GROUP BY t.doc_id
+        |), rem AS (
+        |  SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+        |)
+        |SELECT tr.doc_id,
+        |  COALESCE(k.clean_text, '') AS clean_text,
+        |  CAST(len(tr.toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM train tr
+        |LEFT JOIN kept k USING (doc_id)
+        |LEFT JOIN rem USING (doc_id)
+        |ORDER BY tr.doc_id""".stripMargin,
 
     "bloom_contamination" ->
       """WITH toks AS (

@@ -249,6 +249,100 @@ object TextOps {
           explode(array_distinct(grams)).as("gram"))
     }
 
+  /** Shared lower-cased whitespace tokenizer of the gram/chunk family
+    * (identical to [[gramSplitFrame]]'s; one definition, one oracle
+    * mirror). */
+  private def wsTokens(text: Column): Column =
+    filter(split(lower(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+
+  /** Repeated-passage removal (the MassiveText / RefinedWeb exact-chunk
+    * dedup): split every document into consecutive `c`-token chunks,
+    * keep each distinct chunk's GLOBAL first occurrence (lexicographic
+    * min (doc_id, chunk_idx) — deterministic), drop every other
+    * instance (intra-document repeats included), and reassemble the
+    * surviving chunks in order. Output is the normalised (lower-cased,
+    * single-spaced) reassembly — the form a dedup pipeline writes.
+    *
+    * Scale shape: one explode bounded by n_tokens/c (NOT per-token), one
+    * hash shuffle on the chunk text for the min-winner, one groupBy
+    * doc_id for reassembly. No sort of the corpus; the per-doc reorder
+    * is an in-group array_sort over its own chunks. */
+  def chunkDedup(spark: SparkSession, dir: String, c: Int = 8): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / c).cast("int")
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * c + 1, lit(c)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = documents(spark, dir)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    val winners = exploded.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("chunk"), col("w.doc_id").as("w_doc"), col("w.chunk_idx").as("w_idx"))
+    val kept = exploded.join(winners, Seq("chunk"))
+      .filter(col("doc_id") === col("w_doc") && col("chunk_idx") === col("w_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(
+            collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+    documents(spark, dir)
+      .select(col("doc_id"), when(size(wsTokens(col("text"))) > 0,
+        ceil(size(wsTokens(col("text"))).cast("double") / c).cast("long"))
+        .otherwise(lit(0L)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span-level decontamination (the WRITE path of
+    * [[contaminationCheck]]): excise from every TRAIN document each
+    * token covered by an `n`-gram that also occurs in any TEST
+    * document, then reassemble the survivors in order. The eval-gram
+    * set is the join side — at 100 TB it is small (the benchmark
+    * suite), broadcastable, or replaced by the [[bloomContamination]]
+    * probe for a shuffle-free pre-filter; the corpus side stays one
+    * posexplode of gram starts + one of tokens, both linear. */
+  def spanDecontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val testGrams = gramSplitFrame(spark, dir, n)
+      .filter(col("split") === "test").select(col("gram")).distinct()
+    val toks = wsTokens(col("text"))
+    val train = documents(spark, dir)
+      .filter(splitOf(col("doc_id")) === "train")
+      .select(col("doc_id"), toks.as("toks"))
+      .localCheckpoint() // feeds gram starts, token explode, and the spine
+    val gramStarts = train
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+        .as(Seq("start", "gram")))
+    val covered = gramStarts.join(testGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val tokens = train.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val keptText = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"))
+    val removedCnt = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    train.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(keptText, Seq("doc_id"), "left")
+      .join(removedCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Normalised exact dedup — the canonical-form sibling of
     * [[dedupExact]]: case-fold, collapse every non-alphanumeric run to a
     * single space, trim, then hash-group. Catches the near-exact class

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextOps
+
+/** Fixture specs for the chunk-dedup / span-decontamination write
+  * paths, on a corpus small enough to check by hand. Fixture docs are
+  * written as a real `documents.parquet` so the operators run their
+  * production read path. */
+class TextPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Write (doc_id, text) rows as a documents table in a temp dir. */
+  private def corpusDir(docs: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft_textpipe").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def toks(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("chunkDedup: cross-doc first-occurrence wins, intra-doc repeats drop, partial chunks survive") {
+    val A = toks("a", 8); val B = toks("b", 8)
+    val C = toks("c", 8); val D = toks("d", 8)
+    val dir = corpusDir(Seq(
+      0L -> s"$A $B",   // both chunks novel → kept
+      1L -> s"$A $C",   // chunk A already owned by doc 0 → dropped
+      2L -> s"$D $D",   // intra-doc repeat → second instance dropped
+      3L -> "e1 e2 e3"  // single partial chunk → kept
+    ))
+    val got = TextOps.chunkDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      0L -> ((s"$A $B", 2L, 0L)),
+      1L -> ((C, 2L, 1L)),
+      2L -> ((D, 2L, 1L)),
+      3L -> (("e1 e2 e3", 1L, 0L))))
+  }
+
+  test("spanDecontaminate: test 8-grams excise covered train tokens; val docs are out of scope") {
+    // md5 split buckets: ids 0,1 → train; 3 → val; 44 → test
+    val X = toks("x", 8)
+    val dir = corpusDir(Seq(
+      0L -> s"p1 p2 $X q1 q2", // covered positions 2..9 excised
+      1L -> toks("r", 10),     // clean → untouched
+      3L -> s"$X",             // val: not part of the output
+      44L -> X                 // the eval doc contributing the gram
+    ))
+    val got = TextOps.spanDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      0L -> (("p1 p2 q1 q2", 12L, 8L)),
+      1L -> ((toks("r", 10), 10L, 0L))))
+  }
+
+  test("spanDecontaminate: overlapping contaminated grams cover the union of spans, not double-count") {
+    // train doc 0 holds x1..x9: both 8-grams (x1..x8, x2..x9) match test
+    // grams from doc 44's x1..x9 → covered = union {0..8}, 9 tokens
+    val dir = corpusDir(Seq(
+      0L -> s"${toks("x", 9)} z1",
+      44L -> toks("x", 9)))
+    val got = TextOps.spanDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, "z1", 10L, 9L)))
+  }
+}
