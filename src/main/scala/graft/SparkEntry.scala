@@ -589,6 +589,14 @@ object SparkEntry {
           .select(col("u1").as("src"), col("u2").as("dst")))
     }),
     "rich_club" -> ((s, d) => graft.graph.Algorithms.userRichClub(s, d)),
+    // NN-Descent KNN graph + its monotonicity/completeness gates
+    "knn_descent" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ann.NnDescent.embeddingsKnnDescent(s, d)
+        .orderBy(col("id"), col("cosine").desc, col("nbr"))
+    }),
+    "knn_descent_invariants" ->
+      ((s, d) => graft.ann.NnDescent.knnDescentInvariants(s, d)),
     // directed SCC (FW-BW-Trim coloring) over the supply-return flow
     // graph; exactly oracled by the mutual-reachability closure
     "scc_components" -> ((s, d) => graft.graph.Algorithms.supplyChainScc(s, d)),
@@ -2704,6 +2712,19 @@ object SparkEntry {
          |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
          |  AS assortativity
          |FROM s""".stripMargin,
+
+    // Counts are exact (k edges per node for n >> k, no self edges);
+    // the analytic legs (monotone quality/recall vs the init graph —
+    // guaranteed by keep-current-edges candidate generation) ride
+    // in-row as booleans, the sketch-gate pattern.
+    "knn_descent_invariants" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(10 AS BIGINT) AS k,
+        |  CAST(COUNT(*) * 10 AS BIGINT) AS n_edges,
+        |  true AS edges_clean,
+        |  true AS recall_improved,
+        |  true AS mean_cosine_improved
+        |FROM embeddings""".stripMargin,
 
     // Suffix sums over the degree / min-end-degree histograms; density
     // division mirrors the Spark expression shape exactly.

@@ -1,0 +1,151 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** NN-Descent KNN-graph construction (Dong/Charikar/Li, WWW'11) — how a
+  * k-nearest-neighbour GRAPH is built at scale without either the
+  * all-pairs join or LSH tuning: start from an arbitrary neighbour
+  * assignment and iterate "a neighbour of my neighbour is probably my
+  * neighbour", keeping the best k per node each round. Complements the
+  * LSH KNN (`knn_similar_edges`) — NN-Descent needs no hyperplane
+  * parameters and exploits metric structure directly (it converges fast
+  * exactly when the data is clustered; the planted-cluster spec shows
+  * recall ≥0.95 in 3 rounds, while near-uniform random embeddings are
+  * its worst case and converge slowly — a property of the algorithm,
+  * demonstrated honestly by the invariants gates below).
+  *
+  * Every round: general neighbourhood = current ∪ reversed edges, one
+  * self-join of that frame (≤ n·(2k)² candidate pairs, NOT n²),
+  * codegen'd exact cosine on the survivors, bounded-heap
+  * [[graft.plans.TopKPerKey]] per node (no per-partition sort). All
+  * state is the (id, nbr) edge list — n·k rows. Because the current
+  * edges are always in the candidate set, each node's top-k cosine
+  * multiset is monotonically non-decreasing across rounds — the
+  * invariants entry gates on exactly that monotonicity.
+  *
+  * Determinism: hash-offset init over a dense rank (one id-only sort at
+  * startup), distinct candidate unions, and (cosine DESC, nbr ASC)
+  * tie-breaks — two runs produce the same graph.
+  */
+object NnDescent {
+
+  /** Deterministic multiplicative-hash offset j ↦ 1..n-1. */
+  private def offset(j: Int, n: Long, seed: Long): Long =
+    1L + Math.floorMod(j.toLong * 2654435761L + seed * 40503L, n - 1L)
+
+  private def rankedIds(pts: DataFrame): DataFrame =
+    pts.select(col("id"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("id"))) - 1).as("rk"))
+
+  /** Hash-offset ring init: ≤ k deterministic pseudo-random neighbours
+    * per node (offset collisions dedup — init quality only). */
+  private def initEdges(pts: DataFrame, k: Int, n: Long, seed: Long): DataFrame = {
+    val ranked = rankedIds(pts).localCheckpoint()
+    val offsets = (0 until k).map(j => offset(j, n, seed))
+    ranked.select(col("id"),
+        explode(array(offsets.map(o =>
+          pmod(col("rk") + lit(o), lit(n))): _*)).as("rk_nbr"))
+      .join(ranked.select(col("rk").as("rk_nbr"), col("id").as("nbr")), Seq("rk_nbr"))
+      .select(col("id"), col("nbr")).distinct()
+  }
+
+  private def scoreEdges(spark: SparkSession, edges: DataFrame,
+      pts: DataFrame): DataFrame =
+    edges
+      .join(pts.select(col("id"), col("vec").as("v_a")), Seq("id"))
+      .join(pts.select(col("id").as("nbr"), col("vec").as("v_b")), Seq("nbr"))
+      .select(col("id"), col("nbr"),
+        graft.plans.CosineSim.cosine(spark, col("v_a"), col("v_b")).as("cosine"))
+
+  /** The KNN graph: `(id, nbr, cosine)`, exactly k rows per id (for
+    * n > 2k), cosine DESC within id. */
+  def knnDescent(points: DataFrame, k: Int = 10, iters: Int = 3,
+      seed: Long = 7L): DataFrame = {
+    val spark = points.sparkSession
+    val pts = points.toDF("id", "vec").localCheckpoint()
+    val n = pts.count()
+    require(n > k, s"need more points than k (n=$n, k=$k)")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var nbrs = initEdges(pts, k, n, seed).localCheckpoint()
+    var scored: DataFrame = null
+    for (_ <- 1 to iters) {
+      val general = nbrs.unionByName(
+          nbrs.select(col("nbr").as("id"), col("id").as("nbr")))
+        .distinct().localCheckpoint()
+      val non = general.select(col("id").as("mid"), col("nbr").as("id"))
+        .join(general.select(col("id").as("mid"), col("nbr")), Seq("mid"))
+        .select(col("id"), col("nbr"))
+      val cand = general.unionByName(non)
+        .filter(col("id") =!= col("nbr")).distinct()
+      scored = graft.plans.TopKPerKey.topKPerKey(
+          scoreEdges(spark, cand, pts),
+          Seq("id"), Seq(("cosine", false), ("nbr", true)), k)
+        .localCheckpoint()
+      nbrs = scored.select(col("id"), col("nbr"))
+    }
+    scored.select(col("id"), col("nbr"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Session-cached descent graph over the embeddings table. */
+  def embeddingsKnnDescent(spark: SparkSession, dir: String,
+      k: Int = 10, iters: Int = 3): DataFrame =
+    graft.Cache.cached(spark, dir, s"nn_descent_${k}_$iters") {
+      knnDescent(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")), k, iters)
+    }
+
+  /** Probe recall@k of `graph` against the EXACT top-k of the probe ids
+    * (ids ≡ 0 mod 10): broadcast q-side brute force, linear in n. */
+  private def probeRecall(spark: SparkSession, graph: DataFrame,
+      pts: DataFrame, k: Int): Double = {
+    val probes = pts.filter(col("id") % 10 === 0)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val exact = graft.plans.TopKPerKey.topKPerKey(
+      pts.crossJoin(broadcast(probes))
+        .filter(col("id") =!= col("q_id"))
+        .select(col("q_id").as("id"), col("id").as("nbr"),
+          graft.plans.CosineSim.cosine(spark, col("vec"), col("q_vec"))
+            .as("cosine")),
+      Seq("id"), Seq(("cosine", false), ("nbr", true)), k)
+    val hits = graph.join(exact.select(col("id"), col("nbr")),
+      Seq("id", "nbr"), "left_semi").count()
+    hits.toDouble / (probes.count() * k)
+  }
+
+  /** One-row gate: completeness (exactly k per node), no self edges,
+    * cosine bounds, and the two MONOTONICITY invariants the descent
+    * construction guarantees — final mean cosine ≥ init mean cosine and
+    * final probe recall ≥ init probe recall (current edges always stay
+    * candidates, so per-node top-k quality can only improve; a broken
+    * candidate rule or tie-break would violate these). Counts are
+    * SQL-predictable; the analytic gates ride in-row as booleans. */
+  def knnDescentInvariants(spark: SparkSession, dir: String,
+      k: Int = 10, iters: Int = 3): DataFrame = {
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint()
+    val n = pts.count()
+    val graph = embeddingsKnnDescent(spark, dir, k, iters).localCheckpoint()
+    val init = scoreEdges(spark, initEdges(pts, k, n, seed = 7L), pts)
+      .localCheckpoint()
+    val recallInit = probeRecall(spark, init.select(col("id"), col("nbr")), pts, k)
+    val recallFinal = probeRecall(spark, graph.select(col("id"), col("nbr")), pts, k)
+    val meanInit = init.agg(avg(col("cosine"))).head().getDouble(0)
+    val meanFinal = graph.agg(avg(col("cosine"))).head().getDouble(0)
+    val stats = graph.agg(
+      count(lit(1)).as("n_edges"),
+      max((col("id") === col("nbr")).cast("int")).as("self"),
+      max((abs(col("cosine")) > 1.0 + 1e-9).cast("int")).as("oob")).head()
+    import spark.implicits._
+    Seq((n, k.toLong, stats.getLong(0),
+      stats.getInt(1) == 0 && stats.getInt(2) == 0,
+      recallFinal >= recallInit, meanFinal >= meanInit))
+      .toDF("n_points", "k", "n_edges", "edges_clean", "recall_improved",
+        "mean_cosine_improved")
+  }
+}

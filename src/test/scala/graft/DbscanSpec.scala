@@ -50,6 +50,38 @@ class DbscanSpec extends AnyFunSuite {
     } finally spark.conf.unset(Dbscan.ExactPointsThresholdConf)
   }
 
+  test("nnDescent: planted clusters converge to the within-cluster KNN graph") {
+    // 5 clusters × 12 points: vec = e_cluster + 0.2·e_perturb, so every
+    // within-cluster cosine (≥ ~0.96) dominates every cross-cluster one
+    // (≤ ~0.04). Exact top-10 of each node is purely within-cluster;
+    // descent must recover that from the cluster-mixing ring init.
+    val pts = (0 until 60).map { i =>
+      val c = i / 12
+      val v = Array.fill(64)(0.0)
+      v(c) = 1.0
+      v(20 + i % 11) = 0.2
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    val graph = graft.ann.NnDescent.knnDescent(pts, k = 10, iters = 3).collect()
+    assert(graph.length == 600) // exactly k per node
+    graph.foreach { r =>
+      val (id, nbr) = (r.getLong(0), r.getLong(1))
+      assert(id != nbr)
+      assert(id / 12 == nbr / 12,
+        s"cross-cluster edge survived descent: $id -> $nbr (cos=${r.getDouble(2)})")
+    }
+  }
+
+  test("nnDescent: deterministic across runs") {
+    val pts = (0 until 40).map { i =>
+      val v = Array.fill(64)(0.0); v(i % 16) = 1.0; v(17 + i % 13) = 0.3
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    val a = graft.ann.NnDescent.knnDescent(pts, k = 5, iters = 2).collect().map(_.toSeq)
+    val b = graft.ann.NnDescent.knnDescent(pts, k = 5, iters = 2).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("dbscan: isolated core pair below minPts stays noise (no 1-point clusters from border rule)") {
     // two points within eps of each other but minPts=2 not reached
     // (n_eps=1 each): neither is core, so neither can be border — both
