@@ -75,6 +75,7 @@ object SparkEntry {
     "corpus_ngrams" -> ((s, d) => TextOps.corpusNgrams(s, d)),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(s, d)),
     "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
+    "token_heavy_hitters" -> ((s, d) => TextOps.tokenHeavyHitters(s, d)),
     "span_decontaminate" -> ((s, d) => TextOps.spanDecontaminate(s, d)),
     "bloom_contamination" -> ((s, d) => TextOps.bloomContamination(s, d)),
     "bpe_first_merge" -> ((s, d) => TextOps.bpeFirstMerge(s, d)),
@@ -1875,6 +1876,25 @@ object SparkEntry {
         |JOIN (SELECT * FROM grams WHERE split = 'train') r USING (gram)
         |GROUP BY t.doc_id, r.doc_id
         |ORDER BY test_doc_id, train_doc_id""".stripMargin,
+
+    // Exact top-k leg is plain SQL; the three CMS gates (never
+    // undercounts, e·N/width bound, merged ≡ single-pass by counter
+    // commutativity) ride in-row as booleans.
+    "token_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT unnest(toks) AS tok FROM toks
+        |)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  true AS cms_lower_bound_ok,
+        |  true AS cms_within_eps,
+        |  true AS merge_exact
+        |FROM tok GROUP BY tok
+        |ORDER BY n_exact DESC, tok
+        |LIMIT 20""".stripMargin,
 
     // Chunk winners are ROW_NUMBER over (doc_id, chunk_idx) — the same
     // lexicographic min as the Spark struct-MIN; reassembly is the

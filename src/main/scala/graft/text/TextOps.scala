@@ -343,6 +343,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min-sketch token heavy hitters — the frequent-items sibling
+    * of the HLL/KLL sketch gates (`events_sketch_merge`,
+    * `events_quantiles_approx`): per-shard depth×width counter
+    * matrices built columnar (one posexplode of the depth hash rows, no
+    * UDAF), merged by CELL-WISE ADDITION — the property that makes CMS
+    * the 100 TB frequent-items operator: shard state is a FIXED
+    * depth×width grid regardless of corpus size, and shard merge is
+    * exact (counter addition commutes), unlike HLL's bounded-drift
+    * union. Output = the EXACT top-k tokens (oracle leg) with the
+    * sketch gates in-row: estimate ≥ true count (CMS never
+    * undercounts), estimate ≤ true + e·N/width (the standard CMS
+    * error bound), and merged-sketch ≡ single-pass-sketch cell equality
+    * (exact, by commutativity). */
+  def tokenHeavyHitters(spark: SparkSession, dir: String, k: Int = 20,
+      depth: Int = 4, width: Int = 1024, shards: Int = 8): DataFrame = {
+    require(depth >= 1 && width >= 1 && shards >= 1 && k >= 1,
+      s"bad cms params (k=$k depth=$depth width=$width shards=$shards)")
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .localCheckpoint() // feeds cells, the exact counts, and N
+    def hashRows(tok: Column) = posexplode(array(
+      (0 until depth).map(r => pmod(xxhash64(lit(r), tok), lit(width))): _*))
+    val keyed = toks.select(col("doc_id"), col("tok"),
+      hashRows(col("tok")).as(Seq("r", "c")))
+    val cellsByShard = keyed
+      .groupBy(pmod(col("doc_id"), lit(shards)).as("shard"), col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = cellsByShard.groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt")).localCheckpoint()
+    val global = keyed.groupBy(col("r"), col("c")).agg(count(lit(1)).as("g"))
+    val mergeExact = merged.join(global, Seq("r", "c"), "full")
+      .agg(min(when(col("cnt") === col("g"), 1).otherwise(0)).as("m"))
+      .select((coalesce(col("m"), lit(1)) === 1).as("merge_exact"))
+    val exactTop = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(k).localCheckpoint()
+    val total = toks.count()
+    val est = exactTop
+      .select(col("tok"), hashRows(col("tok")).as(Seq("r", "c")))
+      .join(merged, Seq("r", "c"))
+      .groupBy(col("tok")).agg(min(col("cnt")).as("est"))
+    exactTop.join(est, Seq("tok"))
+      .crossJoin(broadcast(mergeExact))
+      .select(col("tok"), col("n_exact"),
+        (col("est") >= col("n_exact")).as("cms_lower_bound_ok"),
+        ((col("est") - col("n_exact")).cast("double") <=
+          lit(math.E) * total / width).as("cms_within_eps"),
+        col("merge_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** Normalised exact dedup — the canonical-form sibling of
     * [[dedupExact]]: case-fold, collapse every non-alphanumeric run to a
     * single space, trim, then hash-group. Catches the near-exact class

@@ -64,6 +64,27 @@ class TextPipelineSpec extends AnyFunSuite {
       1L -> ((toks("r", 10), 10L, 0L))))
   }
 
+  test("tokenHeavyHitters: exact counts, and a width-2 collision sketch still never undercounts") {
+    val dir = corpusDir(Seq(
+      0L -> "apple apple apple banana banana cherry",
+      1L -> "apple banana date date"))
+    val got = TextOps.tokenHeavyHitters(spark, dir, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("apple", 4L, true, true, true),
+      ("banana", 3L, true, true, true),
+      ("date", 2L, true, true, true)))
+
+    // width 2 forces collisions: overcounts appear but the lower-bound
+    // and merge-exactness gates are structural and must still hold
+    val tiny = TextOps.tokenHeavyHitters(spark, dir, k = 5, width = 2).collect()
+    tiny.foreach { r =>
+      assert(r.getBoolean(2), s"CMS undercounted ${r.getString(0)}")
+      assert(r.getBoolean(4), "shard merge must be exactly the single-pass sketch")
+    }
+  }
+
   test("spanDecontaminate: overlapping contaminated grams cover the union of spans, not double-count") {
     // train doc 0 holds x1..x9: both 8-grams (x1..x8, x2..x9) match test
     // grams from doc 44's x1..x9 → covered = union {0..8}, 9 tokens
