@@ -37,6 +37,7 @@ object SparkEntry {
     "users_in_large_groups" -> ((s, d) => Recommend.usersInLargeGroups(s, d)),
     "users_in_large_groups_louvain" -> ((s, d) => Recommend.usersInLargeGroupsLouvain(s, d)),
     "graph_neighborhood" -> ((s, d) => Recommend.graphNeighborhood(s, d)),
+    "graph_viz_payload" -> ((s, d) => Recommend.graphVizPayload(s, d)),
     "similar_books_cooc" -> ((s, d) => Recommend.similarBooksCooc(s, d)),
     // — Serving path: bucketed-silver point lookups (zero Exchange,
     //   one bucket read — plan shape pinned in ScaleToolsSpec) —
@@ -1606,6 +1607,75 @@ object SparkEntry {
          |  FROM ratings r JOIN sims s ON r.user_id = s.user_id
          |)
          |ORDER BY edge_type, src, dst""".stripMargin,
+
+    // the pyvis build_graph payload over the same neighborhood CTEs —
+    // every node/edge attribute the renderer consumes, no NULLs (absent
+    // fields are ''/0.0 so the total order is engine-independent)
+    "graph_viz_payload" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS weight
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), sims AS (
+         |  SELECT u2 AS user_id, CAST(weight AS DOUBLE) AS weight
+         |  FROM cooc WHERE u1 = 1
+         |  ORDER BY weight DESC, u2 LIMIT 3
+         |), frame_users AS (
+         |  SELECT user_id FROM sims UNION SELECT 1
+         |), user_nodes AS (
+         |  SELECT 'node' AS kind,
+         |    'user_' || CAST(c_custkey AS VARCHAR) AS id,
+         |    '' AS src, '' AS dst,
+         |    'User ' || CAST(c_custkey AS VARCHAR) AS label,
+         |    'dot' AS shape, '' AS color,
+         |    'User-ID: ' || CAST(c_custkey AS VARCHAR) || chr(10) ||
+         |      'Name: ' || c_name || chr(10) ||
+         |      'Segment: ' || c_mktsegment AS title,
+         |    CAST(0.0 AS DOUBLE) AS value
+         |  FROM customer JOIN frame_users ON c_custkey = user_id
+         |), rated_edges AS (
+         |  SELECT user_id AS src, book_id AS dst, CAST(rating AS DOUBLE) AS weight
+         |  FROM ratings WHERE user_id = 1
+         |  UNION ALL
+         |  SELECT r.user_id, r.book_id, CAST(r.rating AS DOUBLE)
+         |  FROM ratings r JOIN sims s ON r.user_id = s.user_id
+         |), book_agg AS (
+         |  SELECT dst AS book_id, MAX(weight) AS max_rating
+         |  FROM rated_edges GROUP BY dst
+         |), book_nodes AS (
+         |  SELECT 'node', 'book_' || CAST(p_partkey AS VARCHAR), '', '',
+         |    p_name, 'box',
+         |    CASE WHEN max_rating <= 4 THEN 'red'
+         |         WHEN max_rating <= 7 THEN 'yellow' ELSE 'green' END,
+         |    'Title: ' || p_name || chr(10) || 'Brand: ' || p_brand ||
+         |      chr(10) || 'Type: ' || p_type,
+         |    CAST(0.0 AS DOUBLE)
+         |  FROM part JOIN book_agg ON p_partkey = book_id
+         |), maxw AS (
+         |  SELECT MAX(weight) AS max_w FROM sims
+         |), sim_edge_rows AS (
+         |  SELECT 'edge', '', 'user_1',
+         |    'user_' || CAST(user_id AS VARCHAR), '', '', '',
+         |    'similarity: ' ||
+         |      CAST(CAST(ROUND(weight * 100.0 / max_w, 0) AS INTEGER) AS VARCHAR)
+         |      || '%',
+         |    ROUND(1.0 + (weight * 9.0) / max_w, 6)
+         |  FROM sims, maxw
+         |), rated_edge_rows AS (
+         |  SELECT 'edge', '', 'user_' || CAST(src AS VARCHAR),
+         |    'book_' || CAST(dst AS VARCHAR), '', '', '',
+         |    CAST(CAST(weight AS INTEGER) AS VARCHAR), weight
+         |  FROM rated_edges
+         |)
+         |SELECT * FROM (
+         |  SELECT * FROM user_nodes
+         |  UNION ALL SELECT * FROM book_nodes
+         |  UNION ALL SELECT * FROM sim_edge_rows
+         |  UNION ALL SELECT * FROM rated_edge_rows
+         |)
+         |ORDER BY kind, id, src, dst, title""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -215,6 +215,84 @@ object Recommend {
       .orderBy(col("edge_type"), col("src"), col("dst"))
   }
 
+  /** The renderer payload behind the reference's pyvis visualization
+    * (`recommender_knn.py:82-159` build_graph + `streamlit_app.py:98-108`):
+    * the flattened node+edge list a client renders directly — users as
+    * `dot` nodes, books as `box` nodes colored by rating (red ≤4,
+    * yellow ≤7, green above), SIMILAR_TO edges with thickness scaled to
+    * 1..10, RATED edges weighted by the rating. This is the one piece of
+    * `get_graph_data`'s consumer that previously had no entry: the
+    * neighborhood DATA is `graph_neighborhood`; this is the render-ready
+    * projection of it.
+    *
+    * Determinism note: pyvis resolves repeated `add_node` calls by
+    * iteration order (last write wins), which is dict-order-dependent in
+    * the reference; here a book seen with several in-neighborhood
+    * ratings takes the MAX rating for its color — a fixed, documented
+    * rule. Edge thickness for SIMILAR_TO normalizes the co-rating weight
+    * into the reference's 1..10 band (`1 + similarity * 9`,
+    * recommender_knn.py:125) by the neighborhood max.
+    *
+    * No NULLs anywhere: absent fields are '' / 0.0 so the row hash and
+    * the total order are engine-independent. */
+  def graphVizPayload(spark: SparkSession, dir: String, user: Long = TargetUser, simK: Int = 3): DataFrame = {
+    val edges = graphNeighborhood(spark, dir, user, simK)
+    val simUsers = edges.filter(col("edge_type") === "SIMILAR_TO")
+      .select(col("dst").as("user_id"), col("weight"))
+    // all user nodes in frame: the target plus the similar users
+    val userIds = simUsers.select(col("user_id"))
+      .unionAll(spark.range(1).select(lit(user).as("user_id"))).distinct()
+    val userNodes = RatingsGraph.activeUsers(spark, dir)
+      .join(broadcast(userIds), Seq("user_id"))
+      .select(lit("node").as("kind"),
+        concat(lit("user_"), col("user_id")).as("id"),
+        lit("").as("src"), lit("").as("dst"),
+        concat(lit("User "), col("user_id")).as("label"),
+        lit("dot").as("shape"), lit("").as("color"),
+        concat(lit("User-ID: "), col("user_id"), lit("\nName: "), col("name"),
+          lit("\nSegment: "), col("segment")).as("title"),
+        lit(0.0).as("value"))
+    // book nodes: color from the MAX in-neighborhood rating (see note)
+    val ratedAgg = edges.filter(col("edge_type") === "RATED")
+      .groupBy(col("dst").as("book_id"))
+      .agg(max(col("weight")).as("max_rating"))
+    val bookNodes = RatingsGraph.ratedBooks(spark, dir)
+      .join(broadcast(ratedAgg), Seq("book_id"))
+      .select(lit("node").as("kind"),
+        concat(lit("book_"), col("book_id")).as("id"),
+        lit("").as("src"), lit("").as("dst"),
+        col("title").as("label"), lit("box").as("shape"),
+        when(col("max_rating") <= 4, "red")
+          .when(col("max_rating") <= 7, "yellow").otherwise("green").as("color"),
+        concat(lit("Title: "), col("title"), lit("\nBrand: "), col("brand"),
+          lit("\nType: "), col("book_type")).as("title"),
+        lit(0.0).as("value"))
+    // SIMILAR_TO edges: thickness 1..10 by neighborhood-max normalization
+    val maxW = simUsers.agg(max(col("weight")).as("max_w"))
+    val simEdgeRows = simUsers.crossJoin(broadcast(maxW))
+      .select(lit("edge").as("kind"), lit("").as("id"),
+        concat(lit("user_"), lit(user)).as("src"),
+        concat(lit("user_"), col("user_id")).as("dst"),
+        lit("").as("label"), lit("").as("shape"), lit("").as("color"),
+        // integer percent, not printf("%.2f"): Java formats halfway cases
+        // HALF_UP while C printf is half-even, so 0.125 would render
+        // differently across engines; round() is half-away-from-zero in
+        // both for positives
+        concat(lit("similarity: "),
+          round(col("weight") * 100.0 / col("max_w"), 0).cast("int"),
+          lit("%")).as("title"),
+        round(lit(1.0) + (col("weight") * 9.0) / col("max_w"), 6).as("value"))
+    val ratedEdgeRows = edges.filter(col("edge_type") === "RATED")
+      .select(lit("edge").as("kind"), lit("").as("id"),
+        concat(lit("user_"), col("src")).as("src"),
+        concat(lit("book_"), col("dst")).as("dst"),
+        lit("").as("label"), lit("").as("shape"), lit("").as("color"),
+        col("weight").cast("int").cast("string").as("title"),
+        col("weight").as("value"))
+    userNodes.unionAll(bookNodes).unionAll(simEdgeRows).unionAll(ratedEdgeRows)
+      .orderBy(col("kind"), col("id"), col("src"), col("dst"), col("title"))
+  }
+
   /** Item-item collaborative filtering: books most co-liked with a given
     * book (the "users who liked this also liked" shape — the item-side
     * twin of the user co-occurrence projection). */
