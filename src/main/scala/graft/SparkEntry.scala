@@ -182,6 +182,53 @@ object SparkEntry {
       graft.graph.Algorithms.userCommunities(s, d).orderBy("node_id")),
     "communities_louvain" -> ((s, d) =>
       graft.graph.Louvain.userCommunities(s, d).orderBy("node_id")),
+    "communities_leiden" -> ((s, d) =>
+      graft.graph.Louvain.userCommunitiesLeiden(s, d).orderBy("node_id")),
+    // Tarjan–Vishkin block structure on the SQL-derivable co-occurrence
+    // backbone — both EXACTLY oracled (DuckDB brute-forces per-edge /
+    // per-vertex removal reachability as recursive CTEs; the operator
+    // computes blocks once via spanning forest + fundamental-cycle CC)
+    "graph_bridges" -> ((s, d) => graft.graph.Biconnectivity.userBridges(s, d)),
+    "articulation_points" -> ((s, d) =>
+      graft.graph.Biconnectivity.userArticulationPoints(s, d)),
+    // the Leiden guarantee, hash-compared: every refined community is
+    // internally connected (independent CC recount per community),
+    // refinement only ever splits (n_comms >= Louvain's), labels stay
+    // canonical min-member ids, partition stays valid
+    "leiden_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val edges = RatingsGraph.cooccurrenceEdges(s, d)
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+      val base = graft.graph.Louvain.userCommunities(s, d)
+      val refined = graft.graph.Louvain.userCommunitiesLeiden(s, d)
+      val intra = edges
+        .join(refined.select(col("node_id").as("src"), col("community").as("sc")), Seq("src"))
+        .join(refined.select(col("node_id").as("dst"), col("community").as("dc")), Seq("dst"))
+        .filter(col("sc") === col("dc")).select(col("src"), col("dst"))
+      val comp = graft.graph.Algorithms.connectedComponents(intra)
+      val disconnected = refined.join(comp, Seq("node_id"), "left")
+        .select(col("community"),
+          coalesce(col("component"), col("node_id")).as("component"))
+        .groupBy(col("community"))
+        .agg(countDistinct(col("component")).as("n_parts"))
+        .agg(coalesce(sum(when(col("n_parts") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("split_viol"))
+      val canon = refined.groupBy(col("community"))
+        .agg(min(col("node_id")).as("mm"))
+        .agg(coalesce(sum(when(col("community") =!= col("mm"), 1L).otherwise(0L)), lit(0L))
+          .as("canon_viol"),
+          count(lit(1)).as("n_comms"))
+      val baseComms = base.select(col("community")).distinct()
+        .agg(count(lit(1)).as("n_base_comms"))
+      refined.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("node_id")).as("n_labelled"))
+        .crossJoin(disconnected).crossJoin(canon).crossJoin(baseComms)
+        .select(col("n_labelled"),
+          (col("n_rows") === col("n_labelled")).cast("bigint").as("one_label_per_node"),
+          (col("canon_viol") === 0).cast("bigint").as("labels_canonical"),
+          (col("split_viol") === 0).cast("bigint").as("communities_connected"),
+          (col("n_comms") >= col("n_base_comms")).cast("bigint").as("refine_only_splits"))
+    }),
     // coloring runs on the SPARSE KNN similarity graph (degree <= 20 --
     // the GDS-realistic target): Jones-Plassmann independent sets are
     // priority maxima, so a near-clique graph (the co-occurrence
@@ -318,6 +365,8 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, d) => graft.dedup.Dedup.ngramJaccardPairs(s, d)),
     "dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => graft.dedup.Dedup.embeddingPairs(s, d)),
+    "semdedup_pairs" -> ((s, d) => graft.dedup.SemDedup.pairs(s, d)),
+    "semdedup_survivors" -> ((s, d) => graft.dedup.SemDedup.survivors(s, d)),
     "multimodal_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.multimodal.Multimodal.mediaFeatures(s, d)
@@ -673,6 +722,34 @@ object SparkEntry {
       |), ratings AS (
       |  SELECT user_id, book_id, MAX(rating) AS rating
       |  FROM filtered_events GROUP BY user_id, book_id
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE mirroring SemDedup.assignments: norms, the
+    * deterministic first-8 centroids, rounded-cosine argmax assignment
+    * (ties to the lowest centroid id), re-joined with the vectors. */
+  private val SemDedupCte: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings
+      |), cents AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+      |  FROM n WHERE vec_id < 8
+      |), scored AS (
+      |  SELECT a.vec_id, c.c_id,
+      |    ROUND(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * c.c_emb[i]))
+      |      / (a.nrm * c.c_nrm), 6) AS cos
+      |  FROM n a CROSS JOIN cents c
+      |), asg AS (
+      |  SELECT vec_id, c_id AS cluster, cos AS cos_centroid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, c_id) AS rk
+      |    FROM scored
+      |  ) WHERE rk = 1
+      |), pe AS (
+      |  SELECT g.vec_id, g.cluster, g.cos_centroid, n.embedding, n.nrm
+      |  FROM asg g JOIN n USING (vec_id)
       |)""".stripMargin
 
   /** Fixed-iteration eigenvector centrality unrolled as chained CTEs:
@@ -2280,6 +2357,36 @@ object SparkEntry {
         |FROM pairs WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // SemDeDup (Abbas et al. 2023): deterministic first-k centroid
+    // assignment, then within-cluster pair screen / keep-priority scan.
+    // Every cosine is ROUND(...,6)ed BEFORE comparison on both sides.
+    "semdedup_pairs" ->
+      s"""$SemDedupCte
+        |SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |    / (a.nrm * b.nrm), 6) AS cosine
+        |FROM pe a JOIN pe b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |    / (a.nrm * b.nrm), 6) >= 0.3
+        |ORDER BY a.cluster, id_a, id_b""".stripMargin,
+
+    "semdedup_survivors" ->
+      s"""$SemDedupCte, removed AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM pe a JOIN pe b ON a.cluster = b.cluster
+        |    AND (a.cos_centroid < b.cos_centroid
+        |         OR (a.cos_centroid = b.cos_centroid AND a.vec_id < b.vec_id))
+        |  WHERE ROUND(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |      / (a.nrm * b.nrm), 6) >= 0.3
+        |)
+        |SELECT vec_id, cluster, cos_centroid
+        |FROM pe
+        |WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+        |ORDER BY vec_id""".stripMargin,
+
     "lang_id" -> LangIdSql,
 
     "lang_id_accuracy" ->
@@ -2509,6 +2616,71 @@ object SparkEntry {
          |SELECT CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_labelled,
          |       CAST(1 AS BIGINT) AS one_label_per_node,
          |       CAST(1 AS BIGINT) AS labels_canonical
+         |FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |WHERE a.user_id <> b.user_id""".stripMargin,
+
+    // exact bridge oracle: an edge is a bridge iff its far endpoint is
+    // unreachable once the edge itself is barred from the walk
+    "graph_bridges" ->
+      s"""$RatingsCteRecursive, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), backbone AS (
+         |  SELECT u1 AS src, u2 AS dst FROM cooc WHERE w >= 3
+         |), bidir AS (
+         |  SELECT src, dst FROM backbone
+         |  UNION ALL SELECT dst, src FROM backbone
+         |), reach AS (
+         |  SELECT b.src AS es, b.dst AS et, b.src AS n FROM backbone b
+         |  UNION
+         |  SELECT r.es, r.et, d.dst
+         |  FROM reach r JOIN bidir d ON d.src = r.n
+         |  WHERE NOT (LEAST(d.src, d.dst) = r.es AND GREATEST(d.src, d.dst) = r.et)
+         |)
+         |SELECT src, dst FROM backbone b
+         |WHERE NOT EXISTS (SELECT 1 FROM reach r
+         |                  WHERE r.es = b.src AND r.et = b.dst AND r.n = b.dst)
+         |ORDER BY src, dst""".stripMargin,
+
+    // exact articulation-point oracle: v is a cut vertex iff some
+    // neighbour is unreachable from v's min neighbour when walks may
+    // not pass through v
+    "articulation_points" ->
+      s"""$RatingsCteRecursive, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), backbone AS (
+         |  SELECT u1 AS src, u2 AS dst FROM cooc WHERE w >= 3
+         |), bidir AS (
+         |  SELECT src, dst FROM backbone
+         |  UNION ALL SELECT dst, src FROM backbone
+         |), seeds AS (
+         |  SELECT d.src AS v, MIN(d.dst) AS s FROM bidir d GROUP BY d.src
+         |), reach2 AS (
+         |  SELECT v, s AS n FROM seeds
+         |  UNION
+         |  SELECT r.v, d.dst FROM reach2 r JOIN bidir d ON d.src = r.n
+         |  WHERE d.src <> r.v AND d.dst <> r.v
+         |)
+         |SELECT DISTINCT b.src AS node_id FROM bidir b
+         |WHERE NOT EXISTS (SELECT 1 FROM reach2 r
+         |                  WHERE r.v = b.src AND r.n = b.dst)
+         |ORDER BY node_id""".stripMargin,
+
+    "leiden_invariants" ->
+      s"""$RatingsCte
+         |SELECT CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_labelled,
+         |       CAST(1 AS BIGINT) AS one_label_per_node,
+         |       CAST(1 AS BIGINT) AS labels_canonical,
+         |       CAST(1 AS BIGINT) AS communities_connected,
+         |       CAST(1 AS BIGINT) AS refine_only_splits
          |FROM (SELECT * FROM ratings WHERE rating >= 6) a
          |JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
          |WHERE a.user_id <> b.user_id""".stripMargin,

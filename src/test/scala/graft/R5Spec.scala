@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.SemDedup
+
+/** Fixture + invariant specs for the round-5 operator additions. */
+class R5Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // 2-dim vectors; centroids are vec_id 0 = e_x and vec_id 1 = e_y
+  private val semFixture = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f)),
+    (2L, Array(0.9f, 0.1f)),
+    (3L, Array(1.0f, 0.05f)),
+    (4L, Array(0.1f, 0.9f)),
+    (5L, Array(-1.0f, 0.2f))).toDF("vec_id", "embedding")
+
+  test("semdedup: assignment routes to the max-cosine centroid, ties to the lowest id") {
+    val asg = SemDedup.assignmentsOf(semFixture, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("semdedup: keep-priority scan removes centroid-near dups, keeps the diverse tail") {
+    // cluster 0 = {0,2,3}: all pairwise cosines >= 0.95; priority order
+    // (cos_centroid ASC) is [2, 3, 0] so only 2 survives.
+    // cluster 1 = {1,4,5}: only (1,4) is a dup; priority [5, 4, 1] so 1
+    // is removed by 4, and 5 (far from centroid) survives untouched.
+    val kept = SemDedup.survivorsOf(semFixture, k = 2, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L))
+    val pairs = SemDedup.pairsOf(semFixture, k = 2, tau = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
+  }
+
+  test("semdedup: impossible threshold keeps everything; k=1 degenerates to global greedy") {
+    assert(SemDedup.survivorsOf(semFixture, k = 2, tau = 2.0).count() == 6)
+    // k=1: one cluster, priority by cos to centroid e_x ASC — the
+    // near-identical trio {0,2,3} still collapses to one survivor
+    val kept = SemDedup.survivorsOf(semFixture, k = 1, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(0L) || !kept.contains(3L))
+    assert(kept.intersect(Set(0L, 2L, 3L)).size == 1)
+  }
+
+  test("semdedup: survivors + removed partition the corpus; no surviving pair is a dup") {
+    val n = Tables.embeddings(spark, sf).count()
+    val kept = SemDedup.survivors(spark, sf)
+    val keptIds = kept.select("vec_id")
+    // every removed id must appear as the LATER side of some dup pair
+    // with an earlier-priority partner (soundness of removal)
+    val pairs = SemDedup.pairs(spark, sf)
+    assert(kept.count() <= n)
+    // the removal order is a strict total order within each cluster
+    // (cos_centroid, then vec_id), so EVERY within-cluster dup pair has a
+    // later-priority side and that side is removed — no dup pair can
+    // have both endpoints survive
+    val bothKept = pairs
+      .join(keptIds.withColumnRenamed("vec_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(keptIds.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_semi")
+    assert(bothKept.isEmpty, "a within-cluster dup pair survived whole")
+  }
+
+  test("leidenRefine: splits a through-another-community 'community', identity elsewhere") {
+    // community 1 = {1,2,5,6} is internally DISCONNECTED ({1,2} and
+    // {5,6} touch only through node 3 in community 3) — the exact defect
+    // Traag et al. 2019 fig. 1 shows for Louvain
+    val edges = Seq((1L, 2L, 1.0), (5L, 6L, 1.0), (2L, 3L, 1.0), (3L, 5L, 1.0))
+      .toDF("src", "dst", "weight")
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (3L, 3L))
+      .toDF("node_id", "community")
+    val refined = graph.Louvain.leidenRefine(edges, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 3L -> 3L))
+  }
+
+  test("leidenRefine: members with no intra-community edge become singletons") {
+    val edges = Seq((1L, 2L, 1.0), (2L, 9L, 1.0)).toDF("src", "dst", "weight")
+    val labels = Seq((1L, 1L), (2L, 1L), (9L, 9L), (7L, 1L)) // 7 is stranded in 1
+      .toDF("node_id", "community")
+    val refined = graph.Louvain.leidenRefine(edges, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined == Map(1L -> 1L, 2L -> 1L, 9L -> 9L, 7L -> 7L))
+  }
+
+  private def bic(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  test("biconnectivity: square+tail — tail edges are bridges, joints are cut vertices") {
+    val g = bic((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L), (5L, 6L))
+    val bridges = graph.Biconnectivity.bridges(g)
+      .as[(Long, Long)].collect().toSet
+    assert(bridges == Set((4L, 5L), (5L, 6L)))
+    val aps = graph.Biconnectivity.articulationPoints(g).as[Long].collect().toSet
+    assert(aps == Set(4L, 5L))
+  }
+
+  test("biconnectivity: two triangles sharing a vertex — no bridges, one cut vertex") {
+    val g = bic((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    assert(graph.Biconnectivity.bridges(g).isEmpty)
+    assert(graph.Biconnectivity.articulationPoints(g).as[Long].collect().toSet == Set(3L))
+  }
+
+  test("biconnectivity: barbell — the connecting edge is the bridge, both joints cut") {
+    val g = bic((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    assert(graph.Biconnectivity.bridges(g).as[(Long, Long)].collect().toSet ==
+      Set((3L, 4L)))
+    assert(graph.Biconnectivity.articulationPoints(g).as[Long].collect().toSet ==
+      Set(3L, 4L))
+  }
+
+  test("biconnectivity: trees are all bridges; cycles have none; disconnected components compose") {
+    val path = bic((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(graph.Biconnectivity.bridges(path).count() == 3)
+    assert(graph.Biconnectivity.articulationPoints(path).as[Long].collect().toSet ==
+      Set(2L, 3L))
+    // 4-cycle plus a disjoint 2-path: the cycle contributes nothing,
+    // the path contributes its edge structure
+    val mixed = bic((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (10L, 11L), (11L, 12L))
+    assert(graph.Biconnectivity.bridges(mixed).as[(Long, Long)].collect().toSet ==
+      Set((10L, 11L), (11L, 12L)))
+    assert(graph.Biconnectivity.articulationPoints(mixed).as[Long].collect().toSet ==
+      Set(11L))
+  }
+
+  test("leiden: end-to-end communities are internally connected and canonically labelled") {
+    // two 3-cliques joined by one weak edge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val all = (tri ++ Seq((3L, 4L))) flatMap { case (a, b) => Seq((a, b, 1.0), (b, a, 1.0)) }
+    val got = graph.Louvain.leiden(all.toDF("src", "dst", "weight"), assumeGrouped = true)
+    val labels = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // canonical: each community label is its min member
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"community $c not canonically labelled")
+    }
+    // connectivity: recompute components within each community by hand
+    val adj = all.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      val nodes = members.keySet
+      var seen = Set(nodes.head)
+      var frontier = Set(nodes.head)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .intersect(nodes) -- seen
+        seen ++= frontier
+      }
+      assert(seen == nodes, s"community $c internally disconnected")
+    }
+  }
+}
