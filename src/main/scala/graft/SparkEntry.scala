@@ -76,6 +76,8 @@ object SparkEntry {
     "corpus_ngrams" -> ((s, d) => TextOps.corpusNgrams(s, d)),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(s, d)),
     "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
+    "substring_dup_spans" -> ((s, d) => TextOps.substringDupSpans(s, d)),
+    "substring_dup_coverage" -> ((s, d) => TextOps.substringDupCoverage(s, d)),
     "token_heavy_hitters" -> ((s, d) => TextOps.tokenHeavyHitters(s, d)),
     "span_decontaminate" -> ((s, d) => TextOps.spanDecontaminate(s, d)),
     "bloom_contamination" -> ((s, d) => TextOps.bloomContamination(s, d)),
@@ -2079,6 +2081,46 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Lee et al. 2022 ExactSubstr, stride-1 windows of 30 chars:
+    // spans in >= 2 distinct documents
+    "substring_dup_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INTEGER), 30) AS w
+        |  FROM documents
+        |  CROSS JOIN LATERAL unnest(range(1, GREATEST(length(text) - 30 + 2, 1)))
+        |    AS t(i)
+        |)
+        |SELECT w AS span,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY span""".stripMargin,
+
+    // per-doc interval-union coverage of the duplicated windows
+    "substring_dup_coverage" ->
+      """WITH wins AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INTEGER), 30) AS w
+        |  FROM documents
+        |  CROSS JOIN LATERAL unnest(range(1, GREATEST(length(text) - 30 + 2, 1)))
+        |    AS t(i)
+        |), dups AS (
+        |  SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+        |), starts AS (
+        |  SELECT doc_id, pos,
+        |    LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM wins WHERE w IN (SELECT w FROM dups)
+        |), per_doc AS (
+        |  SELECT doc_id,
+        |    SUM(LEAST(30, COALESCE(nxt - pos, 30))) AS dup_chars
+        |  FROM starts GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  ROUND(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / length(d.text), 6)
+        |    AS dup_frac
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // Covered-position set from test-gram hits, token-level NOT EXISTS

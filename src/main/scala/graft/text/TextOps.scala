@@ -729,4 +729,68 @@ object TextOps {
         round(col("nll_sum") / col("n_tokens").cast("double"), 6).as("nll_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  /** Every character position's length-`len` window, 1-based start —
+    * the substrate of exact substring-level dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": their
+    * suffix-array ExactSubstr at dup threshold `len`). Sequential
+    * implementations build one giant suffix array; the distributed
+    * re-expression is this stride-1 window explode + hash shuffle —
+    * linear rows in corpus chars, each row a (doc, pos, window) tuple,
+    * shuffled once on the window key. At 100 TB the lever is shuffling
+    * xxhash64(window) instead of the 30-byte string (8-byte keys,
+    * rehydrate the handful of surviving spans by a second semi-join)
+    * plus a stride>1 pre-screen; the semantics below stay stride-1
+    * exact so DuckDB can replay them verbatim. */
+  private def charWindows(docs: DataFrame, len: Int): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+        posexplode(expr(
+          s"CASE WHEN length(text) >= $len THEN transform(" +
+            s"sequence(1, length(text) - $len + 1), i -> substring(text, i, $len)) " +
+            "ELSE array() END")))
+      .select(col("doc_id"), col("n_chars"), (col("pos") + 1).as("pos"),
+        col("col").as("w"))
+
+  /** Substrings of length `len` appearing in >= 2 DISTINCT documents:
+    * (span, n_docs, n_occurrences). The cross-document restriction is
+    * the training-data leak signal (within-doc repetition is
+    * [[docRepetition]]'s job). */
+  def substringDupSpans(spark: SparkSession, dir: String, len: Int = 30): DataFrame =
+    charWindows(graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")), len)
+      .groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .select(col("w").as("span"), col("n_docs"), col("n_occurrences"))
+      .orderBy(col("span"))
+
+  /** Per-document duplicated-substring coverage: the fraction of each
+    * document's characters lying inside at least one cross-document
+    * duplicated window — the quantity Lee et al. cut out of the corpus.
+    * Interval union per doc = Σ min(len, next_dup_start − dup_start)
+    * over the doc's sorted duplicated starts (the last window
+    * contributes `len`) — a lead() window inside each doc's partition,
+    * never a global sort. */
+  def substringDupCoverage(spark: SparkSession, dir: String, len: Int = 30): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val wins = charWindows(docs, len)
+    val dupW = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("w"))
+    val starts = wins.join(dupW, Seq("w"), "left_semi")
+    val perDoc = starts
+      .withColumn("nxt", lead(col("pos"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(len.toLong), coalesce(col("nxt") - col("pos"), lit(len.toLong))))
+        .as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("n_chars").cast("double"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
 }
