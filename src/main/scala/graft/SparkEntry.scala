@@ -193,6 +193,49 @@ object SparkEntry {
     "graph_bridges" -> ((s, d) => graft.graph.Biconnectivity.userBridges(s, d)),
     "articulation_points" -> ((s, d) =>
       graft.graph.Biconnectivity.userArticulationPoints(s, d)),
+    "hashgnn_embeddings" -> ((s, d) => graft.graph.HashGnn.userHashGnn(s, d)),
+    "k_spanning_clusters" -> ((s, d) =>
+      graft.graph.Algorithms.kSpanningClusters(s, d)),
+    "rwr_sample" -> ((s, d) => graft.graph.Algorithms.userRwrSample(s, d)),
+    // exact structural gate: cutting k−1 forest edges yields EXACTLY
+    // c(G) + k − 1 clusters (c(G) is SQL-derivable via min-label
+    // closure), every cluster is internally connected in G, and no cut
+    // edge outweighs a kept one
+    "kspan_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val k = 5
+      val clusters = graft.graph.Algorithms.kSpanningClusters(s, d, k)
+      val edges = RatingsGraph.cooccurrenceEdges(s, d)
+        .filter(col("u1") < col("u2"))
+        .select(col("u1").as("src"), col("u2").as("dst"))
+      val intra = edges
+        .join(clusters.select(col("node_id").as("src"), col("cluster").as("sc")), Seq("src"))
+        .join(clusters.select(col("node_id").as("dst"), col("cluster").as("dc")), Seq("dst"))
+        .filter(col("sc") === col("dc")).select(col("src"), col("dst"))
+      val comp = graft.graph.Algorithms.connectedComponents(intra, maxIter = 60)
+      val disconnected = clusters.join(comp, Seq("node_id"), "left")
+        .select(col("cluster"),
+          coalesce(col("component"), col("node_id")).as("component"))
+        .groupBy(col("cluster"))
+        .agg(countDistinct(col("component")).as("n_parts"))
+        .agg(coalesce(sum(when(col("n_parts") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("split_viol"))
+      val forest = graft.graph.Algorithms.userSpanningForest(s, d)
+        .select(col("src"), col("dst"), col("weight"))
+      val cut = forest.orderBy(col("weight").asc, col("src"), col("dst")).limit(k - 1)
+      val cutMax = cut.agg(max(col("weight")).as("cut_max"))
+      val keptMin = forest.join(cut.select(col("src"), col("dst")),
+          Seq("src", "dst"), "left_anti")
+        .agg(min(col("weight")).as("kept_min"))
+      clusters.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("node_id")).as("n_labelled"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .crossJoin(disconnected).crossJoin(cutMax).crossJoin(keptMin)
+        .select(col("n_labelled"), col("n_clusters"),
+          (col("n_rows") === col("n_labelled")).cast("bigint").as("one_label_per_node"),
+          (col("split_viol") === 0).cast("bigint").as("clusters_connected"),
+          (col("cut_max") <= col("kept_min")).cast("bigint").as("cut_weights_minimal"))
+    }),
     // the Leiden guarantee, hash-compared: every refined community is
     // internally connected (independent CC recount per community),
     // refinement only ever splits (n_comms >= Louvain's), labels stay
@@ -207,7 +250,7 @@ object SparkEntry {
         .join(refined.select(col("node_id").as("src"), col("community").as("sc")), Seq("src"))
         .join(refined.select(col("node_id").as("dst"), col("community").as("dc")), Seq("dst"))
         .filter(col("sc") === col("dc")).select(col("src"), col("dst"))
-      val comp = graft.graph.Algorithms.connectedComponents(intra)
+      val comp = graft.graph.Algorithms.connectedComponents(intra, maxIter = 60)
       val disconnected = refined.join(comp, Seq("node_id"), "left")
         .select(col("community"),
           coalesce(col("component"), col("node_id")).as("component"))
@@ -688,6 +731,7 @@ object SparkEntry {
     "events_quantiles_approx" -> ((s, d) => Olap.eventsQuantilesApprox(s, d)),
     "events_approx_users" -> ((s, d) => Olap.eventsApproxUsers(s, d)),
     "events_sketch_merge" -> ((s, d) => Olap.eventsSketchMerge(s, d)),
+    "events_approx_overlap" -> ((s, d) => Olap.eventsApproxOverlap(s, d)),
     "window_distribution" -> ((s, d) => Olap.windowDistribution(s, d)),
     "events_value_histogram" -> ((s, d) => Olap.eventsValueHistogram(s, d)),
     "events_cube" -> ((s, d) => Olap.eventsCube(s, d)),
@@ -725,6 +769,41 @@ object SparkEntry {
       |  SELECT user_id, book_id, MAX(rating) AS rating
       |  FROM filtered_events GROUP BY user_id, book_id
       |)""".stripMargin
+
+  /** RWR sampling oracle: every step unrolled — per step, one arg_min
+    * move CTE plus one restart CASE, exactly mirroring
+    * [[graft.graph.Algorithms.rwrSample]]'s md5 draws. */
+  private def rwrOracle: String = {
+    val steps = 6
+    val walkers = 6
+    val body = (1 to steps).map { t =>
+      s"""m$t AS (
+         |  SELECT f.walk_id, arg_min(c.u2, md5(CAST(f.walk_id AS VARCHAR) ||
+         |    ':$t:' || CAST(c.u2 AS VARCHAR))) AS nxt
+         |  FROM s${t - 1} f JOIN cooc c ON c.u1 = f.node_id GROUP BY f.walk_id
+         |), s$t AS (
+         |  SELECT f.walk_id,
+         |    CASE WHEN CAST(CAST(('0x' || substring(md5(
+         |           CAST(f.walk_id AS VARCHAR) || ':$t:restart'), 1, 8))
+         |           AS BIGINT) AS DOUBLE) / 4294967296 < 0.15
+         |         THEN CAST(1 AS BIGINT) ELSE COALESCE(m.nxt, 1) END AS node_id
+         |  FROM s${t - 1} f LEFT JOIN m$t m USING (walk_id)
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (0 to steps).map(t => s"SELECT node_id FROM s$t").mkString(" UNION ALL ")
+    s"""$RatingsCte, cooc AS (
+       |  SELECT a.user_id AS u1, b.user_id AS u2
+       |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+       |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+       |  WHERE a.user_id <> b.user_id
+       |  GROUP BY a.user_id, b.user_id
+       |), s0 AS (
+       |  SELECT CAST(t.w AS BIGINT) AS walk_id, CAST(1 AS BIGINT) AS node_id
+       |  FROM unnest(range(0, $walkers)) AS t(w)
+       |), $body, steps AS ($union)
+       |SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_visits
+       |FROM steps GROUP BY node_id ORDER BY node_id""".stripMargin
+  }
 
   /** Shared DuckDB CTE mirroring SemDedup.assignments: norms, the
     * deterministic first-8 centroids, rounded-cosine argmax assignment
@@ -2716,6 +2795,69 @@ object SparkEntry {
          |                  WHERE r.v = b.src AND r.n = b.dst)
          |ORDER BY node_id""".stripMargin,
 
+    // HashGNN, 2 min-hash rounds unrolled exactly: md5-threshold init,
+    // per-(node, draw) arg-min over the neighborhood's active bits
+    "hashgnn_embeddings" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), nodes AS (
+         |  SELECT DISTINCT u1 AS v FROM cooc
+         |), bits0 AS (
+         |  SELECT v, b
+         |  FROM nodes CROSS JOIN LATERAL unnest(range(0, 32)) AS t(b)
+         |  WHERE CAST(CAST(('0x' || substring(md5(CAST(v AS VARCHAR) || ':' ||
+         |          CAST(b AS VARCHAR) || ':init'), 1, 8)) AS BIGINT) AS DOUBLE)
+         |        / 4294967296 < 0.25
+         |), nb1 AS (
+         |  SELECT DISTINCT c.u1 AS v, s.b FROM cooc c JOIN bits0 s ON s.v = c.u2
+         |), sel1 AS (
+         |  SELECT v, d,
+         |    arg_min(b, md5('1:' || CAST(d AS VARCHAR) || ':' || CAST(b AS VARCHAR)))
+         |      AS b
+         |  FROM nb1 CROSS JOIN LATERAL unnest(range(1, 9)) AS t(d)
+         |  GROUP BY v, d
+         |), bits1 AS (
+         |  SELECT DISTINCT v, b FROM sel1
+         |), nb2 AS (
+         |  SELECT DISTINCT c.u1 AS v, s.b FROM cooc c JOIN bits1 s ON s.v = c.u2
+         |), sel2 AS (
+         |  SELECT v, d,
+         |    arg_min(b, md5('2:' || CAST(d AS VARCHAR) || ':' || CAST(b AS VARCHAR)))
+         |      AS b
+         |  FROM nb2 CROSS JOIN LATERAL unnest(range(1, 9)) AS t(d)
+         |  GROUP BY v, d
+         |)
+         |SELECT DISTINCT v AS node_id, b AS bit FROM sel2
+         |ORDER BY node_id, bit""".stripMargin,
+
+    "rwr_sample" -> rwrOracle,
+
+    "kspan_invariants" ->
+      s"""$RatingsCteRecursive, cooc AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), lab(node_id, label) AS (
+         |  SELECT u1, u1 FROM cooc
+         |  UNION
+         |  SELECT c.u2, l.label FROM lab l JOIN cooc c ON l.node_id = c.u1
+         |  WHERE l.label < c.u2
+         |), comp AS (
+         |  SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_labelled,
+         |       CAST(COUNT(DISTINCT component) + 4 AS BIGINT) AS n_clusters,
+         |       CAST(1 AS BIGINT) AS one_label_per_node,
+         |       CAST(1 AS BIGINT) AS clusters_connected,
+         |       CAST(1 AS BIGINT) AS cut_weights_minimal
+         |FROM comp""".stripMargin,
+
     "leiden_invariants" ->
       s"""$RatingsCte
          |SELECT CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_labelled,
@@ -3600,6 +3742,28 @@ object SparkEntry {
         |  TRUE AS merged_within_5pct,
         |  TRUE AS merge_consistent
         |FROM events""".stripMargin,
+
+    // inclusion-exclusion HLL overlap: exact legs oracled, estimate
+    // gated in-row
+    "events_approx_overlap" ->
+      """WITH per_type AS (
+        |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type
+        |), ov AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_overlap_exact
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        |  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type
+        |)
+        |SELECT pa.event_type AS type_a, pb.event_type AS type_b,
+        |  pa.n AS n_a, pb.n AS n_b,
+        |  COALESCE(o.n_overlap_exact, 0) AS n_overlap_exact,
+        |  TRUE AS overlap_within_tol
+        |FROM per_type pa JOIN per_type pb ON pa.event_type < pb.event_type
+        |LEFT JOIN ov o ON o.type_a = pa.event_type AND o.type_b = pb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "events_cube" ->
       """SELECT event_type, date_trunc('month', ts) AS month,

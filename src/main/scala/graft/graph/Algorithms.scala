@@ -934,6 +934,63 @@ object Algorithms {
     walk.orderBy(col("walk_id"), col("step"))
   }
 
+  /** Random-walk-with-restart graph sampling (`gds.graph.sample.rwr` —
+    * the subgraph sampler GDS uses to cut representative slices of
+    * graphs too big to project whole): `walkers` simultaneous walkers
+    * start at `source`; at step t, walker w restarts to the source iff
+    * the md5 fraction of "w:t:restart" falls below `restartProb`
+    * (GDS default 0.1; 0.15 here matches the PPR teleport used
+    * elsewhere in the suite), otherwise it moves to the neighbour
+    * minimising md5("w:t:nbr") — the [[randomWalks]] hash-draw idiom, so
+    * the whole sampler unrolls into an exact chained-CTE oracle. A
+    * walker on a node with no out-neighbour restarts too. Output is the
+    * sampled multiset: (node_id, n_visits) over all walker-steps
+    * including step 0. State is O(walkers) per step — the sampler's
+    * cost never scales with |V|, which is the point of RWR sampling. */
+  def rwrSample(edges: DataFrame, source: Long, walkers: Int = 6, steps: Int = 6,
+      restartProb: Double = 0.15, symmetric: Boolean = false): DataFrame = {
+    require(walkers >= 1 && steps >= 1, "need >= 1 walker and >= 1 step")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir =
+      if (symmetric) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+    val seeds = (0L until walkers.toLong).map(w => (w, source))
+      .toDF("walk_id", "node_id")
+    var visited = seeds
+    var frontier = seeds
+    for (t <- 1 to steps) {
+      val moveScore = md5(concat_ws(":", col("walk_id"), lit(t), col("dst")))
+      val cand = bidir
+        .join(frontier.select(col("walk_id"), col("node_id").as("src")), Seq("src"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("dst"), moveScore).as("nxt"))
+      val restartFrac = conv(substring(
+          md5(concat_ws(":", col("walk_id"), lit(t), lit("restart"))), 1, 8), 16, 10)
+        .cast("bigint").cast("double") / 4294967296.0
+      val next = frontier.select(col("walk_id"))
+        .join(cand, Seq("walk_id"), "left")
+        .select(col("walk_id"),
+          when(restartFrac < restartProb, lit(source))
+            .otherwise(coalesce(col("nxt"), lit(source))).as("node_id"))
+        .localCheckpoint()
+      visited = visited.unionAll(next)
+      frontier = next
+    }
+    visited.groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_visits"))
+      .orderBy(col("node_id"))
+  }
+
+  /** RWR sample of the co-occurrence graph from the default target
+    * user. */
+  def userRwrSample(spark: SparkSession, dir: String): DataFrame =
+    rwrSample(RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("src"), col("u2").as("dst")),
+      source = 1L, symmetric = true)
+
   /** k-truss decomposition by iterative support peeling (the
     * triangle-density community core, one rung up from [[kcore]]): keep
     * edges participating in ≥ k-2 triangles WITHIN the surviving
@@ -1488,6 +1545,38 @@ object Algorithms {
         .filter(col("u1") < col("u2"))
         .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
     }
+
+  /** k-spanning-tree clustering (GDS `gds.kSpanningTree`): cut the
+    * k−1 WEAKEST edges of the maximum spanning forest — each cut splits
+    * exactly one tree, so the result is exactly c(G) + k − 1 clusters,
+    * each internally connected through its surviving strong-tie forest
+    * path. Ties on weight break (src, dst) lexicographically, so the
+    * cut set is deterministic. The expensive piece (the forest) is the
+    * session-cached [[userSpanningForest]]; the cut is one top-(k−1)
+    * driver-side limit over FOREST edges (|V|−c rows, never the full
+    * edge set) plus one CC pass over the kept forest. */
+  def kSpanningClusters(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val forest = userSpanningForest(spark, dir)
+      .select(col("src"), col("dst"), col("weight"))
+    val cut = forest
+      .orderBy(col("weight").asc, col("src"), col("dst")).limit(k - 1)
+      .select(col("src"), col("dst"))
+    val kept = forest.join(cut, Seq("src", "dst"), "left_anti")
+    // maxIter 60, not the default 20: the input here is a TREE — the
+    // worst diameter case there is — and min-label propagation with
+    // escalating pointer-jumping needs the extra headroom (the default
+    // is tuned for the short-diameter co-occurrence projection)
+    val cc = connectedComponents(kept.select(col("src"), col("dst")), maxIter = 60)
+    // forest spans every co-occurrence node; nodes whose trees were cut
+    // down to themselves fall out of `kept` and become singletons
+    val nodes = RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("node_id")).distinct()
+    nodes.join(cc, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("component"), col("node_id")).as("cluster"))
+      .orderBy(col("node_id"))
+  }
 
   /** Session-cached co-rated pair-statistics silver shared by the
     * whole similarity-function family (pearson, euclidean, the liked

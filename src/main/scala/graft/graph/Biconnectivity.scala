@@ -57,7 +57,9 @@ object Biconnectivity {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val comp = Algorithms.connectedComponents(edges)
+      // sparse backbones can be path-shaped; give min-label CC the
+      // high-diameter headroom
+      val comp = Algorithms.connectedComponents(edges, maxIter = 60)
       var visited = Algorithms.checkpointFresh(
         comp.filter(col("node_id") === col("component"))
           .select(col("node_id"), col("node_id").as("parent"), lit(0L).as("depth")))
@@ -144,8 +146,10 @@ object Biconnectivity {
         }
         emitted = Algorithms.checkpointFresh(emitted)
         // TV Lemma 1: CC over the (cycle, tree-edge) incidence = blocks
+        // (chains of overlapping cycles can be long → 60-round headroom)
         val cc = Algorithms.connectedComponents(
-          emitted.select(col("path_id").as("src"), col("child").as("dst")))
+          emitted.select(col("path_id").as("src"), col("child").as("dst")),
+          maxIter = 60)
         Algorithms.checkpointFresh(treeEdges
           .select(col("node_id").as("child"), col("parent"))
           .join(cc.select(col("node_id").as("child"), col("component").as("block")),

@@ -263,7 +263,7 @@ object Louvain {
       .join(labels.select(col("node_id").as("dst"), col("community").as("dc")), Seq("dst"))
       .filter(col("sc") === col("dc"))
       .select(col("src"), col("dst"))
-    val cc = Algorithms.connectedComponents(intra)
+    val cc = Algorithms.connectedComponents(intra, maxIter = 60)
     // members with no intra-community edge become their own singleton
     labels.join(cc, Seq("node_id"), "left")
       .select(col("node_id"), coalesce(col("component"), col("node_id")).as("community"))

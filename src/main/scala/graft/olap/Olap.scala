@@ -882,6 +882,46 @@ object Olap {
           .as("merge_consistent"))
   }
 
+  /** Sketch-algebra set intersection: |A ∩ B| of the distinct-user sets
+    * of every event-type pair, estimated by inclusion–exclusion over
+    * HLL sketches (est(A) + est(B) − est(A ∪ B), the union being an
+    * hll_union of the two per-type sketches — the operation that makes
+    * this the 100 TB shape: per-type sketches are built ONCE in one
+    * scan, then every pairwise overlap is pure sketch algebra with no
+    * second pass over the data). The exact legs (computed by the same
+    * query, oracled in DuckDB) gate the estimate in-row. Tolerance is
+    * wide (15% of the union, floor 50): inclusion–exclusion compounds
+    * the error of three estimates, which is the documented reason
+    * production systems reach for theta sketches when overlaps are
+    * small — exactly the trade this entry demonstrates. */
+  def eventsApproxOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("user_id"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val pairs = perType.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"), col("n_exact").as("n_a"))
+      .join(perType.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"), col("n_exact").as("n_b")))
+      .filter(col("type_a") < col("type_b"))
+    val exact = ev.select(col("event_type").as("type_a"), col("user_id"))
+      .join(ev.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(countDistinct(col("user_id")).as("n_overlap_exact"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_overlap_exact"), lit(0L)).as("n_overlap_exact"),
+        (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))).as("est"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_overlap_exact"),
+        (abs(col("est") - col("n_overlap_exact")) <=
+          greatest(col("est_union") * 0.15, lit(50.0))).as("overlap_within_tol"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** The distribution-window family in one frame (ntile, percent_rank,
     * cume_dist, first/last_value over a running frame) — per-customer
     * order-price positioning. One window sort per customer partition;

@@ -127,6 +127,45 @@ class R5Spec extends AnyFunSuite {
       Set(11L))
   }
 
+  test("rwrSample: visit counts conserve walker-steps and stay inside the component") {
+    // 1-2-3 triangle plus unreachable 10-11: walkers from 1 never leave
+    // the triangle, and total visits = walkers * (steps + 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("src", "dst")
+    val out = graph.Algorithms.rwrSample(edges, source = 1L, walkers = 4, steps = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet.subsetOf(Set(1L, 2L, 3L)))
+    assert(out.values.sum == 4L * 6L)
+    assert(out(1L) >= 4L) // every walker's step 0
+  }
+
+  test("kSpanningClusters: cluster count and partition shape at sf") {
+    val clusters = graph.Algorithms.kSpanningClusters(spark, sf, k = 5)
+    val n = clusters.count()
+    assert(clusters.select("node_id").distinct().count() == n)
+    val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+    val nNodes = cooc.select("u1").distinct().count()
+    assert(n == nNodes)
+    // k=1 means no cuts: clusters == components of the forest
+    val k1 = graph.Algorithms.kSpanningClusters(spark, sf, k = 1)
+      .select("cluster").distinct().count()
+    val k5 = clusters.select("cluster").distinct().count()
+    assert(k5 == k1 + 4, s"cutting 4 forest edges must add 4 clusters ($k1 -> $k5)")
+  }
+
+  test("hashgnn: identical neighborhoods embed identically; disjoint ones differ") {
+    // 1 and 2 share the exact neighbor set; 3 lives elsewhere
+    val adj = Seq(1L -> 10L, 1L -> 11L, 1L -> 12L, 2L -> 10L, 2L -> 11L, 2L -> 12L,
+      3L -> 20L, 3L -> 21L, 3L -> 22L)
+    val edges = (adj ++ adj.map(p => p._2 -> p._1)).toDF("src", "dst")
+    val out = graph.HashGnn.embeddings(edges).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue)
+      .groupBy(_._1).map { case (v, bs) => v -> bs.map(_._2).toSet }
+    assert(out(1L) == out(2L), "equal neighborhoods must select equal bit sets")
+    assert(out(1L) != out(3L), "disjoint neighborhoods picked identical bits")
+    // selections are bounded by the draw count
+    assert(out.values.forall(_.size <= 8))
+  }
+
   test("leiden: end-to-end communities are internally connected and canonically labelled") {
     // two 3-cliques joined by one weak edge
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
