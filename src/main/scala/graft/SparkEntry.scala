@@ -82,6 +82,7 @@ object SparkEntry {
     "span_decontaminate" -> ((s, d) => TextOps.spanDecontaminate(s, d)),
     "bloom_contamination" -> ((s, d) => TextOps.bloomContamination(s, d)),
     "bpe_first_merge" -> ((s, d) => TextOps.bpeFirstMerge(s, d)),
+    "bpe_train_merges" -> ((s, d) => TextOps.bpeTrainMerges(s, d)),
     "lang_id_accuracy" -> ((s, d) => TextOps.langIdAccuracy(s, d)),
     "eigenvector_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -803,6 +804,50 @@ object SparkEntry {
        |), $body, steps AS ($union)
        |SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_visits
        |FROM steps GROUP BY node_id ORDER BY node_id""".stripMargin
+  }
+
+  /** BPE-training oracle: `rounds` full (count → argmax → apply) merge
+    * rounds unrolled; merge application is the identical 5×-iterated
+    * leftmost-nonoverlap replace. */
+  private def bpeTrainOracle: String = {
+    val rounds = 3
+    val ws = "\\s+" // backslashes via vals: the s-interpolator rejects raw \s
+    val bref = "\\1"
+    def rep5(t: Int): String = {
+      var s = "seg"
+      for (_ <- 1 to 5)
+        s = s"replace($s, '|' || b$t.l || '|' || b$t.r || '|', '|' || b$t.l || b$t.r || '|')"
+      s
+    }
+    val body = (1 to rounds).map { t =>
+      s"""syms$t AS (
+         |  SELECT freq, list_filter(string_split(seg, '|'), x -> x <> '') AS syms
+         |  FROM seg${t - 1}
+         |), p$t AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS pair_count
+         |  FROM syms$t CROSS JOIN LATERAL unnest(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1, 2
+         |), b$t AS (
+         |  SELECT CAST($t AS BIGINT) AS merge_rank, l, r,
+         |    CAST(pair_count AS BIGINT) AS pair_count
+         |  FROM p$t ORDER BY pair_count DESC, l, r LIMIT 1
+         |), seg$t AS (
+         |  SELECT freq, ${rep5(t)} AS seg FROM seg${t - 1} CROSS JOIN b$t
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to rounds).map(t => s"SELECT * FROM b$t").mkString(" UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '$ws'),
+       |                              t -> length(t) > 0)) AS word
+       |    FROM documents
+       |  ) GROUP BY word
+       |), seg0 AS (
+       |  SELECT freq, '|' || regexp_replace(word, '(.)', '$bref|', 'g') AS seg
+       |  FROM words
+       |), $body
+       |SELECT merge_rank, l, r, pair_count FROM ($union)
+       |ORDER BY merge_rank""".stripMargin
   }
 
   /** Shared DuckDB CTE mirroring SemDedup.assignments: norms, the
@@ -2835,6 +2880,8 @@ object SparkEntry {
          |ORDER BY node_id, bit""".stripMargin,
 
     "rwr_sample" -> rwrOracle,
+
+    "bpe_train_merges" -> bpeTrainOracle,
 
     "kspan_invariants" ->
       s"""$RatingsCteRecursive, cooc AS (

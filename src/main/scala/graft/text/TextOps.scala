@@ -597,6 +597,60 @@ object TextOps {
       .limit(k)
   }
 
+  /** Char-level BPE TRAINING, `rounds` merges deep — the iterated
+    * extension of [[bpeFirstMerge]] (which reports candidate pair stats
+    * without applying any merge). Exactly the loop a real tokenizer
+    * trainer runs, kept tractable the way real trainers keep it
+    * tractable: over the DISTINCT-WORD histogram (pair counts weighted
+    * by word frequency), never the raw token stream.
+    *
+    * Segmentations are pipe-delimited strings ("|h|e|l|l|o|"); applying
+    * the winning merge (l, r) is `replace(seg, "|l|r|", "|lr|")`
+    * ITERATED 5× — leftmost-nonoverlapping replace-all misses every
+    * second occurrence of back-to-back repeats (the shared delimiter is
+    * consumed), and iterating to fixpoint equals the greedy
+    * left-to-right merge BPE defines; 5 applications cover repeats up
+    * to 2^5 in one word, far past any whitespace token here. Both
+    * engines' `replace` share these exact semantics, so three full
+    * training rounds — count, argmax with a total tie order, apply —
+    * unroll into a bit-exact oracle.
+    *
+    * Scale shape per round: one explode of per-word symbol pairs
+    * (Σ word-lengths over DISTINCT words), one (l, r) hash aggregate,
+    * one broadcast of the single winning pair, one map-side replace.
+    * No driver-side corpus state — the winner rides a broadcast join. */
+  def bpeTrainMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    var seg = documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("concat('|', regexp_replace(word, '(.)', '$1|'))").as("seg"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      val best = seg
+        .select(col("freq"), expr("filter(split(seg, '[|]'), x -> x <> '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+        .select(lit(r.toLong).as("merge_rank"), col("l"), col("r"), col("pair_count"))
+        .localCheckpoint()
+      merges += best
+      var applied = seg.crossJoin(broadcast(best.select(col("l"), col("r"))))
+      for (_ <- 1 to 5)
+        applied = applied.withColumn("seg",
+          expr("replace(seg, concat('|', l, '|', r, '|'), concat('|', l, r, '|'))"))
+      seg = applied.select(col("freq"), col("seg")).localCheckpoint()
+    }
+    merges.reduce(_ unionAll _).orderBy(col("merge_rank"))
+  }
+
   /** Bloom-filter decontamination gate — the SCALE path of
     * [[contaminationCheck]]: at 100 TB the train-gram set is far too
     * large to shuffle against every probe, so production pipelines build
