@@ -620,11 +620,16 @@ object TextOps {
     * one broadcast of the single winning pair, one map-side replace.
     * No driver-side corpus state — the winner rides a broadcast join. */
   def bpeTrainMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    var seg = documents(spark, dir)
+    bpeTrainMergesOf(documents(spark, dir)
       .select(explode(toks).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq")), rounds)
+  }
+
+  /** [[bpeTrainMerges]] over any (word, freq) histogram. */
+  def bpeTrainMergesOf(words: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var seg = words
       .select(col("freq"),
         expr("concat('|', regexp_replace(word, '(.)', '$1|'))").as("seg"))
       .localCheckpoint()

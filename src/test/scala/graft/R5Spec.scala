@@ -127,6 +127,27 @@ class R5Spec extends AnyFunSuite {
       Set(11L))
   }
 
+  test("bpeTrainMerges: textbook low/lower corpus — merges lo, low, then e+r on the tie") {
+    // freqs: low×3, lower×2, newest×1. Round 1 ties (l,o) with (o,w) at 5
+    // → lexicographic l wins; round 2 (lo,w) at 5; round 3 ties (low,e)
+    // with (e,r) at 2 → 'e' < 'low' so (e,r) wins.
+    val words = Seq(("low", 3L), ("lower", 2L), ("newest", 1L)).toDF("word", "freq")
+    val merges = text.TextOps.bpeTrainMergesOf(words, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "e", "r", 2L)))
+  }
+
+  test("bpeTrainMerges: back-to-back repeats merge greedily left-to-right") {
+    // "aaaa"×1: round 1 pair (a,a) count 3; applied greedily → (aa)(aa),
+    // so round 2 must see (aa,aa) count 1 — the iterated-replace
+    // fixpoint semantics, not single-pass replace-all (which would
+    // leave |aa|a|a| and report (aa,a))
+    val words = Seq(("aaaa", 1L)).toDF("word", "freq")
+    val merges = text.TextOps.bpeTrainMergesOf(words, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
   test("rwrSample: visit counts conserve walker-steps and stay inside the component") {
     // 1-2-3 triangle plus unreachable 10-11: walkers from 1 never leave
     // the triangle, and total visits = walkers * (steps + 1)
