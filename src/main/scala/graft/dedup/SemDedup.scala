@@ -65,14 +65,23 @@ object SemDedup {
   private def frameOf(emb: DataFrame, k: Int): DataFrame =
     assignmentsOf(emb, k).join(emb, Seq("vec_id"))
 
+  /** Session-cached assignment frame: the pair screen and the survivor
+    * scan are two entries over the SAME clustering — build it once. */
+  private def userFrame(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.Cache.cached(spark, dir, s"semdedup_frame_$k") {
+      frameOf(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), k)
+    }
+
   /** Within-cluster near-duplicate pairs at cosine >= tau.
     * Output (cluster, id_a, id_b, cosine), id_a < id_b. */
   def pairs(spark: SparkSession, dir: String, k: Int = 8, tau: Double = 0.3): DataFrame =
-    pairsOf(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), k, tau)
+    pairsFrom(userFrame(spark, dir, k), tau)
 
   /** [[pairs]] over any (vec_id, embedding) frame. */
-  def pairsOf(emb: DataFrame, k: Int, tau: Double): DataFrame = {
-    val f = frameOf(emb, k)
+  def pairsOf(emb: DataFrame, k: Int, tau: Double): DataFrame =
+    pairsFrom(frameOf(emb, k), tau)
+
+  private def pairsFrom(f: DataFrame, tau: Double): DataFrame = {
     val a = f.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = f.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.join(b, Seq("cluster"))
@@ -87,11 +96,13 @@ object SemDedup {
     * keep-priority order (cos_centroid ASC, vec_id ASC) is within `tau`.
     * Output (vec_id, cluster, cos_centroid). */
   def survivors(spark: SparkSession, dir: String, k: Int = 8, tau: Double = 0.3): DataFrame =
-    survivorsOf(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), k, tau)
+    survivorsFrom(userFrame(spark, dir, k), tau)
 
   /** [[survivors]] over any (vec_id, embedding) frame. */
-  def survivorsOf(emb: DataFrame, k: Int, tau: Double): DataFrame = {
-    val f = frameOf(emb, k)
+  def survivorsOf(emb: DataFrame, k: Int, tau: Double): DataFrame =
+    survivorsFrom(frameOf(emb, k), tau)
+
+  private def survivorsFrom(f: DataFrame, tau: Double): DataFrame = {
     val a = f.select(col("cluster"), col("vec_id").as("id_a"),
       col("cos_centroid").as("cos_a"), col("embedding").as("ea"))
     val b = f.select(col("cluster"), col("vec_id").as("id_b"),
@@ -101,7 +112,7 @@ object SemDedup {
         (col("cos_a") === col("cos_b") && col("id_a") < col("id_b")))
       .filter(round(VectorOps.cosine(col("ea"), col("eb")), 6) >= tau)
       .select(col("id_b").as("vec_id")).distinct()
-    assignmentsOf(emb, k)
+    f.select(col("vec_id"), col("cluster"), col("cos_centroid"))
       .join(removed, Seq("vec_id"), "left_anti")
       .orderBy(col("vec_id"))
   }

@@ -1555,7 +1555,14 @@ object Algorithms {
     * session-cached [[userSpanningForest]]; the cut is one top-(k−1)
     * driver-side limit over FOREST edges (|V|−c rows, never the full
     * edge set) plus one CC pass over the kept forest. */
-  def kSpanningClusters(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def kSpanningClusters(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    // session-cached: the entry and its invariants twin both need the
+    // labels, and the tree-shaped CC pass is the expensive leg
+    graft.Cache.cached(spark, dir, s"kspan_clusters_$k") {
+      kSpanningClustersUncached(spark, dir, k)
+    }
+
+  private def kSpanningClustersUncached(spark: SparkSession, dir: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val forest = userSpanningForest(spark, dir)
       .select(col("src"), col("dst"), col("weight"))

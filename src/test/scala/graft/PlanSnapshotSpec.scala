@@ -86,7 +86,22 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("user_cosine_topk", 12, 2),
     ("truss_decay", 0, 0),
     ("min_price_per_part", 2, 1),
-    ("top_triangles", 2, 1))
+    ("top_triangles", 2, 1),
+    // r5 round-5 declarative additions: the substring dedup pair
+    // (stride-1 window explode → one hash shuffle), the viz payload
+    // (neighborhood joins over the cached ratings silver), the HLL
+    // overlap (one scan builds every per-type sketch), and the
+    // SemDeDup screens over the cached assignment frame
+    // (coverage honestly re-derives the window explode on both plan
+    // branches — scan+explode recompute beats materializing corpus×30
+    // bytes; the viz payload's count includes the cached ratings
+    // silver's materialized stage lines)
+    ("substring_dup_spans", 3, 1),
+    ("substring_dup_coverage", 6, 3),
+    ("graph_viz_payload", 35, 9),
+    ("events_approx_overlap", 10, 4),
+    ("semdedup_pairs", 8, 3),
+    ("semdedup_survivors", 9, 3))
 
   // The cached-query pins above dilute sensitivity for the operator
   // UNDER the cache (the IMR stage lines dominate the count), so the
