@@ -209,21 +209,10 @@ object SparkEntry {
       val edges = RatingsGraph.cooccurrenceEdges(s, d)
         .filter(col("u1") < col("u2"))
         .select(col("u1").as("src"), col("u2").as("dst"))
-      val intra = edges
-        .join(clusters.select(col("node_id").as("src"), col("cluster").as("sc")), Seq("src"))
-        .join(clusters.select(col("node_id").as("dst"), col("cluster").as("dc")), Seq("dst"))
-        .filter(col("sc") === col("dc")).select(col("src"), col("dst"))
-      val comp = graft.graph.Algorithms.connectedComponents(intra, maxIter = 60)
-      val disconnected = clusters.join(comp, Seq("node_id"), "left")
-        .select(col("cluster"),
-          coalesce(col("component"), col("node_id")).as("component"))
-        .groupBy(col("cluster"))
-        .agg(countDistinct(col("component")).as("n_parts"))
-        .agg(coalesce(sum(when(col("n_parts") > 1, 1L).otherwise(0L)), lit(0L))
-          .as("split_viol"))
+      val disconnected = splitViolations(clusters, "cluster", edges)
       val forest = graft.graph.Algorithms.userSpanningForest(s, d)
         .select(col("src"), col("dst"), col("weight"))
-      val cut = forest.orderBy(col("weight").asc, col("src"), col("dst")).limit(k - 1)
+      val cut = graft.graph.Algorithms.kSpanCut(s, d, k)
       val cutMax = cut.agg(max(col("weight")).as("cut_max"))
       val keptMin = forest.join(cut.select(col("src"), col("dst")),
           Seq("src", "dst"), "left_anti")
@@ -247,18 +236,8 @@ object SparkEntry {
         .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
       val base = graft.graph.Louvain.userCommunities(s, d)
       val refined = graft.graph.Louvain.userCommunitiesLeiden(s, d)
-      val intra = edges
-        .join(refined.select(col("node_id").as("src"), col("community").as("sc")), Seq("src"))
-        .join(refined.select(col("node_id").as("dst"), col("community").as("dc")), Seq("dst"))
-        .filter(col("sc") === col("dc")).select(col("src"), col("dst"))
-      val comp = graft.graph.Algorithms.connectedComponents(intra, maxIter = 60)
-      val disconnected = refined.join(comp, Seq("node_id"), "left")
-        .select(col("community"),
-          coalesce(col("component"), col("node_id")).as("component"))
-        .groupBy(col("community"))
-        .agg(countDistinct(col("component")).as("n_parts"))
-        .agg(coalesce(sum(when(col("n_parts") > 1, 1L).otherwise(0L)), lit(0L))
-          .as("split_viol"))
+      val disconnected = splitViolations(refined, "community",
+        edges.select(col("src"), col("dst")))
       val canon = refined.groupBy(col("community"))
         .agg(min(col("node_id")).as("mm"))
         .agg(coalesce(sum(when(col("community") =!= col("mm"), 1L).otherwise(0L)), lit(0L))
@@ -758,6 +737,29 @@ object SparkEntry {
     }),
   )
 
+  /** One-row (split_viol) frame: how many label classes of `labels`
+    * (node_id, labelCol) are NOT internally connected within `edges` —
+    * the connectivity leg shared by the Leiden and k-spanning gates.
+    * Members with no intra-class edge count as their own singleton
+    * component (a size-1 class is trivially connected). */
+  private def splitViolations(labels: org.apache.spark.sql.DataFrame,
+      labelCol: String,
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = labels.select(col("node_id"), col(labelCol).as("lab"))
+    val intra = edges
+      .join(l.select(col("node_id").as("src"), col("lab").as("sc")), Seq("src"))
+      .join(l.select(col("node_id").as("dst"), col("lab").as("dc")), Seq("dst"))
+      .filter(col("sc") === col("dc")).select(col("src"), col("dst"))
+    val comp = graft.graph.Algorithms.connectedComponents(intra, maxIter = 60)
+    l.join(comp, Seq("node_id"), "left")
+      .select(col("lab"), coalesce(col("component"), col("node_id")).as("component"))
+      .groupBy(col("lab"))
+      .agg(countDistinct(col("component")).as("n_parts"))
+      .agg(coalesce(sum(when(col("n_parts") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("split_viol"))
+  }
+
   /** Shared DuckDB CTE mirroring RatingsGraph (events → filter → MERGE). */
   private val RatingsCte: String =
     """WITH rating_events AS (
@@ -862,10 +864,12 @@ object SparkEntry {
       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
       |  FROM n WHERE vec_id < 8
       |), scored AS (
+      |  -- zero-norm guard mirrors VectorOps.cosine's 0.0-for-zero-vector
       |  SELECT a.vec_id, c.c_id,
-      |    ROUND(list_sum(list_transform(range(1, 65),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * c.c_emb[i]))
-      |      / (a.nrm * c.c_nrm), 6) AS cos
+      |    ROUND(CASE WHEN a.nrm * c.c_nrm > 0
+      |          THEN list_sum(list_transform(range(1, 65),
+      |            i -> CAST(a.embedding[i] AS DOUBLE) * c.c_emb[i]))
+      |            / (a.nrm * c.c_nrm) ELSE 0.0 END, 6) AS cos
       |  FROM n a CROSS JOIN cents c
       |), asg AS (
       |  SELECT vec_id, c_id AS cluster, cos AS cos_centroid FROM (
@@ -1869,7 +1873,7 @@ object SparkEntry {
          |), rated_edge_rows AS (
          |  SELECT 'edge', '', 'user_' || CAST(src AS VARCHAR),
          |    'book_' || CAST(dst AS VARCHAR), '', '', '',
-         |    CAST(CAST(weight AS INTEGER) AS VARCHAR), weight
+         |    CAST(CAST(ROUND(weight, 0) AS INTEGER) AS VARCHAR), weight
          |  FROM rated_edges
          |)
          |SELECT * FROM (
@@ -2529,13 +2533,15 @@ object SparkEntry {
     "semdedup_pairs" ->
       s"""$SemDedupCte
         |SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ROUND(list_sum(list_transform(range(1, 65),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
-        |    / (a.nrm * b.nrm), 6) AS cosine
+        |  ROUND(CASE WHEN a.nrm * b.nrm > 0
+        |    THEN list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |      / (a.nrm * b.nrm) ELSE 0.0 END, 6) AS cosine
         |FROM pe a JOIN pe b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |WHERE ROUND(list_sum(list_transform(range(1, 65),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
-        |    / (a.nrm * b.nrm), 6) >= 0.3
+        |WHERE ROUND(CASE WHEN a.nrm * b.nrm > 0
+        |    THEN list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |      / (a.nrm * b.nrm) ELSE 0.0 END, 6) >= 0.3
         |ORDER BY a.cluster, id_a, id_b""".stripMargin,
 
     "semdedup_survivors" ->
@@ -2544,9 +2550,10 @@ object SparkEntry {
         |  FROM pe a JOIN pe b ON a.cluster = b.cluster
         |    AND (a.cos_centroid < b.cos_centroid
         |         OR (a.cos_centroid = b.cos_centroid AND a.vec_id < b.vec_id))
-        |  WHERE ROUND(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
-        |      / (a.nrm * b.nrm), 6) >= 0.3
+        |  WHERE ROUND(CASE WHEN a.nrm * b.nrm > 0
+        |      THEN list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |        / (a.nrm * b.nrm) ELSE 0.0 END, 6) >= 0.3
         |)
         |SELECT vec_id, cluster, cos_centroid
         |FROM pe

@@ -1562,13 +1562,19 @@ object Algorithms {
       kSpanningClustersUncached(spark, dir, k)
     }
 
+  /** The k−1 weakest forest edges — the cut set, with weights. ONE
+    * definition shared by the operator and its invariants gate so the
+    * tie-break contract (weight ASC, src, dst) cannot desynchronize. */
+  def kSpanCut(spark: SparkSession, dir: String, k: Int): DataFrame =
+    userSpanningForest(spark, dir)
+      .select(col("src"), col("dst"), col("weight"))
+      .orderBy(col("weight").asc, col("src"), col("dst")).limit(k - 1)
+
   private def kSpanningClustersUncached(spark: SparkSession, dir: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val forest = userSpanningForest(spark, dir)
       .select(col("src"), col("dst"), col("weight"))
-    val cut = forest
-      .orderBy(col("weight").asc, col("src"), col("dst")).limit(k - 1)
-      .select(col("src"), col("dst"))
+    val cut = kSpanCut(spark, dir, k).select(col("src"), col("dst"))
     val kept = forest.join(cut, Seq("src", "dst"), "left_anti")
     // maxIter 60, not the default 20: the input here is a TREE — the
     // worst diameter case there is — and min-label propagation with

@@ -161,20 +161,19 @@ object Biconnectivity {
     } finally e.unpersist()
   }
 
-  /** Bridge edges (canonical src < dst): tree edges on no fundamental
-    * cycle. (Every non-tree edge closes a cycle, so bridges are always
-    * tree edges.) */
-  def bridges(edges: DataFrame): DataFrame =
-    treeBlocks(edges).filter(!col("cyclic"))
+  /** Bridge projection of a treeBlocks frame: tree edges on no
+    * fundamental cycle, canonical src < dst. (Every non-tree edge
+    * closes a cycle, so bridges are always tree edges.) */
+  private def bridgesOf(tb: DataFrame): DataFrame =
+    tb.filter(!col("cyclic"))
       .select(least(col("child"), col("parent")).as("src"),
         greatest(col("child"), col("parent")).as("dst"))
       .orderBy(col("src"), col("dst"))
 
-  /** Articulation points: vertices incident to >= 2 biconnected blocks
-    * (bridge edges count as singleton blocks) — the block–cut tree
-    * characterisation. */
-  def articulationPoints(edges: DataFrame): DataFrame = {
-    val tb = treeBlocks(edges)
+  /** Articulation projection of a treeBlocks frame: vertices incident
+    * to >= 2 biconnected blocks (bridge edges count as singleton
+    * blocks) — the block–cut tree characterisation. */
+  private def articulationPointsOf(tb: DataFrame): DataFrame =
     tb.select(col("block"), col("child").as("node_id"))
       .unionAll(tb.select(col("block"), col("parent").as("node_id")))
       .distinct()
@@ -183,7 +182,13 @@ object Biconnectivity {
       .filter(col("n_blocks") >= 2)
       .select(col("node_id"))
       .orderBy(col("node_id"))
-  }
+
+  /** Bridge edges of any (src, dst) frame. */
+  def bridges(edges: DataFrame): DataFrame = bridgesOf(treeBlocks(edges))
+
+  /** Articulation points of any (src, dst) frame. */
+  def articulationPoints(edges: DataFrame): DataFrame =
+    articulationPointsOf(treeBlocks(edges))
 
   /** Session-cached block analysis of the backbone (bridges and cut
     * vertices share the one treeBlocks pass). */
@@ -194,21 +199,9 @@ object Biconnectivity {
 
   /** Backbone bridges from the cached analysis. */
   def userBridges(spark: SparkSession, dir: String): DataFrame =
-    userTreeBlocks(spark, dir).filter(!col("cyclic"))
-      .select(least(col("child"), col("parent")).as("src"),
-        greatest(col("child"), col("parent")).as("dst"))
-      .orderBy(col("src"), col("dst"))
+    bridgesOf(userTreeBlocks(spark, dir))
 
   /** Backbone articulation points from the cached analysis. */
-  def userArticulationPoints(spark: SparkSession, dir: String): DataFrame = {
-    val tb = userTreeBlocks(spark, dir)
-    tb.select(col("block"), col("child").as("node_id"))
-      .unionAll(tb.select(col("block"), col("parent").as("node_id")))
-      .distinct()
-      .groupBy(col("node_id"))
-      .agg(countDistinct(col("block")).as("n_blocks"))
-      .filter(col("n_blocks") >= 2)
-      .select(col("node_id"))
-      .orderBy(col("node_id"))
-  }
+  def userArticulationPoints(spark: SparkSession, dir: String): DataFrame =
+    articulationPointsOf(userTreeBlocks(spark, dir))
 }

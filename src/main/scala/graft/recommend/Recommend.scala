@@ -287,7 +287,10 @@ object Recommend {
         concat(lit("user_"), col("src")).as("src"),
         concat(lit("book_"), col("dst")).as("dst"),
         lit("").as("label"), lit("").as("shape"), lit("").as("color"),
-        col("weight").cast("int").cast("string").as("title"),
+        // round() before the int cast: Spark's double→int cast truncates
+        // while DuckDB's CAST rounds — parity must not hinge on rating
+        // weights staying integral
+        round(col("weight"), 0).cast("int").cast("string").as("title"),
         col("weight").as("value"))
     userNodes.unionAll(bookNodes).unionAll(simEdgeRows).unionAll(ratedEdgeRows)
       .orderBy(col("kind"), col("id"), col("src"), col("dst"), col("title"))
