@@ -198,6 +198,7 @@ object SparkEntry {
     "k_spanning_clusters" -> ((s, d) =>
       graft.graph.Algorithms.kSpanningClusters(s, d)),
     "rwr_sample" -> ((s, d) => graft.graph.Algorithms.userRwrSample(s, d)),
+    "communities_sllpa" -> ((s, d) => graft.graph.Sllpa.userSllpa(s, d)),
     // exact structural gate: cutting k−1 forest edges yields EXACTLY
     // c(G) + k − 1 clusters (c(G) is SQL-derivable via min-label
     // closure), every cluster is internally connected in G, and no cut
@@ -806,6 +807,50 @@ object SparkEntry {
        |), $body, steps AS ($union)
        |SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_visits
        |FROM steps GROUP BY node_id ORDER BY node_id""".stripMargin
+  }
+
+  /** SLPA oracle: every speaker-listener round unrolled — the
+    * count-weighted draw is the md5 ticket trick (one ticket per memory
+    * copy, minimum speaks), acceptance is the per-listener frequency
+    * argmax with the same tie order as the Spark struct-max. */
+  private def sllpaOracle: String = {
+    val rounds = 3
+    val minCount = 2 // ceil(0.3 * (rounds + 1))
+    val body = (1 to rounds).map { t =>
+      s"""sp$t AS (
+         |  SELECT c.u2 AS v,
+         |    arg_min(m.l, md5(CAST($t AS VARCHAR) || ':' ||
+         |      CAST(c.u1 AS VARCHAR) || ':' || CAST(c.u2 AS VARCHAR) || ':' ||
+         |      CAST(m.l AS VARCHAR) || ':' || CAST(kk.k AS VARCHAR))) AS l
+         |  FROM cooc c
+         |  JOIN mem${t - 1} m ON m.v = c.u1
+         |  CROSS JOIN LATERAL unnest(range(1, CAST(m.c + 1 AS BIGINT))) AS kk(k)
+         |  GROUP BY c.u1, c.u2
+         |), acc$t AS (
+         |  SELECT v, l FROM (
+         |    SELECT v, l, ROW_NUMBER() OVER (PARTITION BY v
+         |      ORDER BY COUNT(*) DESC, l) AS rk
+         |    FROM sp$t GROUP BY v, l
+         |  ) WHERE rk = 1
+         |), mem$t AS (
+         |  SELECT v, l, SUM(c) AS c FROM (
+         |    SELECT v, l, c FROM mem${t - 1}
+         |    UNION ALL SELECT v, l, 1 FROM acc$t
+         |  ) GROUP BY v, l
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""$RatingsCte, cooc AS (
+       |  SELECT a.user_id AS u1, b.user_id AS u2
+       |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+       |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+       |  WHERE a.user_id <> b.user_id
+       |  GROUP BY a.user_id, b.user_id
+       |), mem0 AS (
+       |  SELECT DISTINCT u1 AS v, u1 AS l, CAST(1 AS BIGINT) AS c FROM cooc
+       |), $body
+       |SELECT v AS node_id, l AS community, CAST(c AS BIGINT) AS strength
+       |FROM mem$rounds WHERE c >= $minCount
+       |ORDER BY node_id, community""".stripMargin
   }
 
   /** BPE-training oracle: `rounds` full (count → argmax → apply) merge
@@ -2887,6 +2932,8 @@ object SparkEntry {
          |ORDER BY node_id, bit""".stripMargin,
 
     "rwr_sample" -> rwrOracle,
+
+    "communities_sllpa" -> sllpaOracle,
 
     "bpe_train_merges" -> bpeTrainOracle,
 

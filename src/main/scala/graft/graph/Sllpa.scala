@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Speaker-listener label propagation (SLPA, Xie et al. 2011 — GDS
+  * `gds.alpha.sllpa`): OVERLAPPING community detection, the one
+  * membership shape the Louvain/LPA/Leiden tier cannot express (a node
+  * belongs to every community that stays frequent in its memory, not to
+  * exactly one).
+  *
+  * Each round, every directed edge (u → v) makes u SPEAK one label from
+  * its memory multiset — drawn proportionally to memory counts — and
+  * every listener v ACCEPTS the most frequent label it heard (ties to
+  * the smallest label), appending it to its own memory. After `rounds`
+  * rounds a node reports every label holding at least
+  * `threshold · (rounds + 1)` of its memory.
+  *
+  * The proportional draw is the ticket trick, fully deterministic: each
+  * of the c copies of label l in u's memory gets ticket
+  * md5("t:u:v:l:k") (k = 1..c) and the minimal ticket over u's whole
+  * memory speaks — exactly a count-weighted draw, and exactly
+  * replayable in SQL, so all `rounds` rounds unroll into a bit-exact
+  * DuckDB oracle (the [[Algorithms.randomWalks]] idiom, lifted from
+  * per-walk to per-edge).
+  *
+  * Scale shape per round: one edges⋈memory join exploded by memory
+  * counts (≤ t+1 per node — bounded by the round count, NOT by degree),
+  * one (speaker, listener) arg-min, one (listener, label) count, one
+  * memory-upsert aggregate. All shuffle-keyed; no driver state.
+  */
+object Sllpa {
+
+  def sllpa(edges: DataFrame, rounds: Int = 3, threshold: Double = 0.3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var mem = e.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"), lit(1L).as("c"))
+      .localCheckpoint()
+    for (t <- 1 to rounds) {
+      val spoken = e
+        .join(mem.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("src"), col("dst"), col("l"),
+          explode(expr("sequence(1, c)")).as("k"))
+        .withColumn("ticket",
+          md5(concat_ws(":", lit(t), col("src"), col("dst"), col("l"), col("k"))))
+        .groupBy(col("src"), col("dst"))
+        .agg(min(struct(col("ticket"), col("l"))).as("sp"))
+        .select(col("dst").as("v"), col("sp.l").as("l"))
+      val accepted = spoken.groupBy(col("v"), col("l"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("n"), (-col("l")).as("nl"), col("l"))).as("best"))
+        .select(col("v"), col("best.l").as("l"), lit(1L).as("c"))
+      mem = mem.unionAll(accepted)
+        .groupBy(col("v"), col("l")).agg(sum(col("c")).as("c"))
+        .localCheckpoint()
+    }
+    val minCount = math.ceil(threshold * (rounds + 1)).toLong
+    mem.filter(col("c") >= minCount)
+      .select(col("v").as("node_id"), col("l").as("community"),
+        col("c").as("strength"))
+      .orderBy(col("node_id"), col("community"))
+  }
+
+  /** SLPA overlapping communities of the co-occurrence graph. */
+  def userSllpa(spark: SparkSession, dir: String): DataFrame =
+    sllpa(RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("src"), col("u2").as("dst")))
+}

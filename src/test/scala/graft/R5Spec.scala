@@ -127,6 +127,25 @@ class R5Spec extends AnyFunSuite {
       Set(11L))
   }
 
+  test("sllpa: memberships are bounded, deterministic, and drawn from the graph") {
+    // two triangles sharing node 4
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (4L, 6L))
+    val edges = (tri ++ tri.map(p => p._2 -> p._1)).toDF("src", "dst")
+    val run1 = graph.Sllpa.sllpa(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val run2 = graph.Sllpa.sllpa(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(run1.toSeq == run2.toSeq, "hash draws must be run-deterministic")
+    val nodes = (1L to 6L).toSet
+    assert(run1.forall { case (v, l, c) =>
+      nodes(v) && nodes(l) && c >= 2 && c <= 4
+    })
+    // memory strength can never exceed rounds+1 and the threshold floor
+    // is ceil(0.3*4)=2 — checked above; labels must come from somewhere
+    // reachable (here the whole graph is one component)
+  }
+
   test("bpeTrainMerges: textbook low/lower corpus — merges lo, low, then e+r on the tie") {
     // freqs: low×3, lower×2, newest×1. Round 1 ties (l,o) with (o,w) at 5
     // → lexicographic l wins; round 2 (lo,w) at 5; round 3 ties (low,e)
