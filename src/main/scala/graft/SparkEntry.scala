@@ -414,10 +414,39 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) =>
       graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.mediaTable(s, d)).toDF().orderBy("doc_id")),
+    // the REAL ImageIO codec driven end-to-end: synthetic BMP → decode
+    // → exact per-bin luminance counts, oracled by closed-form pixel math
+    "multimodal_decode_real" -> ((s, d) =>
+      graft.multimodal.Multimodal.decodeRealHistogram(s, d)),
     // — Similarity search —
     "ann_bruteforce_topk" -> ((s, d) => graft.ann.AnnSearch.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => graft.ann.AnnSearch.lshTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => graft.ann.AnnSearch.ivfTopK(s, d)),
+    // the composed production retrieval stack: IVF route → PQ ADC scan
+    // → exact re-rank (rows entry; gates live in ivfpq_invariants)
+    "ann_ivfpq_topk" -> ((s, d) => graft.ann.AnnSearch.ivfPqTopK(s, d)),
+    "ivfpq_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val res = graft.ann.AnnSearch.ivfPqTopK(s, d)
+      val resAgg = res.agg(count(lit(1)).as("n_res"),
+        coalesce(sum(when(col("cosine") < -1.0 || col("cosine") > 1.0, 1L)
+          .otherwise(0L)), lit(0L)).as("oob_cos"))
+      val overlap = res.select(col("vec_id"))
+        .join(graft.ann.AnnSearch.bruteForceTopK(s, d).select(col("vec_id")),
+          Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      // route containment: no result may come from an unprobed cell
+      val outside = res.select(col("vec_id"))
+        .join(graft.ann.AnnSearch.ivfAssignment(s, d)
+          .select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .join(graft.ann.AnnSearch.ivfProbeCells(s, d), Seq("cell"), "left_anti")
+        .agg(count(lit(1)).as("n_outside"))
+      resAgg.crossJoin(overlap).crossJoin(outside).select(
+        (col("n_res") === 10).cast("bigint").as("ten_results"),
+        (col("oob_cos") === 0).cast("bigint").as("cosines_in_range"),
+        (col("n_overlap") >= 5).cast("bigint").as("recall_at_10_ge_half"),
+        (col("n_outside") === 0).cast("bigint").as("results_within_probed_cells"))
+    }),
     // — The reference's embedding-KNN viz path (rows-oracle; fixture in
     //   LearnedSurfaceSpec) —
     "graph_neighborhood_knn" -> ((s, d) => Recommend.graphNeighborhoodKnn(s, d)),
@@ -742,7 +771,15 @@ object SparkEntry {
     * (node_id, labelCol) are NOT internally connected within `edges` —
     * the connectivity leg shared by the Leiden and k-spanning gates.
     * Members with no intra-class edge count as their own singleton
-    * component (a size-1 class is trivially connected). */
+    * component (a size-1 class is trivially connected).
+    *
+    * Lever 22 ("the check is not the operator"): the intra-class edge
+    * set is tiny relative to the graph, so below 5M edges the
+    * connectivity is labelled by a driver union-find in microseconds
+    * instead of a full iterative distributed CC (whose every round is a
+    * shuffle — it was the single most expensive line in the r5 bench);
+    * the distributed CC remains the over-threshold fallback, and both
+    * legs label components by min member id so rows are identical. */
   private def splitViolations(labels: org.apache.spark.sql.DataFrame,
       labelCol: String,
       edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -752,7 +789,14 @@ object SparkEntry {
       .join(l.select(col("node_id").as("src"), col("lab").as("sc")), Seq("src"))
       .join(l.select(col("node_id").as("dst"), col("lab").as("dc")), Seq("dst"))
       .filter(col("sc") === col("dc")).select(col("src"), col("dst"))
-    val comp = graft.graph.Algorithms.connectedComponents(intra, maxIter = 60)
+      .localCheckpoint()
+    val spark = labels.sparkSession
+    val comp =
+      if (intra.count() <= 5000000L) {
+        val es = intra.collect().map(r => (r.getLong(0), r.getLong(1)))
+        import spark.implicits._
+        graft.graph.UnionFind.componentsLocal(es).toSeq.toDF("node_id", "component")
+      } else graft.graph.Algorithms.connectedComponents(intra, maxIter = 60)
     l.join(comp, Seq("node_id"), "left")
       .select(col("lab"), coalesce(col("component"), col("node_id")).as("component"))
       .groupBy(col("lab"))
@@ -898,8 +942,11 @@ object SparkEntry {
   }
 
   /** Shared DuckDB CTE mirroring SemDedup.assignments: norms, the
-    * deterministic first-8 centroids, rounded-cosine argmax assignment
-    * (ties to the lowest centroid id), re-joined with the vectors. */
+    * deterministic first-k centroids with k = max(8, n // 50) exactly as
+    * SemDedup.adaptiveK computes it (both sides floor-divide a positive
+    * count, so the k's agree for every corpus size), rounded-cosine
+    * argmax assignment (ties to the lowest centroid id), re-joined with
+    * the vectors. */
   private val SemDedupCte: String =
     """WITH n AS (
       |  SELECT vec_id, embedding,
@@ -907,7 +954,7 @@ object SparkEntry {
       |  FROM embeddings
       |), cents AS (
       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-      |  FROM n WHERE vec_id < 8
+      |  FROM n WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 50) FROM embeddings)
       |), scored AS (
       |  -- zero-norm guard mirrors VectorOps.cosine's 0.0-for-zero-vector
       |  SELECT a.vec_id, c.c_id,
@@ -2291,8 +2338,9 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
         |  CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
-        |  ROUND(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / length(d.text), 6)
-        |    AS dup_frac
+        |  ROUND(CASE WHEN length(d.text) > 0
+        |    THEN CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / length(d.text)
+        |    ELSE 0.0 END, 6) AS dup_frac
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -2522,6 +2570,26 @@ object SparkEntry {
          |WHERE a.user_id <> b.user_id
          |GROUP BY a.user_id
          |ORDER BY a.user_id""".stripMargin,
+
+    // closed-form mirror of the BMP round-trip: gray pixel (x, y) has
+    // luminance exactly g = (doc_id*31 + x*7 + y*13) % 256 (the
+    // 299/587/114 weights sum to 1000), bin = g // 32 — no image
+    // library needed on the oracle side, the codec must reproduce it
+    "multimodal_decode_real" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + (doc_id % 8) AS w, 8 + (doc_id % 5) AS h
+        |  FROM documents WHERE doc_id < 64
+        |), px AS (
+        |  SELECT doc_id, w, h,
+        |    ((doc_id * 31 + x.i * 7 + y.i * 13) % 256) // 32 AS bin
+        |  FROM dims
+        |  CROSS JOIN LATERAL unnest(range(0, w)) AS x(i)
+        |  CROSS JOIN LATERAL unnest(range(0, h)) AS y(i)
+        |)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(bin AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_px
+        |FROM px GROUP BY doc_id, w, h, bin
+        |ORDER BY doc_id, bin""".stripMargin,
 
     "multimodal_shape" ->
       """SELECT doc_id, source AS modality,
@@ -3071,6 +3139,12 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS m_codes_per_vector,
         |       CAST(1 AS BIGINT) AS codes_in_range,
         |       CAST(1 AS BIGINT) AS recall_at_10_ge_half""".stripMargin,
+
+    "ivfpq_invariants" ->
+      """SELECT CAST(1 AS BIGINT) AS ten_results,
+        |       CAST(1 AS BIGINT) AS cosines_in_range,
+        |       CAST(1 AS BIGINT) AS recall_at_10_ge_half,
+        |       CAST(1 AS BIGINT) AS results_within_probed_cells""".stripMargin,
 
     "truss_decay" -> trussDecayOracle,
 

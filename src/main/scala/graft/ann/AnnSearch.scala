@@ -251,24 +251,32 @@ object AnnSearch {
     * is the RAM-resident leg of the standard 100 TB ANN stack
     * (IVF routes, PQ scans in memory, exact re-rank touches ~k·candMult
     * full vectors). */
-  def pqTopK(spark: SparkSession, dir: String,
-      queryId: Long = DefaultQueryId, k: Int = 10,
-      m: Int = 8, ksub: Int = 16, candMult: Int = 8): DataFrame = {
+  /** Driver-built ADC lookup table for query `q`: flat (sub, code) →
+    * squared-L2-to-query-subvector, as a literal array Column (m·ksub
+    * scalars — tiny), 1-based for element_at. The k-row codebook pull is
+    * the documented driver-side index artifact read. */
+  private def adcTable(spark: SparkSession, dir: String, q: Seq[Double],
+      m: Int, ksub: Int): org.apache.spark.sql.Column = {
     val subDim = Dim / m
-    val qRows = emb(spark, dir).filter(col("vec_id") === queryId).collect()
-    if (qRows.isEmpty)
-      return emb(spark, dir).limit(0)
-        .select(col("vec_id"), lit(0.0).as("cosine"))
-    val q = qRows.head.getSeq[Float](1).map(_.toDouble)
     val cb = pqCodebooks(spark, dir, m, ksub).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
-    // flat (sub, code) → distance table, 1-based for element_at
     val flat = Array.fill(m * ksub)(Double.MaxValue)
     cb.foreach { case ((sub, code), c) =>
       val qs = q.slice(sub * subDim, (sub + 1) * subDim)
       flat(sub * ksub + code) = qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
     }
-    val table = array(flat.map(lit): _*)
+    array(flat.map(lit): _*)
+  }
+
+  def pqTopK(spark: SparkSession, dir: String,
+      queryId: Long = DefaultQueryId, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, candMult: Int = 8): DataFrame = {
+    val qRows = emb(spark, dir).filter(col("vec_id") === queryId).collect()
+    if (qRows.isEmpty)
+      return emb(spark, dir).limit(0)
+        .select(col("vec_id"), lit(0.0).as("cosine"))
+    val q = qRows.head.getSeq[Float](1).map(_.toDouble)
+    val table = adcTable(spark, dir, q, m, ksub)
     val qVec = array(q.map(lit): _*)
     val candidates = pqCodes(spark, dir, m, ksub)
       .filter(col("vec_id") =!= queryId)
@@ -349,6 +357,77 @@ object AnnSearch {
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qVec))
       .withColumn("cosine", CosineSim.cosine(spark, col("embedding"), col("query_vec")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** The query's `nProbe` nearest IVF cells — the routing decision of
+    * [[ivfPqTopK]], public so the `ivfpq_invariants` gate can assert
+    * results never leave the routed cells. One-column (cell) frame. */
+  def ivfProbeCells(spark: SparkSession, dir: String,
+      queryId: Long = DefaultQueryId, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val qVec = emb(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+    ivfCentroids(spark, dir, nCells).crossJoin(broadcast(qVec))
+      .withColumn("cos", CosineSim.cosine(spark, col("centroid"), col("query_vec")))
+      .orderBy(col("cos").desc, col("cell")).limit(nProbe)
+      .select(col("cell"))
+  }
+
+  /** The full production ANN stack in one operator — IVF route → PQ ADC
+    * scan → exact re-rank, the composition every RAM-resident web-scale
+    * retrieval system runs (FAISS's IVFPQ shape):
+    *
+    *   1. ROUTE: the query probes its `nProbe` nearest IVF cells —
+    *      at 100 TB this prunes the scan to nProbe/nCells of the corpus
+    *      before any per-vector work (cell-partitioned posting tables);
+    *   2. SCAN: within routed cells only, per-vector distance is m
+    *      1-byte code lookups in the driver-built ADC table — never a
+    *      full-vector op, so the hot loop touches m bytes/vector;
+    *   3. RE-RANK: the k·candMult best ADC candidates (and ONLY those)
+    *      fetch their raw vectors for exact cosine — the sole stage that
+    *      reads full embeddings, bounded at k·candMult rows.
+    *
+    * Reuses the session-cached IVF index ([[ivfAssignment]]) and PQ
+    * codebooks/codes ([[pqCodes]]) — at scale both are persisted index
+    * tables built once per corpus version. Output (vec_id, cosine) —
+    * same contract as [[bruteForceTopK]], recall-gated against it by the
+    * `ivfpq_invariants` entry. */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      queryId: Long = DefaultQueryId, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, candMult: Int = 8): DataFrame = {
+    val qRows = emb(spark, dir).filter(col("vec_id") === queryId).collect()
+    if (qRows.isEmpty)
+      return emb(spark, dir).limit(0)
+        .select(col("vec_id"), lit(0.0).as("cosine"))
+    val q = qRows.head.getSeq[Float](1).map(_.toDouble)
+    // 1. route: nProbe nearest cells (centroid table is nCells rows)
+    val probeCells = ivfProbeCells(spark, dir, queryId, nCells, nProbe)
+    // 2. ADC scan, pruned to routed cells by a broadcast semi-join on
+    //    the (vec_id, cell) posting table before any code is read
+    val routed = ivfAssignment(spark, dir, nCells)
+      .join(broadcast(probeCells), Seq("cell"))
+      .select(col("vec_id"))
+    val table = adcTable(spark, dir, q, m, ksub)
+    val candidates = pqCodes(spark, dir, m, ksub)
+      .join(routed, Seq("vec_id"), "left_semi")
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("d", element_at(table,
+        (col("sub") * ksub + col("code") + 1).cast("int")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k * candMult)
+    // 3. exact re-rank over k·candMult raw vectors only
+    val qVecD = array(q.map(lit): _*)
+    candidates
+      .join(emb(spark, dir), Seq("vec_id"))
+      .withColumn("cosine", CosineSim.cosine(spark,
+        transform(col("embedding"), x => x.cast("double")), qVecD))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)

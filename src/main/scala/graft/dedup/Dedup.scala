@@ -209,23 +209,8 @@ object Dedup {
       if (pairs.count() <= threshold) {
         val es = pairs.select(col("id_a"), col("id_b")).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x // path compression
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
-        }
-        val ids = es.flatMap(e => Seq(e._1, e._2)).distinct
-        // root = min member by construction (always parent the larger root)
-        val rows = ids.map(id => (id, find(id))).toSeq
         import spark.implicits._
-        rows.toDF("node_id", "component")
+        graft.graph.UnionFind.componentsLocal(es).toSeq.toDF("node_id", "component")
       } else {
         // connectedComponents bidirects + distincts internally — pass
         // the one-direction pairs straight through

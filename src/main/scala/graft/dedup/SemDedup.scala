@@ -11,8 +11,10 @@ import graft.functions.VectorOps
   * near-duplicate PAIRS only WITHIN clusters — the cluster pass turns the
   * corpus-quadratic all-pairs comparison into k independent
   * (n/k)²-bounded ones, which is the whole reason the method runs at
-  * web scale. At 100 TB the knob is k: clusters stay RAM-sized per task
-  * and the within-cluster self-join shuffles on `cluster` only.
+  * web scale. k scales WITH the corpus (k = max(8, n/targetClusterSize),
+  * [[adaptiveK]]) so the per-cluster compare stays constant-bounded at
+  * any n, and the within-cluster self-joins shuffle on (cluster, salt)
+  * — k·8 keys — so parallelism is never capped by the cluster count.
   *
   * Everything here is exactly SQL-oracle-able because the clustering is
   * the deterministic first-k-rows seeding (centroid c = the embedding of
@@ -36,6 +38,24 @@ import graft.functions.VectorOps
   * engines and flip a boundary comparison.
   */
 object SemDedup {
+
+  /** The paper's k scales WITH the corpus (k ≈ n / targetClusterSize)
+    * so per-cluster work stays (targetClusterSize)²-bounded no matter
+    * how big n gets — a fixed k would make the within-cluster compare
+    * quadratic in n again. Floor 8 keeps tiny corpora from degenerating
+    * to near-global greedy. One count() action at planning time is the
+    * documented size-adaptive pattern (cheap: parquet row-count
+    * metadata). */
+  def adaptiveK(emb: DataFrame, targetClusterSize: Long = 50L): Int =
+    math.max(8L, emb.count() / targetClusterSize).toInt
+
+  /** Salt fan-out for the within-cluster self-joins: side A keys on
+    * (cluster, id_a % Salt), side B replicates Salt×, so the shuffle has
+    * k·Salt keys instead of k — parallelism no longer capped by the
+    * cluster count while each (a, b) pair still meets exactly once (at
+    * A's salt). Replication cost is Salt× on one side of a join that is
+    * already (n/k)-bounded per cluster. */
+  private val Salt = 8
 
   /** (vec_id, cluster, cos_centroid): nearest-centroid assignment over
     * the deterministic first-k centroids. The k centroids broadcast —
@@ -66,15 +86,18 @@ object SemDedup {
     assignmentsOf(emb, k).join(emb, Seq("vec_id"))
 
   /** Session-cached assignment frame: the pair screen and the survivor
-    * scan are two entries over the SAME clustering — build it once. */
-  private def userFrame(spark: SparkSession, dir: String, k: Int): DataFrame =
-    graft.Cache.cached(spark, dir, s"semdedup_frame_$k") {
-      frameOf(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), k)
-    }
+    * scan are two entries over the SAME clustering — build it once.
+    * k <= 0 means size-adaptive ([[adaptiveK]]). */
+  private def userFrame(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val kEff = if (k > 0) k else adaptiveK(emb)
+    graft.Cache.cached(spark, dir, s"semdedup_frame_$kEff") { frameOf(emb, kEff) }
+  }
 
   /** Within-cluster near-duplicate pairs at cosine >= tau.
-    * Output (cluster, id_a, id_b, cosine), id_a < id_b. */
-  def pairs(spark: SparkSession, dir: String, k: Int = 8, tau: Double = 0.3): DataFrame =
+    * Output (cluster, id_a, id_b, cosine), id_a < id_b.
+    * k <= 0 (the default) sizes k from the corpus ([[adaptiveK]]). */
+  def pairs(spark: SparkSession, dir: String, k: Int = -1, tau: Double = 0.3): DataFrame =
     pairsFrom(userFrame(spark, dir, k), tau)
 
   /** [[pairs]] over any (vec_id, embedding) frame. */
@@ -83,8 +106,10 @@ object SemDedup {
 
   private def pairsFrom(f: DataFrame, tau: Double): DataFrame = {
     val a = f.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .withColumn("salt", pmod(col("id_a"), lit(Salt)).cast("int"))
     val b = f.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(b, Seq("cluster"))
+      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+    a.join(b, Seq("cluster", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("cluster"), col("id_a"), col("id_b"),
         round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cosine"))
@@ -95,7 +120,7 @@ object SemDedup {
   /** The kept set: an item survives iff NO earlier item in its cluster's
     * keep-priority order (cos_centroid ASC, vec_id ASC) is within `tau`.
     * Output (vec_id, cluster, cos_centroid). */
-  def survivors(spark: SparkSession, dir: String, k: Int = 8, tau: Double = 0.3): DataFrame =
+  def survivors(spark: SparkSession, dir: String, k: Int = -1, tau: Double = 0.3): DataFrame =
     survivorsFrom(userFrame(spark, dir, k), tau)
 
   /** [[survivors]] over any (vec_id, embedding) frame. */
@@ -105,9 +130,11 @@ object SemDedup {
   private def survivorsFrom(f: DataFrame, tau: Double): DataFrame = {
     val a = f.select(col("cluster"), col("vec_id").as("id_a"),
       col("cos_centroid").as("cos_a"), col("embedding").as("ea"))
+      .withColumn("salt", pmod(col("id_a"), lit(Salt)).cast("int"))
     val b = f.select(col("cluster"), col("vec_id").as("id_b"),
       col("cos_centroid").as("cos_b"), col("embedding").as("eb"))
-    val removed = a.join(b, Seq("cluster"))
+      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+    val removed = a.join(b, Seq("cluster", "salt"))
       .filter(col("cos_a") < col("cos_b") ||
         (col("cos_a") === col("cos_b") && col("id_a") < col("id_b")))
       .filter(round(VectorOps.cosine(col("ea"), col("eb")), 6) >= tau)

@@ -2060,10 +2060,21 @@ object Algorithms {
     * the output is deterministic and matches the mutual-reachability
     * oracle's MIN-label contract. */
   def stronglyConnectedComponents(edgesIn: DataFrame, maxOuter: Int = 30,
-      maxInner: Int = 100): DataFrame = {
+      maxInner: Int = 100, localThreshold: Long = 5000000L): DataFrame = {
     val spark = edgesIn.sparkSession
     var e = checkpointFresh(edgesIn.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
+    // size-adaptive leg (the clusterClosure precedent): under the edge
+    // threshold a driver-side iterative Tarjan labels SCCs in
+    // milliseconds — the distributed peel below pays tens of shuffle
+    // rounds that only amortise on graphs too big to collect. Both legs
+    // label by MIN member, so rows are identical either way.
+    if (localThreshold > 0 && e.count() <= localThreshold) {
+      val arr = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      import spark.implicits._
+      return tarjanLocal(arr).toSeq.toDF("node_id", "scc_id")
+    }
     var active = checkpointFresh(
       e.select(col("src").as("node_id"))
         .unionByName(e.select(col("dst").as("node_id"))).distinct())
@@ -2078,14 +2089,18 @@ object Algorithms {
     while (live > 0 && outer < maxOuter) {
       outer += 1
       // ---- 1. trim to fixpoint ----
+      // one action per round: the checkpointed trimmed set's count both
+      // decides convergence AND updates `live` (live -= trimmed) — the
+      // previous isEmpty + active.count() pair paid two jobs per round
       var trimming = true
       var trimRound = 0
       while (trimming && live > 0 && trimRound < maxInner) {
         trimRound += 1
         val both = e.select(col("src").as("node_id")).distinct()
           .join(e.select(col("dst").as("node_id")).distinct(), Seq("node_id"))
-        val trimmed = active.join(both, Seq("node_id"), "left_anti")
-        if (trimmed.isEmpty) trimming = false
+        val trimmed = checkpointFresh(active.join(both, Seq("node_id"), "left_anti"))
+        val nTrimmed = trimmed.count()
+        if (nTrimmed == 0) trimming = false
         else {
           emit(trimmed.select(col("node_id"), col("node_id").as("scc_root")))
           active = checkpointFresh(active.join(both, Seq("node_id"), "left_semi"))
@@ -2093,11 +2108,15 @@ object Algorithms {
             .join(active.select(col("node_id").as("src")), Seq("src"), "left_semi")
             .join(active.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
             .select(col("src"), col("dst")))
-          live = active.count()
+          live -= nTrimmed
         }
       }
       if (live > 0) {
         // ---- 2. forward max-color fixpoint ----
+        // convergence rides a `chg` flag computed INSIDE the round's own
+        // projection, so the probe is a limit(1) scan of the round's
+        // checkpoint — the previous next⋈color probe paid a full shuffle
+        // join per round (the #1 driver-chatter line in the r5 bench)
         var color = active.select(col("node_id"), col("node_id").as("color"))
         var changed = true
         var it = 0
@@ -2111,11 +2130,10 @@ object Algorithms {
           val next = checkpointFresh(color.join(pushed, Seq("node_id"), "left")
             .select(col("node_id"),
               greatest(col("color"), coalesce(col("cand"), col("color")))
-                .as("color")))
-          changed = next.join(
-              color.withColumnRenamed("color", "old"), Seq("node_id"))
-            .filter(col("color") =!= col("old")).limit(1).count() > 0
-          color = next
+                .as("color"),
+              (coalesce(col("cand"), col("color")) > col("color")).as("chg")))
+          changed = next.filter(col("chg")).limit(1).count() > 0
+          color = next.select(col("node_id"), col("color"))
         }
         if (changed)
           System.err.println(s"[graft] scc: forward coloring hit maxInner=$maxInner without converging")
@@ -2159,6 +2177,67 @@ object Algorithms {
       .agg(min(col("node_id")).as("scc_id"))
     out.join(relabel, Seq("scc_root"))
       .select(col("node_id"), col("scc_id"))
+  }
+
+  /** Iterative (explicit-stack — no recursion depth limit) Tarjan SCC,
+    * the driver-side leg of [[stronglyConnectedComponents]]. Returns
+    * (node, min-member-of-its-SCC) for every node incident to an edge —
+    * the same universe and labelling as the distributed peel. */
+  private[graph] def tarjanLocal(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val nodes = mutable.LinkedHashSet.empty[Long]
+    edges.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      nodes += s; nodes += d
+    }
+    val indexOf = mutable.HashMap.empty[Long, Int]
+    val lowOf = mutable.HashMap.empty[Long, Int]
+    val onStack = mutable.HashSet.empty[Long]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    val comp = mutable.HashMap.empty[Long, Long]
+    val noNbrs = mutable.ArrayBuffer.empty[Long]
+    var counter = 0
+    // DFS frames: (node, next-neighbour index) — mutated in place
+    val frames = mutable.ArrayBuffer.empty[Array[Long]]
+    def open(v: Long): Unit = {
+      indexOf(v) = counter; lowOf(v) = counter; counter += 1
+      stack += v; onStack += v; frames += Array(v, 0L)
+    }
+    nodes.foreach { root =>
+      if (!indexOf.contains(root)) {
+        open(root)
+        while (frames.nonEmpty) {
+          val fr = frames.last
+          val v = fr(0)
+          val nbrs = adj.getOrElse(v, noNbrs)
+          if (fr(1) < nbrs.length) {
+            val w = nbrs(fr(1).toInt)
+            fr(1) += 1
+            if (!indexOf.contains(w)) open(w)
+            else if (onStack(w)) lowOf(v) = math.min(lowOf(v), indexOf(w))
+          } else {
+            frames.remove(frames.length - 1)
+            if (frames.nonEmpty) {
+              val p = frames.last(0)
+              lowOf(p) = math.min(lowOf(p), lowOf(v))
+            }
+            if (lowOf(v) == indexOf(v)) {
+              val members = mutable.ArrayBuffer.empty[Long]
+              var done = false
+              while (!done) {
+                val w = stack.remove(stack.length - 1)
+                onStack -= w; members += w
+                if (w == v) done = true
+              }
+              val label = members.min
+              members.foreach(comp(_) = label)
+            }
+          }
+        }
+      }
+    }
+    nodes.iterator.map(v => (v, comp(v))).toArray
   }
 
   /** SCC of the supply-return flow graph: customer→supplier for kept

@@ -52,12 +52,19 @@ object HashGnn {
 
   /** Full HashGNN over a directed (src, dst) edge frame (pass both
     * directions for undirected semantics): `iters` min-hash rounds from
-    * the deterministic init. Output (node_id, bit), exploded + ordered. */
+    * the deterministic init. Output (node_id, bit), exploded + ordered.
+    *
+    * The init covers src ∪ dst, so a dst-only node's features DO flow
+    * into its in-neighbors. Nodes with no out-edges (and nodes whose
+    * neighborhood holds no active bits after a round) have an EMPTY
+    * feature set and therefore no output rows — inherent to
+    * neighbors-only min-hash aggregation, not an omission. */
   def embeddings(edges: DataFrame, bitUniverse: Int = 32, draws: Int = 8,
       iters: Int = 2, density: Double = 0.25): DataFrame = {
     require(iters >= 1 && draws >= 1 && bitUniverse >= 1)
     val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("v")).distinct()
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
     var bits = initBits(nodes, bitUniverse, density).localCheckpoint()
     for (i <- 1 to iters)
       bits = propagate(e, bits, draws, i).localCheckpoint()

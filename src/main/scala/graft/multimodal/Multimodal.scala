@@ -112,6 +112,72 @@ object Multimodal {
     }
   }
 
+  /** The REAL-codec path as a driver-checkable entry: synthesize a
+    * deterministic 24-bit BMP per doc (pixel (x, y) is the gray level
+    * g = (doc_id·31 + x·7 + y·13) mod 256 — pure integer math), run the
+    * bytes through the SAME ImageIO seam as [[extractFeaturesImage]],
+    * and emit the decoded per-bin luminance histogram as exact COUNTS.
+    * BMP is lossless and gray pixels have luminance exactly g (the
+    * 299/587/114 weights sum to 1000), so the decoded histogram equals
+    * the closed-form pixel histogram — which DuckDB reproduces with
+    * arithmetic alone, giving the codec round-trip a bit-exact oracle
+    * with no image library on the oracle side.
+    *
+    * Bounded: `maxDocs` docs, ≤ 15×12 px each — the entry proves the
+    * decode seam, the SCALE path stays [[extractFeatures]]'s
+    * partition-batched shape. */
+  def decodeRealHistogram(spark: SparkSession, dir: String,
+      maxDocs: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ids = graft.Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") < maxDocs)
+      .as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 8).toInt
+        val h = 8 + (id % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        // decode through the real seam; count per 32-wide luminance bin
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        require(back != null, s"BMP round-trip failed for doc $id")
+        val counts = new Array[Long](8)
+        var yy = 0
+        while (yy < back.getHeight) {
+          var xx = 0
+          while (xx < back.getWidth) {
+            val rgb = back.getRGB(xx, yy)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            counts(lum >> 5) += 1L
+            xx += 1
+          }
+          yy += 1
+        }
+        (id, back.getWidth, back.getHeight, counts)
+      }
+    }.toDF("doc_id", "width", "height", "counts")
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("counts")).as(Seq("bin", "n_px")))
+      .filter(col("n_px") > 0)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("bin").cast("int").as("bin"), col("n_px"))
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
   /** Partition-batched feature extraction over the media table. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -626,7 +626,19 @@ object TextOps {
       .groupBy(col("word")).agg(count(lit(1)).as("freq")), rounds)
   }
 
-  /** [[bpeTrainMerges]] over any (word, freq) histogram. */
+  /** [[bpeTrainMerges]] over any (word, freq) histogram.
+    *
+    * Tokens must not contain a literal '|' — it is the segmentation
+    * delimiter and is not escaped, so a '|' inside a token would be
+    * silently absorbed into the delimiters (both engines identically, so
+    * oracles stay bit-exact, but the trained merges would be wrong for
+    * such tokens). The whitespace tokenizer in [[bpeTrainMerges]] can
+    * produce them from raw text; strip or substitute upstream if your
+    * corpus has them.
+    *
+    * Training stops early once no multi-symbol word remains (every word
+    * fused to one symbol): the output then has fewer than `rounds` merge
+    * rows rather than fabricating rows from an empty aggregate. */
   def bpeTrainMergesOf(words: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var seg = words
@@ -634,7 +646,8 @@ object TextOps {
         expr("concat('|', regexp_replace(word, '(.)', '$1|'))").as("seg"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val best = seg
         .select(col("freq"), expr("filter(split(seg, '[|]'), x -> x <> '')").as("syms"))
         .filter(size(col("syms")) >= 2)
@@ -646,13 +659,21 @@ object TextOps {
         .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
         .select(lit(r.toLong).as("merge_rank"), col("l"), col("r"), col("pair_count"))
         .localCheckpoint()
-      merges += best
-      var applied = seg.crossJoin(broadcast(best.select(col("l"), col("r"))))
-      for (_ <- 1 to 5)
-        applied = applied.withColumn("seg",
-          expr("replace(seg, concat('|', l, '|', r, '|'), concat('|', l, r, '|'))"))
-      seg = applied.select(col("freq"), col("seg")).localCheckpoint()
+      // the limit(1) frame is at most one row — isEmpty is a cheap probe
+      // of the checkpoint, and an empty winner must STOP training: the
+      // crossJoin below would otherwise wipe seg to zero rows silently
+      if (best.isEmpty) { exhausted = true }
+      else {
+        merges += best
+        var applied = seg.crossJoin(broadcast(best.select(col("l"), col("r"))))
+        for (_ <- 1 to 5)
+          applied = applied.withColumn("seg",
+            expr("replace(seg, concat('|', l, '|', r, '|'), concat('|', l, r, '|'))"))
+        seg = applied.select(col("freq"), col("seg")).localCheckpoint()
+      }
     }
+    require(merges.nonEmpty,
+      "no mergeable pair: every word in the histogram is a single symbol")
     merges.reduce(_ unionAll _).orderBy(col("merge_rank"))
   }
 
@@ -664,22 +685,35 @@ object TextOps {
     * Bloom verdict is computed per test document alongside the exact
     * semi-join answer, and the output asserts the filter's ONE provable
     * property — no false negatives (bloom hits ⊇ exact hits) — the same
-    * sketch-vs-exact gate shape as `approx_distinct_check`. The
-    * `mightContain` probe is a Scala UDF by necessity (the sketch is an
-    * opaque broadcast object); it runs only over test-split gram rows —
-    * a few % of the corpus — never the train side. */
+    * sketch-vs-exact gate shape as `approx_distinct_check`. The sketch
+    * is Spark's own `BloomFilterAggregate`/`BloomFilterMightContain`
+    * pair ([[graft.plans.BloomSketch]]): partial filters build map-side
+    * and OR-merge across partitions (no driver-side build), and the
+    * probe stays inside codegen as a native Predicate over the
+    * xxhash64'd gram — it rides a scalar subquery, the one non-constant
+    * shape the probe expression accepts. Probes run only over
+    * test-split gram rows — a few % of the corpus — never the train
+    * side. */
   def bloomContamination(spark: SparkSession, dir: String, n: Int = 8,
       fpp: Double = 0.01, expectedItems: Long = 1L << 20): DataFrame = {
+    graft.plans.BloomSketch.register(spark)
     val withSplit = gramSplitFrame(spark, dir, n)
     val trainGrams = withSplit.filter(col("split") === "train")
       .select(col("gram")).distinct()
-    val bloom = trainGrams.stat.bloomFilter("gram", expectedItems, fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => bloomBc.value.mightContain(g))
+    val numBits = graft.plans.BloomSketch.optimalNumBits(expectedItems, fpp)
+    val bloomView = "graft_bloom_train_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir:$n:$expectedItems:$numBits".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    trainGrams
+      .agg(call_function(graft.plans.BloomSketch.AggName,
+        xxhash64(col("gram")), lit(expectedItems), lit(numBits)).as("bf"))
+      .createOrReplaceTempView(bloomView)
     withSplit.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc_id"), col("gram"))
       .join(trainGrams.withColumn("in_train", lit(1L)), Seq("gram"), "left")
-      .withColumn("bloom_hit", mightContain(col("gram")))
+      .withColumn("bloom_hit", expr(
+        s"${graft.plans.BloomSketch.ProbeName}((SELECT bf FROM $bloomView), xxhash64(gram))"))
       .groupBy(col("test_doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("in_train").isNotNull, 1L).otherwise(0L)).as("n_exact_hits"),
@@ -846,10 +880,13 @@ object TextOps {
         .as("dup_chars"))
     docs.select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
       .join(perDoc, Seq("doc_id"), "left")
+      // zero-length guard: non-ANSI double divide by 0 yields NULL in
+      // Spark but NaN in DuckDB — pin empty docs to 0.0 on both sides
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
-          col("n_chars").cast("double"), 6).as("dup_frac"))
+        round(when(col("n_chars") > 0,
+          coalesce(col("dup_chars"), lit(0L)).cast("double") /
+            col("n_chars").cast("double")).otherwise(lit(0.0)), 6).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 }

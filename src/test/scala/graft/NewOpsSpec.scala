@@ -45,12 +45,39 @@ class NewOpsSpec extends AnyFunSuite {
 
   test("scc: chain of cycles against the peel direction needs multiple outer rounds") {
     // 5⇄6 → 3⇄4 → 1⇄2: every node has in+out degree (trim removes
-    // nothing), one coloring root per round → three peel rounds
+    // nothing), one coloring root per round → three peel rounds.
+    // localThreshold = 0 forces the DISTRIBUTED peel (the default would
+    // route this fixture to driver Tarjan); the next test proves the
+    // two legs agree row-for-row.
     val edges = Seq((5L, 6L), (6L, 5L), (6L, 3L), (3L, 4L), (4L, 3L),
       (4L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
-    val got = Algorithms.stronglyConnectedComponents(edges).collect()
+    val got = Algorithms
+      .stronglyConnectedComponents(edges, localThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("scc: driver-Tarjan leg ≡ distributed peel on the supply-return graph") {
+    val local = graft.graph.Algorithms.supplyChainScc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = {
+      // rebuild the same edge frame and force the distributed leg
+      import graft.Tables
+      val li = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_quantity") >= 50)
+      val fwd = li.filter(col("l_returnflag") =!= "R")
+        .select((col("o_custkey") * 2).cast("bigint").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("bigint").as("dst")).distinct()
+      val bwd = li.filter(col("l_returnflag") === "R")
+        .select((col("l_suppkey") * 2 + 1).cast("bigint").as("src"),
+          (col("o_custkey") * 2).cast("bigint").as("dst")).distinct()
+      fwd.unionByName(bwd)
+    }
+    val dist = Algorithms
+      .stronglyConnectedComponents(edges, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
   }
 
   test("richClub: clique-plus-pendant profile by hand") {
@@ -740,6 +767,11 @@ class NewOpsSpec extends AnyFunSuite {
     assert(got.filter(col("bloom_superset") =!= 1L).isEmpty,
       "Bloom filter produced a false negative")
     assert(got.filter(col("n_exact_hits") > col("n_grams")).isEmpty)
+    // the probe must be the native BloomFilterMightContain predicate
+    // inside codegen, not a per-row Scala UDF over a broadcast sketch
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"bloom probe fell out of codegen:\n$plan")
   }
 
   test("pqTopK: decent recall vs brute force, codes well-formed, deterministic") {
@@ -754,6 +786,23 @@ class NewOpsSpec extends AnyFunSuite {
     assert(codes.count() ==
       graft.Tables.embeddings(spark, sf).count() * 8)
     assert(pq.toSeq == AnnSearch.pqTopK(spark, sf).collect().toSeq)
+  }
+
+  test("ivfPqTopK: routed ADC + re-rank — recall vs brute force, containment, determinism") {
+    import graft.ann.AnnSearch
+    val bf = AnnSearch.bruteForceTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val res = AnnSearch.ivfPqTopK(spark, sf).collect()
+    assert(res.length == 10)
+    val overlap = res.map(_.getLong(0)).count(bf)
+    assert(overlap >= 5, s"IVFPQ recall@10 too low: $overlap/10")
+    // every result must come from a probed cell — the route is a hard
+    // filter, not a hint
+    val probed = AnnSearch.ivfProbeCells(spark, sf).collect().map(_.getInt(0)).toSet
+    val cells = AnnSearch.ivfAssignment(spark, sf)
+      .filter(col("vec_id").isin(res.map(_.getLong(0)).toSeq: _*))
+      .collect().map(_.getInt(1)).toSet
+    assert(cells.subsetOf(probed), s"results from unprobed cells: ${cells -- probed}")
+    assert(res.toSeq == AnnSearch.ivfPqTopK(spark, sf).collect().toSeq)
   }
 
   test("closenessSample: hand-computed path-graph fixture") {

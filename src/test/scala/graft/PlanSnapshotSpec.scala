@@ -61,7 +61,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("q6_forecast", 1, 1),
     ("vocab_coverage", 4, 2),
     ("bpe_first_merge", 2, 1),
-    ("bloom_contamination", 4, 1),
+    // r6: +2 Exchanges — the Bloom sketch now builds as a DISTRIBUTED
+    // bloom_filter_agg scalar subquery (its partial→final exchange and
+    // its distinct's), replacing the plan-invisible driver-side
+    // stat.bloomFilter; the probe is native might_contain in codegen
+    ("bloom_contamination", 6, 1),
     ("user_overlap_topk", 10, 2),
     // r5 additions: the remaining TPC-H shapes + link prediction + the
     // unigram-LM scorer. q2/q11 reuse an aggregated frame on two plan
