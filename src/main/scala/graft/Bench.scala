@@ -54,6 +54,14 @@ object Bench {
       "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
       "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit),
       "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit),
+      // r6: one-time session-cached builds that previously landed on
+      // whichever consumer entry iterated first (kspan_invariants was
+      // carrying the clusters build, ivfpq_invariants the PQ/IVF index)
+      "kspan_clusters" -> (() => graph.Algorithms.kSpanningClusters(spark, sfDir).count(): Unit),
+      "leiden_communities" -> (() => graph.Louvain.userCommunitiesLeiden(spark, sfDir).count(): Unit),
+      "kmeans" -> (() => ann.KMeans.assign(spark, sfDir).count(): Unit),
+      "pq_codes" -> (() => ann.AnnSearch.pqCodes(spark, sfDir).count(): Unit),
+      "ivf_assignment" -> (() => ann.AnnSearch.ivfAssignment(spark, sfDir).count(): Unit),
       "k1_coloring" -> (() => SparkEntry.queries("graph_coloring")(spark, sfDir).count(): Unit),
       "serve_books_table" -> (() => recommend.Serving.userBooksTable(spark, sfDir): Unit),
       "serve_recs_table" -> (() => recommend.Serving.recommendationsTable(spark, sfDir): Unit))
@@ -83,6 +91,23 @@ object Bench {
       (name, sec, ok)
     }
     def r3(d: Double) = math.rint(d * 1000) / 1000
+    // graph/corpus density stamp: cross-round bench deltas must be
+    // separable from testdata drift without archaeology (the driver
+    // regenerates /root/testdata each round — r5's densified cooc graph
+    // cost a session of it). All four frames are session-cached or
+    // metadata-count cheap by this point in the run.
+    val densityJson = try {
+      val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, sfDir)
+      val nE = cooc.count()
+      val nV = cooc.select(org.apache.spark.sql.functions.col("u1")).distinct().count()
+      val nDocs = Tables.documents(spark, sfDir).count()
+      val nEmb = Tables.embeddings(spark, sfDir).count()
+      val avgDeg = if (nV > 0) r3(nE.toDouble / nV) else 0.0
+      s""""density":{"cooc_edges":$nE,"cooc_nodes":$nV,"avg_degree":$avgDeg,"docs":$nDocs,"embeddings":$nEmb}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] density stamp failed: $e")
+      """"density":{}"""
+    }
     val loadEnd = loadAvg
     val hostUptime = try
       scala.io.Source.fromFile("/proc/uptime").getLines().next()
@@ -103,7 +128,7 @@ object Bench {
     // Full per-query detail goes to a FILE — the one printed JSON line
     // must stay short: the driver captures only the tail of stdout, so
     // a multi-KB line gets its head truncated and fails to parse.
-    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults)},"silver_total":${r3(silverTotal)},"queries_total":${r3(queriesTotal)},"queries":${timesJson(results)},"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults)},"silver_total":${r3(silverTotal)},"queries_total":${r3(queriesTotal)},"queries":${timesJson(results)},"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8")): Unit
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
@@ -121,7 +146,7 @@ object Bench {
       "ann_lsh_topk", "ann_ivf_topk", "text_stats", "lang_id",
       "quality_filter", "corpus_pipeline", "multimodal_features")
     val headlineTimes = timesJson(results.filter { case (k, _, _) => headline(k) })
-    val line = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","n_queries":${results.size},"silver_total":${r3(silverTotal)},"queries":$headlineTimes,"failed":${failedJson(failedSeq.take(8))},"n_failed":${failedSeq.size},$loadJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+    val line = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","n_queries":${results.size},"silver_total":${r3(silverTotal)},"queries":$headlineTimes,"failed":${failedJson(failedSeq.take(8))},"n_failed":${failedSeq.size},$loadJson,$densityJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING printed line ${line.length} chars > 1800 — may truncate in driver tail")
     println(line)

@@ -1344,6 +1344,134 @@ object SparkEntry {
   private def RatingsCteRecursive: String =
     "WITH RECURSIVE " + RatingsCte.stripPrefix("WITH ")
 
+  /** The contraction step shared by the Borůvka oracles: given a hook
+    * frame `g` (comp, par) — one outgoing hook per component — emit the
+    * cycle-break + `jumps` pointer-DOUBLING CTEs that collapse every
+    * hook cluster onto its designated root, exactly mirroring
+    * spanningForest's distributed branch (Algorithms.scala): the unique
+    * 2-cycle in each cluster (the mutually-picked pair) roots at its
+    * smaller comp, then each doubling step squares the parent map, so
+    * `jumps` ≥ log₂(|comps|) reaches every root. Pure chained CTEs —
+    * NO recursion: DuckDB 1.0 disables CTE sharing inside WITH
+    * RECURSIVE and re-inlines the upstream chain exponentially (measured
+    * OOM at round 1), while this unrolled form runs in milliseconds on
+    * the component-sized frames. */
+  private def contractCte(tag: String, g: String, jumps: Int): String = {
+    val break =
+      s""", ${tag}j0 AS MATERIALIZED (
+         |  SELECT a.comp,
+         |    CASE WHEN b.par = a.comp AND a.comp < a.par
+         |         THEN a.comp ELSE a.par END AS par
+         |  FROM $g a LEFT JOIN $g b ON a.par = b.comp
+         |)""".stripMargin
+    val steps = (1 to jumps).map { s =>
+      s""", ${tag}j$s AS MATERIALIZED (
+         |  SELECT a.comp, COALESCE(b.par, a.par) AS par
+         |  FROM ${tag}j${s - 1} a LEFT JOIN ${tag}j${s - 1} b ON a.par = b.comp
+         |)""".stripMargin
+    }.mkString
+    break + steps
+  }
+
+  /** Borůvka maximum-spanning-forest unrolled to `rounds` rounds — the
+    * exact dataflow of [[graft.graph.Algorithms.spanningForest]] in
+    * DuckDB SQL, giving `mst_edges` (and everything derived from the
+    * forest, like the k-spanning clustering) a bit-exact oracle:
+    * per round, every component votes its best incident cross edge
+    * under the TOTAL order (weight DESC, src, dst) — deterministic even
+    * among equal weights, which is why the unroll is exact where a
+    * weight-threshold characterisation would not be (ties at the
+    * boundary are real in this graph) — then the comp→comp hook graph
+    * contracts via [[contractCte]]. Component LABEL values differ from
+    * the driver branch's min-member canonicalisation, but the PARTITION
+    * is identical and picks depend only on the partition, so the forest
+    * is bit-identical. Borůvka halves components per round, so `rounds`
+    * ≥ log₂(n) covers any corpus this gate runs on (sf0.01 converges in
+    * 4; extra rounds are no-ops); if a regenerated corpus ever needed
+    * more, the compare FAILS loudly rather than passing a wrong forest. */
+  private def boruvkaForestCte(rounds: Int): String = {
+    val base =
+      s"""$RatingsCte, cooc AS MATERIALIZED (
+         |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), bnodes AS MATERIALIZED (
+         |  SELECT src AS v FROM cooc UNION SELECT dst FROM cooc
+         |), l0 AS MATERIALIZED (SELECT v AS node_id, v AS comp FROM bnodes)""".stripMargin
+    val roundSql = (1 to rounds).map { r =>
+      s""", x$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w, a.comp AS cs, b.comp AS cd
+         |  FROM cooc e JOIN l${r - 1} a ON e.src = a.node_id
+         |  JOIN l${r - 1} b ON e.dst = b.node_id
+         |  WHERE a.comp <> b.comp
+         |), p$r AS MATERIALIZED (
+         |  SELECT comp, src, dst, w, cs, cd FROM (
+         |    SELECT v.*, ROW_NUMBER() OVER (PARTITION BY comp
+         |      ORDER BY w DESC, src, dst) AS rk
+         |    FROM (SELECT cs AS comp, src, dst, w, cs, cd FROM x$r
+         |          UNION ALL SELECT cd AS comp, src, dst, w, cs, cd FROM x$r) v
+         |  ) WHERE rk = 1
+         |), g$r AS MATERIALIZED (
+         |  SELECT comp, CASE WHEN comp = cs THEN cd ELSE cs END AS par FROM p$r
+         |)""".stripMargin +
+        contractCte(s"r$r", s"g$r", 12) +
+        s""", l$r AS MATERIALIZED (
+           |  SELECT n.node_id, COALESCE(j.par, n.comp) AS comp
+           |  FROM l${r - 1} n LEFT JOIN r${r}j12 j ON n.comp = j.comp
+           |)""".stripMargin
+    }.mkString
+    val forest = ", forest AS MATERIALIZED (" +
+      (1 to rounds).map(r => s"SELECT DISTINCT src, dst, w FROM p$r")
+        .mkString(" UNION ALL ") + ")"
+    base + roundSql + forest
+  }
+
+  /** Weightless Borůvka over the KEPT forest (post-cut) — the
+    * connectivity leg of the k_spanning_clusters oracle, since the
+    * recursive min-label closure is off-limits (see [[contractCte]]).
+    * Requires CTEs `kept` (src, dst) and `bnodes` upstream; emits
+    * c0..c`rounds` label frames over ALL bnodes (comp per node) and a
+    * final `kclus` with the partition canonicalised to MIN member via
+    * one window. Hook per round = each component's lexicographically
+    * first incident cross edge. */
+  private def keptComponentsCte(rounds: Int): String = {
+    val base =
+      s""", kb AS MATERIALIZED (
+         |  SELECT src AS a, dst AS b FROM kept
+         |  UNION ALL SELECT dst AS a, src AS b FROM kept
+         |), c0 AS MATERIALIZED (SELECT v AS node_id, v AS comp FROM bnodes)""".stripMargin
+    val roundSql = (1 to rounds).map { q =>
+      s""", y$q AS MATERIALIZED (
+         |  SELECT e.a AS src, e.b AS dst, ca.comp AS cs, cb.comp AS cd
+         |  FROM kb e JOIN c${q - 1} ca ON e.a = ca.node_id
+         |  JOIN c${q - 1} cb ON e.b = cb.node_id
+         |  WHERE ca.comp <> cb.comp
+         |), q$q AS MATERIALIZED (
+         |  SELECT comp, cs, cd FROM (
+         |    SELECT v.*, ROW_NUMBER() OVER (PARTITION BY comp
+         |      ORDER BY src, dst) AS rk
+         |    FROM (SELECT cs AS comp, src, dst, cs, cd FROM y$q
+         |          UNION ALL SELECT cd AS comp, src, dst, cs, cd FROM y$q) v
+         |  ) WHERE rk = 1
+         |), h$q AS MATERIALIZED (
+         |  SELECT comp, CASE WHEN comp = cs THEN cd ELSE cs END AS par FROM q$q
+         |)""".stripMargin +
+        contractCte(s"k$q", s"h$q", 12) +
+        s""", c$q AS MATERIALIZED (
+           |  SELECT n.node_id, COALESCE(j.par, n.comp) AS comp
+           |  FROM c${q - 1} n LEFT JOIN k${q}j12 j ON n.comp = j.comp
+           |)""".stripMargin
+    }.mkString
+    val canon =
+      s""", kclus AS (
+         |  SELECT node_id, MIN(node_id) OVER (PARTITION BY comp) AS cluster
+         |  FROM c$rounds
+         |)""".stripMargin
+    base + roundSql + canon
+  }
+
   /** Bipartite node encoding (user = 2k, book = 2k+1) shared by the BFS
     * and connected-components closure oracles. */
   private def BipartiteEdgesCte: String =
@@ -2777,6 +2905,29 @@ object SparkEntry {
          |SELECT CAST(step AS INT) AS step, node_id FROM path
          |ORDER BY step""".stripMargin,
 
+    // the full forest, bit-exact via the unrolled Borůvka CTE — rounds
+    // and tie-breaks mirror spanningForest exactly (r6: was rows-only)
+    "mst_edges" ->
+      s"""${boruvkaForestCte(6)}
+         |SELECT src, dst, w AS weight FROM forest
+         |ORDER BY weight DESC, src, dst""".stripMargin,
+
+    // clusters from the oracled forest: cut the k−1 = 4 weakest forest
+    // edges under (weight ASC, src, dst) — kSpanCut's exact order —
+    // then weightless-Borůvka connectivity over the KEPT forest
+    // (singletons keep their own id via the c0-covers-all-nodes init),
+    // canonicalised to min-member labels like the Spark CC pass
+    "k_spanning_clusters" ->
+      s"""${boruvkaForestCte(6)}, cut AS MATERIALIZED (
+         |  SELECT src, dst FROM forest ORDER BY w ASC, src, dst LIMIT 4
+         |), kept AS MATERIALIZED (
+         |  SELECT f.src, f.dst FROM forest f
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |                    WHERE c.src = f.src AND c.dst = f.dst)
+         |)${keptComponentsCte(11)}
+         |SELECT node_id, cluster FROM kclus
+         |ORDER BY node_id""".stripMargin,
+
     "mst_invariants" ->
       s"""$RatingsCteRecursive, cooc AS (
          |  SELECT a.user_id AS src, b.user_id AS dst
@@ -3121,6 +3272,35 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS one_row_per_node,
         |       CAST(1 AS BIGINT) AS core_degrees_ge_k,
         |       CAST(1 AS BIGINT) AS members_have_global_deg_ge_k""".stripMargin,
+
+    // the 10-core itself, bit-exact: the peel is deterministic, so 4
+    // unrolled rounds reach the fixpoint (sf0.01 converges in 1, sf0.1
+    // in 2; extra rounds are idempotent — and if a denser corpus ever
+    // peeled past 4 rounds the hash compare fails loudly) (r6: was
+    // rows-only)
+    "kcore_members" ->
+      s"""$RatingsCte, cooc AS MATERIALIZED (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), e0 AS (SELECT src, dst FROM cooc
+         |), a1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 10
+         |), e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+         |  JOIN a1 x ON e.src = x.src JOIN a1 y ON e.dst = y.src
+         |), a2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 10
+         |), e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
+         |  JOIN a2 x ON e.src = x.src JOIN a2 y ON e.dst = y.src
+         |), a3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 10
+         |), e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
+         |  JOIN a3 x ON e.src = x.src JOIN a3 y ON e.dst = y.src
+         |), a4 AS (SELECT src FROM e3 GROUP BY src HAVING COUNT(*) >= 10
+         |), e4 AS (SELECT e.src, e.dst FROM e3 e
+         |  JOIN a4 x ON e.src = x.src JOIN a4 y ON e.dst = y.src
+         |)
+         |SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM e4 GROUP BY src ORDER BY node_id""".stripMargin,
 
     "coloring_invariants" ->
       """SELECT CAST(0 AS BIGINT) AS monochrome_edges,

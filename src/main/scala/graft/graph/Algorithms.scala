@@ -46,6 +46,26 @@ object Algorithms {
   private[graph] def checkpointFresh(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
 
+  /** Size-adaptive connected components (the clusterClosure /
+    * driver-Tarjan precedent): under `localThreshold` edges the
+    * components are labelled by a driver union-find in microseconds —
+    * the iterated min-label propagation below pays a shuffle per round,
+    * which on a TREE-shaped input (worst diameter case, e.g. the kept
+    * spanning forest) means tens of rounds for a frame that fits in one
+    * task. Both legs label by MIN member, so rows are identical. The
+    * distributed loop stays the 100 TB fallback. */
+  def connectedComponentsAdaptive(edges: DataFrame, maxIter: Int = 20,
+      localThreshold: Long = 5000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    if (localThreshold > 0 && e.count() <= localThreshold) {
+      val spark = edges.sparkSession
+      val arr = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      import spark.implicits._
+      UnionFind.componentsLocal(arr).toSeq.toDF("node_id", "component")
+    } else connectedComponents(e, maxIter)
+  }
+
   /** Connected components by iterated min-label propagation until
     * convergence. Returns (node_id, component) where component is the
     * smallest node id in the component. */
@@ -1576,11 +1596,13 @@ object Algorithms {
       .select(col("src"), col("dst"), col("weight"))
     val cut = kSpanCut(spark, dir, k).select(col("src"), col("dst"))
     val kept = forest.join(cut, Seq("src", "dst"), "left_anti")
-    // maxIter 60, not the default 20: the input here is a TREE — the
-    // worst diameter case there is — and min-label propagation with
-    // escalating pointer-jumping needs the extra headroom (the default
-    // is tuned for the short-diameter co-occurrence projection)
-    val cc = connectedComponents(kept.select(col("src"), col("dst")), maxIter = 60)
+    // maxIter 60 on the distributed fallback: the input here is a TREE
+    // — the worst diameter case there is. Below the size gate the
+    // adaptive leg's driver union-find skips the whole propagation
+    // (the tree shape that costs the distributed loop tens of rounds
+    // is exactly the shape the union-find eats in one pass).
+    val cc = connectedComponentsAdaptive(
+      kept.select(col("src"), col("dst")), maxIter = 60)
     // forest spans every co-occurrence node; nodes whose trees were cut
     // down to themselves fall out of `kept` and become singletons
     val nodes = RatingsGraph.cooccurrenceEdges(spark, dir)

@@ -105,7 +105,14 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("graph_viz_payload", 35, 9),
     ("events_approx_overlap", 10, 4),
     ("semdedup_pairs", 8, 3),
-    ("semdedup_survivors", 9, 3))
+    ("semdedup_survivors", 9, 3),
+    // r6: the composed IVFPQ stack — the count includes the session-
+    // cached IVF/PQ index builds' materialized stage lines (the
+    // viz_payload precedent); the PROBE itself is route-semi-join +
+    // ADC aggregate + k·candMult re-rank. multimodal_decode_real is
+    // one scan + one mapPartitions + the output sort
+    ("ann_ivfpq_topk", 27, 8),
+    ("multimodal_decode_real", 1, 1))
 
   // The cached-query pins above dilute sensitivity for the operator
   // UNDER the cache (the IMR stage lines dominate the count), so the
