@@ -78,7 +78,12 @@ object Bench {
       (name, sec, ok)
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted-name order, NOT Map iteration order: adding an entry to the
+    // Map reshuffles hash order, silently moving shared-cache build
+    // costs onto different entries between rounds (r5→r6 made
+    // corpus_pipeline look 4× slower this way). Alphabetical is stable,
+    // so cross-round per-entry deltas mean what they say.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
