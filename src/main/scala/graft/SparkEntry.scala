@@ -57,6 +57,7 @@ object SparkEntry {
     "q5_multijoin" -> ((s, d) => Olap.q5Multijoin(s, d)),
     "window_rank" -> ((s, d) => Olap.windowRank(s, d)),
     "events_windowed_agg" -> ((s, d) => Olap.eventsWindowedAgg(s, d)),
+    "events_anomaly" -> ((s, d) => Olap.eventsAnomaly(s, d)),
     "events_sessionize" -> ((s, d) => Olap.eventsSessionize(s, d)),
     "asof_join" -> ((s, d) => Olap.asofJoinEventsOrders(s, d)),
     "min_price_per_part" -> ((s, d) => Olap.minPricePerPart(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     "bloom_contamination" -> ((s, d) => TextOps.bloomContamination(s, d)),
     "bpe_first_merge" -> ((s, d) => TextOps.bpeFirstMerge(s, d)),
     "bpe_train_merges" -> ((s, d) => TextOps.bpeTrainMerges(s, d)),
+    "bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
     "lang_id_accuracy" -> ((s, d) => TextOps.langIdAccuracy(s, d)),
     "eigenvector_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -897,11 +899,13 @@ object SparkEntry {
        |ORDER BY node_id, community""".stripMargin
   }
 
-  /** BPE-training oracle: `rounds` full (count → argmax → apply) merge
-    * rounds unrolled; merge application is the identical 5×-iterated
-    * leftmost-nonoverlap replace. */
-  private def bpeTrainOracle: String = {
-    val rounds = 3
+  /** Shared BPE CTE chain (words → seg0 → 3 × (count, argmax, apply)),
+    * carrying `word` through the segmentation states so both the
+    * training oracle (reads the b$t winners) and the encode oracle
+    * (reads seg3) ride the identical unrolled rounds. Merge application
+    * is the identical 5×-iterated leftmost-nonoverlap replace. */
+  private val BpeRounds = 3
+  private def bpeCte: String = {
     val ws = "\\s+" // backslashes via vals: the s-interpolator rejects raw \s
     val bref = "\\1"
     def rep5(t: Int): String = {
@@ -910,7 +914,7 @@ object SparkEntry {
         s = s"replace($s, '|' || b$t.l || '|' || b$t.r || '|', '|' || b$t.l || b$t.r || '|')"
       s
     }
-    val body = (1 to rounds).map { t =>
+    val body = (1 to BpeRounds).map { t =>
       s"""syms$t AS (
          |  SELECT freq, list_filter(string_split(seg, '|'), x -> x <> '') AS syms
          |  FROM seg${t - 1}
@@ -923,10 +927,9 @@ object SparkEntry {
          |    CAST(pair_count AS BIGINT) AS pair_count
          |  FROM p$t ORDER BY pair_count DESC, l, r LIMIT 1
          |), seg$t AS (
-         |  SELECT freq, ${rep5(t)} AS seg FROM seg${t - 1} CROSS JOIN b$t
+         |  SELECT word, freq, ${rep5(t)} AS seg FROM seg${t - 1} CROSS JOIN b$t
          |)""".stripMargin
     }.mkString(", ")
-    val union = (1 to rounds).map(t => s"SELECT * FROM b$t").mkString(" UNION ALL ")
     s"""WITH words AS (
        |  SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '$ws'),
@@ -934,12 +937,26 @@ object SparkEntry {
        |    FROM documents
        |  ) GROUP BY word
        |), seg0 AS (
-       |  SELECT freq, '|' || regexp_replace(word, '(.)', '$bref|', 'g') AS seg
+       |  SELECT word, freq, '|' || regexp_replace(word, '(.)', '$bref|', 'g') AS seg
        |  FROM words
-       |), $body
+       |), $body""".stripMargin
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to BpeRounds).map(t => s"SELECT * FROM b$t").mkString(" UNION ALL ")
+    s"""$bpeCte
        |SELECT merge_rank, l, r, pair_count FROM ($union)
        |ORDER BY merge_rank""".stripMargin
   }
+
+  private def bpeEncodeOracle: String =
+    s"""$bpeCte
+       |SELECT word, CAST(freq AS BIGINT) AS freq,
+       |  CAST(len(list_filter(string_split(seg, '|'), x -> x <> '')) AS BIGINT)
+       |    AS n_tokens,
+       |  seg AS encoded
+       |FROM seg$BpeRounds
+       |ORDER BY freq DESC, word LIMIT 30""".stripMargin
 
   /** Shared DuckDB CTE mirroring SemDedup.assignments: norms, the
     * deterministic first-k centroids with k = max(8, n // 50) exactly as
@@ -2321,6 +2338,27 @@ object SparkEntry {
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,
 
+    // mean/std from exact DECIMAL sums, then scalar double math only —
+    // see Olap.eventsAnomaly for why this is hash-exact across engines
+    "events_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+        |    SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS svv
+        |  FROM events GROUP BY event_type
+        |), st AS (
+        |  SELECT event_type,
+        |    CAST(sv AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1)) AS std
+        |  FROM s
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ROUND((e.value - st.mean) / st.std, 6) AS z_score
+        |FROM events e JOIN st USING (event_type)
+        |WHERE st.std > 0 AND abs((e.value - st.mean) / st.std) >= 3.0
+        |ORDER BY event_id""".stripMargin,
+
     "events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
@@ -2753,6 +2791,76 @@ object SparkEntry {
         |FROM pairs WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // exact replay of the md5-basis MinHash pipeline: same 48-bit
+    // per-seed hashes, same 8×4 banding as slice equality, same
+    // agreeing-positions/32 estimate — bit-identical, not statistical
+    "dedup_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM toks
+        |), shex AS (
+        |  SELECT doc_id, unnest(s) AS shg FROM sh
+        |), sigv AS (
+        |  SELECT doc_id, t.s AS seed,
+        |    min(('0x' || substr(md5(concat_ws(':', t.s, shg)), 1, 12))::BIGINT) AS h
+        |  FROM shex CROSS JOIN range(32) t(s)
+        |  GROUP BY doc_id, t.s
+        |), sigs AS (
+        |  SELECT doc_id, list(h ORDER BY seed) AS sig FROM sigv GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, rb.b AS band_idx, sig[rb.b*4+1 : rb.b*4+4] AS band_key
+        |  FROM sigs CROSS JOIN range(8) rb(b)
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l JOIN banded r
+        |    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+        |   AND l.doc_id < r.doc_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1]))
+        |       AS DOUBLE) / 32 AS est_jaccard
+        |FROM cand c
+        |JOIN sigs sa ON sa.doc_id = c.id_a
+        |JOIN sigs sb ON sb.doc_id = c.id_b
+        |WHERE CAST(len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1]))
+        |       AS DOUBLE) / 32 >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact replay of the md5-basis 48-bit SimHash: same token hashes,
+    // same majority-vote bits (ties to 1), all-pairs hamming ≤ 3 — the
+    // 4×12-bit pigeonhole blocking on the Spark side is recall-complete
+    // at maxHamming 3, so blocking ≡ all-pairs here by construction
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs
+        |  FROM toks
+        |), sim AS (
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0 ELSE
+        |    CAST(list_sum(list_transform(range(48), j ->
+        |      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> j) & 1) = 1)) >= len(hs)
+        |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
+        |    END AS simhash
+        |  FROM hs
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_embedding" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
@@ -3155,6 +3263,7 @@ object SparkEntry {
     "communities_sllpa" -> sllpaOracle,
 
     "bpe_train_merges" -> bpeTrainOracle,
+    "bpe_encode" -> bpeEncodeOracle,
 
     "kspan_invariants" ->
       s"""$RatingsCteRecursive, cooc AS (

@@ -118,10 +118,19 @@ object KMeans {
     // step's own aggregates — no re-clustering joins)
     val (a3, trace) = lloydWithTrace(emb, k, iters = 3, dim = 64)
     val n = emb.count()
-    val nAssigned = a3.count()
-    val distinctVecs = a3.select(col("vec_id")).distinct().count()
-    val inRange = a3.filter(col("cluster") < 0 || col("cluster") >= k).count() == 0
-    val nonEmpty = a3.select(col("cluster")).distinct().count() == k.toLong
+    // ONE aggregate job for every assignment gate — the naive shape
+    // (count + 2×distinct-count + filter-count as separate actions)
+    // re-ran the 64-dim assignment scan five times
+    val g = a3.agg(
+      count(lit(1)).as("n_assigned"),
+      countDistinct(col("vec_id")).as("distinct_vecs"),
+      sum(when(col("cluster") < 0 || col("cluster") >= k, 1L).otherwise(0L))
+        .as("out_of_range"),
+      countDistinct(col("cluster")).as("distinct_clusters")).head()
+    val nAssigned = g.getLong(0)
+    val distinctVecs = g.getLong(1)
+    val inRange = g.getLong(2) == 0L
+    val nonEmpty = g.getLong(3) == k.toLong
     val monotone = trace.sliding(2).forall {
       case Seq(a, b) => b <= a + 1e-6 * math.max(1.0, math.abs(a))
       case _         => true

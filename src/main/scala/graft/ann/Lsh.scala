@@ -72,13 +72,41 @@ object Lsh {
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
   }
 
-  /** Near-duplicate pairs by cosine threshold, LSH-accelerated. */
+  /** Conf key: max rows for the exact all-pairs near-dup leg. */
+  val ExactPairsThresholdConf = "graft.lsh.exactPairsThreshold"
+
+  /** Near-duplicate pairs by cosine threshold — SIZE-ADAPTIVE (the
+    * [[graft.ann.Dbscan]] idiom): under the gate the candidates come
+    * from an exact broadcast nested-loop all-pairs (n²/2 codegen'd
+    * cosines, ZERO shuffles — recall 1.0 by construction, which is what
+    * the all-pairs DuckDB oracle demands); above it, banded LSH. The
+    * crossover matters: at a low cutoff like 0.4 the recall-complete
+    * banding (many bands × few bits) GENERATES ~bands/4 × n² collision
+    * rows through three shuffles — more work than brute force until n
+    * is well past the broadcast limit. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      minCosine: Double, bands: Int = 6, bitsPerBand: Int = 8): DataFrame =
-    candidatePairs(df, idCol, vecCol, dim, bands, bitsPerBand)
-      .withColumn("cosine", CosineSim.cosine(df.sparkSession, col("vec_a"), col("vec_b")))
+      minCosine: Double, bands: Int = 6, bitsPerBand: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val pts = df.select(col(idCol).as("id"), col(vecCol).as("vec")).localCheckpoint()
+    val gate = spark.conf.getOption(ExactPairsThresholdConf)
+      .map(_.toLong).getOrElse(20000L)
+    val candidates =
+      if (pts.count() <= gate) {
+        // spread the stream side first — a small table arrives as one
+        // parquet partition and would nested-loop on a single core
+        val fan = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val a = pts.repartition(fan)
+          .select(col("id").as("id_a"), col("vec").as("vec_a"))
+        val b = pts.select(col("id").as("id_b"), col("vec").as("vec_b"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+      } else {
+        candidatePairs(pts, "id", "vec", dim, bands, bitsPerBand)
+      }
+    candidates
+      .withColumn("cosine", CosineSim.cosine(spark, col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
 
   /** All LSH candidate pairs with exact cosine, NO cutoff — the shared
     * expensive stage of every (topK, cutoff) KNN view. Cache this once

@@ -12,8 +12,9 @@ import graft.ann.Lsh
   * hamming blocking, and exact n-gram Jaccard verification of LSH
   * candidates.
   *
-  * All hashes are xxhash64 column expressions — deterministic,
-  * codegen'd, no RNG state, no UDFs. Everything is
+  * All hashes are md5-derived column expressions (48-bit BIGINTs from
+  * the leading hex chars) — deterministic, codegen'd, no RNG state, no
+  * UDFs, and exactly replayable in the DuckDB oracles. Everything is
   * candidate-generation-then-verify: the shuffles are keyed on bucket
   * hashes (|docs| × bands rows), and candidate-pair volume is set by
   * the banding dial — wide bands keep it ~linear in |docs|, while the
@@ -55,7 +56,12 @@ object Dedup {
     * numHashes=32, bands=8×4: catches J≳0.5 pairs with high probability
     * while random pairs (J≈0.02 here) collide rarely. */
   /** MinHash signatures, session-cached per numHashes. sig[s] = min over
-    * shingles of xxhash64(shingle, s). Measured alternative (hash
+    * shingles of the 48-bit integer from the first 12 hex chars of
+    * md5(s ":" shingle) — md5-derived so the EXACT signatures replay in
+    * DuckDB (the oracle hashes the same strings; xxhash64 has no SQL
+    * twin), 48 bits so the value rides a BIGINT in both engines.
+    * Uniformity, and therefore the banding recall math, is unchanged
+    * from the earlier xxhash64 basis. Measured alternative (hash
     * strings once, re-hash the longs per seed) was a net LOSS — the
     * extra hashed-array pass outweighs the cheaper per-element hash;
     * kept per-seed string hashing. */
@@ -64,7 +70,9 @@ object Dedup {
       shingleSets(spark, dir)
         .select(col("doc_id"),
           array((0 until numHashes).map { s =>
-            array_min(transform(col("shingle_set"), sh => xxhash64(sh, lit(s))))
+            array_min(transform(col("shingle_set"), sh =>
+              conv(substring(md5(concat_ws(":", lit(s), sh)), 1, 12), 16, 10)
+                .cast("long")))
           }: _*).as("sig"))
     }
 
@@ -78,9 +86,13 @@ object Dedup {
     * recall-complete down to low thresholds but admit a background
     * fraction of pairs — only sane when a cheap exact prune follows. */
   private def bandedCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    // the band key is the raw signature SLICE, not a hash of it: the
+    // shuffle key is rowsPerBand longs either way, the join becomes
+    // exact tuple equality (no band-hash collision caveat), and the
+    // DuckDB oracle can state the same equality directly
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("band_hash"))
     val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
@@ -247,8 +259,12 @@ object Dedup {
     * |tokens| rows through an aggregation; this ships |docs|).
     * Empty-token docs get simhash 0. */
   def simhashes(docs: DataFrame, nBits: Int = 48): DataFrame = {
+    // token hash = first 12 hex chars of md5 as a 48-bit BIGINT — the
+    // md5 basis makes the fingerprints (and so the pair set) exactly
+    // replayable in the DuckDB oracle; all nBits=48 vote bits are real
     val withHs = docs.select(col("doc_id"),
-      transform(tokens(col("text")), t => xxhash64(t)).as("hs"))
+      transform(tokens(col("text")), t =>
+        conv(substring(md5(t), 1, 12), 16, 10).cast("long")).as("hs"))
     val votes = (0 until nBits).map { j =>
       aggregate(col("hs"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")

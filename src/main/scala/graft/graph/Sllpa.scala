@@ -24,28 +24,47 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle (the [[Algorithms.randomWalks]] idiom, lifted from
   * per-walk to per-edge).
   *
-  * Scale shape per round: one edges⋈memory join exploded by memory
-  * counts (≤ t+1 per node — bounded by the round count, NOT by degree),
-  * one (speaker, listener) arg-min, one (listener, label) count, one
-  * memory-upsert aggregate. All shuffle-keyed; no driver state.
+  * Scale shape per round: memory is first aggregated to ONE array row
+  * per speaker (collect_list of (l, c) — ≤ t+1 entries, bounded by the
+  * round count, NOT by degree), joined onto edges, and the
+  * count-weighted arg-min ticket is evaluated INLINE per edge with
+  * higher-order functions (flatten/transform/array_min). That removes
+  * the explode → groupBy(src, dst) stage entirely — the old shape
+  * shuffled |E|·(t+1) exploded ticket rows per round; the fused shape
+  * shuffles only |E| spoken rows into the (listener, label) count.
+  * Remaining per-round shuffles: the tiny memory aggregate, the
+  * edges⋈memory join (memory is |V|-sized and AQE broadcast-eligible
+  * long before |E| is the bottleneck), one (listener, label) count,
+  * one memory-upsert aggregate. All shuffle-keyed; no driver state.
   */
 object Sllpa {
 
   def sllpa(edges: DataFrame, rounds: Int = 3, threshold: Double = 0.3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // checkpoint cuts the lineage for the per-round re-scans; the
+    // memory side is |V|-sized and broadcast by AQE, so the edge side
+    // is never exchanged (a pre-repartition by src measured as a net
+    // LOSS — it added a |E| shuffle to save an exchange that the
+    // broadcast join already avoids)
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var mem = e.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("l"), lit(1L).as("c"))
       .localCheckpoint()
     for (t <- 1 to rounds) {
+      // One array row per speaker, then the weighted draw inline per
+      // edge: min over (ticket, l) of every (l, k≤c) memory copy —
+      // identical tickets and tie order to the explode/groupBy shape
+      // (struct min orders field-wise, ticket first), zero extra rows.
+      val memArr = mem.groupBy(col("v"))
+        .agg(collect_list(struct(col("l"), col("c"))).as("ml"))
+        .withColumnRenamed("v", "src")
       val spoken = e
-        .join(mem.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("src"), col("dst"), col("l"),
-          explode(expr("sequence(1, c)")).as("k"))
-        .withColumn("ticket",
-          md5(concat_ws(":", lit(t), col("src"), col("dst"), col("l"), col("k"))))
-        .groupBy(col("src"), col("dst"))
-        .agg(min(struct(col("ticket"), col("l"))).as("sp"))
+        .join(memArr, Seq("src"))
+        .withColumn("sp", expr(
+          s"""array_min(flatten(transform(ml, p ->
+             |  transform(sequence(1L, p.c), k ->
+             |    struct(md5(concat_ws(':', '$t', src, dst, p.l, k)) AS ticket,
+             |           p.l AS l)))))""".stripMargin))
         .select(col("dst").as("v"), col("sp.l").as("l"))
       val accepted = spoken.groupBy(col("v"), col("l"))
         .agg(count(lit(1)).as("n"))

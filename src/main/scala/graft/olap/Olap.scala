@@ -115,6 +115,38 @@ object Olap {
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Per-type z-score anomaly scan: events whose value sits ≥ `z`
+    * sample standard deviations from their event-type mean — the
+    * telemetry outlier filter next to [[eventsWindowedAgg]].
+    *
+    * Float discipline (the reason this has an EXACT oracle despite
+    * being statistics over doubles): mean and variance come from exact
+    * DECIMAL sums (n, Σv, Σv² — values have ≤ 4 decimals so the casts
+    * are exact; (18,4)² = (37,8) fits both engines' 38-digit cap), and
+    * every double op after that is SCALAR math on identical operands in
+    * identical order — deterministic IEEE, no reduction-order variance.
+    * stddev_samp/avg would hash-flake on partial-aggregation order.
+    *
+    * Scale shape: one map-side-combining aggregate (|event_types| rows),
+    * broadcast back over the stream — no event-row shuffle at all. */
+  def eventsAnomaly(spark: SparkSession, dir: String, z: Double = 3.0): DataFrame = {
+    val d = col("value").cast("decimal(18,4)")
+    val e = events(spark, dir)
+    val stats = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(d).as("sv"), sum(d * d).as("svv"))
+      .select(col("event_type"),
+        (col("sv").cast("double") / col("n")).as("mean"),
+        sqrt((col("svv").cast("double")
+          - col("sv").cast("double") * col("sv").cast("double") / col("n"))
+          / (col("n") - 1)).as("std"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .filter(col("std") > 0 &&
+        abs((col("value") - col("mean")) / col("std")) >= z)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z_score"))
+      .orderBy(col("event_id"))
+  }
+
   /** Multi-level aggregation (ROLLUP): quantity/revenue totals at
     * (returnflag, linestatus), (returnflag), and grand-total levels in
     * one pass — Spark plans a single Expand + aggregate. */

@@ -619,12 +619,18 @@ object TextOps {
     * (Σ word-lengths over DISTINCT words), one (l, r) hash aggregate,
     * one broadcast of the single winning pair, one map-side replace.
     * No driver-side corpus state — the winner rides a broadcast join. */
-  def bpeTrainMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    bpeTrainMergesOf(documents(spark, dir)
-      .select(explode(toks).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq")), rounds)
-  }
+  def bpeTrainMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    bpeTrainMergesOf(wordHistogram(spark, dir), rounds)
+
+  /** Corpus (word, freq) histogram — the input surface of the BPE tier,
+    * session-cached (training and encoding both start from it). */
+  private def wordHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "bpe_word_histogram") {
+      val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+      documents(spark, dir)
+        .select(explode(toks).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    }
 
   /** [[bpeTrainMerges]] over any (word, freq) histogram.
     *
@@ -640,9 +646,22 @@ object TextOps {
     * fused to one symbol): the output then has fewer than `rounds` merge
     * rows rather than fabricating rows from an empty aggregate. */
   def bpeTrainMergesOf(words: DataFrame, rounds: Int): DataFrame = {
+    val (merges, _) = bpeLoop(words, rounds)
+    require(merges.nonEmpty,
+      "no mergeable pair: every word in the histogram is a single symbol")
+    merges.reduce(_ unionAll _).orderBy(col("merge_rank"))
+  }
+
+  /** The shared (count → argmax → apply) BPE loop: returns the per-round
+    * winning merges AND the final segmentation state (word, freq, seg) —
+    * training reads the merges, ENCODING reads the segmentations (the
+    * apply step already computes them; re-running the merges against the
+    * corpus would duplicate the whole loop). */
+  private def bpeLoop(words: DataFrame, rounds: Int)
+      : (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var seg = words
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         expr("concat('|', regexp_replace(word, '(.)', '$1|'))").as("seg"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -669,12 +688,38 @@ object TextOps {
         for (_ <- 1 to 5)
           applied = applied.withColumn("seg",
             expr("replace(seg, concat('|', l, '|', r, '|'), concat('|', l, r, '|'))"))
-        seg = applied.select(col("freq"), col("seg")).localCheckpoint()
+        seg = applied.select(col("word"), col("freq"), col("seg")).localCheckpoint()
       }
     }
-    require(merges.nonEmpty,
-      "no mergeable pair: every word in the histogram is a single symbol")
-    merges.reduce(_ unionAll _).orderBy(col("merge_rank"))
+    (merges.toSeq, seg)
+  }
+
+  /** BPE ENCODING: the trained merges applied to the word histogram —
+    * the tokenizer-application step between [[bpeTrainMerges]] and
+    * [[tokenPack]] in a real pretraining pipeline. Returns the `k` most
+    * frequent words with their final segmentations and symbol counts
+    * (ties broken by word for a total order). The segmentations come
+    * straight out of the training loop's own apply step (greedy
+    * left-to-right merge application — see [[bpeTrainMergesOf]] for why
+    * the 5×-iterated replace IS the greedy semantics), so encode is
+    * bit-exact against the same unrolled DuckDB rounds as training.
+    *
+    * Scale shape: everything rides the DISTINCT-WORD histogram; the raw
+    * token stream is never re-materialised. Encoding a full corpus at
+    * 100 TB is then a broadcast join of this (word → encoded) table
+    * against the token stream — |vocab|-sized state, not |corpus|. */
+  def bpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = 3, k: Int = 30): DataFrame =
+    bpeEncodeOf(wordHistogram(spark, dir), rounds, k)
+
+  /** [[bpeEncode]] over any (word, freq) histogram. */
+  def bpeEncodeOf(words: DataFrame, rounds: Int, k: Int): DataFrame = {
+    val (_, seg) = bpeLoop(words, rounds)
+    seg.select(col("word"), col("freq"),
+        size(expr("filter(split(seg, '[|]'), x -> x <> '')"))
+          .cast("long").as("n_tokens"),
+        col("seg").as("encoded"))
+      .orderBy(col("freq").desc, col("word")).limit(k)
   }
 
   /** Bloom-filter decontamination gate — the SCALE path of

@@ -167,6 +167,18 @@ class R5Spec extends AnyFunSuite {
     assert(merges.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
 
+  test("bpeEncode: low/lower corpus segmentations reflect the trained merges") {
+    // after merges (l,o), (lo,w), (e,r): low → |low|, lower → |low|e|r|
+    // → |low|er|, newest → all single chars (no trained merge applies
+    // except er: n|e|w|e|s|t has e,s — er only as adjacent 'e''r', absent)
+    val words = Seq(("low", 3L), ("lower", 2L), ("newest", 1L)).toDF("word", "freq")
+    val enc = text.TextOps.bpeEncodeOf(words, rounds = 3, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(enc("low") == (1L, "|low|"))
+    assert(enc("lower") == (2L, "|low|er|"))
+    assert(enc("newest") == (6L, "|n|e|w|e|s|t|"))
+  }
+
   test("rwrSample: visit counts conserve walker-steps and stay inside the component") {
     // 1-2-3 triangle plus unreachable 10-11: walkers from 1 never leave
     // the triangle, and total visits = walkers * (steps + 1)
