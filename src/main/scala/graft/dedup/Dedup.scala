@@ -32,19 +32,29 @@ object Dedup {
 
   /** Word n-gram shingles (default 3); a document shorter than n tokens
     * contributes its whole token string as one shingle. */
-  private def shingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
+  private def shingles(c: Column, n: Int = 3): Column =
+    shinglesOfToks(tokens(c), n)
+
+  /** [[shingles]] over an already-tokenized column — pass a BOUND
+    * attribute when the shingling sits under a transform() (interpreted
+    * lambdas re-evaluate an inlined split per element). */
+  private def shinglesOfToks(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
-  }
 
-  /** Distinct-shingle set per document: (doc_id, shingle_set). */
+  /** Distinct-shingle set per document: (doc_id, shingle_set).
+    * Tokenizes in its own projection first: higher-order lambdas are
+    * interpreted (no CSE), so inlining the split into [[shingles]]'
+    * transform re-runs the regex per shingle — O(tokens²) per doc. */
   def shingleSets(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     graft.Cache.cached(spark, dir, s"shingle_sets_$n") {
       Tables.documents(spark, dir)
-        .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("shingle_set"))
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(shinglesOfToks(col("toks"), n)).as("shingle_set"))
     }
 
 
@@ -287,7 +297,10 @@ object Dedup {
     val bandBits = 12
     val nBands = nBits / bandBits
     require(maxHamming < nBands, s"pigeonhole needs maxHamming < $nBands bands")
-    val sim = simhashes(docs, nBits).localCheckpoint()
+    // spread first: a small doc table arrives as one parquet partition
+    // and the 48 per-doc vote folds would run on a single core
+    val fan = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sim = simhashes(docs.repartition(fan), nBits).localCheckpoint()
     val banded = sim.select(col("doc_id"), col("simhash"),
         posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
           s"b -> (simhash >> (b * $bandBits)) & ${(1L << bandBits) - 1}L)")))

@@ -1381,8 +1381,15 @@ object Algorithms {
     * aggregate elects winners, one collect_set gathers used colors,
     * and the smallest-absent color is pure array algebra
     * (array_min(array_except(sequence(0, |used|), used))) — no UDF.
-    * checkpointFresh per round (the stats-squaring hazard class). */
-  def k1Coloring(edges: DataFrame, maxRounds: Int = 60,
+    * checkpointFresh per round (the stats-squaring hazard class).
+    *
+    * Round count is the longest DECREASING-priority path — O(log n)
+    * expected on bounded-degree graphs but data-dependent in general
+    * (the sf0.1 KNN graph needs 70). The driver branch therefore runs
+    * the equivalent one-pass greedy (no cap, always complete); the
+    * distributed branch keeps `maxRounds` as a tie-deadlock guard,
+    * sized so a legitimate deep run is not truncated. */
+  def k1Coloring(edges: DataFrame, maxRounds: Int = 300,
       driverLimit: Long = 5000000L): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -1406,26 +1413,26 @@ object Algorithms {
       def prio(v: Long): String = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$v:color".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val p = adj.keys.map(v => v -> prio(v)).toMap
+      // Sequential greedy in DECREASING priority order — exactly the JP
+      // fixpoint, not an approximation of it: when v colors, its
+      // already-colored neighbours are precisely its higher-priority
+      // neighbours (an adjacent lower-priority node can never win a JP
+      // round while v is uncolored), so the mex every node computes is
+      // identical to the round simulation's. Unlike the round
+      // simulation this ALWAYS completes in one O(E) pass: JP's round
+      // count is the longest decreasing-priority path, which is
+      // data-dependent — 70 rounds on the sf0.1 KNN graph, where the
+      // previous 60-round cap silently dropped 933 nodes from the
+      // output. Ties (astronomically unlikely with md5 priorities)
+      // break by node id for determinism; the distributed branch keeps
+      // its round cap and warns, since a tie would deadlock JP proper.
+      val order = adj.keys.toArray
+        .sortWith((a, b) => p(a) > p(b) || (p(a) == p(b) && a < b))
       val color = scala.collection.mutable.Map[Long, Int]()
-      var uncolored = adj.keySet.toSet
-      // same maxRounds bound as the distributed branch: an md5 priority
-      // tie between adjacent nodes (however improbable) makes neither a
-      // winner, and an unbounded loop would then never terminate —
-      // bounding BOTH branches also keeps their outputs identical on a
-      // graph that legitimately needs more than maxRounds
-      var driverRound = 0
-      while (uncolored.nonEmpty && driverRound < maxRounds) {
-        val winners = uncolored.filter(v =>
-          adj(v).forall(u => !uncolored.contains(u) || p(v) > p(u)))
-        winners.foreach { v =>
-          val used = adj(v).flatMap(color.get).toSet
-          color(v) = Iterator.from(0).find(!used.contains(_)).get
-        }
-        uncolored --= winners
-        driverRound += 1
+      for (v <- order) {
+        val used = adj(v).flatMap(color.get).toSet
+        color(v) = Iterator.from(0).find(!used.contains(_)).get
       }
-      if (uncolored.nonEmpty) System.err.println(
-        s"[graft] k1Coloring hit maxRounds=$maxRounds with ${uncolored.size} uncolored")
       bidir.unpersist(blocking = false)
       return color.toSeq.sortBy(_._1).toDF("node_id", "color")
     }

@@ -199,12 +199,13 @@ object TextOps {
     * the explode never shuffles more than Σ distinct grams rows, and the
     * final top-k is a TakeOrdered, not a full sort. */
   def corpusNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val grams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    val toked = tokedDocs(spark, dir)
+    val tk = col("toks")
+    val grams = when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
       .otherwise(array().cast("array<string>"))
-    documents(spark, dir)
+    toked
       .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("doc_freq"))
@@ -239,12 +240,12 @@ object TextOps {
     * the same grams; at 100 TB this is a materialised silver table). */
   private[graft] def gramSplitFrame(spark: SparkSession, dir: String, n: Int): DataFrame =
     graft.Cache.cached(spark, dir, s"grams_split_$n") {
-      val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+      val toks = col("toks") // bound attribute from tokedDocs — see its scaladoc
       val grams = when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array().cast("array<string>"))
-      documents(spark, dir)
+      tokedDocs(spark, dir)
         .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
           explode(array_distinct(grams)).as("gram"))
     }
@@ -254,6 +255,22 @@ object TextOps {
     * mirror). */
   private def wsTokens(text: Column): Column =
     filter(split(lower(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+
+  /** (doc_id, toks): the whitespace tokenizer materialised ONCE per
+    * doc, session-cached, with the single-row-group parquet scan spread
+    * across cores first. Why this exists: higher-order lambdas are
+    * INTERPRETED (no codegen, no common-subexpression elimination), so
+    * a caller that inlines `split(...)` into a transform() re-runs the
+    * regex split for every lambda element — O(tokens²) regex work per
+    * document (corpus_ngrams measured 7.5 s → 1 s at sf0.1 from this
+    * alone). Every gram/chunk consumer should start from this frame and
+    * reference the BOUND `toks` attribute inside its lambdas. */
+  private[graft] def tokedDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "toked_docs") {
+      documents(spark, dir)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    }
 
   /** Repeated-passage removal (the MassiveText / RefinedWeb exact-chunk
     * dedup): split every document into consecutive `c`-token chunks,
@@ -268,13 +285,13 @@ object TextOps {
     * doc_id for reassembly. No sort of the corpus; the per-doc reorder
     * is an in-group array_sort over its own chunks. */
   def chunkDedup(spark: SparkSession, dir: String, c: Int = 8): DataFrame = {
-    val toks = wsTokens(col("text"))
+    val toks = col("toks") // bound attribute from tokedDocs — see its scaladoc
     val nChunks = ceil(size(toks).cast("double") / c).cast("int")
     val chunks = when(size(toks) > 0,
       transform(sequence(lit(0), nChunks - 1),
         i => concat_ws(" ", slice(toks, i * c + 1, lit(c)))))
       .otherwise(array().cast("array<string>"))
-    val exploded = documents(spark, dir)
+    val exploded = tokedDocs(spark, dir)
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
     val winners = exploded.groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
@@ -417,7 +434,7 @@ object TextOps {
     * is drift-free. Docs with fewer than two tokens have no bigrams and
     * are excluded (same rule in the oracle). */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val toks = col("toks") // bound attribute from tokedDocs — see its scaladoc
     val grams = transform(sequence(lit(0), size(toks) - 2),
       i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
     val topRun = aggregate(sort_array(col("g")),
@@ -428,7 +445,7 @@ object TextOps {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    documents(spark, dir)
+    tokedDocs(spark, dir)
       .filter(size(toks) >= 2)
       .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"), size(col("g")).cast("bigint").as("n_bigrams"),

@@ -901,6 +901,18 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k1Coloring: deep graphs color COMPLETELY (a K100 needs 100 JP rounds)") {
+    // JP's round count on a clique equals the clique size (one winner
+    // per round) — the old 60-round-capped driver simulation silently
+    // dropped the tail; the one-pass greedy must color every node
+    val k100 = (for { a <- 1L to 100L; b <- 1L to 100L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val c = Algorithms.k1Coloring(k100).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c.size == 100, s"expected all 100 nodes colored, got ${c.size}")
+    assert(c.values.toSet.size == 100, "a clique needs all-distinct colors")
+  }
+
   test("k1Coloring: driver simulation is bit-identical to the distributed rounds") {
     // random-ish sparse fixture exercising multi-round behaviour
     val edges = (for { i <- 0L until 40L; j <- Seq((i * 7 + 3) % 40, (i * 11 + 5) % 40)
