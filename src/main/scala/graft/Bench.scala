@@ -52,6 +52,7 @@ object Bench {
       "kcore" -> (() => graph.Algorithms.userKcore(spark, sfDir).count(): Unit),
       "bipartite_cc" -> (() => graph.Algorithms.userBipartiteCC(spark, sfDir).count(): Unit),
       "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
+      "toked_docs" -> (() => text.TextOps.tokedDocs(spark, sfDir).count(): Unit),
       "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit),
       "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit),
       // r6: one-time session-cached builds that previously landed on

@@ -898,7 +898,11 @@ object TextOps {
     * plus a stride>1 pre-screen; the semantics below stay stride-1
     * exact so DuckDB can replay them verbatim. */
   private def charWindows(docs: DataFrame, len: Int): DataFrame =
-    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+    // spread first: a small doc table is one parquet partition and the
+    // ~chars-per-doc × docs window explode would run on a single core
+    docs.repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
         posexplode(expr(
           s"CASE WHEN length(text) >= $len THEN transform(" +
             s"sequence(1, length(text) - $len + 1), i -> substring(text, i, $len)) " +
