@@ -78,13 +78,29 @@ object Dedup {
   private[graft] def minhashSigs(spark: SparkSession, dir: String, numHashes: Int): DataFrame =
     graft.Cache.cached(spark, dir, s"minhash_sigs_$numHashes") {
       shingleSets(spark, dir)
-        .select(col("doc_id"),
-          array((0 until numHashes).map { s =>
-            array_min(transform(col("shingle_set"), sh =>
-              conv(substring(md5(concat_ws(":", lit(s), sh)), 1, 12), 16, 10)
-                .cast("long")))
-          }: _*).as("sig"))
+        .select(col("doc_id"), sigExpr(col("shingle_set"), numHashes).as("sig"))
     }
+
+  /** The signature array as a pure column expression over a distinct-
+    * shingle-set column — shared by the batch silver above and the
+    * STREAMING near-dup member ([[graft.streaming.DocStreams]]), which
+    * computes signatures per micro-batch row with no dir/cache. */
+  private[graft] def sigExpr(shingleSet: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { s =>
+      array_min(transform(shingleSet, sh =>
+        conv(substring(md5(concat_ws(":", lit(s), sh)), 1, 12), 16, 10)
+          .cast("long")))
+    }: _*)
+
+  /** (doc_id, sig) for any (doc_id, text) frame — batch or streaming
+    * (pure column algebra end to end; tokenization rides its own
+    * projection per the [[shingleSets]] note). */
+  private[graft] def signaturesOf(docs: DataFrame, numHashes: Int = 32,
+      n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesOfToks(col("toks"), n)).as("shingle_set"))
+      .select(col("doc_id"), sigExpr(col("shingle_set"), numHashes).as("sig"))
 
   /** Banded candidate id pairs (id_a < id_b, distinct): docs colliding
     * in ≥1 band of `rowsPerBand` signature positions. The (bands,

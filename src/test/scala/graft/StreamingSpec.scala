@@ -378,4 +378,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage("garbage".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(payload.take(payload.length / 2)).isEmpty)
   }
+
+  test("nearDupStream: streaming MinHash linkage ≡ batch bucket-min, across trigger boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    // docs 1/2/3 share a long common passage (near-dups, id-ordered
+    // arrival); 4 is unrelated; 5 repeats doc 1 verbatim
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the sentence is long enough to shingle properly"
+    val d1 = (1L, base)
+    val d2 = (2L, base + " with a small suffix change")
+    val d3 = (3L, "prefix tweak " + base)
+    val d4 = (4L, "completely different text about spark catalyst plans " +
+      "and whole stage codegen with nothing shared at all here")
+    val d5 = (5L, base)
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.nearDupStream(
+        input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ndup").outputMode("append").start()
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+      input.addData(d3, d4)
+      q.processAllAvailable()
+      input.addData(d5)
+      q.processAllAvailable()
+      val got = spark.table("ndup").as[DocStreams.DupMatch].collect()
+        .map(m => (m.doc_id, m.dup_of, m.band_idx)).toSet
+      val want = DocStreams.nearDupBatch(
+          Seq(d1, d2, d3, d4, d5).toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"stream ${got.size} vs batch ${want.size}: " +
+        s"missing=${want -- got} extra=${got -- want}")
+      // the semantic content: near-dups link to doc 1, the stranger links nowhere
+      assert(want.map(_._1).contains(5L) && want.forall(_._2 == 1L))
+      assert(!want.exists(t => t._1 == 4L))
+    } finally q.stop()
+  }
 }
