@@ -33,13 +33,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // cached query: the snapshot sees the materialized AQE plan inside
     // the InMemoryRelation (ShuffleQueryStage + Exchange line pairs), so
     // the pin counts stage lines, not logical shuffles
-    ("ngram_jaccard_pairs", 14, 6),
-    ("corpus_ngrams", 1, 1),
+    ("ngram_jaccard_pairs", 16, 6),
+    ("corpus_ngrams", 3, 1),
     ("user_jaccard_topk", 22, 16),
     // r4 additions (adamic_adar reads the cached co-occurrence build —
     // its pin, like ngram's, counts materialized AQE stage lines)
     ("tfidf_top_terms", 6, 2),
-    ("doc_repetition", 1, 1),
+    ("doc_repetition", 3, 1),
     ("q4_semi", 3, 2),
     ("events_range_rolling", 2, 1),
     ("events_funnel", 2, 1),
@@ -65,7 +65,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // bloom_filter_agg scalar subquery (its partial→final exchange and
     // its distinct's), replacing the plan-invisible driver-side
     // stat.bloomFilter; the probe is native might_contain in codegen
-    ("bloom_contamination", 6, 1),
+    ("bloom_contamination", 8, 1),
     ("user_overlap_topk", 10, 2),
     // r5 additions: the remaining TPC-H shapes + link prediction + the
     // unigram-LM scorer. q2/q11 reuse an aggregated frame on two plan
@@ -100,8 +100,8 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // branches — scan+explode recompute beats materializing corpus×30
     // bytes; the viz payload's count includes the cached ratings
     // silver's materialized stage lines)
-    ("substring_dup_spans", 3, 1),
-    ("substring_dup_coverage", 6, 3),
+    ("substring_dup_spans", 4, 1),
+    ("substring_dup_coverage", 8, 3),
     ("graph_viz_payload", 35, 9),
     ("events_approx_overlap", 10, 4),
     ("semdedup_pairs", 8, 3),
@@ -112,7 +112,26 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // ADC aggregate + k·candMult re-rank. multimodal_decode_real is
     // one scan + one mapPartitions + the output sort
     ("ann_ivfpq_topk", 27, 8),
-    ("multimodal_decode_real", 1, 1))
+    ("multimodal_decode_real", 1, 1),
+    // r6 continuation: the size-adaptive embedding near-dup (spread
+    // repartition + broadcast NL join + output sort — NO shuffled pair
+    // join under the gate), the md5-basis minhash/simhash pair scans,
+    // the fused SLLPA (per-round work lives in checkpointed frames;
+    // the final frame is filter+sort over the last memory state), the
+    // BPE encode (rides the training loop's checkpointed seg), and the
+    // anomaly scan (stats aggregate + broadcast-back + sort; 2 scans =
+    // the events base read on both plan branches). The text-tier pins
+    // above (corpus_ngrams/doc_repetition 1→3, bloom 6→8, substring
+    // 3→4/6→8, ngram 14→16) were re-baselined for the shared
+    // toked_docs silver + scan-spread repartition: +2 IMR/repartition
+    // stage lines each, in exchange for tokenize-once (the O(tokens²)
+    // interpreted-lambda fix) and a multi-core scan
+    ("dedup_embedding", 3, 0),
+    ("communities_sllpa", 1, 0),
+    ("dedup_minhash_pairs", 7, 1),
+    ("dedup_simhash", 3, 0),
+    ("bpe_encode", 0, 0),
+    ("events_anomaly", 3, 2))
 
   // The cached-query pins above dilute sensitivity for the operator
   // UNDER the cache (the IMR stage lines dominate the count), so the
