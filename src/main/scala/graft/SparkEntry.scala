@@ -178,6 +178,8 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "doc_logprob" -> ((s, d) => TextOps.docLogProb(s, d)),
     "source_cap" -> ((s, d) => TextOps.sourceCap(s, d)),
+    "source_temperature_mix" -> ((s, d) => TextOps.sourceTemperatureMix(s, d)),
+    "als_gate" -> ((s, d) => graft.recommend.Als.alsGate(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -4245,6 +4247,55 @@ object SparkEntry {
         |  FROM documents
         |) WHERE rk <= 100
         |ORDER BY doc_id""".stripMargin,
+
+    // keep_s = round(sqrt(n_s·n_min)): exact integer product, IEEE
+    // sqrt (correctly rounded in both engines), no .5 boundary (sqrt
+    // of a non-square integer is never exactly k.5) — hash-exact
+    "source_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+        |), k AS (
+        |  SELECT source,
+        |    CAST(ROUND(sqrt(CAST(n_s * (SELECT MIN(n_s) FROM c) AS DOUBLE)))
+        |         AS BIGINT) AS keep_s
+        |  FROM c
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM r JOIN k USING (source)
+        |WHERE rk <= keep_s
+        |ORDER BY doc_id""".stripMargin,
+
+    // split stats + baseline RMSE are exact (integer planted ratings →
+    // BIGINT sums → scalar double algebra in the SAME operation order
+    // as Als.alsGate); als_beats_baseline is the recovery gate — ALS
+    // must land under HALF the global-mean RMSE on the planted rank-1
+    // signal with ≥ 90% cold-start coverage (measured 0.31 vs 2.0)
+    "als_gate" ->
+      s"""$RatingsCte, f AS (
+         |  SELECT CAST(ROUND(9.0
+         |      * (('0x' || substr(md5(user_id || ':af'), 1, 12))::BIGINT
+         |         / 281474976710656.0)
+         |      * (('0x' || substr(md5(book_id || ':bf'), 1, 12))::BIGINT
+         |         / 281474976710656.0)) AS BIGINT) AS rating,
+         |    md5(user_id || ':' || book_id || ':als') >= 'cc' AS is_test
+         |  FROM ratings
+         |), tr AS (
+         |  SELECT COUNT(*) AS n, SUM(rating) AS s FROM f WHERE NOT is_test
+         |), te AS (
+         |  SELECT COUNT(*) AS n, SUM(rating) AS s, SUM(rating * rating) AS s2
+         |  FROM f WHERE is_test
+         |)
+         |SELECT tr.n AS n_train, te.n AS n_test,
+         |  ROUND(sqrt(CAST(te.s2 AS DOUBLE) / te.n
+         |    - 2.0 * (CAST(tr.s AS DOUBLE) / tr.n) * (CAST(te.s AS DOUBLE) / te.n)
+         |    + (CAST(tr.s AS DOUBLE) / tr.n) * (CAST(tr.s AS DOUBLE) / tr.n)), 6)
+         |    AS baseline_rmse,
+         |  TRUE AS als_beats_baseline
+         |FROM tr, te""".stripMargin,
 
     "doc_logprob" ->
       """WITH toks AS (

@@ -1,0 +1,100 @@
+package graft.recommend
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.RatingsGraph
+
+/** Model-based collaborative filtering via Spark ML's ALS — the
+  * matrix-factorization member of the recommender tier, next to the
+  * neighborhood ([[Recommend]] KNN) and community members the
+  * reference app ships. The reference delegates its models to Neo4j
+  * GDS; the Spark-native analog of "learn latent taste factors" is
+  * ALS, which is also the canonical 100 TB recommender shape (each
+  * iteration is two block-partitioned least-squares sweeps shuffling
+  * factor blocks, never materialising the dense user×item matrix).
+  *
+  * The driver-checkable surface is a PLANTED-RECOVERY gate, not the
+  * factors (float-iterative, seed-dependent). The synthetic corpus's
+  * own ratings are `quantity % 11` — structureless by construction, so
+  * "beat the global mean on a holdout" is unwinnable for ANY
+  * recommender there (measured: ALS 3.1 vs baseline 2.8). Instead the
+  * gate plants a deterministic rank-1 signal on the REAL (user, book)
+  * sparsity mask — rating = round(9·a(u)·b(i)) with md5-derived
+  * factors — and requires ALS to recover it: holdout RMSE under half
+  * the global-mean baseline (measured ~0.31 vs ~2.0, so the margin is
+  * noise-proof), with ≥ 90% cold-start coverage.
+  *
+  * Oracle exactness: the planted ratings are integer, so split counts
+  * and the baseline RMSE ride exact BIGINT sums cast to double once —
+  * RMSE² = E[r²] − 2·μ·E[r] + μ² in the same scalar operation order in
+  * both engines (the [[graft.olap.Olap.eventsAnomaly]] discipline).
+  */
+object Als {
+
+  private val Denom = 281474976710656.0 // 2^48
+
+  /** Uniform-[0,1) md5 factor: first 12 hex chars as a 48-bit BIGINT
+    * over 2^48 — the dedup tier's hash basis, exactly replayable. */
+  private def factor(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 12), 16, 10)
+      .cast("double") / Denom
+
+  /** Planted rank-1 ratings on the corpus's observed (user, book) mask,
+    * with the deterministic md5 holdout fold (top ~20% of hex space). */
+  private[graft] def plantedRatings(spark: SparkSession, dir: String): DataFrame =
+    RatingsGraph.ratings(spark, dir)
+      .select(col("user_id"), col("book_id"))
+      .withColumn("rating",
+        round(lit(9.0) * factor(col("user_id"), ":af")
+          * factor(col("book_id"), ":bf")).cast("long"))
+      .withColumn("is_test",
+        md5(concat_ws(":", col("user_id"), col("book_id"), lit("als"))) >= lit("cc"))
+
+  /** (n_train, n_test, baseline_rmse, als_beats_baseline). */
+  def alsGate(spark: SparkSession, dir: String, rank: Int = 8,
+      maxIter: Int = 5, regParam: Double = 0.1): DataFrame = {
+    val r = plantedRatings(spark, dir)
+      .localCheckpoint() // one pass feeds split stats AND training
+    val train = r.filter(!col("is_test"))
+    val test = r.filter(col("is_test"))
+
+    // exact integer sums → one cast each → scalar double algebra
+    val tr = train.agg(count(lit(1)).as("n"), sum(col("rating")).as("s")).head()
+    val (nTrain, sTrain) = (tr.getLong(0), tr.getLong(1))
+    val te = test.agg(count(lit(1)).as("n"), sum(col("rating")).as("s"),
+      sum(col("rating") * col("rating")).as("s2")).head()
+    val (nTest, sTest, s2Test) = (te.getLong(0), te.getLong(1), te.getLong(2))
+    val mu = sTrain.toDouble / nTrain
+    val baselineRmse = math.sqrt(
+      s2Test.toDouble / nTest - 2.0 * mu * (sTest.toDouble / nTest) + mu * mu)
+
+    val als = new org.apache.spark.ml.recommendation.ALS()
+      .setUserCol("user_id").setItemCol("book_id").setRatingCol("rating")
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setSeed(7L).setColdStartStrategy("drop")
+    val model = als.fit(train.select(
+      col("user_id").cast("int").as("user_id"),
+      col("book_id").cast("int").as("book_id"),
+      col("rating").cast("float").as("rating")))
+    val pred = model.transform(test.select(
+        col("user_id").cast("int").as("user_id"),
+        col("book_id").cast("int").as("book_id"),
+        col("rating").cast("float").as("rating")))
+      .select(((col("rating") - col("prediction")) *
+        (col("rating") - col("prediction"))).as("se"))
+      .agg(avg(col("se")).as("mse"), count(lit(1)).as("n")).head()
+    // cold-start drops shrink the ALS test set; require coverage so a
+    // model that drops everything cannot "win" on an easy remnant
+    val alsRmse = math.sqrt(pred.getDouble(0))
+    val coverage = pred.getLong(1).toDouble / nTest
+    val beats = coverage >= 0.9 && alsRmse < 0.5 * baselineRmse
+
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((nTrain, nTest,
+        BigDecimal(baselineRmse).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        beats))
+      .toDF("n_train", "n_test", "baseline_rmse", "als_beats_baseline")
+  }
+}

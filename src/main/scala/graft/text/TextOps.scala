@@ -834,6 +834,42 @@ object TextOps {
     * source partition; at 100 TB the rank never sorts globally and a
     * skewed mega-source is exactly the case the cap exists for (its
     * partition sort is the cost of sampling it). */
+  /** Temperature-flattened source mixing (the α = 0.5 member of the
+    * n_s^α mixture family pretraining pipelines use to keep big web
+    * crawls from drowning small high-quality sources): each source
+    * keeps round(sqrt(n_s · n_min)) documents — the geometric mean of
+    * itself and the smallest source, so the largest sources are
+    * downsampled hardest and the smallest keeps everything. Selection
+    * inside a source is the [[sourceCap]] md5-rank lottery (':mix'
+    * salt), so the kept SET is deterministic and oracle-exact.
+    *
+    * Why α = 0.5 specifically stays hash-exact: n_s·n_min is exact
+    * integer math, IEEE sqrt is correctly rounded (bit-identical in
+    * both engines, unlike pow(x, 0.7) whose last ulp is libm-
+    * dependent), and sqrt of a non-square integer is never exactly
+    * k.5 ((k.5)² = k²+k+0.25 is not an integer), so round() has no
+    * engine-dependent boundary. Scale shape: one source-count
+    * aggregate broadcast back over a per-source rank window. */
+  def sourceTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val keep = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+      .select(col("source"),
+        round(sqrt((col("n_s") * col("n_min")).cast("double")))
+          .cast("long").as("keep_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":mix"))), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(keep), Seq("source"))
+      .filter(col("rk") <= col("keep_s"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   def sourceCap(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))

@@ -936,4 +936,33 @@ class NewOpsSpec extends AnyFunSuite {
     val none = Algorithms.shortestPathNodes(edges, 1L, 99L, maxHops = 6)
     assert(none.count() == 0)
   }
+
+  test("alsGate: ALS recovers the planted rank-1 signal on the sf0.001 mask") {
+    val row = graft.recommend.Als.alsGate(spark, sf).collect().head
+    val (nTrain, nTest) = (row.getLong(0), row.getLong(1))
+    // fold covers the whole mask and is ~20/80 (top 0x34/0x100 of hex space)
+    val total = graft.graph.RatingsGraph.ratings(spark, sf).count()
+    assert(nTrain + nTest == total)
+    assert(nTest.toDouble / total > 0.15 && nTest.toDouble / total < 0.26)
+    assert(row.getDouble(2) > 1.0, "planted signal should have real variance")
+    assert(row.getBoolean(3), "ALS failed to recover the planted factors")
+  }
+
+  test("sourceTemperatureMix: per-source keeps are exactly round(sqrt(n_s*n_min))") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val kept = text.TextOps.sourceTemperatureMix(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (s, n) =>
+      val want = math.round(math.sqrt((n * nMin).toDouble))
+      assert(kept.getOrElse(s, 0L) == want, s"source $s: ${kept.get(s)} != $want")
+    }
+    // the smallest source keeps everything; larger ones are flattened
+    val smallest = counts.minBy(_._2)._1
+    assert(kept(smallest) == counts(smallest))
+  }
 }

@@ -219,11 +219,16 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
   }
 
-  test("corpus_ngrams scan prunes to the text column") {
+  test("corpus_ngrams scan prunes to the shared silver's (doc_id, text)") {
+    // corpus_ngrams rides the tokedDocs silver (tokenize-once — the
+    // interpreted-lambda O(tokens²) fix), whose contract is (doc_id,
+    // toks); the scan must prune to exactly those two source columns —
+    // source/split/props must NOT be read
     val plan = text.TextOps.corpusNgrams(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("ReadSchema: struct<text:string>"),
-      s"scan not pruned to text:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>")
+        || plan.contains("ReadSchema: struct<text:string>"),
+      s"scan not pruned to (doc_id, text):\n$plan")
   }
 
   test("streaming dedup drops duplicate event_ids within the watermark") {
