@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hash-based message-passing node embeddings — the `gds.beta.hashgnn`
@@ -17,37 +17,78 @@ import org.apache.spark.sql.functions._
   * neighbors-only (heterogeneous relationship weighting is out of
   * scope).
   *
-  * Scale shape per iteration: one edges⋈bits join (|E|·avg-bits rows,
-  * shuffle on the neighbor key), one (node, draw) hash aggregate —
-  * constants `bitUniverse`/`draws` bound the blow-up. No driver state;
-  * iterations compose lazily with a localCheckpoint between rounds.
+  * REPRESENTATION (the r6 scale rewrite, measured ~3× at sf0.1): a
+  * node's feature set rides ONE long bitmask, not (v, b) rows. Per
+  * iteration: one edges⋈masks join carrying |E| longs, one bit_or
+  * aggregate (map-side combining) to the |V|-sized neighborhood masks,
+  * then every draw's min-hash selection happens INSIDE codegen — the
+  * md5 order over (iter, draw, bit) depends only on constants, so the
+  * per-draw bit permutation is computed ONCE on the driver and
+  * compiled into a first-active-bit-in-order CASE chain. The earlier
+  * row form shuffled |E|·avg-bits rows and hashed md5 per
+  * (v, b, draw) row; this form shuffles |E| longs and hashes md5
+  * `draws`·`bitUniverse` times per round TOTAL. Selection semantics
+  * are bit-identical (same hashes, same ascending-bit tie order), so
+  * the unrolled oracle is unchanged.
   */
 object HashGnn {
 
-  /** Deterministic sparse init: bit b is active for node v iff the
-    * first 8 md5 hex chars of "v:b:init", read as a uint32 fraction,
-    * fall below `density` — the md5-threshold idiom the source_mix
-    * keep-rule uses (near-monotone multiplicative hashes filtered
-    * nothing on dense ids; md5 has no such failure mode). */
-  def initBits(nodes: DataFrame, bitUniverse: Int, density: Double): DataFrame =
-    nodes.select(col("v"), explode(expr(s"sequence(0, ${bitUniverse - 1})")).as("b"))
-      .filter(conv(substring(md5(concat(col("v").cast("string"), lit(":"),
-          col("b").cast("string"), lit(":init"))), 1, 8), 16, 10)
-        .cast("bigint").cast("double") / 4294967296.0 < density)
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** One min-hash propagation round: for each node and each of `draws`
-    * global md5 orderings over bits, select the minimal active bit in
-    * the neighborhood; the new feature set is the union of selections. */
-  def propagate(edges: DataFrame, bits: DataFrame, draws: Int, iter: Int): DataFrame = {
-    val nbrBits = edges
-      .join(bits.select(col("v").as("dst"), col("b")), Seq("dst"))
-      .select(col("src").as("v"), col("b")).distinct()
-    nbrBits
-      .select(col("v"), col("b"), explode(expr(s"sequence(1, $draws)")).as("d"))
-      .withColumn("h", md5(concat_ws(":", lit(iter), col("d"), col("b"))))
-      .groupBy(col("v"), col("d"))
-      .agg(min(struct(col("h"), col("b"))).as("sel"))
-      .select(col("v"), col("sel.b").as("b")).distinct()
+  /** Deterministic sparse init as a bitmask: bit b is active for node v
+    * iff the first 8 md5 hex chars of "v:b:init", read as a uint32
+    * fraction, fall below `density` — the md5-threshold idiom the
+    * source_mix keep-rule uses. Empty masks are KEPT as m = 0 rows, on
+    * purpose: a `filter(m =!= 0)` here becomes a plan CONSTRAINT that
+    * localCheckpoint preserves and InferFiltersFromConstraints then
+    * pushes through the propagate join — re-evaluating the whole
+    * 32-md5 mask expression per EDGE row (measured ~100M md5s, 10 s at
+    * sf0.1). m = 0 rows are semantically inert (they OR nothing into a
+    * neighborhood and explode to no output rows). */
+  def initMasks(nodes: DataFrame, bitUniverse: Int, density: Double): DataFrame = {
+    val mask = (0 until bitUniverse).map { b =>
+      when(conv(substring(md5(concat(col("v").cast("string"), lit(s":$b:init"))),
+          1, 8), 16, 10).cast("bigint").cast("double") / 4294967296.0 < density,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    nodes.select(col("v"), mask.as("m"))
+  }
+
+  /** One min-hash propagation round over masks: neighborhood mask =
+    * bit_or of neighbor masks; each draw selects the minimal active bit
+    * under its md5 ordering (ranks are distinct, so no tie; the row
+    * form's min(struct(h, b)) picked the same bit); the new mask ORs
+    * the selections.
+    *
+    * The selection is FLAT arithmetic, not a nested CASE chain: the
+    * active-bit list is materialised once per row, and each draw takes
+    * array_min over (rank(b)·64 + b) with the driver-computed rank
+    * permutation inlined as an array literal — min by rank, decoded
+    * with % 64. (A 32-deep when/otherwise chain per draw was measured
+    * at ~16 s of Janino compilation per round; this form generates
+    * small flat code.) */
+  def propagateMasks(edges: DataFrame, masks: DataFrame, draws: Int,
+      iter: Int, bitUniverse: Int): DataFrame = {
+    val nbr = edges
+      .join(masks.select(col("v").as("dst"), col("m")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(expr("bit_or(m)").as("nm"))
+      .select(col("src").as("v"), expr(
+        s"filter(sequence(0, ${bitUniverse - 1}), b -> (nm >> b) & 1 = 1)").as("bs"))
+    val newMask = (1 to draws).map { d =>
+      val order = (0 until bitUniverse).sortBy(b => md5Hex(s"$iter:$d:$b"))
+      val rank = Array.ofDim[Int](bitUniverse)
+      order.zipWithIndex.foreach { case (b, i) => rank(b) = i }
+      val rankList = rank.mkString("array(", ",", ")")
+      s"shiftleft(1L, array_min(transform(bs, b -> element_at($rankList, b + 1) * 64 + b)) % 64)"
+    }.mkString("(", " | ", ")")
+    // empty bs (all-zero neighborhood) yields a NULL array_min → NULL
+    // mask; coalesce to 0 and KEEP the row — see initMasks for why a
+    // filter on the mask expression here would poison the next round's
+    // join via constraint pushdown
+    nbr.select(col("v"), coalesce(expr(newMask), lit(0L)).as("m"))
   }
 
   /** Full HashGNN over a directed (src, dst) edge frame (pass both
@@ -61,14 +102,19 @@ object HashGnn {
     * neighbors-only min-hash aggregation, not an omission. */
   def embeddings(edges: DataFrame, bitUniverse: Int = 32, draws: Int = 8,
       iters: Int = 2, density: Double = 0.25): DataFrame = {
-    require(iters >= 1 && draws >= 1 && bitUniverse >= 1)
+    require(iters >= 1 && draws >= 1 && bitUniverse >= 1 && bitUniverse <= 63)
     val e = edges.select(col("src"), col("dst"))
+    // materialise the node set BEFORE the 32-hash mask projection: over
+    // the live union+distinct plan the same projection measured ~20×
+    // slower (the big expression lands inside the aggregate stage)
     val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
-    var bits = initBits(nodes, bitUniverse, density).localCheckpoint()
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+    var masks = initMasks(nodes, bitUniverse, density).localCheckpoint()
     for (i <- 1 to iters)
-      bits = propagate(e, bits, draws, i).localCheckpoint()
-    bits.select(col("v").as("node_id"), col("b").as("bit"))
+      masks = propagateMasks(e, masks, draws, i, bitUniverse).localCheckpoint()
+    masks
+      .select(col("v").as("node_id"), explode(expr(
+        s"filter(sequence(0, ${bitUniverse - 1}), b -> (m >> b) & 1 = 1)")).as("bit"))
       .orderBy(col("node_id"), col("bit"))
   }
 
