@@ -115,10 +115,15 @@ object Dedup {
     // the band key is the raw signature SLICE, not a hash of it: the
     // shuffle key is rowsPerBand longs either way, the join becomes
     // exact tuple equality (no band-hash collision caveat), and the
-    // DuckDB oracle can state the same equality directly
-    val banded = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    // DuckDB oracle can state the same equality directly. 1-row bands
+    // key on the BARE element — an array<bigint> join key measured ~2×
+    // slower than a long through the same self-join
+    val banded = (if (rowsPerBand == 1)
+        sigs.select(col("doc_id"), posexplode(col("sig")))
+      else
+        sigs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("band_hash"))
     val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
@@ -173,23 +178,30 @@ object Dedup {
     // ids-only candidates — no est-jaccard stage, no signature arrays
     val cand = bandedCandidates(minhashSigs(spark, dir, 32), bands = 32, rowsPerBand = 1)
     val sets = shingleSets(spark, dir)
-    // LOSSLESS size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
-    // ≥-threshold pair needs size ratio ≥ threshold — prune on
-    // (id, size) pairs BEFORE shipping the shingle arrays through the
-    // verify joins (the arrays dominate the shuffle volume)
     val sizes = sets.select(col("doc_id"), size(col("shingle_set")).as("sz"))
-    val candSized = cand
+    // Exact verify via POSTING-LIST intersection counts, not shipped
+    // shingle arrays: the earlier shape joined the ~50-string arrays
+    // onto every band candidate (1-row bands admit a background-J
+    // candidate set — ~290k pairs here — so the array shuffle, not the
+    // jaccard math, dominated at ~7 s). The per-shingle self-join
+    // emits Σ C(df, 2) rows — background shingles have df ≈ 1, so only
+    // genuinely-overlapping pairs materialise, and each row is two ids
+    // instead of two arrays. |A∩B| comes out of one count aggregate;
+    // |A∪B| = |A|+|B|−|A∩B| from the (id, size) table. The candidate
+    // semi-join keeps the banded-LSH gate in the plan (recall proof
+    // unchanged); the skew lever at 100 TB is a df-cap/salt on hot
+    // shingles (a stop-gram with df = d costs d² posting rows).
+    val posts = sets.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+    val inter = posts.select(col("sh"), col("doc_id").as("id_a"))
+      .join(posts.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
-        greatest(col("sz_a"), col("sz_b")) >= minJaccard)
-      .select("id_a", "id_b")
-    candSized
-      .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

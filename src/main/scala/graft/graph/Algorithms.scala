@@ -508,8 +508,27 @@ object Algorithms {
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
           wCol.as("weight")))
         .distinct().localCheckpoint()
+    // The p/q bias needs is_nbr(prev, nxt) — "(prev, nxt) ∈ E" — for
+    // EVERY candidate row (|frontier|·avg-degree per step). The pair
+    // join against the edge table re-shuffles that whole candidate
+    // stream each step (measured as the dominant cost of the corpus
+    // build: ~25M rows ⋈ 6.3M per step at sf0.1). SIZE-ADAPTIVE probe
+    // instead: under the gate, broadcast one adjacency-ARRAY row per
+    // node and answer membership with array_contains in codegen — zero
+    // extra shuffle; above it, fall back to the pair join (the
+    // 100 TB-safe shape). Identical classW either way, so the
+    // unweighted path's unrolled DuckDB oracle is untouched.
+    val nEdges = bidir.count()
+    val adjGate = bidir.sparkSession.conf
+      .getOption("graft.node2vec.adjBroadcastEdges").map(_.toLong)
+      .getOrElse(20000000L)
+    val nbrArr =
+      if (nEdges <= adjGate)
+        Some(bidir.groupBy(col("src").as("prev"))
+          .agg(collect_list(col("dst")).as("nbrs")).localCheckpoint())
+      else None
     val adj = bidir.select(col("src").as("prev"), col("dst").as("nxt"),
-      lit(true).as("is_nbr"))
+      lit(true).as("nbr_flag"))
     // step 0: prev = the source itself — nxt == prev can't occur (no
     // self-loops) and every candidate is adjacent to prev, so the first
     // hop is uniform, matching node2vec's unbiased first step
@@ -522,12 +541,20 @@ object Algorithms {
       val classW = when(col("nxt") === col("prev"), lit(wBack))
         .when(col("is_nbr"), lit(wNbr))
         .otherwise(lit(wOut))
-      val cands = bidir
+      val rawCands = bidir
         .join(frontier.select(col("walk_id"), col("prev"), col("node_id").as("src")),
           Seq("src"))
         .select(col("walk_id"), col("prev"), col("src"), col("dst").as("nxt"),
           col("weight"))
-        .join(adj, Seq("prev", "nxt"), "left")
+      val cands = nbrArr match {
+        case Some(arr) => rawCands
+          .join(broadcast(arr), Seq("prev"))
+          .withColumn("is_nbr", array_contains(col("nbrs"), col("nxt")))
+          .drop("nbrs")
+        case None => rawCands
+          .join(adj, Seq("prev", "nxt"), "left")
+          .withColumn("is_nbr", coalesce(col("nbr_flag"), lit(false)))
+      }
       val next = (if (weighted) {
         // exact weighted categorical draw WITHOUT replica explosion
         // (Efraimidis–Spirakis exponential clocks): candidate score

@@ -33,7 +33,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // cached query: the snapshot sees the materialized AQE plan inside
     // the InMemoryRelation (ShuffleQueryStage + Exchange line pairs), so
     // the pin counts stage lines, not logical shuffles
-    ("ngram_jaccard_pairs", 16, 6),
+    // 17 after the r6 posting-intersection verify (one extra exchange
+    // for the per-pair intersection count aggregate, traded against
+    // shipping shingle ARRAYS onto every band candidate: 14.7 → 0.2 s)
+    ("ngram_jaccard_pairs", 17, 6),
     ("corpus_ngrams", 3, 1),
     ("user_jaccard_topk", 22, 16),
     // r4 additions (adamic_adar reads the cached co-occurrence build —
