@@ -685,6 +685,26 @@ object SparkEntry {
             (lit(1.0) / col("weight")).as("len")),
         source = 1L, target = 42L, rounds = 6)
     }),
+    // Yen's K shortest loopless paths at the dijkstra_path operating
+    // point (1 → 42, same 1/weight lengths) — session-cached, the
+    // invariants twin reads the same frame
+    "yens_paths" -> ((s, d) => yensPathsCached(s, d)),
+    "yens_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val p = yensPathsCached(s, d)
+      val byRank = p.groupBy(col("path_rank"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("node_id")).as("nd"),
+          max(col("path_cost")).as("cost"))
+        .collect().sortBy(_.getLong(0))
+      val loopless = byRank.forall(r => r.getLong(1) == r.getLong(2))
+      val costs = byRank.map(_.getDouble(3)).toSeq
+      val nondec = costs.sliding(2).forall {
+        case Seq(x, y) => x <= y; case _ => true }
+      val s2 = s
+      import s2.implicits._
+      Seq((byRank.length.toLong, loopless, nondec, costs.headOption.getOrElse(-1.0)))
+        .toDF("n_paths", "paths_loopless", "costs_nondecreasing", "first_cost")
+    }),
     "betweenness_sample" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Algorithms.betweennessSample(
@@ -784,6 +804,18 @@ object SparkEntry {
     * shuffle — it was the single most expensive line in the r5 bench);
     * the distributed CC remains the over-threshold fallback, and both
     * legs label components by min member id so rows are identical. */
+  /** Session-cached Yen's paths at the dijkstra_path operating point —
+    * shared by the `yens_paths` entry and its invariants twin. */
+  private def yensPathsCached(s: SparkSession, d: String): DataFrame =
+    graft.Cache.cached(s, d, "yens_paths") {
+      import org.apache.spark.sql.functions._
+      graft.graph.Algorithms.yensPaths(
+        RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst"),
+            (lit(1.0) / col("weight")).as("len")),
+        source = 1L, target = 42L, k = 3, rounds = 6)
+    }
+
   private def splitViolations(labels: org.apache.spark.sql.DataFrame,
       labelCol: String,
       edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -3773,6 +3805,16 @@ object SparkEntry {
 
     "sssp_nearest" -> ssspOracle,
     "dijkstra_path" -> dijkstraOracle,
+    // Yen's gate: structural booleans + the FIRST path's total cost,
+    // which must equal the dijkstra relaxation's distance at the
+    // target — the d6 CTE is the same unrolled loop dijkstra_path is
+    // checked against, so first_cost is exact, not approximate
+    "yens_invariants" -> (dijkstraOracle.substring(0,
+        dijkstraOracle.indexOf(", bt(node_id")) +
+      """
+        |SELECT CAST(3 AS BIGINT) AS n_paths, TRUE AS paths_loopless,
+        |  TRUE AS costs_nondecreasing, ROUND(dist, 6) AS first_cost
+        |FROM d6 WHERE node_id = 42""".stripMargin),
 
     // Bounded multi-source BFS closure → Σ 1/dist per node. The
     // recursive walk keeps every (source, node, hops) row; MIN(hops)

@@ -870,6 +870,137 @@ object Algorithms {
     } finally d.unpersist()
   }
 
+  /** Yen's K shortest LOOPLESS paths (GDS `gds.shortestPath.yens` —
+    * the last member of the GDS path family): A[0] is the bounded-
+    * relaxation shortest path with [[dijkstraPath]]'s exact (dist,
+    * parent) struct-min semantics; each next path comes from the spur
+    * construction (ban every previous path's continuation edge at each
+    * shared root prefix, ban the root's interior nodes, re-search from
+    * the spur node), candidates ranked by (cost, path) — a TOTAL order,
+    * so output is deterministic whatever order candidates appear in.
+    *
+    * Size-adaptive like [[k1Coloring]]/SCC: at or below `driverLimit`
+    * edges the whole search runs on collected adjacency — each spur
+    * search is a `rounds`-step Bellman–Ford sweep with the identical
+    * tie-break, so A[0] is row-for-row the dijkstraPath answer — and
+    * Yen's Θ(k·|path|) spur searches cost driver sweeps instead of
+    * k·|path| distributed job waves. Above the gate, each spur search
+    * IS [[dijkstraPath]] over the ban-filtered edge frame (bans are
+    * ≤ k·rounds literal predicates — pushed-down filters, not joins),
+    * so the 100 TB leg reuses the audited distributed relaxation
+    * unchanged (its step dists arrive 1e-6-rounded; the driver leg is
+    * exact — legs agree to rounding).
+    *
+    * Output: (path_rank, step, node_id, path_cost) — path_cost is the
+    * path's total, repeated on its rows, rounded once at 1e-6. Fewer
+    * than k rank-groups when the graph has fewer loopless paths
+    * within the hop budget. */
+  def yensPaths(lengths: DataFrame, source: Long, target: Long, k: Int = 3,
+      rounds: Int = 6, driverLimit: Long = 5000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = lengths.sparkSession
+    import spark.implicits._
+    val e = lengths.select(col("src"), col("dst"), col("len").cast("double"))
+      .localCheckpoint()
+    val bf: (Long, Set[Long], Set[(Long, Long)]) => Option[(Seq[Long], Seq[Double])] =
+      if (e.count() <= driverLimit) {
+        val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+        e.collect().foreach { r =>
+          adj.getOrElseUpdate(r.getLong(0),
+            scala.collection.mutable.ArrayBuffer[(Long, Double)]()) += (
+            (r.getLong(1), r.getDouble(2)))
+        }
+        // rounds-bounded Bellman–Ford with dijkstraPath's exact
+        // (dist, parent) min tie-break; cum dists = node dists along
+        // the parent chain (exact doubles, no rounding)
+        (from: Long, bannedNodes: Set[Long], bannedEdges: Set[(Long, Long)]) => {
+          var dist = Map[Long, (Double, Long)](from -> (0.0, -1L))
+          for (_ <- 1 to rounds) {
+            val next = scala.collection.mutable.Map[Long, (Double, Long)]() ++ dist
+            dist.foreach { case (u, (du, _)) =>
+              adj.getOrElse(u, Nil).foreach { case (v, len) =>
+                if (!bannedNodes.contains(v) && !bannedEdges.contains((u, v))) {
+                  val cand = (du + len, u)
+                  val cur = next.get(v)
+                  if (cur.isEmpty || cand._1 < cur.get._1 ||
+                      (cand._1 == cur.get._1 && cand._2 < cur.get._2))
+                    next(v) = cand
+                }
+              }
+            }
+            dist = next.toMap
+          }
+          dist.get(target).map { _ =>
+            val chain = scala.collection.mutable.ListBuffer(target)
+            var cur = target
+            while (dist(cur)._2 != -1L) { cur = dist(cur)._2; chain.prepend(cur) }
+            (chain.toSeq, chain.toSeq.map(dist(_)._1))
+          }
+        }
+      } else {
+        (from: Long, bannedNodes: Set[Long], bannedEdges: Set[(Long, Long)]) => {
+          val noBanned = bannedNodes.foldLeft(lit(true))(
+            (acc, n) => acc && col("dst") =!= n)
+          val noEdges = bannedEdges.foldLeft(lit(true))(
+            (acc, p) => acc && !(col("src") === p._1 && col("dst") === p._2))
+          val rows = dijkstraPath(e.filter(noBanned && noEdges),
+            from, target, rounds).collect()
+          if (rows.isEmpty) None
+          else Some((rows.map(_.getLong(1)).toSeq,
+            rows.map(_.getDouble(2)).toSeq))
+        }
+      }
+    val paths = yensLoop(source, k, bf)
+    paths.zipWithIndex.flatMap { case ((p, cum), rank) =>
+      p.zipWithIndex.map { case (node, step) =>
+        (rank.toLong, step.toLong, node, cum.last)
+      }
+    }.toDF("path_rank", "step", "node_id", "path_cost")
+      .select(col("path_rank"), col("step"), col("node_id"),
+        round(col("path_cost"), 6).as("path_cost"))
+      .orderBy(col("path_rank"), col("step"))
+  }
+
+  /** The spur-construction loop shared by both [[yensPaths]] legs;
+    * `bf(from, bannedNodes, bannedEdges)` answers one banned search
+    * with (path, cumulative dists). */
+  private def yensLoop(source: Long, k: Int,
+      bf: (Long, Set[Long], Set[(Long, Long)]) => Option[(Seq[Long], Seq[Double])])
+      : Seq[(Seq[Long], Seq[Double])] = {
+    implicit val seqLongOrd: Ordering[Seq[Long]] = Ordering.Implicits.seqOrdering
+    val candOrd = Ordering.Tuple2(Ordering.Double.TotalOrdering, seqLongOrd)
+    val a = scala.collection.mutable.ArrayBuffer[(Seq[Long], Seq[Double])]()
+    val b = scala.collection.mutable.SortedMap[(Double, Seq[Long]), Seq[Double]]()(candOrd)
+    bf(source, Set.empty, Set.empty).foreach(a += _)
+    var exhausted = false
+    while (!exhausted && a.nonEmpty && a.size < k) {
+      val (prev, prevCum) = a.last
+      for (j <- 0 until prev.length - 1) {
+        val rootPath = prev.take(j + 1)
+        val rootCum = prevCum.take(j + 1)
+        val spur = prev(j)
+        val bannedEdges = a.collect {
+          case (p, _) if p.length > j + 1 && p.take(j + 1) == rootPath =>
+            (p(j), p(j + 1))
+        }.toSet
+        val bannedNodes = rootPath.dropRight(1).toSet
+        bf(spur, bannedNodes, bannedEdges).foreach { case (sp, spCum) =>
+          val full = rootPath.dropRight(1) ++ sp
+          val fullCum = rootCum.dropRight(1) ++ spCum.map(_ + rootCum.last)
+          if (full.distinct.length == full.length && !a.exists(_._1 == full))
+            b((fullCum.last, full)) = fullCum
+        }
+      }
+      if (b.isEmpty) exhausted = true
+      else {
+        val (key, cum) = b.head
+        b.remove(key)
+        a += ((key._2, cum))
+      }
+    }
+    a.toSeq
+  }
+
   /** Betweenness centrality from a FIXED source sample (k-source
     * Brandes — the standard scalable estimator; exact Brandes is
     * O(V·E) and never runs at 100 TB). Unweighted, bounded depth.

@@ -849,7 +849,12 @@ object TextOps {
     * dependent), and sqrt of a non-square integer is never exactly
     * k.5 ((k.5)² = k²+k+0.25 is not an integer), so round() has no
     * engine-dependent boundary. Scale shape: one source-count
-    * aggregate broadcast back over a per-source rank window. */
+    * aggregate broadcast back over a per-source rank window. The
+    * window sorts each source partition on one reducer — fine to tens
+    * of millions of docs per source; past that, swap the rank lottery
+    * for an md5-THRESHOLD keep rule at rate keep_s/n_s (the
+    * [[sourceMix]] shape): fully distributed, same flattening curve,
+    * binomially-approximate keep counts instead of exact. */
   def sourceTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val counts = documents(spark, dir)
       .groupBy(col("source")).agg(count(lit(1)).as("n_s"))

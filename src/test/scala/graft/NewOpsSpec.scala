@@ -937,6 +937,32 @@ class NewOpsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("yensPaths: the three shortest loopless paths, in (cost, path) order") {
+    import org.apache.spark.sql.functions.col
+    // 1→4: [1,2,4]=2.0, then [1,3,4]=2.5, then the 3.0 tie between
+    // [1,2,3,4] and [1,3,2,4] breaks lexicographically to [1,2,3,4]
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 4L, 1.0), (1L, 3L, 1.0), (3L, 4L, 1.5),
+      (2L, 3L, 0.5), (3L, 2L, 1.0), (1L, 4L, 4.0)).toDF("src", "dst", "len")
+    def pathsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (rk, rows) =>
+        (rk, rows.sortBy(_._2).map(_._3).toSeq, rows.head._4) }
+    val got = pathsOf(Algorithms.yensPaths(edges, 1L, 4L, k = 3))
+    assert(got == Seq(
+      (0L, Seq(1L, 2L, 4L), 2.0),
+      (1L, Seq(1L, 3L, 4L), 2.5),
+      (2L, Seq(1L, 2L, 3L, 4L), 3.0)), s"got $got")
+    // distributed leg (driverLimit = 0): same paths, same costs
+    val dist = pathsOf(Algorithms.yensPaths(edges, 1L, 4L, k = 3, driverLimit = 0L))
+    assert(dist == got, s"legs disagree: $dist vs $got")
+    // k beyond the loopless supply truncates instead of looping
+    val all = pathsOf(Algorithms.yensPaths(edges, 1L, 4L, k = 10))
+    assert(all.length >= 4 && all.map(_._2).distinct.length == all.length)
+    assert(all.map(_._3) == all.map(_._3).sorted, "costs must be nondecreasing")
+  }
+
   test("alsGate: ALS recovers the planted rank-1 signal on the sf0.001 mask") {
     val row = graft.recommend.Als.alsGate(spark, sf).collect().head
     val (nTrain, nTest) = (row.getLong(0), row.getLong(1))
