@@ -53,6 +53,7 @@ object Bench {
       "bipartite_cc" -> (() => graph.Algorithms.userBipartiteCC(spark, sfDir).count(): Unit),
       "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
       "toked_docs" -> (() => text.TextOps.tokedDocs(spark, sfDir).count(): Unit),
+      "yens_paths" -> (() => SparkEntry.queries("yens_paths")(spark, sfDir).count(): Unit),
       "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit),
       "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit),
       // r6: one-time session-cached builds that previously landed on

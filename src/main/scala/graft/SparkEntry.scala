@@ -397,12 +397,16 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => graft.dedup.Dedup.embeddingPairs(s, d)),
     "semdedup_pairs" -> ((s, d) => graft.dedup.SemDedup.pairs(s, d)),
     "semdedup_survivors" -> ((s, d) => graft.dedup.SemDedup.survivors(s, d)),
+    // feature lanes as scalar float columns: the md5-basis stub makes
+    // every lane DuckDB-replayable, and scalars ride the driver's
+    // row-hash compare (array cells would not)
     "multimodal_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.multimodal.Multimodal.mediaFeatures(s, d)
-        .select(col("doc_id"), col("modality"), col("byte_len"),
-          col("width"), col("height"), col("n_frames"),
-          concat_ws(",", col("feature").cast("array<string>")).as("feature_csv"))
+        .select(Seq(col("doc_id"), col("modality"), col("byte_len"),
+          col("width"), col("height"), col("n_frames")) ++
+          (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*)
+        .orderBy(col("doc_id"))
     }),
     // The decode-stub's metadata math (width/height/frames from byte
     // length) is deterministic and SQL-expressible — oracle-checked.
@@ -2790,6 +2794,24 @@ object SparkEntry {
         |  CAST(bin AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_px
         |FROM px GROUP BY doc_id, w, h, bin
         |ORDER BY doc_id, bin""".stripMargin,
+
+    // full stub replay incl. feature lanes: 48-bit md5 fraction per
+    // lane, bigint/double division then one float4 cast — IEEE nearest
+    // in both engines, so the floats match bit-for-bit
+    "multimodal_features" -> {
+      val lanes = (0 until 8).map { i =>
+        s"""CAST((('0x' || substr(md5($i || ':' || text), 1, 12))::BIGINT
+           |    / 281474976710656.0) AS FLOAT) AS f$i""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, source AS modality,
+         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+         |  CAST(16 + OCTET_LENGTH(ENCODE(text)) % 64 AS INTEGER) AS width,
+         |  CAST(16 + (OCTET_LENGTH(ENCODE(text)) // 64) % 64 AS INTEGER) AS height,
+         |  CAST(1 + OCTET_LENGTH(ENCODE(text)) % 4 AS INTEGER) AS n_frames,
+         |  $lanes
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "multimodal_shape" ->
       """SELECT doc_id, source AS modality,

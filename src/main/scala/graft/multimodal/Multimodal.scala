@@ -36,20 +36,25 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would decode image/audio bytes
     * here (one codec init per partition, then per-row decode). The fake
-    * derives deterministic pseudo-features from the payload bytes so the
+    * derives deterministic pseudo-features from the payload so the
     * pipeline shape (batched decode → fixed-dim feature vector) is
-    * exercised end to end. */
+    * exercised end to end. Feature lane i is the md5 48-bit fraction of
+    * "i:" + the payload's UTF-8 decoding — the dedup tier's hash basis,
+    * so the WHOLE stub (metadata and features) replays in the DuckDB
+    * oracle; an earlier Java-overflow polynomial hash was deterministic
+    * but unexpressible in SQL, which kept this entry rows-only. */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     // ??? <- real codec goes here; deterministic fake below
     val len = payload.length
     val width = 16 + (len % 64)
     val height = 16 + ((len / 64) % 64)
     val frames = 1 + (len % 4)
+    val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val feature = Array.tabulate(8) { i =>
-      var h = 1125899906842597L
-      var j = i
-      while (j < len) { h = 31 * h + payload(j); j += 8 }
-      (h % 1000).toFloat / 1000.0f
+      val hex = md.digest(s"$i:$text".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString // digest() self-resets
+      (java.lang.Long.parseLong(hex, 16) / 281474976710656.0).toFloat // / 2^48
     }
     (width, height, frames, feature)
   }
