@@ -1351,7 +1351,11 @@ object SparkEntry {
     * lexicographic tie-break as the Spark struct ordering; additions are
     * the identical left-to-right doubles, so the parent pointers (and
     * hence the backtracked path) are bit-deterministic across engines. */
-  private def dijkstraOracle: String = {
+  /** The dijkstra relaxation CTE chain (lens, d0..d6) shared by the
+    * dijkstra_path oracle (which appends the recursive backtrack) and
+    * the yens_invariants oracle (which reads the d6 distance only) —
+    * composed as strings, never substring-edited. */
+  private def dijkstraCte: String = {
     val rounds = 6
     val base =
       s"""$RatingsCteRecursive, cooc AS (
@@ -1380,18 +1384,21 @@ object SparkEntry {
          |  ) WHERE rn = 1
          |)""".stripMargin
     }.mkString
-    base + iters +
+    base + iters
+  }
+
+  private def dijkstraOracle: String =
+    dijkstraCte +
       s""", bt(node_id, parent, dist, depth) AS (
-         |  SELECT node_id, parent, dist, 0 FROM d$rounds WHERE node_id = 42
+         |  SELECT node_id, parent, dist, 0 FROM d6 WHERE node_id = 42
          |  UNION ALL
          |  SELECT d.node_id, d.parent, d.dist, b.depth + 1
-         |  FROM bt b JOIN d$rounds d ON b.parent = d.node_id
+         |  FROM bt b JOIN d6 d ON b.parent = d.node_id
          |)
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY depth DESC) - 1 AS INT) AS step,
          |  node_id, ROUND(dist, 6) AS dist
          |FROM bt
          |ORDER BY step""".stripMargin
-  }
 
   /** [[RatingsCte]] with the RECURSIVE modifier — a WITH list containing
     * any recursive member needs it up front; ONE ratings-ETL definition
@@ -3831,8 +3838,7 @@ object SparkEntry {
     // which must equal the dijkstra relaxation's distance at the
     // target — the d6 CTE is the same unrolled loop dijkstra_path is
     // checked against, so first_cost is exact, not approximate
-    "yens_invariants" -> (dijkstraOracle.substring(0,
-        dijkstraOracle.indexOf(", bt(node_id")) +
+    "yens_invariants" -> (dijkstraCte +
       """
         |SELECT CAST(3 AS BIGINT) AS n_paths, TRUE AS paths_loopless,
         |  TRUE AS costs_nondecreasing, ROUND(dist, 6) AS first_cost

@@ -119,7 +119,9 @@ object Dedup {
     // key on the BARE element — an array<bigint> join key measured ~2×
     // slower than a long through the same self-join
     val banded = (if (rowsPerBand == 1)
-        sigs.select(col("doc_id"), posexplode(col("sig")))
+        // slice(…, 1, bands) keeps the bands parameter binding (callers
+        // may band fewer positions than the signature holds)
+        sigs.select(col("doc_id"), posexplode(slice(col("sig"), 1, bands)))
       else
         sigs.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -161,10 +163,14 @@ object Dedup {
     * estimation-oriented 8×4 banding of [[minhashPairs]] is NOT
     * recall-safe at J near 0.5 — ~60% miss.)
     * The 1-row bands admit background-similarity candidates (see
-    * [[bandedCandidates]]), so candidates stay ids-only and pass the
-    * lossless size prune before any array ships; at production
-    * thresholds (0.8+) prefer ≥4-row bands, where background collisions
-    * vanish and recall still holds. */
+    * [[bandedCandidates]]), so candidates stay ids-only and the verify
+    * stage counts intersections from shingle POSTINGS (r6 — see
+    * [[ngramJaccardPairsUncached]]) rather than shipping shingle
+    * arrays; at production thresholds (0.8+) prefer ≥4-row bands,
+    * where background collisions vanish and recall still holds.
+    * Requires minJaccard > 0: the posting join materialises only pairs
+    * with ≥ 1 shared shingle, so jaccard = 0 rows are unrepresentable
+    * (they were emitted pre-r6 for zero-overlap band candidates). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame =
     // session-cached: the pair set feeds both the pairs entry and the
@@ -175,6 +181,8 @@ object Dedup {
 
   private def ngramJaccardPairsUncached(spark: SparkSession, dir: String,
       minJaccard: Double): DataFrame = {
+    require(minJaccard > 0,
+      "posting-intersection verify cannot represent jaccard = 0 pairs")
     // ids-only candidates — no est-jaccard stage, no signature arrays
     val cand = bandedCandidates(minhashSigs(spark, dir, 32), bands = 32, rowsPerBand = 1)
     val sets = shingleSets(spark, dir)

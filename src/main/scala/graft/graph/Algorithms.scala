@@ -518,10 +518,13 @@ object Algorithms {
     // extra shuffle; above it, fall back to the pair join (the
     // 100 TB-safe shape). Identical classW either way, so the
     // unweighted path's unrolled DuckDB oracle is untouched.
+    // gate sizes the broadcast: the grouped adjacency is ~16 B/edge of
+    // array payload, so the 10M default is a ~160 MB broadcast — large
+    // but executor-safe; raise via conf only with the memory to match
     val nEdges = bidir.count()
     val adjGate = bidir.sparkSession.conf
       .getOption("graft.node2vec.adjBroadcastEdges").map(_.toLong)
-      .getOrElse(20000000L)
+      .getOrElse(10000000L)
     val nbrArr =
       if (nEdges <= adjGate)
         Some(bidir.groupBy(col("src").as("prev"))
@@ -902,7 +905,12 @@ object Algorithms {
     import spark.implicits._
     val e = lengths.select(col("src"), col("dst"), col("len").cast("double"))
       .localCheckpoint()
-    val bf: (Long, Set[Long], Set[(Long, Long)]) => Option[(Seq[Long], Seq[Double])] =
+    // every search carries an explicit HOP BUDGET: a spur at prefix
+    // index j gets rounds − j, so every candidate's TOTAL hop count is
+    // ≤ rounds — without this a spur path could use rootLen + rounds
+    // hops, surface a cheaper route the A[0] search could not see, and
+    // break the nondecreasing-cost invariant
+    val bf: (Long, Set[Long], Set[(Long, Long)], Int) => Option[(Seq[Long], Seq[Double])] =
       if (e.count() <= driverLimit) {
         // CSR adjacency over int indices — the boxed-map form measured
         // ~4× slower across Yen's ~k·|path| full-graph sweeps
@@ -926,7 +934,8 @@ object Algorithms {
         // rounds-bounded SYNCHRONOUS Bellman–Ford with dijkstraPath's
         // exact (dist, parent-id) min tie-break; cum dists = node dists
         // along the parent chain (exact doubles, no rounding)
-        (from: Long, bannedNodes: Set[Long], bannedEdges: Set[(Long, Long)]) => {
+        (from: Long, bannedNodes: Set[Long], bannedEdges: Set[(Long, Long)],
+            budget: Int) => {
           if (!idOf.contains(from)) None
           else {
             val bNode = new Array[Boolean](n)
@@ -937,7 +946,7 @@ object Algorithms {
             var dist = Array.fill(n)(Double.PositiveInfinity)
             var par = Array.fill(n)(-2L)
             dist(idOf(from)) = 0.0; par(idOf(from)) = -1L
-            for (_ <- 1 to rounds) {
+            for (_ <- 1 to budget) {
               val nd = dist.clone(); val np = par.clone()
               var u = 0
               while (u < n) {
@@ -970,19 +979,20 @@ object Algorithms {
           }
         }
       } else {
-        (from: Long, bannedNodes: Set[Long], bannedEdges: Set[(Long, Long)]) => {
+        (from: Long, bannedNodes: Set[Long], bannedEdges: Set[(Long, Long)],
+            budget: Int) => {
           val noBanned = bannedNodes.foldLeft(lit(true))(
             (acc, n) => acc && col("dst") =!= n)
           val noEdges = bannedEdges.foldLeft(lit(true))(
             (acc, p) => acc && !(col("src") === p._1 && col("dst") === p._2))
           val rows = dijkstraPath(e.filter(noBanned && noEdges),
-            from, target, rounds).collect()
+            from, target, budget).collect()
           if (rows.isEmpty) None
           else Some((rows.map(_.getLong(1)).toSeq,
             rows.map(_.getDouble(2)).toSeq))
         }
       }
-    val paths = yensLoop(source, k, bf)
+    val paths = yensLoop(source, k, rounds, bf)
     paths.zipWithIndex.flatMap { case ((p, cum), rank) =>
       p.zipWithIndex.map { case (node, step) =>
         (rank.toLong, step.toLong, node, cum.last)
@@ -996,14 +1006,14 @@ object Algorithms {
   /** The spur-construction loop shared by both [[yensPaths]] legs;
     * `bf(from, bannedNodes, bannedEdges)` answers one banned search
     * with (path, cumulative dists). */
-  private def yensLoop(source: Long, k: Int,
-      bf: (Long, Set[Long], Set[(Long, Long)]) => Option[(Seq[Long], Seq[Double])])
+  private def yensLoop(source: Long, k: Int, rounds: Int,
+      bf: (Long, Set[Long], Set[(Long, Long)], Int) => Option[(Seq[Long], Seq[Double])])
       : Seq[(Seq[Long], Seq[Double])] = {
     implicit val seqLongOrd: Ordering[Seq[Long]] = Ordering.Implicits.seqOrdering
     val candOrd = Ordering.Tuple2(Ordering.Double.TotalOrdering, seqLongOrd)
     val a = scala.collection.mutable.ArrayBuffer[(Seq[Long], Seq[Double])]()
     val b = scala.collection.mutable.SortedMap[(Double, Seq[Long]), Seq[Double]]()(candOrd)
-    bf(source, Set.empty, Set.empty).foreach(a += _)
+    bf(source, Set.empty, Set.empty, rounds).foreach(a += _)
     var exhausted = false
     while (!exhausted && a.nonEmpty && a.size < k) {
       val (prev, prevCum) = a.last
@@ -1016,7 +1026,7 @@ object Algorithms {
             (p(j), p(j + 1))
         }.toSet
         val bannedNodes = rootPath.dropRight(1).toSet
-        bf(spur, bannedNodes, bannedEdges).foreach { case (sp, spCum) =>
+        bf(spur, bannedNodes, bannedEdges, rounds - j).foreach { case (sp, spCum) =>
           val full = rootPath.dropRight(1) ++ sp
           val fullCum = rootCum.dropRight(1) ++ spCum.map(_ + rootCum.last)
           if (full.distinct.length == full.length && !a.exists(_._1 == full))

@@ -85,10 +85,15 @@ object Als {
         (col("rating") - col("prediction"))).as("se"))
       .agg(avg(col("se")).as("mse"), count(lit(1)).as("n")).head()
     // cold-start drops shrink the ALS test set; require coverage so a
-    // model that drops everything cannot "win" on an easy remnant
-    val alsRmse = math.sqrt(pred.getDouble(0))
-    val coverage = pred.getLong(1).toDouble / nTest
-    val beats = coverage >= 0.9 && alsRmse < 0.5 * baselineRmse
+    // model that drops everything cannot "win" on an easy remnant —
+    // and a FULLY-dropped test set leaves avg(se) NULL, which must be
+    // beats=false, not a getDouble NPE
+    val nPred = pred.getLong(1)
+    val beats = nTest > 0 && nPred > 0 && {
+      val alsRmse = math.sqrt(pred.getDouble(0))
+      val coverage = nPred.toDouble / nTest
+      coverage >= 0.9 && alsRmse < 0.5 * baselineRmse
+    }
 
     val spark2 = spark
     import spark2.implicits._

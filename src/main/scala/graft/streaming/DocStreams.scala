@@ -35,19 +35,25 @@ object DocStreams {
   // public: encoder codegen instantiates it from generated classes
   case class BandRow(band_idx: Int, band_key: String, doc_id: Long)
 
-  /** Near-dup matches over a streaming (doc_id, text) frame. */
-  def nearDupStream(docs: DataFrame, numHashes: Int = 32,
-      bands: Int = 8): Dataset[DupMatch] = {
-    import docs.sparkSession.implicits._
+  /** (band_idx, band_key, doc_id) banding rows — the ONE construction
+    * both the stream and its batch twin use (the stream ≡ batch proof
+    * depends on them never diverging). */
+  private def bandRows(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = graft.dedup.Dedup.signaturesOf(docs, numHashes)
-    val banded = sigs.select(col("doc_id"),
+    graft.dedup.Dedup.signaturesOf(docs, numHashes)
+      .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .select(col("pos").cast("int").as("band_idx"),
         col("col").as("band_key"), col("doc_id"))
-      .as[BandRow]
+  }
+
+  /** Near-dup matches over a streaming (doc_id, text) frame. */
+  def nearDupStream(docs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8): Dataset[DupMatch] = {
+    import docs.sparkSession.implicits._
+    val banded = bandRows(docs, numHashes, bands).as[BandRow]
 
     def fn(key: (Int, String), rows: Iterator[BandRow],
         state: GroupState[Long]): Iterator[DupMatch] = {
@@ -74,14 +80,7 @@ object DocStreams {
     * Same signatures, same band keys, plain aggregation. */
   def nearDupBatch(docs: DataFrame, numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    require(numHashes % bands == 0, s"bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sigs = graft.dedup.Dedup.signaturesOf(docs, numHashes)
-    val banded = sigs.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
-      .select(col("pos").cast("int").as("band_idx"),
-        col("col").as("band_key"), col("doc_id"))
+    val banded = bandRows(docs, numHashes, bands)
     val mins = banded.groupBy(col("band_idx"), col("band_key"))
       .agg(min(col("doc_id")).as("dup_of"))
     banded.join(mins, Seq("band_idx", "band_key"))

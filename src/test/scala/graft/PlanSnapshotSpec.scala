@@ -127,8 +127,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // above (corpus_ngrams/doc_repetition 1→3, bloom 6→8, substring
     // 3→4/6→8, ngram 14→16) were re-baselined for the shared
     // toked_docs silver + scan-spread repartition: +2 IMR/repartition
-    // stage lines each, in exchange for tokenize-once (the O(tokens²)
-    // interpreted-lambda fix) and a multi-core scan
+    // stage lines each (ngram later moved 16 → 17 for the posting-
+    // intersection verify — see its own comment), in exchange for
+    // tokenize-once (the O(tokens²) interpreted-lambda fix) and a
+    // multi-core scan
     ("dedup_embedding", 3, 0),
     ("communities_sllpa", 1, 0),
     ("dedup_minhash_pairs", 7, 1),

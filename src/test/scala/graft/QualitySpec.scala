@@ -65,7 +65,10 @@ class QualitySpec extends AnyFunSuite {
   test("minhash estimate correlates with exact jaccard on candidate pairs") {
     val est = dedup.Dedup.minhashPairs(spark, sf, minEstJaccard = 0.0)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-    val exact = dedup.Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.0)
+    // 0.001 ≈ "any overlap at all": the r6 posting-intersection verify
+    // cannot represent jaccard = 0 rows (and requires minJaccard > 0);
+    // zero-overlap candidates carry no correlation signal anyway
+    val exact = dedup.Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.001)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val joined = est.join(exact, Seq("id_a", "id_b")).cache()
     val n = joined.count()
