@@ -129,9 +129,12 @@ object Olap {
     *
     * Scale shape: one map-side-combining aggregate (|event_types| rows),
     * broadcast back over the stream — no event-row shuffle at all. */
-  def eventsAnomaly(spark: SparkSession, dir: String, z: Double = 3.0): DataFrame = {
+  def eventsAnomaly(spark: SparkSession, dir: String, z: Double = 3.0): DataFrame =
+    eventsAnomalyOf(events(spark, dir), z)
+
+  /** [[eventsAnomaly]] over any (event_id, event_type, value) frame. */
+  def eventsAnomalyOf(e: DataFrame, z: Double): DataFrame = {
     val d = col("value").cast("decimal(18,4)")
-    val e = events(spark, dir)
     val stats = e.groupBy(col("event_type")).agg(
         count(lit(1)).as("n"), sum(d).as("sv"), sum(d * d).as("svv"))
       .select(col("event_type"),

@@ -937,6 +937,22 @@ class NewOpsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("eventsAnomaly: flags exactly the planted outlier, z-score from exact sums") {
+    import org.apache.spark.sql.functions.col
+    // type A: nine 10.0s and one 100.0 — mean 19, std 28.46, z(100) ≈ 2.85
+    // at z=2.5 only the 100 trips; type B constant → std 0, never flagged
+    val rows = (1L to 9L).map(i => (i, "a", 10.0)) ++ Seq((10L, "a", 100.0)) ++
+      (11L to 14L).map(i => (i, "b", 5.0))
+    val e = rows.toDF("event_id", "event_type", "value")
+    val got = olap.Olap.eventsAnomalyOf(e, z = 2.5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(got.length == 1 && got.head._1 == 10L && got.head._2 == "a")
+    // closed form: mean=19, var=(sum v² - (sum v)²/n)/(n-1)=810, std=sqrt(810)
+    val want = BigDecimal((100.0 - 19.0) / math.sqrt(810.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._3 == want, s"${got.head._3} != $want")
+  }
+
   test("yensPaths: the three shortest loopless paths, in (cost, path) order") {
     import org.apache.spark.sql.functions.col
     // 1→4: [1,2,4]=2.0, then [1,3,4]=2.5, then the 3.0 tie between
