@@ -297,40 +297,70 @@ object AnnSearch {
   }
 
   /** IVF index build, session-cached per (dir, nCells): deterministic
-    * seed centroids (smallest xxhash64(vec_id)) + one Lloyd refinement.
-    * At 100 TB this is the persisted index table built once per corpus
-    * version; queries only read it. */
+    * ENGINE-REPLAYABLE seed centroids + one Lloyd refinement. At 100 TB
+    * this is the persisted index table built once per corpus version;
+    * queries only read it.
+    *
+    * Every step is exactly SQL-oracle-able (r7 — retired the no_oracle
+    * status of `ann_ivf_topk`):
+    *  - seeds = the nCells smallest md5(vec_id) (hex-string order is
+    *    identical in DuckDB; xxhash64 was Spark-only), cell ids
+    *    assigned in that order DRIVER-side — nCells rows, the k-row
+    *    index-artifact pattern, and no keyless row_number window;
+    *  - assignment = argmax of the 1e-6-ROUNDED cosine, ties to the
+    *    lowest cell, as ONE lexicographic struct-max hash aggregate
+    *    (the SemDedup recipe) — raw-double argmax could flip on a
+    *    cross-engine ulp, and the per-vec_id window it replaces cost a
+    *    sort for nothing;
+    *  - the refined centroid = per-dimension mean ROUNDED to 6
+    *    decimals: cross-row double summation order is run-dependent
+    *    (~1e-12 noise) and the snap makes the centroid bit-replayable;
+    *    NO unit-normalize — cosine is scale-invariant, so the
+    *    normalize bought nothing but more float ops to replicate. */
   private def ivfCentroids(spark: SparkSession, dir: String, nCells: Int): DataFrame =
     graft.Cache.cached(spark, dir, s"ivf_centroids_$nCells") {
+      import spark.implicits._
       val vectors = emb(spark, dir)
-      val seeds = vectors
-        .withColumn("h", xxhash64(col("vec_id")))
-        .orderBy(col("h")).limit(nCells)
-        .withColumn("cell", row_number().over(Window.orderBy(col("h"))) - 1)
-        .select(col("cell"), col("embedding").as("centroid"))
-      // one Lloyd step: assign to nearest seed, recompute means
+      val seedRows = vectors
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(nCells)
+        .select(col("embedding")).collect()
+      val seeds = seedRows.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0)) }
+        .toSeq.toDF("cell", "centroid")
+      // the embedding rides INSIDE the struct-max (never compared:
+      // cell is unique per group, so ordering resolves before it) —
+      // one hash aggregate, no join-back shuffle of the corpus
       val assign0 = vectors.crossJoin(broadcast(seeds))
-        .withColumn("cos", CosineSim.cosine(spark, col("embedding"), col("centroid")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))))
-        .filter(col("rk") === 1)
+        .withColumn("cos",
+          round(CosineSim.cosine(spark, col("embedding"), col("centroid")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cell")).as("nc"), col("cell"),
+          col("embedding").as("emb"))).as("best"))
+        .select(col("vec_id"), col("best.cell").as("cell"),
+          col("best.emb").as("embedding"))
       assign0
         .groupBy(col("cell"))
         .agg(VectorOps.vecSum(Dim)(transform(col("embedding"), v => v.cast("double"))).as("csum"),
           count(lit(1)).as("n"))
-        .select(col("cell"), VectorOps.normalize(transform(col("csum"), v => v / col("n"))).as("centroid"))
+        .select(col("cell"),
+          transform(col("csum"), v => round(v / col("n"), 6)).as("centroid"))
     }
 
   /** Cell assignment of every vector, session-cached (the IVF posting
-    * lists — at scale a table partitioned by cell). */
+    * lists — at scale a table partitioned by cell). Same replayable
+    * argmax recipe as the seed assignment (rounded cosine, struct-max,
+    * ties to the lowest cell). */
   def ivfAssignment(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame =
     graft.Cache.cached(spark, dir, s"ivf_assignment_$nCells") {
       emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir, nCells)))
-        .withColumn("cos", CosineSim.cosine(spark, col("embedding"), col("centroid")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell"), col("embedding"))
+        .withColumn("cos",
+          round(CosineSim.cosine(spark, col("embedding"), col("centroid")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cell")).as("nc"), col("cell"),
+          col("embedding").as("emb"))).as("best"))
+        .select(col("vec_id"), col("best.cell").as("cell"),
+          col("best.emb").as("embedding"))
     }
 
   /** IVF-style approximate search: deterministic seed centroids (one
@@ -348,8 +378,10 @@ object AnnSearch {
     val assigned = ivfAssignment(spark, dir, nCells)
     val qVec = vectors.filter(col("vec_id") === queryId)
       .select(col("embedding").as("query_vec"))
+    // rounded-cosine route order, ties to the lowest cell — replayable
     val probeCells = centroids.crossJoin(broadcast(qVec))
-      .withColumn("cos", CosineSim.cosine(spark, col("centroid"), col("query_vec")))
+      .withColumn("cos",
+        round(CosineSim.cosine(spark, col("centroid"), col("query_vec")), 6))
       .orderBy(col("cos").desc, col("cell")).limit(nProbe)
       .select(col("cell"))
     assigned
@@ -372,7 +404,8 @@ object AnnSearch {
     val qVec = emb(spark, dir).filter(col("vec_id") === queryId)
       .select(col("embedding").as("query_vec"))
     ivfCentroids(spark, dir, nCells).crossJoin(broadcast(qVec))
-      .withColumn("cos", CosineSim.cosine(spark, col("centroid"), col("query_vec")))
+      .withColumn("cos",
+        round(CosineSim.cosine(spark, col("centroid"), col("query_vec")), 6))
       .orderBy(col("cos").desc, col("cell")).limit(nProbe)
       .select(col("cell"))
   }

@@ -183,8 +183,11 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     require(minJaccard > 0,
       "posting-intersection verify cannot represent jaccard = 0 pairs")
-    // ids-only candidates — no est-jaccard stage, no signature arrays
+    // ids-only candidates — no est-jaccard stage, no signature arrays.
+    // Checkpointed: consumed three times below (pair semi-join + both
+    // endpoints of the doc-level posting prefilter)
     val cand = bandedCandidates(minhashSigs(spark, dir, 32), bands = 32, rowsPerBand = 1)
+      .localCheckpoint()
     val sets = shingleSets(spark, dir)
     val sizes = sets.select(col("doc_id"), size(col("shingle_set")).as("sz"))
     // Exact verify via POSTING-LIST intersection counts, not shipped
@@ -197,9 +200,23 @@ object Dedup {
     // instead of two arrays. |A∩B| comes out of one count aggregate;
     // |A∪B| = |A|+|B|−|A∩B| from the (id, size) table. The candidate
     // semi-join keeps the banded-LSH gate in the plan (recall proof
-    // unchanged); the skew lever at 100 TB is a df-cap/salt on hot
-    // shingles (a stop-gram with df = d costs d² posting rows).
-    val posts = sets.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+    // unchanged). Posting lists are pre-filtered to docs that appear in
+    // ≥ 1 candidate pair BEFORE the self-join: Catalyst cannot push the
+    // pair-level semi-join below the groupBy, so without this the
+    // ΣC(df,2) explosion ran over the WHOLE corpus and the banded
+    // prescreen bounded nothing — a hot shingle with df = d cost d²
+    // posting rows corpus-wide; now d is its frequency among candidate
+    // docs only. (A residual df-cap/salt on stop-grams within the
+    // candidate set remains the 100 TB skew lever.)
+    // checkpointed + explicitly broadcast: the posting table is read on
+    // BOTH sides of the self-join below, and an un-materialized candDocs
+    // would re-run its distinct on each branch and risk a sort-merge
+    // semi-join (measured +6 exchanges in the plan pin)
+    val candDocs = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().localCheckpoint()
+    val posts = sets.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("shingle_set")).as("sh"))
     val inter = posts.select(col("sh"), col("doc_id").as("id_a"))
       .join(posts.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))

@@ -94,6 +94,13 @@ object SemDedup {
     graft.Cache.cached(spark, dir, s"semdedup_frame_$kEff") { frameOf(emb, kEff) }
   }
 
+  /** Silver accessor: materialize the session-cached assignment frame
+    * both entries share, so the bench's silver phase carries the build
+    * and the `semdedup_pairs` query line is warm compare-only (the r6
+    * bench line hid a 17 s frame build inside the first consumer). */
+  def cachedFrame(spark: SparkSession, dir: String, k: Int = -1): DataFrame =
+    userFrame(spark, dir, k)
+
   /** Within-cluster near-duplicate pairs at cosine >= tau.
     * Output (cluster, id_a, id_b, cosine), id_a < id_b.
     * k <= 0 (the default) sizes k from the corpus ([[adaptiveK]]). */

@@ -137,6 +137,10 @@ object Olap {
     val d = col("value").cast("decimal(18,4)")
     val stats = e.groupBy(col("event_type")).agg(
         count(lit(1)).as("n"), sum(d).as("sv"), sum(d * d).as("svv"))
+      // n > 1 guard: a singleton type gives (n-1)=0 → std NaN, and NaN
+      // compares greater-than under Spark ordering, so both filters below
+      // would pass and emit a NaN z_score DuckDB won't reproduce.
+      .filter(col("n") > 1)
       .select(col("event_type"),
         (col("sv").cast("double") / col("n")).as("mean"),
         sqrt((col("svv").cast("double")
@@ -817,18 +821,22 @@ object Olap {
     // the HAVING threshold is 1.1× the MEAN per-part value (scale-free —
     // a fixed fraction of the grand total, Q11's literal form, degrades
     // to empty when the part count is below 1/frac), compared in exact
-    // cross-multiplied decimal: value·n > 1.1·total. Computed as a
-    // global window over the SAME per-part aggregate — one lineitem
-    // pass; the windowed frame is part-dimension-sized (one row per
-    // part key), so the single-partition global window is a dim-table
-    // sort, never a fact-table one
+    // cross-multiplied decimal: value·n > 1.1·total. The threshold side
+    // is a 1-row scalar aggregate of the SAME per-part frame broadcast
+    // back (the q15_top_supplier shape) — NOT a keyless global window,
+    // which would sort the whole part dimension (~2B rows at 100 TB) on
+    // one partition. The per-part frame is checkpointed so both plan
+    // branches (values + threshold) read ONE materialized build instead
+    // of re-scanning lineitem — the "materialized temp" pattern the
+    // q20/q21 pins document.
     val perPart = lineitem(spark, dir)
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(price * col("l_quantity").cast("decimal(12,2)")).as("value_dec"))
-      .withColumn("total_dec", sum(col("value_dec")).over(Window.partitionBy()))
-      .withColumn("n_parts", count(lit(1)).over(Window.partitionBy()))
-    perPart
+      .localCheckpoint()
+    val totals = perPart.agg(
+      sum(col("value_dec")).as("total_dec"), count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(totals))
       .filter(col("value_dec") * col("n_parts").cast("decimal(10,0)") >
         lit(1.1).cast("decimal(3,2)") * col("total_dec"))
       .select(col("l_partkey").as("p_partkey"),

@@ -78,12 +78,27 @@ object Serving {
     * auto-bucketed-scan pinned off, so the pruned read
     * (`SelectedBucketsCount: 1 out of N`) survives WITHOUT mutating
     * the caller's planner config — plans of unrelated queries must not
-    * depend on whether a serving lookup ran first. */
-  private def servingSession(spark: SparkSession): SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    s
-  }
+    * depend on whether a serving lookup ran first.
+    *
+    * ONE pinned session per SparkContext, reused across lookups: a
+    * serving tier holds its session open between requests, and building
+    * a fresh session per call pays session-state + analyzer warm-up on
+    * every lookup (BENCH_r06 measured the per-call variant at 4.6–5.2×
+    * the warm pin under load). Weak-keyed so a stopped context doesn't
+    * pin its session state. */
+  private val servingSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, SparkSession]())
+
+  private def servingSession(spark: SparkSession): SparkSession =
+    servingSessions.synchronized {
+      var s = servingSessions.get(spark.sparkContext)
+      if (s == null) {
+        s = spark.newSession()
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        servingSessions.put(spark.sparkContext, s)
+      }
+      s
+    }
 
   /** Point lookup against [[userBooksTable]]: the get_user_rated_books
     * serving story. One bucket read, zero Exchange. */

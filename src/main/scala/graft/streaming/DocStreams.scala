@@ -75,6 +75,22 @@ object DocStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** S13 — stateless streaming quality filter: the training-data
+    * ingest gate run AT ARRIVAL instead of in a nightly sweep. The
+    * operator IS the batch one — the same single-projection Column
+    * algebra ([[graft.text.TextOps.qualityFilterOf]]: quality score +
+    * language-ID, both codegen'd, no UDF) applied to a streaming
+    * (doc_id, text) frame. Stateless means: no watermark, no state
+    * store, Append mode, and per-row results identical wherever the
+    * trigger boundaries fall — the stream ≡ batch proof is therefore
+    * row-set equality (StreamingSpec, split across triggers). At
+    * 100 TB this is the shape that matters: a quality gate BEFORE the
+    * expensive dedup/tokenise tiers, running at source parallelism
+    * with zero shuffle. */
+  def qualityFilterStream(docs: DataFrame, minScore: Double = 0.7,
+      langs: Seq[String] = Seq("en")): DataFrame =
+    graft.text.TextOps.qualityFilterOf(docs, minScore, langs)
+
   /** Batch twin of [[nearDupStream]] for the stream ≡ batch proof:
     * every doc linked to its band bucket's min doc_id where min < doc.
     * Same signatures, same band keys, plain aggregation. */

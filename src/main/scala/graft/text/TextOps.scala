@@ -182,16 +182,26 @@ object TextOps {
     * Both signals are column algebra computed in ONE projection over a
     * single documents scan (no self-join, no second scan). */
   def qualityFilter(spark: SparkSession, dir: String, minScore: Double = 0.7,
-      langs: Seq[String] = Seq("en")): DataFrame = {
-    documents(spark, dir)
+      langs: Seq[String] = Seq("en")): DataFrame =
+    qualityFilterOf(documents(spark, dir), minScore, langs)
+      .orderBy(col("doc_id"))
+
+  /** [[qualityFilter]] over ANY (doc_id, text) frame — one stateless
+    * projection + filter, so the identical Column algebra runs
+    * unchanged on a STREAMING frame (no watermark, no state store);
+    * [[graft.streaming.DocStreams.qualityFilterStream]] (S13) is this
+    * function applied to a readStream source. No orderBy here: a
+    * global sort is illegal on an unbounded stream — the batch wrapper
+    * adds it. */
+  def qualityFilterOf(docs: DataFrame, minScore: Double = 0.7,
+      langs: Seq[String] = Seq("en")): DataFrame =
+    docs
       .select(col("doc_id"), qualityScore(col("text")).as("quality_score"),
         langBest(col("text")).as("best"))
       .select(col("doc_id"),
         when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("lang_pred"),
         col("quality_score"))
       .filter(col("quality_score") >= minScore && col("lang_pred").isin(langs: _*))
-      .orderBy(col("doc_id"))
-  }
 
   /** Corpus-wide top-k n-grams by DOCUMENT frequency (vocab budgeting /
     * contamination probes). Per-doc distinct bigrams explode to one row

@@ -35,8 +35,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // the pin counts stage lines, not logical shuffles
     // 17 after the r6 posting-intersection verify (one extra exchange
     // for the per-pair intersection count aggregate, traded against
-    // shipping shingle ARRAYS onto every band candidate: 14.7 → 0.2 s)
-    ("ngram_jaccard_pairs", 17, 6),
+    // shipping shingle ARRAYS onto every band candidate: 14.7 → 0.2 s);
+    // 19 after the r7 candidate-doc posting prefilter — two broadcast
+    // exchanges (checkpointed cand + candDocs id set) in exchange for
+    // bounding the ΣC(df,2) posting self-join to candidate docs instead
+    // of the whole corpus (the banded prescreen previously bounded
+    // NOTHING on the verify side — the 100 TB df² hazard)
+    ("ngram_jaccard_pairs", 19, 6),
     ("corpus_ngrams", 3, 1),
     ("user_jaccard_topk", 22, 16),
     // r4 additions (adamic_adar reads the cached co-occurrence build —

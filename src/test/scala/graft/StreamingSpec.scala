@@ -416,4 +416,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(!want.exists(t => t._1 == 4L))
     } finally q.stop()
   }
+
+  test("qualityFilterStream (S13): stateless quality gate ≡ batch filter, across trigger boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    // one clean English doc (passes), one too-short (fails the token
+    // band), one punctuation-soup (fails the punct ratio), one clean
+    // non-English-looking doc (fails lang), one more passer in batch 2
+    val d1 = (1L, "the catalyst optimizer rewrites the logical plan before " +
+      "spark picks a physical strategy and generates java code for it")
+    val d2 = (2L, "too short")
+    val d3 = (3L, "what?!?! no;;; way... ?!?!;;;... ?!?!;;;... ?!?!;;;... " +
+      "?!?!;;;... ?!?!;;;... ?!?!;;;...")
+    val d4 = (4L, "der schnelle braune fuchs springt immer wieder ueber den " +
+      "faulen hund bis der satz endlich lang genug ist")
+    val d5 = (5L, "a second clean document about shuffle partitions and " +
+      "broadcast joins that should also clear the quality threshold easily")
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.qualityFilterStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qfs").outputMode("append").start()
+    try {
+      input.addData(d1, d2, d3)
+      q.processAllAvailable()
+      input.addData(d4, d5)
+      q.processAllAvailable()
+      val got = spark.table("qfs").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val want = graft.text.TextOps.qualityFilterOf(
+          Seq(d1, d2, d3, d4, d5).toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      // semantic content: the clean English docs pass, the rest are gated
+      assert(got.map(_._1) == Set(1L, 5L), s"got $got")
+    } finally q.stop()
+  }
 }
