@@ -857,23 +857,34 @@ object SparkEntry {
       |  FROM filtered_events GROUP BY user_id, book_id
       |)""".stripMargin
 
-  /** ann_ivf_topk oracle: the full IVF pipeline in DuckDB SQL. The
-    * cosine fold is the proven bruteforce idiom (sequential list_sum ≡
-    * CosineSim's per-element double accumulation); seeds/assignment/
-    * means/routing mirror AnnSearch.ivfCentroids + ivfAssignment +
-    * ivfTopK at the operators' own 1e-6 snap points. */
-  private def ivfOracle: String = {
-    def rawCos(a: String, b: String): String =
-      s"""(CASE WHEN sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
-         |        * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))) > 0
-         |  THEN list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
-         |       / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
-         |        * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))
-         |  ELSE 0.0 END)""".stripMargin
-    s"""WITH embd AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
-       |), seeds AS (
+  /** Sequential-fold cosine between two double lists — the proven
+    * bruteforce idiom (list_sum ≡ CosineSim's per-element double
+    * accumulation). Shared by the IVF/PQ oracle family. */
+  private def annRawCos(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
+       |        * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))) > 0
+       |  THEN list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+       |       / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
+       |        * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))
+       |  ELSE 0.0 END)""".stripMargin
+
+  /** Sequential-fold squared L2 over dim-8 subvector lists (the PQ
+    * subspace distance — mirrors AnnSearch.l2sq's zip_with fold). */
+  private def annSubL2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** Shared base CTEs: double-cast embeddings + the query vector. */
+  private def annBaseCtes: String =
+    """WITH embd AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), qv AS (SELECT v AS q FROM embd WHERE vec_id = 0)""".stripMargin
+
+  /** IVF index CTEs (seeds → one-Lloyd-step means → assignment →
+    * probed cells), mirroring AnnSearch.ivfCentroids/ivfAssignment/
+    * ivfProbeCells at the operators' own 1e-6 snap points. */
+  private def ivfCtes: String =
+    s""", seeds AS (
        |  SELECT CAST(ROW_NUMBER() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
        |    v AS c
@@ -884,7 +895,7 @@ object SparkEntry {
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, s.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ROUND(${rawCos("e.v", "s.c")}, 6) DESC, s.cell) AS rk
+       |        ORDER BY ROUND(${annRawCos("e.v", "s.c")}, 6) DESC, s.cell) AS rk
        |    FROM embd e CROSS JOIN seeds s
        |  ) WHERE rk = 1
        |), cents AS (
@@ -898,24 +909,97 @@ object SparkEntry {
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ROUND(${rawCos("e.v", "c.c")}, 6) DESC, c.cell) AS rk
+       |        ORDER BY ROUND(${annRawCos("e.v", "c.c")}, 6) DESC, c.cell) AS rk
        |    FROM embd e CROSS JOIN cents c
        |  ) WHERE rk = 1
-       |), qv AS (SELECT v AS q FROM embd WHERE vec_id = 0
        |), probe AS (
        |  SELECT cell FROM cents c, qv
-       |  ORDER BY ROUND(${rawCos("c.c", "qv.q")}, 6) DESC, cell
+       |  ORDER BY ROUND(${annRawCos("c.c", "qv.q")}, 6) DESC, cell
        |  LIMIT 4
-       |)
-       |SELECT e.vec_id, ROUND(${rawCos("e.v", "qv.q")}, 6) AS cosine
+       |)""".stripMargin
+
+  /** PQ index CTEs (per-subspace seeds → one-Lloyd-step codebooks →
+    * codes → query subvectors), mirroring AnnSearch.pqCodebooks/
+    * pqCodes. m=8 subspaces × dim 8, ksub=16. */
+  private def pqCtes: String =
+    s""", subs AS (
+       |  SELECT vec_id, s.sub, list_transform(range(1, 9), i -> v[s.sub * 8 + i]) AS sv
+       |  FROM embd CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+       |), pseeds AS (
+       |  SELECT sub, CAST(rn - 1 AS INTEGER) AS code, sv AS c FROM (
+       |    SELECT sub, sv, ROW_NUMBER() OVER (PARTITION BY sub
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)), vec_id) AS rn
+       |    FROM subs
+       |  ) WHERE rn <= 16
+       |), passign AS (
+       |  SELECT sub, code, sv FROM (
+       |    SELECT t.sub, s.code, t.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+       |        ORDER BY ROUND(${annSubL2("t.sv", "s.c")}, 6), s.code) AS rk
+       |    FROM subs t JOIN pseeds s USING (sub)
+       |  ) WHERE rk = 1
+       |), cb AS (
+       |  SELECT sub, code, list(m ORDER BY pos) AS c FROM (
+       |    SELECT a.sub, a.code, p.pos, ROUND(SUM(a.sv[p.pos]) / COUNT(*), 6) AS m
+       |    FROM passign a CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p
+       |    GROUP BY a.sub, a.code, p.pos
+       |  ) GROUP BY sub, code
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT t.vec_id, t.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+       |        ORDER BY ROUND(${annSubL2("t.sv", "c.c")}, 6), c.code) AS rk
+       |    FROM subs t JOIN cb c USING (sub)
+       |  ) WHERE rk = 1
+       |), qsubs AS (SELECT sub, sv AS qs FROM subs WHERE vec_id = 0)""".stripMargin
+
+  /** Exact-cosine re-rank over a candidate-id CTE — the shared tail of
+    * the ANN oracle family (raw-cosine order, rounded output). */
+  private def annRerank(candCte: String): String =
+    s"""SELECT e.vec_id, ROUND(${annRawCos("e.v", "qv.q")}, 6) AS cosine
        |FROM embd e
-       |JOIN asg USING (vec_id)
-       |JOIN probe USING (cell)
+       |JOIN $candCte USING (vec_id)
        |CROSS JOIN qv
        |WHERE e.vec_id <> 0
-       |ORDER BY ${rawCos("e.v", "qv.q")} DESC, e.vec_id
+       |ORDER BY ${annRawCos("e.v", "qv.q")} DESC, e.vec_id
        |LIMIT 10""".stripMargin
-  }
+
+  /** ann_ivf_topk oracle: the full IVF pipeline in DuckDB SQL. */
+  private def ivfOracle: String =
+    s"""$annBaseCtes$ivfCtes, ivfcand AS (
+       |  SELECT vec_id FROM asg JOIN probe USING (cell)
+       |)
+       |${annRerank("ivfcand")}""".stripMargin
+
+  /** ann_pq_topk oracle: codebook training + codes + the ADC scan
+    * (per-sub squared L2 to the query subvector summed over the 8
+    * codes, 1e-6-rounded like the operator) + exact re-rank. */
+  private def pqOracle: String =
+    s"""$annBaseCtes$pqCtes, adcc AS (
+       |  SELECT t.vec_id, ROUND(SUM(${annSubL2("q.qs", "c.c")}), 6) AS adc
+       |  FROM codes t JOIN cb c USING (sub, code) JOIN qsubs q USING (sub)
+       |  WHERE t.vec_id <> 0
+       |  GROUP BY t.vec_id
+       |  ORDER BY adc, t.vec_id
+       |  LIMIT 80
+       |)
+       |${annRerank("adcc")}""".stripMargin
+
+  /** ann_ivfpq_topk oracle: IVF route ∩ PQ ADC scan ∩ exact re-rank —
+    * the composed production stack, every stage replayed. */
+  private def ivfpqOracle: String =
+    s"""$annBaseCtes$ivfCtes$pqCtes, routed AS (
+       |  SELECT vec_id FROM asg JOIN probe USING (cell)
+       |), adcc AS (
+       |  SELECT t.vec_id, ROUND(SUM(${annSubL2("q.qs", "c.c")}), 6) AS adc
+       |  FROM codes t JOIN cb c USING (sub, code) JOIN qsubs q USING (sub)
+       |  JOIN routed r ON t.vec_id = r.vec_id
+       |  WHERE t.vec_id <> 0
+       |  GROUP BY t.vec_id
+       |  ORDER BY adc, t.vec_id
+       |  LIMIT 80
+       |)
+       |${annRerank("adcc")}""".stripMargin
 
   /** RWR sampling oracle: every step unrolled — per step, one arg_min
     * move CTE plus one restart CASE, exactly mirroring
@@ -2813,6 +2897,12 @@ object SparkEntry {
     // float op mirrors AnnSearch.ivfCentroids/ivfAssignment/ivfTopK
     // op-for-op — see the scaladoc there for why each step is snapped.
     "ann_ivf_topk" -> ivfOracle,
+    // r7: same precedent extended to the PQ stack — codebooks, codes,
+    // and the ADC scan all replayed (md5 seed order, 1e-6 snaps at the
+    // argmin/mean/adc points mirrored in AnnSearch.pqCodebooks/pqCodes/
+    // pqTopK/ivfPqTopK)
+    "ann_pq_topk" -> pqOracle,
+    "ann_ivfpq_topk" -> ivfpqOracle,
 
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

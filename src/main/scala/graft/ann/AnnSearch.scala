@@ -187,11 +187,19 @@ object AnnSearch {
 
   /** Product-quantization codebooks: the vector splits into `m`
     * subspaces of Dim/m dims; each subspace trains `ksub` centroids
-    * (deterministic xxhash64 seeds + one Lloyd refinement — the
-    * [[ivfCentroids]] recipe per subspace, all m subspaces trained in
-    * ONE pass: subvectors explode once and every window/aggregate keys
-    * on `sub`). Session-cached; at 100 TB this is the tiny index
-    * artifact built once per corpus version. */
+    * (deterministic seeds + one Lloyd refinement — the [[ivfCentroids]]
+    * recipe per subspace, all m subspaces trained in ONE pass:
+    * subvectors explode once and every aggregate keys on `sub`).
+    * Session-cached; at 100 TB this is the tiny index artifact built
+    * once per corpus version.
+    *
+    * r7: engine-replayable like the IVF index (retires the no_oracle
+    * status of `ann_pq_topk`/`ann_ivfpq_topk`) — md5 seed order,
+    * argmin of the 1e-6-ROUNDED squared distance (ties to the lowest
+    * code) as one struct-min hash aggregate (subvector rides inside the
+    * struct, never compared — code is unique per group), refined
+    * centroids 1e-6-snapped. See [[ivfCentroids]] for the rationale of
+    * each snap. */
   private def pqCodebooks(spark: SparkSession, dir: String,
       m: Int, ksub: Int): DataFrame =
     graft.Cache.cached(spark, dir, s"pq_codebooks_${m}_$ksub") {
@@ -201,30 +209,31 @@ object AnnSearch {
             slice(col("embedding"), s * subDim + 1, subDim)): _*)))
         .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
       val seeds = sub
-        .withColumn("h", xxhash64(col("vec_id"), col("sub")))
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(":"),
+          col("sub").cast("string"))))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))))
         .filter(col("rn") <= ksub)
         .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
           col("sv").as("centroid"))
       val assign = sub.join(broadcast(seeds), Seq("sub"))
-        .withColumn("d", l2sq(col("sv"), col("centroid")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("sub"))
-            .orderBy(col("d"), col("code"))))
-        .filter(col("rk") === 1)
+        .withColumn("d", round(l2sq(col("sv"), col("centroid")), 6))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d"), col("code"), col("sv").as("v"))).as("best"))
+        .select(col("sub"), col("best.code").as("code"), col("best.v").as("sv"))
       assign.groupBy(col("sub"), col("code"))
         .agg(VectorOps.vecSum(subDim)(
             transform(col("sv"), v => v.cast("double"))).as("csum"),
           count(lit(1)).as("n"))
         .select(col("sub"), col("code"),
-          transform(col("csum"), v => v / col("n")).as("centroid"))
+          transform(col("csum"), v => round(v / col("n"), 6)).as("centroid"))
     }
 
   /** PQ codes: every vector × subspace encoded to its nearest-centroid
     * id — the 1-byte-per-subspace compressed representation ADC scans
     * instead of raw vectors (here m codes ≈ m bytes vs Dim·4 bytes).
-    * Session-cached; at scale a (vec_id, codes) table. */
+    * Session-cached; at scale a (vec_id, codes) table. Same replayable
+    * struct-min argmin as the codebook training. */
   def pqCodes(spark: SparkSession, dir: String,
       m: Int = 8, ksub: Int = 16): DataFrame =
     graft.Cache.cached(spark, dir, s"pq_codes_${m}_$ksub") {
@@ -235,12 +244,10 @@ object AnnSearch {
             slice(col("embedding"), s * subDim + 1, subDim)): _*)))
         .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
         .join(broadcast(cb), Seq("sub"))
-        .withColumn("d", l2sq(col("sv"), col("centroid")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("sub"))
-            .orderBy(col("d"), col("code"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("code"))
+        .withColumn("d", round(l2sq(col("sv"), col("centroid")), 6))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d"), col("code"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
     }
 
   /** PQ approximate top-k via asymmetric distance computation (ADC):
@@ -278,12 +285,15 @@ object AnnSearch {
     val q = qRows.head.getSeq[Float](1).map(_.toDouble)
     val table = adcTable(spark, dir, q, m, ksub)
     val qVec = array(q.map(lit): _*)
+    // adc 1e-6-rounded before the candidate cut: the m-row sum's
+    // addend order is run/engine-dependent (~1e-15 noise) and the cut
+    // boundary must agree with the SQL replay
     val candidates = pqCodes(spark, dir, m, ksub)
       .filter(col("vec_id") =!= queryId)
       .withColumn("d", element_at(table,
         (col("sub") * ksub + col("code") + 1).cast("int")))
       .groupBy(col("vec_id"))
-      .agg(sum(col("d")).as("adc"))
+      .agg(round(sum(col("d")), 6).as("adc"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(k * candMult)
     candidates
@@ -452,7 +462,7 @@ object AnnSearch {
       .withColumn("d", element_at(table,
         (col("sub") * ksub + col("code") + 1).cast("int")))
       .groupBy(col("vec_id"))
-      .agg(sum(col("d")).as("adc"))
+      .agg(round(sum(col("d")), 6).as("adc")) // see pqTopK's snap note
       .orderBy(col("adc"), col("vec_id"))
       .limit(k * candMult)
     // 3. exact re-rank over k·candMult raw vectors only

@@ -36,10 +36,18 @@ object NnDescent {
   private def offset(j: Int, n: Long, seed: Long): Long =
     1L + Math.floorMod(j.toLong * 2654435761L + seed * 40503L, n - 1L)
 
-  private def rankedIds(pts: DataFrame): DataFrame =
-    pts.select(col("id"),
-      (row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("id"))) - 1).as("rk"))
+  /** Dense 0..n-1 rank by id WITHOUT a keyless window (which would
+    * sort the whole point set on one partition — the q11-class scale
+    * hazard): range-sort then RDD zipWithIndex — per-partition counts
+    * plus offsets, deterministic, and the one place imperative
+    * per-partition logic is the right tool. */
+  private def rankedIds(pts: DataFrame): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    pts.select(col("id")).sort(col("id"))
+      .rdd.map(_.getLong(0)).zipWithIndex()
+      .toDF("id", "rk")
+  }
 
   /** Hash-offset ring init: ≤ k deterministic pseudo-random neighbours
     * per node (offset collisions dedup — init quality only). */

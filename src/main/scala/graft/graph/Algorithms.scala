@@ -2261,12 +2261,20 @@ object Algorithms {
         sum(col("e_in") / m - (col("degree_w") / m) * (col("degree_w") / m)).as("modularity"))
   }
 
+  /** Iterations the cached [[userPageRank]] build actually ran, memoized
+    * alongside the frame (Cache holds DataFrames only); written exactly
+    * once per (session, dir) since the cached builder runs once. */
+  private val userPageRankIters =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** PageRank of the user co-occurrence graph, session-cached (shared
-    * by the top-k view and the invariant gate). */
+    * by the top-k view, the invariant gate, and the convergence gate). */
   def userPageRank(spark: SparkSession, dir: String): DataFrame =
     graft.Cache.cached(spark, dir, "pagerank") {
-      pageRankLoop(userCoocNorm(spark, dir), userCoocNodes(spark, dir),
-        iterations = 10, damping = 0.85, tol = 1e-6)._1
+      val (r, i) = pageRankLoop(userCoocNorm(spark, dir), userCoocNodes(spark, dir),
+        iterations = 10, damping = 0.85, tol = 1e-6)
+      userPageRankIters.put(s"${graft.Cache.sessionId(spark)}|$dir", i)
+      r
     }
 
   /** PageRank by power iteration (damping 0.85) with CONVERGENCE EARLY
@@ -2380,8 +2388,12 @@ object Algorithms {
   def userPageRankConvergenceGate(spark: SparkSession, dir: String): DataFrame = {
     val norm = userCoocNorm(spark, dir)
     val nodes = userCoocNodes(spark, dir)
-    val (conv, iters) = pageRankLoop(norm, nodes, iterations = 10,
-      damping = 0.85, tol = 1e-6)
+    // the convergent side IS the session-cached userPageRank build
+    // (warm after the bench silver phase) — only the fixed replay runs
+    // at query time
+    val conv = userPageRank(spark, dir)
+    val iters = userPageRankIters
+      .get(s"${graft.Cache.sessionId(spark)}|$dir").intValue()
     val fixed = pageRankLoop(norm, nodes, iters, damping = 0.85, tol = 0.0)._1
     conv.join(fixed.withColumnRenamed("rank", "rank_fixed"), Seq("node_id"))
       .agg(count(lit(1)).as("n_nodes"),
