@@ -1001,6 +1001,52 @@ object SparkEntry {
        |)
        |${annRerank("adcc")}""".stripMargin
 
+  /** kmeans_clusters oracle (r7): 3 Lloyd iterations unrolled — seed
+    * draw by md5 order, raw-d2 argmin (bit-replayable: seeds are exact
+    * float-doubles, later centroids 1e-6-snapped on BOTH sides), per-
+    * (cluster, dim) means with empty-cluster carry-through, mirroring
+    * KMeans.lloydWithTrace/assignTo op-for-op. */
+  private def kmeansOracle: String = {
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def assignCte(t: Int, cents: String): String =
+      s"""a$t AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2("e.v", "c.c")}, c.cluster) AS rk
+         |    FROM embd e CROSS JOIN $cents c
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    def centCte(t: Int, prev: String): String =
+      s"""c$t AS (
+         |  SELECT s.cluster, list(COALESCE(nm.m, s.c[p.pos]) ORDER BY p.pos) AS c
+         |  FROM $prev s
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+         |  LEFT JOIN (
+         |    SELECT a.cluster, q.pos, ROUND(SUM(e.v[q.pos]) / COUNT(*), 6) AS m
+         |    FROM a$t a JOIN embd e USING (vec_id)
+         |    CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) q
+         |    GROUP BY a.cluster, q.pos
+         |  ) nm ON nm.cluster = s.cluster AND nm.pos = p.pos
+         |  GROUP BY s.cluster
+         |)""".stripMargin
+    s"""WITH embd AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), s0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':kmeans'), vec_id) - 1
+       |    AS INTEGER) AS cluster, v AS c
+       |  FROM embd
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':kmeans'), vec_id
+       |  LIMIT 8
+       |), ${assignCte(1, "s0")}, ${centCte(1, "s0")},
+       |${assignCte(2, "c1")}, ${centCte(2, "c1")},
+       |${assignCte(3, "c2")}
+       |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   /** RWR sampling oracle: every step unrolled — per step, one arg_min
     * move CTE plus one restart CASE, exactly mirroring
     * [[graft.graph.Algorithms.rwrSample]]'s md5 draws. */
@@ -2903,6 +2949,9 @@ object SparkEntry {
     // pqTopK/ivfPqTopK)
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfpqOracle,
+    // r7: Lloyd centroids snapped at 1e-6 per iteration on the Spark
+    // side, so the whole 3-iteration run replays (see KMeans.scala)
+    "kmeans_clusters" -> kmeansOracle,
 
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -23,6 +23,11 @@ import graft.Tables._
   * exchange. The corpus is scanned once per iteration. */
 object KMeans {
 
+  /** Decimal-6 snap, HALF_UP — matches both engines' ROUND at the
+    * noise scale involved (see the centroid-update comment). */
+  private def snap6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** (vec_id, cluster) for every embedding, k clusters, `iters`
     * Lloyd iterations from the hash-seeded init. */
   def assign(spark: SparkSession, dir: String, k: Int = 8,
@@ -79,7 +84,11 @@ object KMeans {
         sums.find(_.getInt(0) == c) match {
           case Some(r) =>
             val n = r.getLong(1).toDouble
-            Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+            // 1e-6 snap (r7): the per-cluster sums arrive in partition
+            // order (~1e-12 reduction noise), and snapped centroids
+            // make every later assignment bit-replayable in the DuckDB
+            // oracle — the IVF/PQ precedent ([[AnnSearch.ivfCentroids]])
+            Array.tabulate(dim)(i => snap6(r.getDouble(2 + i) / n))
           case None => centroids(c) // empty cluster keeps its centroid
         }
       }.toArray
