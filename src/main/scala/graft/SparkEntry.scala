@@ -347,11 +347,15 @@ object SparkEntry {
     // available via FastRP.userEmbeddings.
     "fastrp_embeddings" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      // long (user, pos, v) layout (r7): coordinates are already
+      // 1e-6-snapped doubles, and doubles ride the driver's row-hash
+      // compare natively — a CSV string would re-open the Java-vs-SQL
+      // double-formatting mismatch ("1.0E-4" vs "0.0001")
       graft.graph.FastRP.userEmbeddings(s, d)
-        .select(col("user_id"),
-          concat_ws(",", transform(col("embedding"),
-            x => round(x, 6).cast("string"))).as("embedding_csv"))
-        .orderBy("user_id")
+        .select(col("user_id"), posexplode(col("embedding")))
+        .select(col("user_id"), col("pos").cast("bigint").as("pos"),
+          col("col").as("v"))
+        .orderBy("user_id", "pos")
     }),
     // Shape/invariant check on the embeddings that IS SQL-expressible:
     // every active user gets exactly one dim-64, unit-L2-norm vector.
@@ -1732,6 +1736,112 @@ object SparkEntry {
        |  SELECT book_id * 2 + 1, user_id * 2 FROM ratings
        |)""".stripMargin
 
+  /** FastRP replayed in SQL (r7): md5 sparse base entries, 3 weighted-
+    * mean propagation steps with the 1e-6 post-normalise snap mirrored
+    * from FastRP.normalized, iteration-weight [0,1,1,1] accumulation,
+    * snapped final normalise — ends in `fastrp(user_id, emb)` (64-list)
+    * plus `femb(node_id, pos, v)` for the long-format entry. Every CTE
+    * is MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+    * multi-referenced propagation chain explodes exponentially without
+    * the hint (measured 45+ CPU-minutes vs seconds). */
+  private def fastrpCtes: String = {
+    val sqrt3 = math.sqrt(3.0).toString
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "st0" else s"st${k - 1}"
+      s""", m$k AS MATERIALIZED (
+         |  SELECT e.dst AS node_id, s.pos, SUM(s.v * e.weight) / SUM(e.weight) AS v
+         |  FROM wedges e JOIN $prev s ON s.node_id = e.src
+         |  GROUP BY e.dst, s.pos
+         |), st$k AS MATERIALIZED (
+         |  SELECT n.node_id, p.pos,
+         |    COALESCE(CASE WHEN nn.nrm > 0 THEN ROUND(m.v / nn.nrm, 6) ELSE 0.0 END, 0.0) AS v
+         |  FROM fnodes n CROSS JOIN fpos p
+         |  LEFT JOIN m$k m ON m.node_id = n.node_id AND m.pos = p.pos
+         |  LEFT JOIN (SELECT node_id, sqrt(SUM(v * v)) AS nrm FROM m$k GROUP BY node_id) nn
+         |    ON nn.node_id = n.node_id
+         |)""".stripMargin
+    }
+    s"""$RatingsCte, wedges AS MATERIALIZED (
+       |  SELECT user_id * 2 AS src, book_id * 2 + 1 AS dst,
+       |    CAST(rating AS DOUBLE) AS weight FROM ratings
+       |  UNION ALL
+       |  SELECT book_id * 2 + 1, user_id * 2, CAST(rating AS DOUBLE) FROM ratings
+       |), fnodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM wedges
+       |), fpos AS MATERIALIZED (SELECT unnest(range(1, 65)) AS pos
+       |), base AS MATERIALIZED (
+       |  SELECT n.node_id, p.pos,
+       |    CASE CAST(('0x' || substr(md5(concat(CAST(n.node_id AS VARCHAR), ':', CAST(p.pos - 1 AS VARCHAR), ':42')), 1, 8)) AS BIGINT) % 6
+       |      WHEN 0 THEN $sqrt3 WHEN 1 THEN -$sqrt3 ELSE 0.0 END AS v
+       |  FROM fnodes n CROSS JOIN fpos p
+       |), st0 AS MATERIALIZED (
+       |  SELECT b.node_id, b.pos,
+       |    CASE WHEN nn.nrm > 0 THEN ROUND(b.v / nn.nrm, 6) ELSE 0.0 END AS v
+       |  FROM base b JOIN (
+       |    SELECT node_id, sqrt(SUM(v * v)) AS nrm FROM base GROUP BY node_id
+       |  ) nn USING (node_id)
+       |)${iter(1)}${iter(2)}${iter(3)}, facc AS MATERIALIZED (
+       |  SELECT a.node_id, a.pos, (a.v + b.v) + c.v AS v
+       |  FROM st1 a
+       |  JOIN st2 b ON a.node_id = b.node_id AND a.pos = b.pos
+       |  JOIN st3 c ON a.node_id = c.node_id AND a.pos = c.pos
+       |), fnorm AS MATERIALIZED (
+       |  SELECT node_id, sqrt(SUM(v * v)) AS nrm FROM facc GROUP BY node_id
+       |), femb AS MATERIALIZED (
+       |  SELECT f.node_id, f.pos,
+       |    CASE WHEN n.nrm > 0 THEN ROUND(f.v / n.nrm, 6) ELSE 0.0 END AS v
+       |  FROM facc f JOIN fnorm n USING (node_id)
+       |), fastrp AS MATERIALIZED (
+       |  SELECT node_id // 2 AS user_id, list(v ORDER BY pos) AS emb
+       |  FROM femb WHERE node_id % 2 = 0 GROUP BY node_id
+       |)""".stripMargin
+  }
+
+  /** The KNN path over the replayed FastRP embeddings: 8×10 splitmix64
+    * hyperplane bands as literals (the annLshOracle precedent),
+    * collide-in-≥1-band candidates, exact cosine, cutoff, per-user
+    * top-20 ranks in `knnr` with the (cosine DESC, id) tie-break. */
+  private def knnCtes(cutoffRaw: String): String = {
+    val bands = 8; val bits = 10; val dim = 64
+    def hp(bit: Int): String = graft.ann.Lsh.hyperplane(bit, dim, seed = 7)
+      .map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+    def signBit(bit: Int): String =
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"j -> emb[j] * (${hp(bit)})[j])) >= 0 THEN 1 ELSE 0 END)"
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until bits)
+        .map(i => s"${signBit(b * bits + i)} * ${1L << i}")
+        .mkString(" + ")
+      s"($key) AS b$b"
+    }.mkString(",\n    ")
+    val anyBand = (0 until bands).map(b => s"l.b$b = r.b$b").mkString(" OR ")
+    s"""$fastrpCtes, sigs AS MATERIALIZED (
+       |  SELECT user_id, emb,
+       |    $bandCols
+       |  FROM fastrp
+       |), cand AS MATERIALIZED (
+       |  SELECT l.user_id AS id_a, r.user_id AS id_b, l.emb AS va, r.emb AS vb
+       |  FROM sigs l JOIN sigs r ON l.user_id < r.user_id AND ($anyBand)
+       |), kept AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT id_a, id_b, ${annRawCos("va", "vb")} AS cosine FROM cand
+       |  ) WHERE cosine >= $cutoffRaw
+       |), bidir AS MATERIALIZED (
+       |  SELECT id_a, id_b, cosine FROM kept
+       |  UNION ALL
+       |  SELECT id_b, id_a, cosine FROM kept
+       |), knnr AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rk
+       |  FROM bidir
+       |)""".stripMargin
+  }
+
+  private def knnOracle(cutoffRaw: String, simExpr: String): String =
+    s"""${knnCtes(cutoffRaw)}
+       |SELECT src, dst, $simExpr AS similarity
+       |FROM knnr WHERE rk <= 20
+       |ORDER BY src, dst""".stripMargin
+
   /** The LSH signature algebra of [[graft.ann.AnnSearch.lshTopK]],
     * re-generated as DuckDB SQL: the ±1 hyperplanes are deterministic
     * driver-side literals (splitmix64), so the oracle embeds the SAME
@@ -2977,6 +3087,61 @@ object SparkEntry {
          |SELECT user_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2_norm
          |FROM (SELECT DISTINCT user_id FROM ratings)
          |ORDER BY user_id""".stripMargin,
+
+    // r7: the WHOLE FastRP pipeline replayed (md5 base + snapped
+    // propagation — see FastRP.scala), long (user, pos, v) layout so
+    // doubles ride the hash compare without string formatting
+    "fastrp_embeddings" ->
+      s"""$fastrpCtes
+         |SELECT node_id // 2 AS user_id, CAST(pos - 1 AS BIGINT) AS pos, v
+         |FROM femb WHERE node_id % 2 = 0
+         |ORDER BY user_id, pos""".stripMargin,
+
+    // r7: FastRP → banded LSH candidates → exact-cosine top-20, both
+    // operating points (raw cutoff 0.1; the reference's GDS-scale
+    // cutoff 0.8 ⇒ raw 0.6) — the approximate KNN path proved end to
+    // end like ann_lsh_topk
+    "knn_similar_edges" -> knnOracle("0.1", "ROUND(cosine, 6)"),
+    "knn_similar_edges_ref" ->
+      knnOracle((2 * 0.8 - 1).toString, "ROUND((cosine + 1) / 2, 6)"),
+
+    // r7: the embedding-KNN recommender — sims = user 1's top-20 KNN
+    // edges at (topK=20, cutoff=0.1), then the recommend_knn aggregate
+    // tail (integer-exact sums, k=10)
+    "recommend_knn_embedding" ->
+      s"""${knnCtes("0.1")}, sims AS MATERIALIZED (
+         |  SELECT dst AS user_id FROM knnr WHERE src = 1 AND rk <= 20
+         |), mine AS MATERIALIZED (SELECT book_id FROM ratings WHERE user_id = 1)
+         |SELECT r.book_id, p.p_name AS title,
+         |       CAST(SUM(r.rating) AS DOUBLE) / COUNT(*) AS avg_rating,
+         |       COUNT(*) AS votes
+         |FROM ratings r
+         |JOIN sims s ON r.user_id = s.user_id
+         |JOIN part p ON r.book_id = p.p_partkey
+         |WHERE r.book_id NOT IN (SELECT book_id FROM mine)
+         |GROUP BY r.book_id, p.p_name
+         |ORDER BY avg_rating DESC, votes DESC, r.book_id LIMIT 10""".stripMargin,
+
+    // r7: the KNN-variant neighborhood expansion — simK=3 similar users
+    // by the ROUNDED GDS-scale similarity (the operator orders on the
+    // rounded value), then the typed RATED/SIMILAR_TO edge union
+    "graph_neighborhood_knn" ->
+      s"""${knnCtes((2 * 0.8 - 1).toString)}, simk AS MATERIALIZED (
+         |  SELECT dst AS user_id, ROUND((cosine + 1) / 2, 6) AS weight
+         |  FROM knnr WHERE src = 1 AND rk <= 20
+         |  ORDER BY ROUND((cosine + 1) / 2, 6) DESC, dst LIMIT 3
+         |)
+         |SELECT * FROM (
+         |  SELECT 'RATED' AS edge_type, CAST(1 AS BIGINT) AS src,
+         |    book_id AS dst, CAST(rating AS DOUBLE) AS weight
+         |  FROM ratings WHERE user_id = 1
+         |  UNION ALL
+         |  SELECT 'SIMILAR_TO', CAST(1 AS BIGINT), user_id, weight FROM simk
+         |  UNION ALL
+         |  SELECT 'RATED', r.user_id, r.book_id, CAST(r.rating AS DOUBLE)
+         |  FROM ratings r JOIN simk s ON r.user_id = s.user_id
+         |)
+         |ORDER BY edge_type, src, dst""".stripMargin,
 
     // node2vec node universe = the co-occurrence graph's users (walk
     // seeds come from its node set); the vectors are hash-seeded but

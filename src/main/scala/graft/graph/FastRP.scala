@@ -36,18 +36,31 @@ object FastRP {
 
   private def eCols(dim: Int): Seq[String] = (0 until dim).map(j => s"e$j")
 
-  /** Deterministic sparse base entry for dimension j. */
+  /** Deterministic sparse base entry for dimension j — md5-based (r7:
+    * engine-replayable; xxhash64 is Spark-only): first 8 hex chars as a
+    * uint32, mod 6. The md5 swap plus the [[normalized]] snap make the
+    * WHOLE FastRP pipeline — and everything downstream of it (KNN
+    * edges, both operating points) — exactly DuckDB-oracle-able. */
   private def baseEntry(nodeId: Column, j: Int, seed: Int): Column = {
-    val h = pmod(xxhash64(nodeId, lit(j), lit(seed)), lit(6))
+    val h = conv(substring(
+        md5(concat(nodeId.cast("string"), lit(s":$j:$seed"))), 1, 8), 16, 10)
+      .cast("long") % 6
     when(h === 0, lit(Sqrt3)).when(h === 1, lit(-Sqrt3)).otherwise(lit(0.0))
   }
 
-  /** Two-step L2 normalisation over wide columns (norm computed once). */
+  /** Two-step L2 normalisation over wide columns (norm computed once),
+    * with the output SNAPPED to 6 decimals (r7): the propagation means
+    * feeding this carry ~1e-11 reduction-order noise, and the snap
+    * makes each iteration's state bit-identical across engines and
+    * runs — the IVF/PQ/kmeans precedent. Unit norms survive to the
+    * fastrp_norms gate's 1e-4 rounding (coordinate error ≤ 5e-7 →
+    * norm error ≤ ~4e-6). */
   private def normalized(df: DataFrame, dim: Int): DataFrame = {
     val normSq = eCols(dim).map(c => col(c) * col(c)).reduce(_ + _)
     df.withColumn("_norm", sqrt(normSq))
       .select(col("node_id") +: eCols(dim).map(c =>
-        when(col("_norm") > 0, col(c) / col("_norm")).otherwise(lit(0.0)).as(c)): _*)
+        when(col("_norm") > 0, round(col(c) / col("_norm"), 6))
+          .otherwise(lit(0.0)).as(c)): _*)
   }
 
   /** The normalised iteration-0 state on its own: one deterministic
@@ -94,12 +107,15 @@ object FastRP {
           (col(s"acc_$c") + col(c) * w).as(s"acc_$c")): _*)
     }
 
-    // final L2 normalise + pack into an array column
+    // final L2 normalise + pack into an array column; coordinates
+    // snapped at 6 like every iteration state (see normalized) so the
+    // embedding CONSUMERS (cosines, LSH sign bits) are bit-replayable
     val accNormSq = eCols(dim).map(c => col(s"acc_$c") * col(s"acc_$c")).reduce(_ + _)
     combined.withColumn("_norm", sqrt(accNormSq))
       .select(col("node_id"),
         array(eCols(dim).map(c =>
-          when(col("_norm") > 0, col(s"acc_$c") / col("_norm")).otherwise(lit(0.0))): _*)
+          when(col("_norm") > 0, round(col(s"acc_$c") / col("_norm"), 6))
+            .otherwise(lit(0.0))): _*)
           .as("embedding"))
   }
 

@@ -189,10 +189,11 @@ class GraphAlgoSpec extends AnyFunSuite {
       assert(e1(k).zip(e2(k)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
         s"non-deterministic embedding for $k")
     }
-    // unit norm
+    // unit norm — up to ~4e-6 deviation since r7's 1e-6 coordinate
+    // snap (each of 64 coords may move ≤ 5e-7; see FastRP.normalized)
     e1.values.take(20).foreach { v =>
       val n = math.sqrt(v.map(x => x * x).sum)
-      assert(math.abs(n - 1.0) < 1e-9 || n < 1e-12)
+      assert(math.abs(n - 1.0) < 1e-5 || n < 1e-12)
     }
   }
 
