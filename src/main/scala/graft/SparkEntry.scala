@@ -368,15 +368,16 @@ object SparkEntry {
             (acc, x) => acc + x * x)), 4).as("l2_norm"))
         .orderBy("user_id")
     }),
-    // node2vec embeddings (walk corpus → SPPMI → sparse projection):
-    // hash-seeded like fastrp_embeddings — rows entry + norms oracle
+    // node2vec embeddings (walk corpus → SPPMI → sparse projection) —
+    // exactly oracled since r7 (md5 clock draws + FastRP snaps); long
+    // (user, pos, v) layout like fastrp_embeddings
     "node2vec_embeddings" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.graph.Node2Vec.userEmbeddings(s, d)
-        .select(col("user_id"),
-          concat_ws(",", transform(col("embedding"),
-            x => round(x, 6).cast("string"))).as("embedding_csv"))
-        .orderBy("user_id")
+        .select(col("user_id"), posexplode(col("embedding")))
+        .select(col("user_id"), col("pos").cast("bigint").as("pos"),
+          col("col").as("v"))
+        .orderBy("user_id", "pos")
     }),
     "node2vec_norms" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1442,6 +1443,102 @@ object SparkEntry {
       .map(t => s"SELECT walk_id, step, node_id FROM w$t")
       .mkString("\n", "\nUNION ALL ", "")
     s"$base$stepsSql$union\nORDER BY walk_id, step"
+  }
+
+  /** node2vec_embeddings oracle (r7): the FULL pipeline — weighted
+    * 4-walks-per-node corpus (Efraimidis–Spirakis clock draws with the
+    * md5 48-bit uniform, arg_min per step), window-2 SPPMI contexts,
+    * one FastRP projection step (seed 1337) with the 1e-6 snaps, and
+    * the unit-base fallback for context-less nodes — mirroring
+    * Algorithms.node2vecWalksFromSeeds + Node2Vec op-for-op. */
+  private def node2vecEmbOracle: String = {
+    val sqrt3 = math.sqrt(3.0).toString
+    val stepsSql = (1 to 4).map { t =>
+      s""", c$t AS MATERIALIZED (
+         |  SELECT f.walk_id, f.node_id AS src, e.dst AS nxt, e.weight,
+         |    CASE WHEN e.dst = f.prev THEN 1
+         |         WHEN a.src IS NOT NULL THEN 2 ELSE 4 END AS cw
+         |  FROM w${t - 1} f
+         |  JOIN cooc e ON e.src = f.node_id
+         |  LEFT JOIN cooc a ON a.src = f.prev AND a.dst = e.dst
+         |), w$t AS MATERIALIZED (
+         |  SELECT walk_id, CAST($t AS BIGINT) AS step,
+         |    arg_min(nxt, -ln((CAST(('0x' || substr(md5(concat(CAST(walk_id AS VARCHAR), ':', '$t', ':', CAST(nxt AS VARCHAR))), 1, 12)) AS BIGINT) + 0.5) / 281474976710656.0) / (cw * weight)) AS node_id,
+         |    MIN(src) AS prev
+         |  FROM c$t
+         |  GROUP BY walk_id
+         |)""".stripMargin
+    }.mkString
+    val corpusUnion = (0 to 4)
+      .map(t => s"SELECT walk_id, step, node_id FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""$RatingsCte, cooc AS MATERIALIZED (
+       |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+       |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+       |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+       |  WHERE a.user_id <> b.user_id
+       |  GROUP BY a.user_id, b.user_id
+       |), cnodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM cooc
+       |), w0 AS MATERIALIZED (
+       |  SELECT node_id * 4 + ww.w AS walk_id, CAST(0 AS BIGINT) AS step,
+       |    node_id, node_id AS prev
+       |  FROM cnodes, (SELECT unnest(range(0, 4)) AS w) ww
+       |)$stepsSql, corpus AS MATERIALIZED (
+       |  $corpusUnion
+       |), ctx AS MATERIALIZED (
+       |  SELECT a.node_id AS u, b.node_id AS c, CAST(COUNT(*) AS BIGINT) AS n_uc
+       |  FROM corpus a JOIN corpus b ON a.walk_id = b.walk_id
+       |    AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |  GROUP BY a.node_id, b.node_id
+       |), rsum AS MATERIALIZED (SELECT u, SUM(n_uc) AS n_u FROM ctx GROUP BY u
+       |), csum AS MATERIALIZED (SELECT c, SUM(n_uc) AS n_c FROM ctx GROUP BY c
+       |), tot AS MATERIALIZED (SELECT SUM(n_uc) AS n_all FROM ctx
+       |), sppmi AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT p.u AS src, p.c AS dst,
+       |      ln(CAST(p.n_uc AS DOUBLE) * CAST(t.n_all AS DOUBLE)
+       |        / (CAST(r.n_u AS DOUBLE) * CAST(s.n_c AS DOUBLE))) AS weight
+       |    FROM ctx p
+       |    JOIN rsum r ON p.u = r.u
+       |    JOIN csum s ON p.c = s.c
+       |    CROSS JOIN tot t
+       |  ) WHERE weight > 0
+       |), nvnodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM sppmi
+       |), npos AS MATERIALIZED (SELECT unnest(range(1, 65)) AS pos
+       |), nbase AS MATERIALIZED (
+       |  SELECT n.node_id, p.pos,
+       |    CASE CAST(('0x' || substr(md5(concat(CAST(n.node_id AS VARCHAR), ':', CAST(p.pos - 1 AS VARCHAR), ':1337')), 1, 8)) AS BIGINT) % 6
+       |      WHEN 0 THEN $sqrt3 WHEN 1 THEN -$sqrt3 ELSE 0.0 END AS v
+       |  FROM cnodes n CROSS JOIN npos p
+       |), nb AS MATERIALIZED (
+       |  SELECT b.node_id, b.pos,
+       |    CASE WHEN nn.nrm > 0 THEN ROUND(b.v / nn.nrm, 6) ELSE 0.0 END AS v
+       |  FROM nbase b JOIN (
+       |    SELECT node_id, sqrt(SUM(v * v)) AS nrm FROM nbase GROUP BY node_id
+       |  ) nn USING (node_id)
+       |), nm1 AS MATERIALIZED (
+       |  SELECT e.dst AS node_id, s.pos, SUM(s.v * e.weight) / SUM(e.weight) AS v
+       |  FROM sppmi e JOIN nb s ON s.node_id = e.src
+       |  GROUP BY e.dst, s.pos
+       |), nst1 AS MATERIALIZED (
+       |  SELECT n.node_id, p.pos,
+       |    COALESCE(CASE WHEN nn.nrm > 0 THEN ROUND(m.v / nn.nrm, 6) ELSE 0.0 END, 0.0) AS v
+       |  FROM nvnodes n CROSS JOIN npos p
+       |  LEFT JOIN nm1 m ON m.node_id = n.node_id AND m.pos = p.pos
+       |  LEFT JOIN (SELECT node_id, sqrt(SUM(v * v)) AS nrm FROM nm1 GROUP BY node_id) nn
+       |    ON nn.node_id = n.node_id
+       |), nfin AS MATERIALIZED (
+       |  SELECT f.node_id, f.pos,
+       |    CASE WHEN n.nrm > 0 THEN ROUND(f.v / n.nrm, 6) ELSE 0.0 END AS v
+       |  FROM nst1 f JOIN (
+       |    SELECT node_id, sqrt(SUM(v * v)) AS nrm FROM nst1 GROUP BY node_id
+       |  ) n USING (node_id)
+       |)
+       |SELECT node_id AS user_id, CAST(pos - 1 AS BIGINT) AS pos, v FROM nfin
+       |UNION ALL
+       |SELECT node_id, CAST(pos - 1 AS BIGINT), v FROM nb
+       |WHERE node_id NOT IN (SELECT node_id FROM nvnodes)
+       |ORDER BY user_id, pos""".stripMargin
   }
 
   /** k-source Brandes betweenness unrolled as chained CTEs: bounded
@@ -3143,9 +3240,14 @@ object SparkEntry {
          |)
          |ORDER BY edge_type, src, dst""".stripMargin,
 
+    // r7: the FULL node2vec pipeline replayed — weighted walk corpus
+    // (md5 clock draws), SPPMI, one snapped FastRP projection, unit
+    // fallback (see node2vecEmbOracle / Node2Vec.scala)
+    "node2vec_embeddings" -> node2vecEmbOracle,
+
     // node2vec node universe = the co-occurrence graph's users (walk
-    // seeds come from its node set); the vectors are hash-seeded but
-    // "one dim-64 unit vector per node" is exact
+    // seeds come from its node set); "one dim-64 unit vector per node"
+    // is exact (1e-4 rounding absorbs the r7 coordinate snap)
     "node2vec_norms" ->
       s"""$RatingsCte
          |SELECT a.user_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2_norm

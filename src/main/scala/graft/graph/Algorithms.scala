@@ -561,15 +561,19 @@ object Algorithms {
       val next = (if (weighted) {
         // exact weighted categorical draw WITHOUT replica explosion
         // (Efraimidis–Spirakis exponential clocks): candidate score
-        // −ln(u)/w with u a deterministic 53-bit uniform from
-        // xxhash64(walk, step, cand); the min-score candidate wins with
-        // probability ∝ w = classWeight · edgeWeight. Replicating the
-        // md5 arg-min here would explode Σ(classW·edgeW) rows per
-        // candidate — unbounded on a weighted graph; the clock draw is
-        // one row per candidate at any weight.
-        val u = (shiftrightunsigned(
-            xxhash64(col("walk_id"), lit(t), col("nxt")), 11).cast("double") + 0.5) /
-          lit(9007199254740992.0) // 2^53
+        // −ln(u)/w with u a deterministic 48-bit uniform from
+        // md5(walk:step:cand) (r7: md5, not xxhash64 — DuckDB computes
+        // the identical value, making the WEIGHTED corpus and the
+        // node2vec embeddings downstream of it exactly replayable; the
+        // multimodal-stub 48-bit-fraction precedent). The min-score
+        // candidate wins with probability ∝ w = classWeight·edgeWeight.
+        // Replicating the md5 arg-min here would explode Σ(classW·edgeW)
+        // rows per candidate — unbounded on a weighted graph; the clock
+        // draw is one row per candidate at any weight.
+        val u = (conv(substring(md5(concat_ws(":",
+            col("walk_id"), lit(t), col("nxt"))), 1, 12), 16, 10)
+            .cast("double") + 0.5) /
+          lit(281474976710656.0) // 2^48
         val score = -log(u) / (classW * col("weight"))
         cands
           .select(col("walk_id"), col("src"), col("nxt"), score.as("score"))
