@@ -28,16 +28,24 @@ object KMeans {
   private def snap6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Per-iteration WSS trace of the cached [[assign]] build, memoized
+    * alongside the frame (the Cache holds DataFrames only); written
+    * exactly once per (session, dir, k, iters) since the cached builder
+    * runs once. Lets [[invariants]] ride the SAME Lloyd run as the
+    * clusters entry instead of re-training (~6 s per bench sweep). */
+  private val traces =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+
   /** (vec_id, cluster) for every embedding, k clusters, `iters`
     * Lloyd iterations from the hash-seeded init. */
   def assign(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3): DataFrame =
-    // session-cached per (k, iters): the invariants gate reads the
-    // 2- and 3-iteration assignments and the clusters entry reads the
-    // 3-iteration one — one Lloyd run each per session
     graft.Cache.cached(spark, dir, s"kmeans_${k}_$iters") {
-      lloyd(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      val (out, trace) = lloydWithTrace(
+        embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         k, iters, dim = 64)
+      traces.put(s"${graft.Cache.sessionId(spark)}|$dir|$k|$iters", trace)
+      out
     }
 
   /** Lloyd's over any (vec_id, embedding: Array[Float]) frame. */
@@ -122,10 +130,10 @@ object KMeans {
     * Lloyd step (the defining monotonicity of the algorithm). */
   def invariants(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val emb = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // one traced Lloyd run covers BOTH the assignment gates and the
-    // full per-iteration WSS monotonicity (the wss rides the update
-    // step's own aggregates — no re-clustering joins)
-    val (a3, trace) = lloydWithTrace(emb, k, iters = 3, dim = 64)
+    // rides the SAME session-cached Lloyd run as the clusters entry —
+    // the WSS trace was memoized by assign's builder (no re-training)
+    val a3 = assign(spark, dir, k, iters = 3)
+    val trace = traces.get(s"${graft.Cache.sessionId(spark)}|$dir|$k|3")
     val n = emb.count()
     // ONE aggregate job for every assignment gate — the naive shape
     // (count + 2×distinct-count + filter-count as separate actions)
