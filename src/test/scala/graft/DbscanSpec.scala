@@ -77,9 +77,12 @@ class DbscanSpec extends AnyFunSuite {
       val v = Array.fill(64)(0.0); v(i % 16) = 1.0; v(17 + i % 13) = 0.3
       (i.toLong, v.toSeq)
     }.toDF("id", "vec")
-    val a = graft.ann.NnDescent.knnDescent(pts, k = 5, iters = 2).collect().map(_.toSeq)
-    val b = graft.ann.NnDescent.knnDescent(pts, k = 5, iters = 2).collect().map(_.toSeq)
-    assert(a.toSeq == b.toSeq)
+    // determinism is a CONTENT contract — collect() order is partition
+    // scheduling, not semantics (the query entry sorts before output),
+    // so compare canonically sorted row sets
+    def run() = graft.ann.NnDescent.knnDescent(pts, k = 5, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(run() == run())
   }
 
   test("dbscan: isolated core pair below minPts stays noise (no 1-point clusters from border rule)") {

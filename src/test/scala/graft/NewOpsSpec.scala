@@ -924,6 +924,25 @@ class NewOpsSpec extends AnyFunSuite {
     assert(fast == dist)
   }
 
+  test("k1Coloring: round-cap leftovers finish via driver greedy, identical to uncapped legs") {
+    // A K12 needs 12 JP rounds (one winner per round); maxRounds=3 on
+    // the distributed leg leaves 9 uncolored, forcing the
+    // driver-completion pass. Completion continues the exact JP
+    // fixpoint (decreasing md5 priority, colored neighbours as fixed
+    // constraints), so the capped run must be BIT-IDENTICAL to both
+    // the uncapped distributed run and the driver simulation.
+    val k12 = (for { a <- 1L to 12L; b <- 1L to 12L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val capped = Algorithms.k1Coloring(k12, maxRounds = 3, driverLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val uncapped = Algorithms.k1Coloring(k12, driverLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val driver = Algorithms.k1Coloring(k12)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped.size == 12, s"completion must color every node, got ${capped.size}")
+    assert(capped == uncapped && capped == driver)
+  }
+
   test("shortestPathNodes: unique path on a weighted-tie fixture, empty when unreachable") {
     // 1-2-3-4 path plus a longer detour 1-10-11-3: BFS must take the
     // short route; parent tie at node 3 (from 2 and 11, both dist 2?
