@@ -187,6 +187,31 @@ object SparkEntry {
     // — Iterative graph algorithms (rows-only oracle; spec-verified) —
     "communities_lpa" -> ((s, d) =>
       graft.graph.Algorithms.userCommunities(s, d).orderBy("node_id")),
+    // gds.beta.modularityOptimization twin — greedy ΔQ label moving
+    // with the argmax cross-multiplied into integers (score = 2m·k_uC −
+    // k_u·Σtot'_C), so 3 fixed iterations replay bit-exactly in DuckDB:
+    // the one Louvain-family detector with an EXACT oracle
+    "communities_modopt" -> ((s, d) =>
+      graft.graph.Algorithms.userModOptCommunities(s, d).orderBy("node_id")),
+    "modopt_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val edges = RatingsGraph.cooccurrenceEdges(s, d)
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+      val q = graft.graph.Algorithms.modularity(edges,
+        graft.graph.Algorithms.userModOptCommunities(s, d))
+      // singleton-partition baseline Q0 = −Σk_u²/m² (m = Σ directed
+      // weights, the modularity() convention) from integer sums — the
+      // improvement gate every greedy-ΔQ run must clear
+      val q0 = edges.groupBy(col("src"))
+        .agg(sum(col("weight").cast("long")).as("k"))
+        .agg((-sum(col("k") * col("k")).cast("double") /
+          (sum(col("k")).cast("double") * sum(col("k")).cast("double"))).as("q0"))
+      q.crossJoin(q0)
+        .select(col("n_communities"),
+          round(col("modularity"), 6).as("modularity"),
+          round(col("q0"), 6).as("q_singleton"),
+          (col("modularity") > col("q0")).as("improved"))
+    }),
     "communities_louvain" -> ((s, d) =>
       graft.graph.Louvain.userCommunities(s, d).orderBy("node_id")),
     "communities_leiden" -> ((s, d) =>
@@ -2107,6 +2132,90 @@ object SparkEntry {
   private def lpaOracle: String =
     lpaCtes + "\nSELECT node_id, label FROM lab5 ORDER BY node_id"
 
+  /** Modularity-optimization replay — the integer-exact trick: with
+    * integer weights the ΔQ argmax survives cross-multiplication by 2m,
+    * so every candidate scores 2m·k_uC − k_u·Σtot'_C in BIGINT and the
+    * whole greedy replays bit-exactly ([[graft.graph.Algorithms
+    * .modularityOptimization]]). mlab CTEs are multi-referenced →
+    * MATERIALIZED (the r7 FastRP lesson: DuckDB inlines plain CTEs per
+    * reference, exponential over chained iterations). */
+  private def modoptCtes: String = {
+    val base =
+      s"""$RatingsCte, cooc AS MATERIALIZED (
+         |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg AS MATERIALIZED (
+         |  SELECT src AS node_id, SUM(w) AS k FROM cooc GROUP BY src
+         |), w2 AS MATERIALIZED (SELECT SUM(k) AS t FROM deg),
+         |mlab0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM deg)""".stripMargin
+    val iters = (1 to 3).map { i =>
+      val parity = i % 2
+      s""", tot$i AS MATERIALIZED (
+         |  SELECT l.label, SUM(d.k) AS t FROM mlab${i - 1} l
+         |  JOIN deg d USING (node_id) GROUP BY l.label
+         |), cand$i AS MATERIALIZED (
+         |  SELECT node_id, c, MAX(kuc) AS kuc FROM (
+         |    SELECT e.src AS node_id, l.label AS c, SUM(e.w) AS kuc
+         |    FROM cooc e JOIN mlab${i - 1} l ON e.dst = l.node_id GROUP BY 1, 2
+         |    UNION ALL
+         |    SELECT node_id, label AS c, CAST(0 AS BIGINT) FROM mlab${i - 1}
+         |  ) GROUP BY node_id, c
+         |  HAVING node_id % 2 = $parity
+         |), mlab$i AS MATERIALIZED (
+         |  SELECT node_id, c AS label FROM (
+         |    SELECT s.node_id, s.c, ROW_NUMBER() OVER (PARTITION BY s.node_id
+         |      ORDER BY (w2.t * s.kuc - d.k *
+         |          (t.t - CASE WHEN s.c = cur.label THEN d.k ELSE 0 END)) DESC,
+         |        (s.c = cur.label) DESC, s.c) AS rk
+         |    FROM cand$i s
+         |    JOIN mlab${i - 1} cur USING (node_id)
+         |    JOIN deg d USING (node_id)
+         |    JOIN tot$i t ON t.label = s.c
+         |    CROSS JOIN w2)
+         |  WHERE rk = 1
+         |  UNION ALL
+         |  SELECT node_id, label FROM mlab${i - 1} WHERE node_id % 2 <> $parity
+         |)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  private def modoptOracle: String =
+    modoptCtes + "\nSELECT node_id, label FROM mlab3 ORDER BY node_id"
+
+  /** Modularity + singleton baseline of the modopt labels — the
+    * [[modularityLpaOracle]] formula over the exact mlab3 CTEs plus
+    * Q0 = −Σk²/m² from integer sums (one float division each; the
+    * improvement comparison has ~0.3 of headroom over engine drift). */
+  private def modoptMetricsOracle: String =
+    modoptCtes +
+      """, labelled AS (
+        |  SELECT e.src, e.dst, e.w, ls.label AS sl, ld.label AS dl
+        |  FROM cooc e
+        |  JOIN mlab3 ls ON e.src = ls.node_id
+        |  JOIN mlab3 ld ON e.dst = ld.node_id
+        |), mm AS (SELECT CAST(SUM(w) AS DOUBLE) AS m FROM labelled),
+        |per AS (
+        |  SELECT sl AS community,
+        |    SUM(CASE WHEN sl = dl THEN CAST(w AS DOUBLE) ELSE 0.0 END) AS e_in,
+        |    CAST(SUM(w) AS DOUBLE) AS degree_w
+        |  FROM labelled GROUP BY sl
+        |), qq AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |    SUM(e_in / mm.m - (degree_w / mm.m) * (degree_w / mm.m)) AS q
+        |  FROM per, mm
+        |), q0 AS (
+        |  SELECT -CAST(SUM(k * k) AS DOUBLE)
+        |    / (CAST(SUM(k) AS DOUBLE) * CAST(SUM(k) AS DOUBLE)) AS q0
+        |  FROM deg
+        |)
+        |SELECT n_communities, ROUND(q, 6) AS modularity,
+        |  ROUND(q0.q0, 6) AS q_singleton, (q > q0.q0) AS improved
+        |FROM qq, q0""".stripMargin
+
   /** Personalized PageRank unrolled as chained CTEs — the
     * [[pagerankFixedOracle]] pattern with the teleport term restricted
     * to the source set (mass 1/|S| each). Double drift between engines
@@ -2263,6 +2372,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,
     "communities_lpa" -> lpaOracle,
+    "communities_modopt" -> modoptOracle,
+    "modopt_metrics" -> modoptMetricsOracle,
     "ratings_edges" ->
       s"""$RatingsCte
          |SELECT user_id, book_id, rating FROM ratings

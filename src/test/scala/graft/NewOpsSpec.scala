@@ -924,6 +924,30 @@ class NewOpsSpec extends AnyFunSuite {
     assert(fast == dist)
   }
 
+  test("modularityOptimization: two triangles with a weak bridge resolve to the triangles") {
+    // 10-weight triangles {1,2,3} and {4,5,6}, 1-weight bridge 3-4:
+    // greedy ΔQ with parity-alternating move classes converges in 3
+    // rounds (fully synchronous moving oscillates forever on this —
+    // the swap pathology the parity schedule exists to break)
+    val und = Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L), (3L, 4L, 1L))
+    val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "weight")
+    val got = Algorithms.modularityOptimization(edges, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 6)
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, s"triangle 1 split: $got")
+    assert(Set(got(4L), got(5L), got(6L)).size == 1, s"triangle 2 split: $got")
+    assert(got(1L) != got(4L), s"bridge merged the triangles: $got")
+  }
+
+  test("modularityOptimization: isolated edge pair merges (positive gain beats stay)") {
+    val edges = Seq((7L, 8L, 5L), (8L, 7L, 5L)).toDF("src", "dst", "weight")
+    val got = Algorithms.modularityOptimization(edges, iterations = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2 && got(7L) == got(8L), s"pair did not merge: $got")
+  }
+
   test("k1Coloring: round-cap leftovers finish via driver greedy, identical to uncapped legs") {
     // A K12 needs 12 JP rounds (one winner per round); maxRounds=3 on
     // the distributed leg leaves 9 uncolored, forcing the
