@@ -228,6 +228,11 @@ object SparkEntry {
       graft.graph.Algorithms.kSpanningClusters(s, d)),
     "rwr_sample" -> ((s, d) => graft.graph.Algorithms.userRwrSample(s, d)),
     "communities_sllpa" -> ((s, d) => graft.graph.Sllpa.userSllpa(s, d)),
+    // gds.influenceMaximization.celf twin via reverse influence
+    // sampling (the distributed shape) — md5 roots/liveness make the
+    // RR sets and the greedy max-coverage bit-replayable
+    "influence_seeds" -> ((s, d) =>
+      graft.graph.Influence.userInfluenceSeeds(s, d)),
     // exact structural gate: cutting k−1 forest edges yields EXACTLY
     // c(G) + k − 1 clusters (c(G) is SQL-derivable via min-label
     // closure), every cluster is internally connected in G, and no cut
@@ -2186,6 +2191,62 @@ object SparkEntry {
   private def modoptOracle: String =
     modoptCtes + "\nSELECT node_id, label FROM mlab3 ORDER BY node_id"
 
+  /** Reverse-influence-sampling replay ([[graft.graph.Influence]]):
+    * md5-argmin roots, 32-bit md5-fraction edge liveness under the
+    * weighted-cascade w/k threshold, 3 reverse-BFS waves, then 5
+    * greedy max-coverage rounds — every stage integer/md5-determined
+    * except the liveness division, which is one correctly-rounded
+    * float compare per (edge, sim). */
+  private def influenceOracle: String = {
+    val base =
+      s"""$RatingsCte, cooc AS MATERIALIZED (
+         |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), ideg AS MATERIALIZED (
+         |  SELECT dst AS node_id, SUM(w) AS k FROM cooc GROUP BY dst
+         |), iroots AS MATERIALIZED (
+         |  SELECT t.r, arg_min(d.node_id, md5(CAST(t.r AS VARCHAR) || ':root:' ||
+         |    CAST(d.node_id AS VARCHAR))) AS node_id
+         |  FROM (SELECT range AS r FROM range(0, 64)) t CROSS JOIN ideg d
+         |  GROUP BY t.r
+         |), if0 AS MATERIALIZED (SELECT r, node_id FROM iroots),
+         |im0 AS MATERIALIZED (SELECT r, node_id FROM iroots)""".stripMargin
+    val waves = (1 to 3).map { i =>
+      s""", ic$i AS (
+         |  SELECT DISTINCT f.r, e.src AS node_id
+         |  FROM if${i - 1} f
+         |  JOIN cooc e ON e.dst = f.node_id
+         |  JOIN ideg d ON d.node_id = e.dst
+         |  WHERE (CAST(CAST(('0x' || substring(md5('im:' || CAST(f.r AS VARCHAR)
+         |      || ':' || CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)),
+         |      1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296
+         |    < CAST(e.w AS DOUBLE) / CAST(d.k AS DOUBLE)
+         |), if$i AS MATERIALIZED (
+         |  SELECT r, node_id FROM ic$i EXCEPT SELECT r, node_id FROM im${i - 1}
+         |), im$i AS MATERIALIZED (
+         |  SELECT r, node_id FROM im${i - 1} UNION ALL SELECT r, node_id FROM if$i
+         |)""".stripMargin
+    }.mkString
+    val greedy = (1 to 5).map { j =>
+      val prev = if (j == 1) "im3" else s"imm${j - 1}"
+      s""", ig$j AS MATERIALIZED (
+         |  SELECT node_id, COUNT(DISTINCT r) AS gain FROM $prev
+         |  GROUP BY node_id ORDER BY gain DESC, node_id LIMIT 1
+         |), imm$j AS MATERIALIZED (
+         |  SELECT m.r, m.node_id FROM $prev m
+         |  WHERE m.r NOT IN (SELECT c.r FROM $prev c JOIN ig$j g USING (node_id))
+         |)""".stripMargin
+    }.mkString
+    base + waves + greedy +
+      "\nSELECT * FROM (" +
+      (1 to 5).map(j =>
+        s"SELECT $j AS seed_rank, node_id, gain FROM ig$j").mkString(" UNION ALL ") +
+      ") ORDER BY seed_rank"
+  }
+
   /** Modularity + singleton baseline of the modopt labels — the
     * [[modularityLpaOracle]] formula over the exact mlab3 CTEs plus
     * Q0 = −Σk²/m² from integer sums (one float division each; the
@@ -2374,6 +2435,7 @@ object SparkEntry {
     "communities_lpa" -> lpaOracle,
     "communities_modopt" -> modoptOracle,
     "modopt_metrics" -> modoptMetricsOracle,
+    "influence_seeds" -> influenceOracle,
     "ratings_edges" ->
       s"""$RatingsCte
          |SELECT user_id, book_id, rating FROM ratings

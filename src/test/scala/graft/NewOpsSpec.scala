@@ -924,6 +924,31 @@ class NewOpsSpec extends AnyFunSuite {
     assert(fast == dist)
   }
 
+  test("influenceSeeds: star hub covers every RR set and is the single seed") {
+    // weighted cascade p(u→v) = w/k(v): spokes have k=1, so hub→spoke
+    // is ALWAYS live — every RR set rooted at a spoke pulls the hub in
+    // wave 1, and a hub root contains the hub trivially. Greedy round 1
+    // must pick the hub with gain = all 64 RR sets, leaving nothing for
+    // rounds 2..5 (exactly one output row, in engine and oracle alike).
+    val edges = (1L to 10L).flatMap(s => Seq((100L, s, 1L), (s, 100L, 1L)))
+      .toDF("src", "dst", "weight")
+    val got = graft.graph.Influence.influenceSeeds(edges).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 100L, 64L)), s"got ${got.toSeq}")
+  }
+
+  test("influenceSeeds: two disjoint stars yield the two hubs, gains partition the sims") {
+    val edges = ((1L to 8L).flatMap(s => Seq((100L, s, 1L), (s, 100L, 1L))) ++
+      (11L to 18L).flatMap(s => Seq((200L, s, 1L), (s, 200L, 1L))))
+      .toDF("src", "dst", "weight")
+    val got = graft.graph.Influence.influenceSeeds(edges).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 2, s"got ${got.toSeq}")
+    assert(got.map(_._2).toSet == Set(100L, 200L), s"got ${got.toSeq}")
+    assert(got.map(_._3).sum == 64L, s"gains must partition the 64 RR sets: ${got.toSeq}")
+    assert(got(0)._3 >= got(1)._3, "greedy must pick the larger cover first")
+  }
+
   test("modularityOptimization: two triangles with a weak bridge resolve to the triangles") {
     // 10-weight triangles {1,2,3} and {4,5,6}, 1-weight bridge 3-4:
     // greedy ΔQ with parity-alternating move classes converges in 3
