@@ -233,6 +233,10 @@ object SparkEntry {
     // RR sets and the greedy max-coverage bit-replayable
     "influence_seeds" -> ((s, d) =>
       graft.graph.Influence.userInfluenceSeeds(s, d)),
+    // gds.scaleProperties: five scalers in one frame, population stats
+    // from integer sums (one scalar-row pull, no distributed float sum)
+    "scale_properties" -> ((s, d) =>
+      graft.graph.Algorithms.userScaledProperties(s, d)),
     // exact structural gate: cutting k−1 forest edges yields EXACTLY
     // c(G) + k − 1 clusters (c(G) is SQL-derivable via min-label
     // closure), every cluster is internally connected in G, and no cut
@@ -2191,6 +2195,48 @@ object SparkEntry {
   private def modoptOracle: String =
     modoptCtes + "\nSELECT node_id, label FROM mlab3 ORDER BY node_id"
 
+  /** `gds.scaleProperties` replay ([[graft.graph.Algorithms
+    * .scaleProperties]]): every scaler statistic from integer sums in
+    * one scalar CTE, μ/σ derived per-row with the same scalar formula
+    * the engine used (Σd/n, √(Σd²/n − μ²)) — identical inputs, scalar
+    * float chains only; the Mean scaler's Σa carries the usual 1e-15
+    * order drift, absorbed by the 1e-6 rounding. */
+  private def scalePropertiesOracle: String =
+    s"""$RatingsCte, cooc AS MATERIALIZED (
+       |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+       |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+       |  WHERE a.user_id <> b.user_id
+       |  GROUP BY a.user_id, b.user_id
+       |), props AS (
+       |  SELECT src AS node_id, COUNT(*) AS deg, SUM(w) AS wdeg
+       |  FROM cooc GROUP BY src
+       |), rstat AS (
+       |  SELECT user_id AS node_id,
+       |    CAST(SUM(rating) AS DOUBLE) / COUNT(*) AS a
+       |  FROM ratings GROUP BY user_id
+       |), p AS MATERIALIZED (
+       |  SELECT pr.node_id, pr.deg, pr.wdeg, r.a
+       |  FROM props pr JOIN rstat r USING (node_id)
+       |), st AS MATERIALIZED (
+       |  SELECT MIN(deg) AS mind, MAX(deg) AS maxd, SUM(deg) AS sd,
+       |    SUM(deg * deg) AS sd2, COUNT(*) AS n,
+       |    SUM(wdeg * wdeg) AS swd2,
+       |    SUM(a) AS sa, MIN(a) AS mina, MAX(a) AS maxa
+       |  FROM p
+       |)
+       |SELECT node_id,
+       |  ROUND(CAST(deg - mind AS DOUBLE) / CAST(maxd - mind AS DOUBLE), 6)
+       |    AS deg_minmax,
+       |  ROUND((CAST(deg AS DOUBLE) - CAST(sd AS DOUBLE) / n)
+       |    / SQRT(CAST(sd2 AS DOUBLE) / n
+       |           - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)), 6)
+       |    AS deg_stdscore,
+       |  ROUND(LN(1 + CAST(wdeg AS DOUBLE)), 6) AS wdeg_log,
+       |  ROUND(CAST(wdeg AS DOUBLE) / SQRT(CAST(swd2 AS DOUBLE)), 6) AS wdeg_l2,
+       |  ROUND((a - sa / n) / (maxa - mina), 6) AS rating_mean_scaled
+       |FROM p, st ORDER BY node_id""".stripMargin
+
   /** Reverse-influence-sampling replay ([[graft.graph.Influence]]):
     * md5-argmin roots, 32-bit md5-fraction edge liveness under the
     * weighted-cascade w/k threshold, 3 reverse-BFS waves, then 5
@@ -2436,6 +2482,7 @@ object SparkEntry {
     "communities_modopt" -> modoptOracle,
     "modopt_metrics" -> modoptMetricsOracle,
     "influence_seeds" -> influenceOracle,
+    "scale_properties" -> scalePropertiesOracle,
     "ratings_edges" ->
       s"""$RatingsCte
          |SELECT user_id, book_id, rating FROM ratings

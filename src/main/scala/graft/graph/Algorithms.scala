@@ -264,6 +264,55 @@ object Algorithms {
         .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
     }
 
+  /** Node-property scaler family (`gds.scaleProperties`): MinMax,
+    * StdScore, Log, L2Norm, and Mean scalers in one frame. Every
+    * population statistic comes from INTEGER aggregates (min/max/Σd/Σd²
+    * /Σwd²/n) pulled as one scalar row, then each row's scaled value is
+    * a chain of scalar float ops on identical inputs — deterministic
+    * across engines; μ and σ are derived as Σd/n and
+    * √(Σd²/n − (Σd/n)²) so no distributed float sum exists anywhere
+    * except the Mean scaler's Σa (whose 1e-15 order drift the 1e-6
+    * rounding absorbs). One |V| scan + one 1-row pull — trivially
+    * 100 TB-safe. Input: (node_id, deg: long, wdeg: long, a: double). */
+  def scaleProperties(props: DataFrame): DataFrame = {
+    val s = props.agg(
+      min(col("deg")), max(col("deg")), sum(col("deg")),
+      sum(col("deg") * col("deg")), count(lit(1)),
+      sum(col("wdeg") * col("wdeg")),
+      sum(col("a")), min(col("a")), max(col("a"))).head()
+    val (mind, maxd) = (s.getLong(0), s.getLong(1))
+    val (sd, sd2, n) = (s.getLong(2), s.getLong(3), s.getLong(4))
+    val swd2 = s.getLong(5)
+    val (sa, mina, maxa) = (s.getDouble(6), s.getDouble(7), s.getDouble(8))
+    val mu = sd.toDouble / n
+    val sigma = math.sqrt(sd2.toDouble / n - mu * mu)
+    val rngD = (maxd - mind).toDouble
+    val rngA = maxa - mina
+    props.select(col("node_id"),
+      round((col("deg") - lit(mind)).cast("double") / lit(rngD), 6)
+        .as("deg_minmax"),
+      round((col("deg").cast("double") - lit(mu)) / lit(sigma), 6)
+        .as("deg_stdscore"),
+      round(log(lit(1.0) + col("wdeg").cast("double")), 6).as("wdeg_log"),
+      round(col("wdeg").cast("double") / lit(math.sqrt(swd2.toDouble)), 6)
+        .as("wdeg_l2"),
+      round((col("a") - lit(sa / n)) / lit(rngA), 6).as("rating_mean_scaled"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Scaled co-occurrence node properties (degree, weighted degree,
+    * mean rating) — the `gds.scaleProperties` surface on the user
+    * graph. */
+  def userScaledProperties(spark: SparkSession, dir: String): DataFrame = {
+    val gprops = RatingsGraph.cooccurrenceEdges(spark, dir)
+      .groupBy(col("u1").as("node_id"))
+      .agg(count(lit(1)).as("deg"), sum(col("weight")).as("wdeg"))
+    val rstat = RatingsGraph.ratings(spark, dir)
+      .groupBy(col("user_id").as("node_id"))
+      .agg((sum(col("rating")).cast("double") / count(lit(1))).as("a"))
+    scaleProperties(gprops.join(rstat, Seq("node_id")))
+  }
+
   /** User communities on the co-occurrence graph, session-cached —
     * shared by the communities query, the modularity metric, and any
     * community-based recommender. */

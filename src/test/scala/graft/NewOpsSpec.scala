@@ -924,6 +924,19 @@ class NewOpsSpec extends AnyFunSuite {
     assert(fast == dist)
   }
 
+  test("scaleProperties: closed-form two-node fixture hits every scaler exactly") {
+    val props = Seq((1L, 1L, 2L, 1.0), (2L, 3L, 4L, 3.0))
+      .toDF("node_id", "deg", "wdeg", "a")
+    val got = Algorithms.scaleProperties(props).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // n=2: μ_deg=2 σ_deg=1, Σwd²=20, mean_a=2 range_a=2
+    assert(got(0) == ((1L, 0.0, -1.0, math.rint(math.log(3.0) * 1e6) / 1e6,
+      0.447214, -0.5)), s"got ${got(0)}")
+    assert(got(1) == ((2L, 1.0, 1.0, math.rint(math.log(5.0) * 1e6) / 1e6,
+      0.894427, 0.5)), s"got ${got(1)}")
+  }
+
   test("influenceSeeds: star hub covers every RR set and is the single seed") {
     // weighted cascade p(u→v) = w/k(v): spokes have k=1, so hub→spoke
     // is ALWAYS live — every RR set rooted at a spoke pulls the hub in
