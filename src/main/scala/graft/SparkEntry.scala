@@ -74,6 +74,8 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
+    "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
+    "training_shuffle" -> ((s, d) => TextOps.trainingShuffle(s, d)),
     "corpus_ngrams" -> ((s, d) => TextOps.corpusNgrams(s, d)),
     "contamination_check" -> ((s, d) => TextOps.contaminationCheck(s, d)),
     "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
@@ -3048,6 +3050,38 @@ object SparkEntry {
          |FROM ($TextStatsSql) ts JOIN ($LangIdSql) li USING (doc_id)
          |WHERE ts.quality_score >= 0.7 AND li.lang_pred = 'en'
          |ORDER BY ts.doc_id""".stripMargin,
+
+    // logistic scorer over the counting features: z is a scalar chain
+    // on integer-derived doubles (identical in both engines), so p and
+    // the 0.5 keep-gate replay exactly
+    "quality_classifier" ->
+      s"""WITH zz AS (
+         |  SELECT doc_id,
+         |    -1.0 + 0.45 * LN(1 + n_tokens)
+         |    - 0.25 * ABS(avg_token_len - 6.0)
+         |    - 6.0 * (CASE WHEN n_chars > 0
+         |             THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)
+         |    - 4.0 * (CASE WHEN n_chars > 0
+         |             THEN CAST(n_digits AS DOUBLE) / n_chars ELSE 0.0 END) AS z
+         |  FROM ($TextStatsSql) ts
+         |)
+         |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS p_quality,
+         |  (1.0 / (1.0 + EXP(-z)) >= 0.5) AS keep
+         |FROM zz ORDER BY doc_id""".stripMargin,
+
+    "training_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    md5('shuffle:0:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents
+        |), sharded AS (
+        |  SELECT doc_id, k,
+        |    CAST(CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard
+        |  FROM keyed
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INTEGER) AS pos
+        |FROM sharded ORDER BY shard, pos""".stripMargin,
 
     "contamination_check" ->
       """WITH toks AS (

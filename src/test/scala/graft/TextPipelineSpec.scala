@@ -95,4 +95,33 @@ class TextPipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((0L, "z1", 10L, 9L)))
   }
+
+  test("qualityClassifier: logistic score matches the scala reference on a pinned doc") {
+    val text = "one two three four five six seven eight nine ten."
+    val dir = corpusDir(Seq((1L, text)))
+    val got = TextOps.qualityClassifier(spark, dir).collect()
+    val (nChars, nTokens, nPunct, nDigits) = (text.length.toDouble, 10.0, 1.0, 0.0)
+    val z = -1.0 + 0.45 * math.log(1.0 + nTokens) -
+      0.25 * math.abs(nChars / nTokens - 6.0) -
+      6.0 * (nPunct / nChars) - 4.0 * (nDigits / nChars)
+    val p = 1.0 / (1.0 + math.exp(-z))
+    val p6 = BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == 1 && got(0).getLong(0) == 1L)
+    assert(got(0).getDouble(1) == p6, s"got ${got(0).getDouble(1)}, want $p6")
+    assert(got(0).getBoolean(2) == (p >= 0.5))
+  }
+
+  test("trainingShuffle: dense per-shard positions, run-deterministic, epoch-distinct") {
+    val dir = corpusDir((1L to 40L).map(i => (i, s"doc number about topic $i")))
+    def run(epoch: Int) = TextOps.trainingShuffle(spark, dir, epoch = epoch)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val a = run(0)
+    assert(a.length == 40 && a.map(_._1).distinct.length == 40)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.length), "positions must be dense per shard")
+    }
+    assert(run(0) == a, "same epoch must replay bit-for-bit")
+    assert(run(1) != a, "the epoch salt must change the order")
+  }
 }
