@@ -239,6 +239,10 @@ object SparkEntry {
     // from integer sums (one scalar-row pull, no distributed float sum)
     "scale_properties" -> ((s, d) =>
       graft.graph.Algorithms.userScaledProperties(s, d)),
+    // gds.beta.graph.generate (R-MAT / Graph500): per-edge independent
+    // md5 quadrant recursion — O(E), no all-pairs, bit-replayable
+    "graph_generate_rmat" -> ((s, _) =>
+      graft.graph.Algorithms.rmatEdges(s)),
     // exact structural gate: cutting k−1 forest edges yields EXACTLY
     // c(G) + k − 1 clusters (c(G) is SQL-derivable via min-label
     // closure), every cluster is internally connected in G, and no cut
@@ -2239,6 +2243,30 @@ object SparkEntry {
        |  ROUND((a - sa / n) / (maxa - mina), 6) AS rating_mean_scaled
        |FROM p, st ORDER BY node_id""".stripMargin
 
+  /** R-MAT generator replay — per (edge, level) 32-bit md5 fraction
+    * against quadrant thresholds written as the SAME double sums the
+    * engine computes (`0.57 + 0.19` inline, never 0.76). */
+  private def rmatOracle: String = {
+    val scale = 10
+    def u(l: Int) =
+      "((CAST(CAST(('0x' || substring(md5('rmat:' || " +
+        s"CAST(edge_id AS VARCHAR) || ':$l'), 1, 8)) AS BIGINT) AS DOUBLE)" +
+        " + 0.5) / 4294967296)"
+    val srcTerms = (1 to scale).map { l =>
+      s"(CASE WHEN ${u(l)} < (0.57 + 0.19) THEN 0 ELSE ${1L << (scale - l)} END)"
+    }.mkString("\n    + ")
+    val dstTerms = (1 to scale).map { l =>
+      s"(CASE WHEN ${u(l)} < 0.57 THEN 0 WHEN ${u(l)} < (0.57 + 0.19) " +
+        s"THEN ${1L << (scale - l)} WHEN ${u(l)} < (0.57 + 0.19 + 0.19) " +
+        s"THEN 0 ELSE ${1L << (scale - l)} END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT range AS edge_id FROM range(0, 10000))
+       |SELECT edge_id,
+       |  CAST($srcTerms AS BIGINT) AS src,
+       |  CAST($dstTerms AS BIGINT) AS dst
+       |FROM e ORDER BY edge_id""".stripMargin
+  }
+
   /** Reverse-influence-sampling replay ([[graft.graph.Influence]]):
     * md5-argmin roots, 32-bit md5-fraction edge liveness under the
     * weighted-cascade w/k threshold, 3 reverse-BFS waves, then 5
@@ -2485,6 +2513,7 @@ object SparkEntry {
     "modopt_metrics" -> modoptMetricsOracle,
     "influence_seeds" -> influenceOracle,
     "scale_properties" -> scalePropertiesOracle,
+    "graph_generate_rmat" -> rmatOracle,
     "ratings_edges" ->
       s"""$RatingsCte
          |SELECT user_id, book_id, rating FROM ratings

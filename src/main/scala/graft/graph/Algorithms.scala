@@ -313,6 +313,36 @@ object Algorithms {
     scaleProperties(gprops.join(rstat, Seq("node_id")))
   }
 
+  /** R-MAT synthetic graph generator (`gds.beta.graph.generate` /
+    * Graph500 shape; Chakrabarti–Zhan–Faloutsos 2004): each of E edges
+    * independently recurses `scale` levels into the adjacency-matrix
+    * quadrants with probabilities (a, b, c, d) — power-law degrees,
+    * community structure, O(E) work with NO all-pairs and no
+    * coordination between edges (the generator a 100 TB test harness
+    * actually needs: every executor draws its own edge range). All
+    * randomness is the 32-bit md5 fraction of (rmat:edge:level), so
+    * the generated multigraph replays bit-exactly in SQL; quadrant
+    * thresholds are the SAME double sums in both engines (the oracle
+    * inlines `0.57 + 0.19`, not a decimal approximation of it). */
+  def rmatEdges(spark: SparkSession, scale: Int = 10, edges: Long = 10000L,
+      a: Double = 0.57, b: Double = 0.19, c: Double = 0.19): DataFrame = {
+    val e = spark.range(edges).select(col("id").as("edge_id"))
+    val levels = (1 to scale).map { l =>
+      val u = (conv(substring(md5(concat_ws(":", lit("rmat"), col("edge_id"),
+        lit(l))), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
+      val srcBit = when(u < lit(a + b), lit(0L)).otherwise(lit(1L))
+      val dstBit = when(u < lit(a), lit(0L))
+        .when(u < lit(a + b), lit(1L))
+        .when(u < lit(a + b + c), lit(0L))
+        .otherwise(lit(1L))
+      (srcBit * lit(1L << (scale - l)), dstBit * lit(1L << (scale - l)))
+    }
+    e.select(col("edge_id"),
+      levels.map(_._1).reduce(_ + _).as("src"),
+      levels.map(_._2).reduce(_ + _).as("dst"))
+      .orderBy(col("edge_id"))
+  }
+
   /** User communities on the co-occurrence graph, session-cached —
     * shared by the communities query, the modularity metric, and any
     * community-based recommender. */

@@ -924,6 +924,21 @@ class NewOpsSpec extends AnyFunSuite {
     assert(fast == dist)
   }
 
+  test("rmatEdges: in-range, deterministic, and skewed like an R-MAT should be") {
+    val e = Algorithms.rmatEdges(spark, scale = 8, edges = 4000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e.length == 4000)
+    assert(e.forall(t => t._2 >= 0 && t._2 < 256 && t._3 >= 0 && t._3 < 256))
+    val again = Algorithms.rmatEdges(spark, scale = 8, edges = 4000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e.toSeq == again.toSeq)
+    // (a,b,c,d) = (.57,.19,.19,.05) concentrates mass at low ids: the
+    // hottest source must dwarf the mean out-degree
+    val bySrc = e.groupBy(_._2).map(_._2.length)
+    assert(bySrc.max >= 5 * (4000.0 / bySrc.size),
+      s"no skew: max ${bySrc.max}, nodes ${bySrc.size}")
+  }
+
   test("scaleProperties: closed-form two-node fixture hits every scaler exactly") {
     val props = Seq((1L, 1L, 2L, 1.0), (2L, 3L, 4L, 3.0))
       .toDF("node_id", "deg", "wdeg", "a")
