@@ -88,8 +88,7 @@ object Dedup {
   private[graft] def sigExpr(shingleSet: Column, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
       array_min(transform(shingleSet, sh =>
-        conv(substring(md5(concat_ws(":", lit(s), sh)), 1, 12), 16, 10)
-          .cast("long")))
+        graft.plans.Md5Bits.md5Bits(concat_ws(":", lit(s), sh), 12)))
     }: _*)
 
   /** (doc_id, sig) for any (doc_id, text) frame — batch or streaming
@@ -327,7 +326,7 @@ object Dedup {
     // replayable in the DuckDB oracle; all nBits=48 vote bits are real
     val withHs = docs.select(col("doc_id"),
       transform(tokens(col("text")), t =>
-        conv(substring(md5(t), 1, 12), 16, 10).cast("long")).as("hs"))
+        graft.plans.Md5Bits.md5Bits(t, 12)).as("hs"))
     val votes = (0 until nBits).map { j =>
       aggregate(col("hs"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")

@@ -328,8 +328,8 @@ object Algorithms {
       a: Double = 0.57, b: Double = 0.19, c: Double = 0.19): DataFrame = {
     val e = spark.range(edges).select(col("id").as("edge_id"))
     val levels = (1 to scale).map { l =>
-      val u = (conv(substring(md5(concat_ws(":", lit("rmat"), col("edge_id"),
-        lit(l))), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0)
+      val u = (graft.plans.Md5Bits.md5Bits(concat_ws(":", lit("rmat"),
+        col("edge_id"), lit(l)), 8).cast("double") + 0.5) / lit(4294967296.0)
       val srcBit = when(u < lit(a + b), lit(0L)).otherwise(lit(1L))
       val dstBit = when(u < lit(a), lit(0L))
         .when(u < lit(a + b), lit(1L))
@@ -747,8 +747,8 @@ object Algorithms {
         // Replicating the md5 arg-min here would explode Σ(classW·edgeW)
         // rows per candidate — unbounded on a weighted graph; the clock
         // draw is one row per candidate at any weight.
-        val u = (conv(substring(md5(concat_ws(":",
-            col("walk_id"), lit(t), col("nxt"))), 1, 12), 16, 10)
+        val u = (graft.plans.Md5Bits.md5Bits(concat_ws(":",
+            col("walk_id"), lit(t), col("nxt")), 12)
             .cast("double") + 0.5) /
           lit(281474976710656.0) // 2^48
         val score = -log(u) / (classW * col("weight"))

@@ -49,8 +49,8 @@ object HashGnn {
     * neighborhood and explode to no output rows). */
   def initMasks(nodes: DataFrame, bitUniverse: Int, density: Double): DataFrame = {
     val mask = (0 until bitUniverse).map { b =>
-      when(conv(substring(md5(concat(col("v").cast("string"), lit(s":$b:init"))),
-          1, 8), 16, 10).cast("bigint").cast("double") / 4294967296.0 < density,
+      when(graft.plans.Md5Bits.md5Bits(concat(col("v").cast("string"),
+          lit(s":$b:init")), 8).cast("double") / 4294967296.0 < density,
         lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     nodes.select(col("v"), mask.as("m"))

@@ -75,8 +75,8 @@ object Influence {
     for (_ <- 1 to depth) {
       // node u joins RR set r when its OUT-edge u→y to a member y is
       // live: 32-bit md5 fraction of (im:r:u:y) under w/k(y)
-      val u32 = (conv(substring(md5(concat_ws(":", lit("im"), col("r"),
-        col("src"), col("dst"))), 1, 8), 16, 10).cast("double") + 0.5) /
+      val u32 = (graft.plans.Md5Bits.md5Bits(concat_ws(":", lit("im"),
+        col("r"), col("src"), col("dst")), 8).cast("double") + 0.5) /
         lit(4294967296.0)
       val cand = frontier.select(col("r"), col("node_id").as("dst"))
         .join(edgeP, Seq("dst"))

@@ -132,5 +132,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSim].getName, CosineSim.FunctionName),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(Md5Bits.FunctionName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Md5Bits].getName, Md5Bits.FunctionName),
+      (exprs: Seq[Expression]) => Md5Bits(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue)))
   }
 }

@@ -37,7 +37,7 @@ object Als {
   /** Uniform-[0,1) md5 factor: first 12 hex chars as a 48-bit BIGINT
     * over 2^48 — the dedup tier's hash basis, exactly replayable. */
   private def factor(c: Column, salt: String): Column =
-    conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 12), 16, 10)
+    graft.plans.Md5Bits.md5Bits(concat(c.cast("string"), lit(salt)), 12)
       .cast("double") / Denom
 
   /** Planted rank-1 ratings on the corpus's observed (user, book) mask,

@@ -616,8 +616,9 @@ object TextOps {
   def sourceMix(spark: SparkSession, dir: String,
       rates: Map[String, Double] = Map("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.5),
       defaultRate: Double = 0.75): DataFrame = {
-    val frac = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8),
-      16, 10).cast("bigint").cast("double") / 4294967296.0
+    val frac = graft.plans.Md5Bits.md5Bits(
+      concat(col("doc_id").cast("string"), lit(":mix")), 8)
+      .cast("double") / 4294967296.0
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
     }
