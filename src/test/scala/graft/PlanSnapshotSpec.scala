@@ -141,7 +141,38 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("dedup_minhash_pairs", 7, 1),
     ("dedup_simhash", 3, 0),
     ("bpe_encode", 0, 0),
-    ("events_anomaly", 3, 2))
+    ("events_anomaly", 3, 2),
+    // r7 additions: modopt/influence read session-cached cooc +
+    // checkpointed label frames; shuffle counts must stay O(1) per
+    // round, and none of them may ever plan a CartesianProduct or a
+    // keyless window (asserted separately below)
+    ("communities_modopt", 4, 0),
+    // modopt_metrics re-derives modularity over the cached cooc IMR
+    // (materialized AQE stage lines dominate, as with the ngram pin)
+    ("modopt_metrics", 16, 2),
+    ("influence_seeds", 2, 0),
+    ("scale_properties", 14, 2),
+    ("graph_generate_rmat", 2, 0),
+    ("quality_classifier", 2, 1),
+    ("training_shuffle", 3, 1))
+
+  // hygiene gate for every r7 entry: no CartesianProduct (broadcast
+  // nested-loop for scalar frames is fine), no keyless WindowExec
+  // ("Window [...]"-with-empty-partition — the single-partition global
+  // sort the r6 verdict flagged in q11)
+  Seq("communities_modopt", "modopt_metrics", "influence_seeds",
+    "scale_properties", "graph_generate_rmat", "quality_classifier",
+    "training_shuffle").foreach { name =>
+    test(s"$name plans no CartesianProduct and no keyless window") {
+      SparkEntry.queries(name)(spark, sf).count()
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"CartesianProduct in:\n$plan")
+      val keyless = plan.split("\n").exists(l =>
+        l.trim.startsWith("Window [") && l.contains("], [], ["))
+      assert(!keyless, s"keyless window in:\n$plan")
+    }
+  }
 
   // The cached-query pins above dilute sensitivity for the operator
   // UNDER the cache (the IMR stage lines dominate the count), so the
