@@ -30,6 +30,14 @@ object SparkEntry {
     "degree_topk" -> ((s, d) => Recommend.degreeTopK(s, d)),
     // — Recommendation query surface —
     "user_rated_books" -> ((s, d) => Recommend.userRatedBooks(s, d)),
+    // — CypherLite: the reference's ACTUAL Cypher strings compiled to
+    // DataFrame plans (graft.cypher), gated by the twins' own oracles —
+    "cypher_user_books" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.userBooks(s, d)),
+    "cypher_recommend_knn" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.recommendKnn(s, d)),
+    "cypher_large_groups" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.largeGroups(s, d)),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
@@ -2506,7 +2514,19 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ cypherOracles
+
+  /** The CypherLite entries reuse their hand-built twins' oracles
+    * VERBATIM: the compiler's output is spec-proved row-identical to
+    * the twin (CypherLiteSpec), so it must hash-match the same SQL the
+    * twin already matches — the strongest possible gate on the
+    * compiler, run by the driver at every round. */
+  private def cypherOracles: Map[String, String] = Map(
+    "cypher_user_books" -> oracleSqlBase("user_rated_books"),
+    "cypher_recommend_knn" -> oracleSqlBase("recommend_knn"),
+    "cypher_large_groups" -> oracleSqlBase("users_in_large_groups"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,
     "communities_lpa" -> lpaOracle,
     "communities_modopt" -> modoptOracle,

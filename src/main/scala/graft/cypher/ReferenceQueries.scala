@@ -1,0 +1,124 @@
+package graft.cypher
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.RatingsGraph
+import graft.recommend.Recommend
+
+/** The reference app's Cypher read queries, compiled by [[CypherLite]]
+  * against the engine's property frames.
+  *
+  * Property mapping (the same one every hand-built twin documents:
+  * `recommender_knn.py:40` returns u2.location/u2.age — name/community/
+  * segment are THIS data model's user properties):
+  * User(id ← user_id, name, community, segment),
+  * Book(id ← book_id, title, brand, book_type),
+  * RATED(src ← user_id, dst ← book_id, rating),
+  * SIMILAR_TO(src, dst) — parameterised, like the reference's choice of
+  * KNN- or co-occurrence-derived similarity.
+  *
+  * Each compiled query is spec-proved ROW-IDENTICAL to its hand-built
+  * twin (`CypherLiteSpec`), and three are registered as driver-gate
+  * entries reusing the twin's DuckDB oracle verbatim — the compiler
+  * output hash-matches the SQL the twin already matches. */
+object ReferenceQueries {
+
+  /** The standard property-graph binding over a data dir. `sims` can be
+    * any (src, dst) SIMILAR_TO edge set; default = the co-occurrence
+    * top-20 of the target user (what `recommend_knn` uses). */
+  def graph(spark: SparkSession, dir: String,
+      sims: Option[DataFrame] = None,
+      user: Long = Recommend.TargetUser): CypherLite.Graph = {
+    val simEdges = sims.getOrElse(
+      Recommend.similarUsersCooc(spark, dir, user, 20)
+        .select(lit(user).as("src"), col("user_id").as("dst")))
+    CypherLite.Graph(
+      nodes = Map(
+        "User" -> RatingsGraph.activeUsers(spark, dir)
+          .select(col("user_id").as("id"), col("name"), col("community"),
+            col("segment")),
+        "Book" -> RatingsGraph.ratedBooks(spark, dir)
+          .select(col("book_id").as("id"), col("title"), col("brand"),
+            col("book_type"))),
+      edges = Map(
+        "RATED" -> RatingsGraph.ratings(spark, dir)
+          .select(col("user_id").as("src"), col("book_id").as("dst"),
+            col("rating")),
+        "SIMILAR_TO" -> simEdges))
+  }
+
+  /** `streamlit_app.py:33-46` get_user_rated_books. */
+  val UserBooks: String =
+    """MATCH (u:User {id: $userId})-[r:RATED]->(b:Book)
+      |RETURN b.id AS book_id, b.title AS title, r.rating AS rating
+      |ORDER BY rating DESC, book_id""".stripMargin
+
+  /** `recommender_knn.py:11-28` recommend_books (avg + votes top-3 with
+    * the NOT-rated anti-join pattern predicate). */
+  val RecommendKnn: String =
+    """MATCH (target:User {id: $userId})
+      |MATCH (target)-[:SIMILAR_TO]->(sim:User)-[r:RATED]->(book:Book)
+      |WHERE NOT (target)-[:RATED]->(book)
+      |WITH book, avg(r.rating) AS avg_rating, count(*) AS votes
+      |ORDER BY avg_rating DESC, votes DESC, book.id
+      |LIMIT 3
+      |RETURN book.id AS book_id, book.title AS title, avg_rating, votes
+      |ORDER BY avg_rating DESC, votes DESC, book_id""".stripMargin
+
+  /** `streamlit_app.py:15-30` get_users_in_large_communities
+    * (COLLECT + size filter + UNWIND). */
+  val LargeGroups: String =
+    """MATCH (u:User)
+      |WITH u.community AS community, COLLECT(u) AS users,
+      |  count(*) AS community_size
+      |WHERE community_size > 1
+      |UNWIND users AS user
+      |RETURN user.id AS user_id, user.name AS name, community, community_size
+      |ORDER BY community, user_id""".stripMargin
+
+  /** `recommender_knn.py:31-45` get_similar_users (DISTINCT over the
+    * SIMILAR_TO expansion; ORDER added for determinism — the reference
+    * LIMITs without ORDER, which Neo4j resolves arbitrarily). */
+  val SimilarUsers: String =
+    """MATCH (u1:User {id: $userId})-[:SIMILAR_TO]->(u2:User)
+      |WHERE u1.id <> u2.id
+      |RETURN DISTINCT u2.id AS user_id, u2.name AS name,
+      |  u2.community AS community, u2.segment AS segment
+      |ORDER BY user_id
+      |LIMIT 3""".stripMargin
+
+  /** `recommender_community.py:11-32` recommend_books_by_community
+    * (bound-scalar property lookup + rating filter + anti-join). */
+  val RecommendCommunity: String =
+    """MATCH (targetUser:User {id: $userId})
+      |WITH targetUser, targetUser.community AS communityId
+      |MATCH (otherUser:User {community: communityId})
+      |WHERE otherUser.id <> $userId
+      |MATCH (otherUser)-[r:RATED]->(b:Book)
+      |WHERE r.rating >= 6 AND NOT (targetUser)-[:RATED]->(b)
+      |RETURN b.id AS book_id, b.title AS title, count(*) AS recommend_count
+      |ORDER BY recommend_count DESC, book_id
+      |LIMIT 3""".stripMargin
+
+  private def params(user: Long): Map[String, Any] = Map("userId" -> user)
+
+  def userBooks(spark: SparkSession, dir: String,
+      user: Long = Recommend.TargetUser): DataFrame =
+    CypherLite.run(graph(spark, dir), UserBooks, params(user))
+
+  def recommendKnn(spark: SparkSession, dir: String,
+      user: Long = Recommend.TargetUser): DataFrame =
+    CypherLite.run(graph(spark, dir), RecommendKnn, params(user))
+
+  def largeGroups(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(graph(spark, dir), LargeGroups)
+
+  def similarUsers(spark: SparkSession, dir: String,
+      user: Long = Recommend.TargetUser): DataFrame =
+    CypherLite.run(graph(spark, dir), SimilarUsers, params(user))
+
+  def recommendCommunity(spark: SparkSession, dir: String,
+      user: Long = Recommend.TargetUser): DataFrame =
+    CypherLite.run(graph(spark, dir), RecommendCommunity, params(user))
+}

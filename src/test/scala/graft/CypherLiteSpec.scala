@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.{CypherLite, ReferenceQueries}
+import graft.recommend.Recommend
+
+/** The CypherLite contract: every reference Cypher query compiled by
+  * the subset compiler must be ROW-IDENTICAL to its hand-built twin on
+  * the real sf0.001 tables, plus fixture-level unit checks of the
+  * individual constructs (anti-join pattern predicate, bound-scalar
+  * property join, COLLECT/UNWIND, DISTINCT). */
+class CypherLiteSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  test("compiled get_user_rated_books ≡ hand-built user_rated_books") {
+    val got = rows(ReferenceQueries.userBooks(spark, sf))
+    val want = rows(Recommend.userRatedBooks(spark, sf)
+      .select(col("book_id"), col("title"), col("rating")))
+    assert(got == want, s"compiled ${got.take(3)} vs twin ${want.take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("compiled recommend_books ≡ hand-built recommend_knn") {
+    val got = rows(ReferenceQueries.recommendKnn(spark, sf))
+    val want = rows(Recommend.recommendKnn(spark, sf))
+    assert(got == want, s"compiled $got vs twin $want")
+    assert(got.nonEmpty)
+  }
+
+  test("compiled users_in_large_communities ≡ hand-built users_in_large_groups") {
+    val got = rows(ReferenceQueries.largeGroups(spark, sf))
+    val want = rows(Recommend.usersInLargeGroups(spark, sf))
+    assert(got == want, s"compiled ${got.take(3)} vs twin ${want.take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("compiled get_similar_users matches the SIMILAR_TO expansion") {
+    val got = rows(ReferenceQueries.similarUsers(spark, sf))
+    // the reference query is a 1-hop expansion with DISTINCT props; the
+    // twin derivation: dst ids of the sims edge set, id-ordered top 3
+    val want = rows(Recommend.similarUsersCooc(spark, sf, 1L, 20)
+      .select(col("user_id"), col("name"), col("community"), col("segment"))
+      .orderBy(col("user_id")).limit(3))
+    assert(got == want, s"compiled $got vs twin $want")
+    assert(got.nonEmpty)
+  }
+
+  test("compiled recommend_books_by_community ≡ hand-built recommend_community") {
+    val got = rows(ReferenceQueries.recommendCommunity(spark, sf))
+    val want = rows(Recommend.recommendCommunity(spark, sf))
+    assert(got == want, s"compiled $got vs twin $want")
+    assert(got.nonEmpty)
+  }
+
+  // ---- construct-level fixtures ----------------------------------
+
+  private def fixtureGraph: CypherLite.Graph = CypherLite.Graph(
+    nodes = Map(
+      "User" -> Seq((1L, "ann", 10L), (2L, "bob", 10L), (3L, "cat", 20L))
+        .toDF("id", "name", "community"),
+      "Book" -> Seq((100L, "dune"), (200L, "emma")).toDF("id", "title")),
+    edges = Map(
+      "RATED" -> Seq((1L, 100L, 9L), (2L, 100L, 7L), (2L, 200L, 8L),
+        (3L, 200L, 5L)).toDF("src", "dst", "rating"),
+      "SIMILAR_TO" -> Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")))
+
+  test("pattern predicate NOT (a)-[:T]->(b) compiles to an anti-join") {
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (a:User {id: $u})-[:SIMILAR_TO]->(s:User)-[r:RATED]->(b:Book)
+        |WHERE NOT (a)-[:RATED]->(b)
+        |RETURN b.id AS book_id, s.id AS via
+        |ORDER BY book_id, via""".stripMargin, Map("u" -> 1L))
+    // user 1 rated 100, so only 200 (via 2 and 3) survives
+    assert(rows(out) == Seq(Seq(200L, 2L), Seq(200L, 3L)))
+  }
+
+  test("bound-scalar property map compiles to an equi-join") {
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (t:User {id: $u})
+        |WITH t, t.community AS c
+        |MATCH (o:User {community: c})
+        |WHERE o.id <> $u
+        |RETURN o.id AS peer ORDER BY peer""".stripMargin, Map("u" -> 1L))
+    assert(rows(out) == Seq(Seq(2L)))
+  }
+
+  test("COLLECT + WHERE size + UNWIND round-trips membership") {
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |WITH u.community AS c, COLLECT(u) AS us, count(*) AS n
+        |WHERE n > 1
+        |UNWIND us AS m
+        |RETURN m.id AS id, c, n ORDER BY id""".stripMargin)
+    assert(rows(out) == Seq(Seq(1L, 10L, 2L), Seq(2L, 10L, 2L)))
+  }
+
+  test("RETURN DISTINCT dedups and aggregates group Cypher-style") {
+    val dup = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |RETURN DISTINCT b.id AS book ORDER BY book""".stripMargin)
+    assert(rows(dup) == Seq(Seq(100L), Seq(200L)))
+    val agg = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |RETURN b.id AS book, avg(r.rating) AS a, count(*) AS n
+        |ORDER BY book""".stripMargin)
+    assert(rows(agg) == Seq(Seq(100L, 8.0, 2L), Seq(200L, 6.5, 2L)))
+  }
+
+  test("unsupported constructs fail fast, never compile silently wrong") {
+    intercept[RuntimeException] {
+      CypherLite.run(fixtureGraph, "CREATE (n:User)")
+    }
+    intercept[RuntimeException] {
+      CypherLite.run(fixtureGraph,
+        "MATCH (u:Unknown) RETURN u.id AS id")
+    }
+  }
+}
