@@ -73,7 +73,8 @@ object CypherLite {
   private[cypher] case class Order(expr: Expr, asc: Boolean)
 
   private[cypher] sealed trait Clause
-  private[cypher] case class Match(chains: Seq[Chain]) extends Clause
+  private[cypher] case class Match(chains: Seq[Chain],
+      optional: Boolean = false) extends Clause
   private[cypher] case class Where(expr: Expr) extends Clause
   private[cypher] case class With(items: Seq[Item], distinct: Boolean,
       where: Option[Expr], order: Seq[Order], limit: Option[Long]) extends Clause
@@ -84,9 +85,9 @@ object CypherLite {
   // ------------------------------------------------------------- Parser
 
   private object Parser {
-    private val Keywords = Set("MATCH", "WHERE", "WITH", "UNWIND", "RETURN",
-      "AS", "AND", "OR", "NOT", "DISTINCT", "ORDER", "BY", "LIMIT", "ASC",
-      "DESC")
+    private val Keywords = Set("MATCH", "OPTIONAL", "WHERE", "WITH", "UNWIND",
+      "RETURN", "AS", "AND", "OR", "NOT", "DISTINCT", "ORDER", "BY", "LIMIT",
+      "ASC", "DESC")
 
     def parse(q: String): Seq[Clause] = new P(tokenize(q)).clauses()
 
@@ -98,7 +99,10 @@ object CypherLite {
       while (i < q.length) {
         val ch = q(i)
         if (ch.isWhitespace) i += 1
-        else if (ch.isLetter || ch == '_') {
+        else if (ch == '/' && i + 1 < q.length && q(i + 1) == '/') {
+          val nl = q.indexOf('\n', i)
+          i = if (nl < 0) q.length else nl + 1
+        } else if (ch.isLetter || ch == '_') {
           val j = q.indexWhere(c => !c.isLetterOrDigit && c != '_', i)
           val end = if (j < 0) q.length else j
           val w = q.substring(i, end)
@@ -154,6 +158,12 @@ object CypherLite {
           cs += chain()
           while (peek == ",") { next(); cs += chain() }
           Match(cs.result())
+        case "OPTIONAL" =>
+          expect("MATCH")
+          val cs = Seq.newBuilder[Chain]
+          cs += chain()
+          while (peek == ",") { next(); cs += chain() }
+          Match(cs.result(), optional = true)
         case "WHERE" => Where(expr())
         case "UNWIND" =>
           val e = expr(); expect("AS"); Unwind(e, next())
@@ -319,6 +329,7 @@ object CypherLite {
 
     def compile(clauses: Seq[Clause]): DataFrame = {
       clauses.foreach {
+        case m: Match if m.optional => m.chains.foreach(optionalChain)
         case m: Match => m.chains.foreach(matchChain)
         case Where(e) => applyPredicate(e)
         case w: With => project(w.items, w.distinct, w.where, w.order, w.limit)
@@ -372,6 +383,55 @@ object CypherLite {
         }
         prev = bound
       }
+    }
+
+    /** OPTIONAL MATCH: the whole pattern binds or every new variable is
+      * NULL — the chain (edges + new nodes + their prop filters) joins
+      * INTERNALLY first, then attaches to the frame with ONE left_outer
+      * keyed on the bound head node. A null head (itself from an
+      * earlier OPTIONAL) joins nothing and null-fills, which is exactly
+      * Cypher's cascade. Head must be bound (the reference's only
+      * usage); WHERE inside OPTIONAL is not supported. */
+    private def optionalChain(c: Chain): Unit = {
+      val head = c.first.v.getOrElse(
+        sys.error("OPTIONAL MATCH needs a named, bound head node"))
+      require(structVars.contains(head),
+        s"OPTIONAL MATCH head '$head' must be bound by an earlier MATCH")
+      require(c.first.props.isEmpty,
+        "props on the bound head of an OPTIONAL MATCH are unsupported")
+      require(c.rest.nonEmpty, "OPTIONAL MATCH needs a relationship pattern")
+      var ext: DataFrame = null
+      var prevIdCol: Column = null // id of the previous node INSIDE ext
+      var newVars = List.empty[String]
+      val (headRel, _) = c.rest.head
+      val headRv = headRel.v.getOrElse(freshName())
+      c.rest.zipWithIndex.foreach { case ((rel, node), idx) =>
+        val rv = if (idx == 0) headRv else rel.v.getOrElse(freshName())
+        val (fromField, toField) =
+          if (rel.leftToRight) ("src", "dst") else ("dst", "src")
+        val ed = edgeDf(rel.relType, rv)
+        ext =
+          if (ext == null) ed
+          else ext.join(ed, prevIdCol === col(rv).getField(fromField))
+        newVars ::= rv
+        val v = node.v.getOrElse(freshName())
+        require(!structVars.contains(v),
+          s"re-binding '$v' inside OPTIONAL MATCH is unsupported")
+        val label = node.label.getOrElse(
+          sys.error(s"new node '$v' in a chain needs a :Label"))
+        ext = ext.join(nodeDf(label, v),
+          col(v).getField("id") === col(rv).getField(toField))
+        node.props.foreach { case (k, e) =>
+          ext = ext.filter(col(v).getField(k) === constCol(e))
+        }
+        newVars ::= v
+        prevIdCol = col(v).getField("id")
+      }
+      df = df.join(ext,
+        col(head).getField("id") === col(headRv).getField(
+          if (headRel.leftToRight) "src" else "dst"),
+        "left_outer")
+      structVars ++= newVars
     }
 
     /** Bind a standalone (chain-head) node: fresh frame, equi-join on

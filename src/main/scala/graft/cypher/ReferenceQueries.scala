@@ -32,7 +32,8 @@ object ReferenceQueries {
       user: Long = Recommend.TargetUser): CypherLite.Graph = {
     val simEdges = sims.getOrElse(
       Recommend.similarUsersCooc(spark, dir, user, 20)
-        .select(lit(user).as("src"), col("user_id").as("dst")))
+        .select(lit(user).as("src"), col("user_id").as("dst"),
+          col("weight").cast("double").as("similarity")))
     CypherLite.Graph(
       nodes = Map(
         "User" -> RatingsGraph.activeUsers(spark, dir)
@@ -101,6 +102,30 @@ object ReferenceQueries {
       |ORDER BY recommend_count DESC, book_id
       |LIMIT 3""".stripMargin
 
+  /** `recommender_knn.py:48-79` get_graph_data VERBATIM — including the
+    * `//` comments and the three OPTIONAL MATCH cascades (null sim →
+    * null books, Cypher's optional null cascade). */
+  val GraphData: String =
+    """MATCH (target:User {id: $userId})
+      |
+      |// Bücher des Zielnutzers
+      |OPTIONAL MATCH (target)-[r1:RATED]->(b1:Book)
+      |
+      |// Ähnliche Nutzer über Embedding-KNN
+      |OPTIONAL MATCH (target)-[simRel:SIMILAR_TO]->(sim:User)
+      |
+      |// Bücher der ähnlichen Nutzer
+      |OPTIONAL MATCH (sim)-[r2:RATED]->(b2:Book)
+      |
+      |RETURN
+      |    target AS u1,
+      |    sim AS u2,
+      |    b1 AS book1,
+      |    r1.rating AS rating1,
+      |    b2 AS book2,
+      |    r2.rating AS rating2,
+      |    simRel.similarity AS similarityScore""".stripMargin
+
   private def params(user: Long): Map[String, Any] = Map("userId" -> user)
 
   def userBooks(spark: SparkSession, dir: String,
@@ -121,4 +146,8 @@ object ReferenceQueries {
   def recommendCommunity(spark: SparkSession, dir: String,
       user: Long = Recommend.TargetUser): DataFrame =
     CypherLite.run(graph(spark, dir), RecommendCommunity, params(user))
+
+  def graphData(spark: SparkSession, dir: String,
+      user: Long = Recommend.TargetUser): DataFrame =
+    CypherLite.run(graph(spark, dir), GraphData, params(user))
 }

@@ -113,6 +113,46 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(rows(agg) == Seq(Seq(100L, 8.0, 2L), Seq(200L, 6.5, 2L)))
   }
 
+  test("OPTIONAL MATCH: null cascade on the fixture, exact row algebra") {
+    // user 3 ('cat') rated 200 but has no SIMILAR_TO edges: the b1 leg
+    // binds, the sim and b2 legs null-fill — one row, half null
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (target:User {id: $u})
+        |// book leg binds, similarity legs null out
+        |OPTIONAL MATCH (target)-[r1:RATED]->(b1:Book)
+        |OPTIONAL MATCH (target)-[s:SIMILAR_TO]->(sim:User)
+        |OPTIONAL MATCH (sim)-[r2:RATED]->(b2:Book)
+        |RETURN b1.id AS book1, r1.rating AS rating1, sim.id AS simId,
+        |  b2.id AS book2, r2.rating AS rating2""".stripMargin,
+      Map("u" -> 3L)).collect().map(_.toSeq)
+    assert(out.toSeq == Seq(Seq(200L, 5L, null, null, null)))
+    // user 1: 1 rated book × (sim 2 with 2 rated books + sim 3 with 1)
+    // = 3 rows — Cypher's optional-match row multiplication
+    val out1 = CypherLite.run(fixtureGraph,
+      """MATCH (target:User {id: $u})
+        |OPTIONAL MATCH (target)-[r1:RATED]->(b1:Book)
+        |OPTIONAL MATCH (target)-[s:SIMILAR_TO]->(sim:User)
+        |OPTIONAL MATCH (sim)-[r2:RATED]->(b2:Book)
+        |RETURN b1.id AS book1, sim.id AS simId, b2.id AS book2
+        |ORDER BY simId, book2""".stripMargin,
+      Map("u" -> 1L)).collect().map(_.toSeq)
+    assert(out1.toSeq == Seq(
+      Seq(100L, 2L, 100L), Seq(100L, 2L, 200L), Seq(100L, 3L, 200L)))
+  }
+
+  test("compiled get_graph_data runs verbatim (comments included) on real data") {
+    val out = ReferenceQueries.graphData(spark, sf)
+    val cols = out.columns.toSeq
+    assert(cols == Seq("u1", "u2", "book1", "rating1", "book2", "rating2",
+      "similarityScore"))
+    val n = out.count()
+    assert(n > 0)
+    // every row carries the target user struct; similarity legs resolve
+    // for the cooc-sims binding (target has similar users on sf0.001)
+    assert(out.filter(col("u1").getField("id") === 1L).count() == n)
+    assert(out.filter(col("similarityScore").isNotNull).count() > 0)
+  }
+
   test("unsupported constructs fail fast, never compile silently wrong") {
     intercept[RuntimeException] {
       CypherLite.run(fixtureGraph, "CREATE (n:User)")
