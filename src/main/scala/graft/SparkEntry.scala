@@ -203,6 +203,28 @@ object SparkEntry {
     // the one Louvain-family detector with an EXACT oracle
     "communities_modopt" -> ((s, d) =>
       graft.graph.Algorithms.userModOptCommunities(s, d).orderBy("node_id")),
+    // gds.maxkcut twin — local-search max k-cut with the same
+    // integer-exact argmin + parity schedule as modopt
+    "maxkcut_classes" -> ((s, d) =>
+      graft.graph.Algorithms.userMaxKCut(s, d).orderBy("node_id")),
+    "maxkcut_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val edges = RatingsGraph.cooccurrenceEdges(s, d)
+        .select(col("u1").as("src"), col("u2").as("dst"),
+          col("weight").cast("long").as("w"))
+      val cls = graft.graph.Algorithms.userMaxKCut(s, d)
+      edges
+        .join(cls.select(col("node_id").as("src"), col("cls").as("cs")), Seq("src"))
+        .join(cls.select(col("node_id").as("dst"), col("cls").as("cd")), Seq("dst"))
+        .agg(
+          (sum(when(col("cs") =!= col("cd"), col("w")).otherwise(lit(0L))) / 2)
+            .cast("long").as("cut_weight"),
+          (sum(col("w")) / 2).cast("long").as("total_weight"),
+          round(sum(when(col("cs") =!= col("cd"), col("w")).otherwise(lit(0L)))
+            .cast("double") / sum(col("w")), 6).as("cut_ratio"))
+        .select(lit(4).as("k"), col("cut_weight"), col("total_weight"),
+          col("cut_ratio"))
+    }),
     "modopt_metrics" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val edges = RatingsGraph.cooccurrenceEdges(s, d)
@@ -2209,6 +2231,64 @@ object SparkEntry {
   private def modoptOracle: String =
     modoptCtes + "\nSELECT node_id, label FROM mlab3 ORDER BY node_id"
 
+  /** Max-k-cut replay — the modopt recipe with the complement
+    * objective: per-mover Σw into each CURRENT class (integer), argmin
+    * (w, keep-current, class id), parity rounds, md5 %k init. */
+  private def maxkcutCtes: String = {
+    val base =
+      s"""$RatingsCte, cooc AS MATERIALIZED (
+         |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), kc0 AS MATERIALIZED (
+         |  SELECT node_id, CAST(CAST(('0x' || substring(md5('kcut:' ||
+         |    CAST(node_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS BIGINT) AS cls
+         |  FROM (SELECT DISTINCT src AS node_id FROM cooc)
+         |)""".stripMargin
+    val iters = (1 to 3).map { i =>
+      val parity = i % 2
+      s""", knw$i AS (
+         |  SELECT e.src AS node_id, l.cls AS c, SUM(e.w) AS w
+         |  FROM cooc e JOIN kc${i - 1} l ON e.dst = l.node_id GROUP BY 1, 2
+         |), kcand$i AS (
+         |  SELECT m.node_id, m.cls AS cur, t.c, COALESCE(nw.w, 0) AS w
+         |  FROM kc${i - 1} m
+         |  CROSS JOIN (SELECT range AS c FROM range(0, 4)) t
+         |  LEFT JOIN knw$i nw ON nw.node_id = m.node_id AND nw.c = t.c
+         |  WHERE m.node_id % 2 = $parity
+         |), kc$i AS MATERIALIZED (
+         |  SELECT node_id, c AS cls FROM (
+         |    SELECT node_id, c, ROW_NUMBER() OVER (PARTITION BY node_id
+         |      ORDER BY w, (c = cur) DESC, c) AS rk FROM kcand$i)
+         |  WHERE rk = 1
+         |  UNION ALL
+         |  SELECT node_id, cls FROM kc${i - 1} WHERE node_id % 2 <> $parity
+         |)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  private def maxkcutOracle: String =
+    maxkcutCtes + "\nSELECT node_id, cls FROM kc3 ORDER BY node_id"
+
+  private def maxkcutMetricsOracle: String =
+    maxkcutCtes +
+      """, klab AS (
+        |  SELECT e.w, ls.cls AS cs, ld.cls AS cd
+        |  FROM cooc e
+        |  JOIN kc3 ls ON e.src = ls.node_id
+        |  JOIN kc3 ld ON e.dst = ld.node_id
+        |)
+        |SELECT CAST(4 AS INTEGER) AS k,
+        |  CAST(SUM(CASE WHEN cs <> cd THEN w ELSE 0 END) / 2 AS BIGINT)
+        |    AS cut_weight,
+        |  CAST(SUM(w) / 2 AS BIGINT) AS total_weight,
+        |  ROUND(CAST(SUM(CASE WHEN cs <> cd THEN w ELSE 0 END) AS DOUBLE)
+        |    / SUM(w), 6) AS cut_ratio
+        |FROM klab""".stripMargin
+
   /** `gds.scaleProperties` replay ([[graft.graph.Algorithms
     * .scaleProperties]]): every scaler statistic from integer sums in
     * one scalar CTE, μ/σ derived per-row with the same scalar formula
@@ -2531,6 +2611,8 @@ object SparkEntry {
     "communities_lpa" -> lpaOracle,
     "communities_modopt" -> modoptOracle,
     "modopt_metrics" -> modoptMetricsOracle,
+    "maxkcut_classes" -> maxkcutOracle,
+    "maxkcut_metrics" -> maxkcutMetricsOracle,
     "influence_seeds" -> influenceOracle,
     "scale_properties" -> scalePropertiesOracle,
     "graph_generate_rmat" -> rmatOracle,

@@ -256,6 +256,69 @@ object Algorithms {
     labels
   }
 
+  /** Approximate maximum k-cut (`gds.maxkcut`): partition nodes into k
+    * classes MAXIMIZING the weight crossing classes — the complement
+    * objective of community detection (GDS ships it as the beta
+    * local-search VNS algorithm). Same integer-exact machinery as
+    * [[modularityOptimization]]: a move's objective delta depends only
+    * on Σw(u → class c), an integer, so the per-node argmin (smallest
+    * within-class weight = largest cut contribution) is float-free and
+    * the whole fixed-round local search replays bit-exactly in SQL.
+    * Init: md5-fraction % k (deterministic spread); rounds move the
+    * parity class only (the modopt anti-oscillation schedule); ties
+    * keep the current class, then smallest class id. Per round: one
+    * |E| join-aggregate + one |V|·k argmin — no all-pairs. */
+  def maxKCut(weightedEdges: DataFrame, k: Int = 4,
+      iterations: Int = 3): DataFrame = {
+    val edges = weightedEdges
+      .select(col("src"), col("dst"), col("weight").cast("long"))
+      .filter(col("weight") > 0L)
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node_id")).distinct()
+      .localCheckpoint()
+    var classes = nodes.select(col("node_id"),
+      pmod(graft.plans.Md5Bits.md5Bits(
+        concat(lit("kcut:"), col("node_id").cast("string")), 8), lit(k.toLong))
+        .as("cls"))
+      .localCheckpoint()
+    for (i <- 1 to iterations) {
+      val parity = i % 2
+      // Σw from each mover into every CURRENT class of its neighbours
+      val nbrW = edges
+        .join(classes.select(col("node_id").as("dst"), col("cls").as("c")),
+          Seq("dst"))
+        .groupBy(col("src").as("node_id"), col("c"))
+        .agg(sum(col("weight")).as("w"))
+      // every class is a candidate — absent neighbour-classes cost 0
+      // (they ADD the full neighbourhood to the cut)
+      val cand = classes
+        .filter(pmod(col("node_id"), lit(2)) === lit(parity))
+        .select(col("node_id"), col("cls").as("cur"),
+          explode(sequence(lit(0L), lit((k - 1).toLong))).as("c"))
+        .join(nbrW, Seq("node_id", "c"), "left")
+        .withColumn("w", coalesce(col("w"), lit(0L)))
+      val pick = Window.partitionBy(col("node_id"))
+        .orderBy(col("w"), (col("c") === col("cur")).desc, col("c"))
+      val moved = cand.withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("node_id"), col("c").as("cls"))
+      classes = moved
+        .unionByName(classes.filter(pmod(col("node_id"), lit(2)) =!= lit(parity)))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    classes
+  }
+
+  /** Max-k-cut classes of the user co-occurrence graph, session-cached
+    * (shared by the classes entry and the metrics gate). */
+  def userMaxKCut(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "maxkcut_classes") {
+      maxKCut(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst"), col("weight")))
+    }
+
   /** Modularity-optimized user communities, session-cached (shared by
     * the communities entry and its metrics gate). */
   def userModOptCommunities(spark: SparkSession, dir: String): DataFrame =

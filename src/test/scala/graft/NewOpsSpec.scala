@@ -952,6 +952,22 @@ class NewOpsSpec extends AnyFunSuite {
       0.894427, 0.5)), s"got ${got(1)}")
   }
 
+  test("maxKCut: disjoint edges reach the perfect cut; valid, deterministic classes") {
+    // two disconnected edges, k=2: round 1 moves the odd endpoints off
+    // their partners, round 2 the even ones; stay-preference holds the
+    // perfect cut in round 3 (within(cur)=0 ties nothing better)
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 4L, 5L), (4L, 3L, 5L))
+      .toDF("src", "dst", "weight")
+    val cls = Algorithms.maxKCut(edges, k = 2, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cls.size == 4 && cls.values.forall(c => c >= 0 && c < 2))
+    assert(cls(1L) != cls(2L), s"edge 1-2 uncut: $cls")
+    assert(cls(3L) != cls(4L), s"edge 3-4 uncut: $cls")
+    val again = Algorithms.maxKCut(edges, k = 2, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cls == again)
+  }
+
   test("influenceSeeds: star hub covers every RR set and is the single seed") {
     // weighted cascade p(u→v) = w/k(v): spokes have k=1, so hub→spoke
     // is ALWAYS live — every RR set rooted at a spoke pulls the hub in
