@@ -660,6 +660,9 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => graft.ann.AnnSearch.pqTopK(s, d)),
     "kmeans_clusters" -> ((s, d) => graft.ann.KMeans.assign(s, d)),
     "kmeans_invariants" -> ((s, d) => graft.ann.KMeans.invariants(s, d)),
+    // centroid-form silhouette of the cached clustering — the O(n·k)
+    // clustering-quality report, exactly replayed over the kmeans CTEs
+    "kmeans_silhouette" -> ((s, d) => graft.ann.KMeans.silhouette(s, d)),
     "pq_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val m = 8; val ksub = 16
@@ -1081,7 +1084,7 @@ object SparkEntry {
     * float-doubles, later centroids 1e-6-snapped on BOTH sides), per-
     * (cluster, dim) means with empty-cluster carry-through, mirroring
     * KMeans.lloydWithTrace/assignTo op-for-op. */
-  private def kmeansOracle: String = {
+  private def kmeansCtes: String = {
     def l2(a: String, b: String): String =
       s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
     def assignCte(t: Int, cents: String): String =
@@ -1118,9 +1121,41 @@ object SparkEntry {
        |  LIMIT 8
        |), ${assignCte(1, "s0")}, ${centCte(1, "s0")},
        |${assignCte(2, "c1")}, ${centCte(2, "c1")},
-       |${assignCte(3, "c2")}
-       |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin
+       |${assignCte(3, "c2")}""".stripMargin
   }
+
+  private def kmeansOracle: String =
+    kmeansCtes + "\nSELECT vec_id, cluster FROM a3 ORDER BY vec_id"
+
+  /** Simplified silhouette over the exact kmeans replay: a(x) =
+    * dist(x, own FINAL-assignment centroid), b(x) = min other-centroid
+    * dist, s = (b−a)/max(a,b) — the centroid form (Hruschka et al.),
+    * O(n·k) instead of the O(n²) pairwise original, which is the 100 TB
+    * variant. The grouped per-dim distance sums carry ~1e-12 reduction
+    * noise vs the engine's index-order fold; value-stable through
+    * sqrt/min/avg and snapped by the final ROUND 6. */
+  private def silhouetteOracle: String =
+    kmeansCtes +
+      """, kmc AS MATERIALIZED (
+        |  SELECT a.cluster, q.pos, ROUND(SUM(e.v[q.pos]) / COUNT(*), 6) AS m
+        |  FROM a3 a JOIN embd e USING (vec_id)
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) q
+        |  GROUP BY a.cluster, q.pos
+        |), pd AS (
+        |  SELECT a.vec_id, a.cluster, m.cluster AS j,
+        |    SQRT(SUM((e.v[m.pos] - m.m) * (e.v[m.pos] - m.m))) AS d
+        |  FROM a3 a JOIN embd e USING (vec_id) JOIN kmc m ON TRUE
+        |  GROUP BY a.vec_id, a.cluster, m.cluster
+        |), sil AS (
+        |  SELECT vec_id, cluster,
+        |    MAX(CASE WHEN j = cluster THEN d END) AS a,
+        |    MIN(CASE WHEN j <> cluster THEN d END) AS b
+        |  FROM pd GROUP BY vec_id, cluster
+        |)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(AVG(CASE WHEN GREATEST(a, b) > 0
+        |    THEN (b - a) / GREATEST(a, b) ELSE 0.0 END), 6) AS silhouette
+        |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
 
   /** RWR sampling oracle: every step unrolled — per step, one arg_min
     * move CTE plus one restart CASE, exactly mirroring
@@ -3544,6 +3579,7 @@ object SparkEntry {
     // r7: Lloyd centroids snapped at 1e-6 per iteration on the Spark
     // side, so the whole 3-iteration run replays (see KMeans.scala)
     "kmeans_clusters" -> kmeansOracle,
+    "kmeans_silhouette" -> silhouetteOracle,
 
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -109,6 +109,49 @@ object KMeans {
     (out.orderBy(col("vec_id")), trace.toSeq)
   }
 
+  /** Simplified (centroid-form) silhouette of the cached clustering —
+    * the standard clustering-quality report (Hruschka et al.; sklearn's
+    * silhouette with the O(n²) pairwise distances replaced by the
+    * O(n·k) centroid distances, which is the variant that survives
+    * 100 TB): a(x) = ‖x − μ_own‖, b(x) = min_other ‖x − μ_c‖,
+    * s = (b − a)/max(a, b), reported per cluster with member counts.
+    * Centroids derive from the FINAL assignment (k·dim driver pull,
+    * 1e-6 snapped — the same discipline every later consumer of a
+    * cross-row float mean uses), distances are literal-inlined codegen
+    * chains, and the per-cluster mean snaps at 1e-6 — exactly
+    * SQL-replayable on top of the kmeans_clusters oracle CTEs. */
+  def silhouette(spark: SparkSession, dir: String, k: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val joined = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(assign(spark, dir, k), Seq("vec_id"))
+    val cents: Map[Int, Array[Double]] = joined
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(col("embedding").getItem(i).cast("double")).as(s"s$i")): _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1).toDouble
+        r.getInt(0) -> Array.tabulate(dim)(i => snap6(r.getDouble(2 + i) / n))
+      }.toMap
+    val dist: Map[Int, org.apache.spark.sql.Column] = cents.map { case (j, c) =>
+      j -> sqrt((0 until dim).map { i =>
+        val diff = col("embedding").getItem(i).cast("double") - lit(c(i))
+        diff * diff
+      }.reduce(_ + _))
+    }
+    val ks = cents.keys.toSeq.sorted
+    val a = coalesce(ks.map(j => when(col("cluster") === j, dist(j))): _*)
+    val b = least(ks.map(j =>
+      when(col("cluster") === j, lit(Double.MaxValue)).otherwise(dist(j))): _*)
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    joined.select(col("cluster"), s.as("s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(avg(col("s")), 6).as("silhouette"))
+      .orderBy(col("cluster"))
+  }
+
   /** Argmin-squared-distance assignment with centroid LITERALS: the
     * distance for each centroid is an inlined codegen expression;
     * argmin via least-of-structs (distance, cluster id — total order,

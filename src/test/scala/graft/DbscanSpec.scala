@@ -72,6 +72,19 @@ class DbscanSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans silhouette: bounded scores, complete membership, deterministic") {
+    val out = graft.ann.KMeans.silhouette(spark, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(t => t._3 >= -1.0 && t._3 <= 1.0),
+      s"silhouette out of [-1,1]: ${out.toSeq}")
+    val total = graft.Tables.embeddings(spark, TestSpark.sf).count()
+    assert(out.map(_._2).sum == total, "every vector scored exactly once")
+    val again = graft.ann.KMeans.silhouette(spark, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("nnDescent: deterministic across runs") {
     val pts = (0 until 40).map { i =>
       val v = Array.fill(64)(0.0); v(i % 16) = 1.0; v(17 + i % 13) = 0.3
