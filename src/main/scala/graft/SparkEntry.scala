@@ -73,6 +73,7 @@ object SparkEntry {
     "q1_rollup" -> ((s, d) => Olap.q1Rollup(s, d)),
     "events_pivot" -> ((s, d) => Olap.eventsPivot(s, d)),
     "events_rolling" -> ((s, d) => Olap.eventsRolling(s, d)),
+    "events_ewma" -> ((s, d) => Olap.eventsEwma(s, d)),
     "q17_correlated" -> ((s, d) => Olap.q17Correlated(s, d)),
     "events_json_extract" -> ((s, d) => Olap.eventsJsonExtract(s, d)),
     // — Text / dedup / multimodal —
@@ -1078,6 +1079,25 @@ object SparkEntry {
        |  LIMIT 80
        |)
        |${annRerank("adcc")}""".stripMargin
+
+  /** Truncated-EWMA replay: the identical 16-term LAG chain with the
+    * identical round-trip-exact weight literals — per-row scalar sums
+    * in the same syntactic order as [[graft.olap.Olap.eventsEwmaOf]]. */
+  private def eventsEwmaOracle: String = {
+    val w = (0 until 16).map(j => math.pow(0.7, j))
+    def lagged(j: Int) = s"LAG(value, $j) OVER w"
+    val num = (0 until 16).map(j =>
+      s"(CASE WHEN ${lagged(j)} IS NOT NULL THEN ${lagged(j)} * ${w(j)} ELSE 0.0 END)")
+      .mkString("\n    + ")
+    val den = (0 until 16).map(j =>
+      s"(CASE WHEN ${lagged(j)} IS NOT NULL THEN CAST(${w(j)} AS DOUBLE) ELSE 0.0 END)")
+      .mkString("\n    + ")
+    s"""SELECT event_id, event_type,
+       |  ROUND(($num) / ($den), 6) AS ewma
+       |FROM events
+       |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+       |ORDER BY event_id""".stripMargin
+  }
 
   /** kmeans_clusters oracle (r7): 3 Lloyd iterations unrolled — seed
     * draw by md5 order, raw-d2 argmin (bit-replayable: seeds are exact
@@ -3035,6 +3055,8 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "events_ewma" -> eventsEwmaOracle,
 
     "events_rolling" ->
       """SELECT user_id, event_id,

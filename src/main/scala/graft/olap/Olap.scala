@@ -196,6 +196,37 @@ object Olap {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Exponentially-weighted moving average per event_type — the
+    * time-series smoothing staple (pandas `ewm(adjust=True)`), with the
+    * unbounded history TRUNCATED at `lags` terms so the state is a
+    * fixed register file instead of a recursion: at α=0.3 the dropped
+    * tail weighs (0.7)^16 ≈ 0.3%. The 16-term LAG chain is one
+    * partitioned window (single WindowExec, codegen'd scalar sum in
+    * fixed syntactic order — deterministic and SQL-replayable; the
+    * weights inline as round-trip-exact double literals in BOTH
+    * engines). Partial windows normalize by the weights actually
+    * present, exactly like pandas' adjust=True. */
+  def eventsEwmaOf(ev: DataFrame, alpha: Double = 0.3,
+      lags: Int = 16): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val w = (0 until lags).map(j => math.pow(1 - alpha, j))
+    val terms = (0 until lags).map { j =>
+      val l = lag(col("value"), j).over(byType)
+      (when(l.isNotNull, l * lit(w(j))).otherwise(lit(0.0)),
+        when(l.isNotNull, lit(w(j))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    ev.select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den, 6))
+      .select(col("event_id"), col("event_type"), col("ewma"))
+      .orderBy(col("event_id"))
+  }
+
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame =
+    eventsEwmaOf(events(spark, dir))
+
   /** Correlated-subquery filter (TPC-H Q17 shape): lineitems whose
     * quantity is below 20% of their part's average quantity —
     * decorrelated into a join against the per-part aggregate. */

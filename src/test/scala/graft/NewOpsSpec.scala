@@ -952,6 +952,19 @@ class NewOpsSpec extends AnyFunSuite {
       0.894427, 0.5)), s"got ${got(1)}")
   }
 
+  test("eventsEwma: closed-form adjust=True values on a three-row series") {
+    val ev = Seq((1L, "click", 1L, 10.0), (2L, "click", 2L, 20.0),
+      (3L, "click", 3L, 5.0)).toDF("event_id", "event_type", "ts", "value")
+    val got = graft.olap.Olap.eventsEwmaOf(ev).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, r6(10.0))))
+    assert(got(1) == ((2L, r6((20.0 + 0.7 * 10.0) / (1.0 + 0.7)))))
+    assert(got(2) == ((3L,
+      r6((5.0 + 0.7 * 20.0 + 0.7 * 0.7 * 10.0) / (1.0 + 0.7 + 0.7 * 0.7)))))
+  }
+
   test("maxKCut: disjoint edges reach the perfect cut; valid, deterministic classes") {
     // two disconnected edges, k=2: round 1 moves the odd endpoints off
     // their partners, round 2 the even ones; stay-preference holds the
