@@ -74,6 +74,8 @@ object SparkEntry {
     "events_pivot" -> ((s, d) => Olap.eventsPivot(s, d)),
     "events_rolling" -> ((s, d) => Olap.eventsRolling(s, d)),
     "events_ewma" -> ((s, d) => Olap.eventsEwma(s, d)),
+    "events_moments" -> ((s, d) => Olap.eventsMoments(s, d)),
+    "lineitem_corr" -> ((s, d) => Olap.lineitemCorr(s, d)),
     "q17_correlated" -> ((s, d) => Olap.q17Correlated(s, d)),
     "events_json_extract" -> ((s, d) => Olap.eventsJsonExtract(s, d)),
     // — Text / dedup / multimodal —
@@ -1079,6 +1081,35 @@ object SparkEntry {
        |  LIMIT 80
        |)
        |${annRerank("adcc")}""".stripMargin
+
+  /** Correlation-matrix replay ([[graft.olap.Olap.lineitemCorr]]):
+    * Σx/Σx²/Σxy accumulate in DECIMAL (exact), each correlation is the
+    * SAME double chain over the decimal-to-double casts — operation
+    * order matches the engine token for token. */
+  private def lineitemCorrOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val sums = cols.map(c => s"SUM(${d(c)}) AS s_$c") ++
+      (for { a <- cols; b <- cols if a <= b }
+        yield s"SUM(${d(a)} * ${d(b)}) AS p_${a}_$b")
+    val pairRows = (for { a <- cols.sorted; b <- cols.sorted if a < b } yield {
+      val (x, y) = (a, b)
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  ROUND((n * CAST(p_${x}_$y AS DOUBLE)
+         |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |    / (SQRT(n * CAST(p_${a}_$a AS DOUBLE)
+         |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |      * SQRT(n * CAST(p_${b}_$b AS DOUBLE)
+         |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6) AS corr
+         |FROM st""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, ${sums.mkString(",\n    ")}
+       |  FROM lineitem
+       |)
+       |SELECT * FROM ($pairRows)
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 
   /** Truncated-EWMA replay: the identical 16-term LAG chain with the
     * identical round-trip-exact weight literals — per-row scalar sums
@@ -3057,6 +3088,31 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "events_ewma" -> eventsEwmaOracle,
+
+    // power-sum moment profile — the identical scalar formula over the
+    // per-type sums; every statistic is an O(1) ratio so the 1e-15
+    // reduction drift in the double power sums dies at ROUND 6
+    "events_moments" ->
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(value) AS s1,
+        |    SUM(value * value) AS s2, SUM(value * value * value) AS s3,
+        |    SUM(value * value * value * value) AS s4
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  ROUND(s1 / n, 6) AS mean,
+        |  ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS variance,
+        |  ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+        |  ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+        |    - 3.0, 6) AS kurtosis
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "lineitem_corr" -> lineitemCorrOracle,
 
     "events_rolling" ->
       """SELECT user_id, event_id,

@@ -227,6 +227,77 @@ object Olap {
   def eventsEwma(spark: SparkSession, dir: String): DataFrame =
     eventsEwmaOf(events(spark, dir))
 
+  /** Pearson correlation matrix over the lineitem measures — the
+    * feature-correlation report every tabular pipeline starts with.
+    * EXACT cross-engine: all sums (Σx, Σx², Σxy) accumulate in DECIMAL
+    * (associative integer arithmetic — no float reduction anywhere),
+    * then each correlation is one scalar double chain over the exact
+    * sums, written in the same operation order as the oracle. One scan,
+    * one aggregate row, the pair list is driver-side literals. */
+  def lineitemCorr(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // decimal(12,2) keeps the pairwise products inside decimal(38,·)
+    // (a (24,4)² product would overflow 38 and trigger Spark's
+    // precision-loss rounding — no longer exact); every source column
+    // has ≤ 2 decimals, so the cast itself is exact
+    val li = lineitem(spark, dir)
+      .select(cols.map(c => col(c).cast("decimal(12,2)").as(c)): _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(c)).as(s"s_$c")) ++
+      (for { a <- cols; b <- cols if a <= b }
+        yield sum(col(a) * col(b)).as(s"p_${a}_$b"))
+    val r = li.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0).toDouble
+    def s(c: String) = r.getDecimal(r.fieldIndex(s"s_$c")).doubleValue
+    def p(a: String, b: String) = {
+      val (x, y) = if (a <= b) (a, b) else (b, a)
+      r.getDecimal(r.fieldIndex(s"p_${x}_$y")).doubleValue
+    }
+    val rows = for { a <- cols; b <- cols if a < b } yield {
+      val cov = n * p(a, b) - s(a) * s(b)
+      val va = n * p(a, a) - s(a) * s(a)
+      val vb = n * p(b, b) - s(b) * s(b)
+      val corr = cov / (math.sqrt(va) * math.sqrt(vb))
+      (a, b, BigDecimal(corr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("col_a", "col_b", "corr").orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** Higher-moment profile per event_type: mean, variance, skewness,
+    * excess kurtosis from the four power sums (one scan, one
+    * aggregate). The double power sums carry ~1e-15 relative reduction
+    * drift; every reported statistic is a RATIO of them (O(1)
+    * magnitude), so the 1e-6 rounding absorbs it. */
+  def eventsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast("double")
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+      .select(col("event_type"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), 6)
+          .as("variance"),
+        round((col("s3") / col("n")
+            - lit(3.0) * (col("s1") / col("n")) * (col("s2") / col("n"))
+            + lit(2.0) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * (col("s1") / col("n")))
+          / pow(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+            lit(1.5)), 6).as("skewness"),
+        round((col("s4") / col("n")
+            - lit(4.0) * (col("s1") / col("n")) * (col("s3") / col("n"))
+            + lit(6.0) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * (col("s2") / col("n"))
+            - lit(3.0) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * (col("s1") / col("n")) * (col("s1") / col("n")))
+          / ((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+            * (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))))
+          - lit(3.0), 6).as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
   /** Correlated-subquery filter (TPC-H Q17 shape): lineitems whose
     * quantity is below 20% of their part's average quantity —
     * decorrelated into a join against the per-part aggregate. */

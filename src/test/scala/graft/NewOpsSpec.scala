@@ -952,6 +952,20 @@ class NewOpsSpec extends AnyFunSuite {
       0.894427, 0.5)), s"got ${got(1)}")
   }
 
+  test("lineitemCorr / eventsMoments: bounded, complete, deterministic") {
+    val corr = graft.olap.Olap.lineitemCorr(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(corr.length == 6, s"expected 6 pairs, got ${corr.toSeq}")
+    assert(corr.forall(t => t._3 >= -1.0 && t._3 <= 1.0), corr.toSeq.toString)
+    assert(corr.forall(t => t._1 < t._2), "pairs must be lexicographically oriented")
+    val m = graft.olap.Olap.eventsMoments(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(m.nonEmpty && m.forall(_._3 >= 0.0), s"negative variance: ${m.toSeq}")
+    val again = graft.olap.Olap.lineitemCorr(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(corr.toSeq == again.toSeq)
+  }
+
   test("eventsEwma: closed-form adjust=True values on a three-row series") {
     val ev = Seq((1L, "click", 1L, 10.0), (2L, "click", 2L, 20.0),
       (3L, "click", 3L, 5.0)).toDF("event_id", "event_type", "ts", "value")
