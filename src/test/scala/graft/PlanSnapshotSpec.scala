@@ -162,7 +162,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
   // sort the r6 verdict flagged in q11)
   Seq("communities_modopt", "modopt_metrics", "influence_seeds",
     "scale_properties", "graph_generate_rmat", "quality_classifier",
-    "training_shuffle").foreach { name =>
+    "training_shuffle", "maxkcut_classes", "maxkcut_metrics",
+    "kmeans_silhouette", "events_ewma", "events_moments", "lineitem_corr",
+    "cypher_user_books", "cypher_recommend_knn", "cypher_large_groups")
+    .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
       val plan = SparkEntry.queries(name)(spark, sf)
