@@ -126,6 +126,22 @@ object ReferenceQueries {
       |    r2.rating AS rating2,
       |    simRel.similarity AS similarityScore""".stripMargin
 
+  /** `recommender_community.py:36-52` get_community_members — the
+    * seventh and last reference read query: scalar WITH, bound-scalar
+    * community lookup, WITH DISTINCT + LIMIT (the reference LIMITs
+    * without ORDER, so WHICH 3 members is engine-arbitrary — in Neo4j
+    * too), then a re-MATCH by the projected scalar id. */
+  val CommunityMembers: String =
+    """MATCH (u1:User {id: $userId})
+      |WITH u1.community AS communityId
+      |MATCH (u2:User {community: communityId})
+      |WHERE u2.id <> $userId
+      |WITH DISTINCT u2.id AS userId
+      |LIMIT 3
+      |MATCH (u:User {id: userId})
+      |RETURN u.id AS user_id, u.name AS name, u.segment AS segment
+      |ORDER BY u.id""".stripMargin
+
   private def params(user: Long): Map[String, Any] = Map("userId" -> user)
 
   def userBooks(spark: SparkSession, dir: String,
@@ -150,4 +166,8 @@ object ReferenceQueries {
   def graphData(spark: SparkSession, dir: String,
       user: Long = Recommend.TargetUser): DataFrame =
     CypherLite.run(graph(spark, dir), GraphData, params(user))
+
+  def communityMembers(spark: SparkSession, dir: String,
+      user: Long = Recommend.TargetUser): DataFrame =
+    CypherLite.run(graph(spark, dir), CommunityMembers, params(user))
 }

@@ -59,6 +59,22 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("compiled get_community_members: <=3 same-community peers with true props") {
+    val got = ReferenceQueries.communityMembers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.nonEmpty && got.length <= 3)
+    val users = graft.graph.RatingsGraph.activeUsers(spark, sf)
+      .select(col("user_id"), col("name"), col("community"), col("segment"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    val targetCommunity = users(1L)._2
+    got.foreach { case (id, name, segment) =>
+      assert(id != 1L)
+      assert(users(id)._2 == targetCommunity, s"member $id in wrong community")
+      assert(users(id)._1 == name && users(id)._3 == segment)
+    }
+  }
+
   // ---- construct-level fixtures ----------------------------------
 
   private def fixtureGraph: CypherLite.Graph = CypherLite.Graph(
