@@ -1111,6 +1111,62 @@ object SparkEntry {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** NN-Descent replay (r7 — retires the knn_descent no_oracle): the
+    * whole construction is deterministic — multiplicative-hash ring
+    * init (integer arithmetic, computable in SQL from n), 3 descent
+    * rounds of general-neighbourhood self-joins, the CosineSim-form
+    * kernel (identical scalar chain per candidate — no snap needed,
+    * the ann_bruteforce precedent), and the (cosine DESC, nbr) top-k
+    * tie-break as ROW_NUMBER. */
+  private def knnDescentOracle: String = {
+    def cos(a: String, b: String) =
+      s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x * x)))
+         |      * sqrt(list_sum(list_transform($b, x -> x * x))) > 0
+         |  THEN list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+         |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
+         |       * sqrt(list_sum(list_transform($b, x -> x * x))))
+         |  ELSE 0.0 END""".stripMargin
+    val iters = (1 to 3).map { i =>
+      s""", g$i AS MATERIALIZED (
+         |  SELECT DISTINCT id, nbr FROM (
+         |    SELECT id, nbr FROM e${i - 1}
+         |    UNION ALL SELECT nbr AS id, id AS nbr FROM e${i - 1})
+         |), cand$i AS MATERIALIZED (
+         |  SELECT DISTINCT id, nbr FROM (
+         |    SELECT id, nbr FROM g$i
+         |    UNION ALL
+         |    SELECT a.nbr AS id, b.nbr FROM g$i a JOIN g$i b ON a.id = b.id
+         |  ) WHERE id <> nbr
+         |), e$i AS MATERIALIZED (
+         |  SELECT id, nbr, cosine FROM (
+         |    SELECT c.id, c.nbr, ${cos("va.v", "vb.v")} AS cosine,
+         |      ROW_NUMBER() OVER (PARTITION BY c.id
+         |        ORDER BY ${cos("va.v", "vb.v")} DESC, c.nbr) AS rk
+         |    FROM cand$i c
+         |    JOIN embd va ON va.vec_id = c.id
+         |    JOIN embd vb ON vb.vec_id = c.nbr
+         |  ) WHERE rk <= 10
+         |)""".stripMargin
+    }.mkString
+    s"""WITH embd AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), nn AS (SELECT COUNT(*) AS n FROM embd),
+       |rked AS MATERIALIZED (
+       |  SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk
+       |  FROM embd
+       |), offs AS (
+       |  SELECT 1 + (t.j * 2654435761 + 7 * 40503) % (nn.n - 1) AS o
+       |  FROM (SELECT unnest(range(0, 10)) AS j) t CROSS JOIN nn
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT r.id, r2.id AS nbr
+       |  FROM rked r CROSS JOIN offs CROSS JOIN nn
+       |  JOIN rked r2 ON r2.rk = (r.rk + offs.o) % nn.n
+       |)$iters
+       |SELECT id, nbr, ROUND(cosine, 6) AS cosine FROM e3
+       |ORDER BY id, ROUND(cosine, 6) DESC, nbr""".stripMargin
+  }
+
   /** Truncated-EWMA replay: the identical 16-term LAG chain with the
     * identical round-trip-exact weight literals — per-row scalar sums
     * in the same syntactic order as [[graft.olap.Olap.eventsEwmaOf]]. */
@@ -2224,6 +2280,60 @@ object SparkEntry {
     base + iters +
       "\nSELECT node_id, ROUND(rank, 6) AS rank FROM r5" +
       "\nORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20"
+  }
+
+  /** Convergent-PageRank replay (r7 — retires the pagerank_topk
+    * no_oracle): unroll the full 10-iteration budget, replicate the
+    * engine's every-2nd-round probe as delta scalars (maxΔ(r_t, r_{t−1})
+    * for even t), and select the first converged iterate with a CASE —
+    * the data-dependent early exit becomes a static selector. The only
+    * cross-engine hazard is a delta landing within float drift of tol
+    * itself (~1e-15 of 1e-6) — a measure-zero boundary, same class as
+    * every ROUND-boundary risk the green surface already carries. */
+  private def pagerankConvergentOracle: String = {
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), norm AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS share
+         |  FROM cooc
+         |), nodes AS MATERIALIZED (
+         |  SELECT src AS node_id FROM cooc UNION SELECT dst FROM cooc
+         |), r0 AS (
+         |  SELECT node_id, 1.0 AS rank FROM nodes
+         |)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s""", r$i AS MATERIALIZED (
+         |  SELECT n.node_id,
+         |    0.15 + 0.85 * COALESCE(SUM(m.share * r.rank), 0.0) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN norm m ON m.dst = n.node_id
+         |  LEFT JOIN r${i - 1} r ON r.node_id = m.src
+         |  GROUP BY n.node_id
+         |)""".stripMargin
+    }.mkString
+    val probes = Seq(2, 4, 6, 8).map(t =>
+      s"""WHEN (SELECT MAX(ABS(a.rank - b.rank))
+         |      FROM r$t a JOIN r${t - 1} b USING (node_id)) < 0.000001 THEN $t""".stripMargin)
+      .mkString("\n    ")
+    base + iters +
+      s""", dsel AS (SELECT CASE
+         |    $probes
+         |    ELSE 10 END AS t)
+         |SELECT node_id, ROUND(rank, 6) AS rank FROM (
+         |  SELECT n.node_id,
+         |    CASE dsel.t WHEN 2 THEN a2.rank WHEN 4 THEN a4.rank
+         |      WHEN 6 THEN a6.rank WHEN 8 THEN a8.rank ELSE a10.rank END AS rank
+         |  FROM nodes n CROSS JOIN dsel
+         |  JOIN r2 a2 USING (node_id) JOIN r4 a4 USING (node_id)
+         |  JOIN r6 a6 USING (node_id) JOIN r8 a8 USING (node_id)
+         |  JOIN r10 a10 USING (node_id))
+         |ORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20""".stripMargin
   }
 
   /** lab0…lab5 CTE chain shared by the LPA oracle and the modularity
@@ -3658,6 +3768,7 @@ object SparkEntry {
     // side, so the whole 3-iteration run replays (see KMeans.scala)
     "kmeans_clusters" -> kmeansOracle,
     "kmeans_silhouette" -> silhouetteOracle,
+    "knn_descent" -> knnDescentOracle,
 
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -4365,6 +4476,7 @@ object SparkEntry {
 
     // — r4 additions —
     "pagerank_fixed_topk" -> pagerankFixedOracle,
+    "pagerank_topk" -> pagerankConvergentOracle,
     // convergent-leg equivalence gate: n_nodes is the independent SQL
     // check (cooc node count); the zero mismatch/diff literals are the
     // gate contract — convergent-at-i must equal fixed-at-i at the 1e-6
