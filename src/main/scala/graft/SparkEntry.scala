@@ -206,6 +206,10 @@ object SparkEntry {
     // the one Louvain-family detector with an EXACT oracle
     "communities_modopt" -> ((s, d) =>
       graft.graph.Algorithms.userModOptCommunities(s, d).orderBy("node_id")),
+    // gds.articleRank: PageRank with mean-degree-damped shares —
+    // completes the GDS *Rank family, oracled like pagerank_fixed
+    "article_rank_topk" -> ((s, d) =>
+      graft.graph.Algorithms.articleRank(s, d)),
     // gds.maxkcut twin — local-search max k-cut with the same
     // integer-exact argmin + parity schedule as modopt
     "maxkcut_classes" -> ((s, d) =>
@@ -2279,6 +2283,39 @@ object SparkEntry {
     }.mkString
     base + iters +
       "\nSELECT node_id, ROUND(rank, 6) AS rank FROM r5" +
+      "\nORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20"
+  }
+
+  /** ArticleRank replay — pagerank_fixed with the share denominator
+    * lifted by the mean degree (one scalar from integer sums). */
+  private def articleRankOracle: String = {
+    val base =
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), dg AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS deg FROM cooc GROUP BY src
+         |), ad AS (SELECT CAST(SUM(deg) AS DOUBLE) / COUNT(*) AS avg_deg FROM dg),
+         |norm AS MATERIALIZED (
+         |  SELECT c.src, c.dst, 1.0 / (CAST(d.deg AS DOUBLE) + ad.avg_deg) AS share
+         |  FROM cooc c JOIN dg d USING (src) CROSS JOIN ad
+         |), nodes AS MATERIALIZED (SELECT src AS node_id FROM dg),
+         |ar0 AS (SELECT node_id, 1.0 AS rank FROM nodes)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""", ar$i AS MATERIALIZED (
+         |  SELECT n.node_id,
+         |    0.15 + 0.85 * COALESCE(SUM(m.share * r.rank), 0.0) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN norm m ON m.dst = n.node_id
+         |  LEFT JOIN ar${i - 1} r ON r.node_id = m.src
+         |  GROUP BY n.node_id
+         |)""".stripMargin
+    }.mkString
+    base + iters +
+      "\nSELECT node_id, ROUND(rank, 6) AS rank FROM ar5" +
       "\nORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20"
   }
 
@@ -4477,6 +4514,7 @@ object SparkEntry {
     // — r4 additions —
     "pagerank_fixed_topk" -> pagerankFixedOracle,
     "pagerank_topk" -> pagerankConvergentOracle,
+    "article_rank_topk" -> articleRankOracle,
     // convergent-leg equivalence gate: n_nodes is the independent SQL
     // check (cooc node count); the zero mismatch/diff literals are the
     // gate contract — convergent-at-i must equal fixed-at-i at the 1e-6

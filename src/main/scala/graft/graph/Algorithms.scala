@@ -2598,6 +2598,41 @@ object Algorithms {
     (ranks, i)
   }
 
+  /** ArticleRank (`gds.articleRank`): PageRank with the contribution
+    * denominator lifted by the MEAN out-degree — r(v) = (1−d) +
+    * d·Σ_{u→v} r(u)/(deg(u) + avgDeg) — which damps the advantage of
+    * citations from low-degree nodes (the bibliometric motivation).
+    * Five pinned iterations; avgDeg comes from integer sums (one
+    * scalar), every share is a deterministic double, so the whole run
+    * replays exactly like pagerank_fixed_topk. */
+  def articleRank(spark: SparkSession, dir: String,
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    val edges = RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("src"), col("u2").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val s = deg.agg(sum(col("deg")), count(lit(1))).head()
+    val avgDeg = s.getLong(0).toDouble / s.getLong(1)
+    val norm = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"),
+        (lit(1.0) / (col("deg").cast("double") + lit(avgDeg))).as("share"))
+      .localCheckpoint()
+    val nodes = deg.select(col("src").as("node_id"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      ranks = norm
+        .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
+        .select(col("dst").as("node_id"), (col("share") * col("rank")).as("contrib"))
+        .unionAll(nodes.select(col("node_id"), lit(0.0).as("contrib")))
+        .groupBy(col("node_id"))
+        .agg((lit(1.0 - damping) + lit(damping) * sum(col("contrib"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node_id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node_id"))
+      .limit(20)
+  }
+
   private def userCoocNorm(spark: SparkSession, dir: String): DataFrame =
     graft.Cache.cached(spark, dir, "cooc_norm") {
       normalizedShares(RatingsGraph.cooccurrenceEdges(spark, dir)

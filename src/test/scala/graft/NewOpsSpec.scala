@@ -952,6 +952,16 @@ class NewOpsSpec extends AnyFunSuite {
       0.894427, 0.5)), s"got ${got(1)}")
   }
 
+  test("articleRank: teleport floor, descending top-20, deterministic") {
+    def run() = Algorithms.articleRank(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val out = run()
+    assert(out.length == 20)
+    assert(out.forall(_._2 >= 0.15), s"below the (1-d) floor: $out")
+    assert(out.map(_._2).sliding(2).forall(p => p.head >= p.last), "not descending")
+    assert(run() == out)
+  }
+
   test("lineitemCorr / eventsMoments: bounded, complete, deterministic") {
     val corr = graft.olap.Olap.lineitemCorr(spark, TestSpark.sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
