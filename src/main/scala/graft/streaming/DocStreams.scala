@@ -91,6 +91,17 @@ object DocStreams {
       langs: Seq[String] = Seq("en")): DataFrame =
     graft.text.TextOps.qualityFilterOf(docs, minScore, langs)
 
+  /** S15 — stateless streaming MODEL-quality scorer: the
+    * [[graft.text.TextOps.qualityClassifierOf]] logistic tier (the
+    * DCLM/FineWeb-Edu shape) applied at arrival — like S13 a pure
+    * projection (no watermark, no state store, Append mode), so the
+    * stream ≡ batch proof is row-set equality across trigger
+    * boundaries. Together S13+S15 are the full at-ingest quality
+    * cascade: cheap heuristics first, model scorer second, both before
+    * a single shuffle happens. */
+  def qualityClassifierStream(docs: DataFrame): DataFrame =
+    graft.text.TextOps.qualityClassifierOf(docs)
+
   /** Batch twin of [[nearDupStream]] for the stream ≡ batch proof:
     * every doc linked to its band bucket's min doc_id where min < doc.
     * Same signatures, same band keys, plain aggregation. */

@@ -451,4 +451,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.map(_._1) == Set(1L, 5L), s"got $got")
     } finally q.stop()
   }
+
+  test("qualityClassifierStream (S15): stateless model scorer ≡ batch, across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    val docs = Seq(
+      (1L, "the catalyst optimizer rewrites the logical plan before " +
+        "spark picks a physical strategy and generates java code for it"),
+      (2L, "too short"),
+      (3L, "numbers 123 456 789 000 111 222 333 444 555 666 777 888"))
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.qualityClassifierStream(
+        input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qcs").outputMode("append").start()
+    try {
+      input.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      input.addData(docs(2))
+      q.processAllAvailable()
+      val got = spark.table("qcs").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      val want = graft.text.TextOps.qualityClassifierOf(
+          docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      assert(got.size == 3, "stateless scorer emits every doc with its score")
+    } finally q.stop()
+  }
 }
