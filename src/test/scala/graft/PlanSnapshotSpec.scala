@@ -164,7 +164,8 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "scale_properties", "graph_generate_rmat", "quality_classifier",
     "training_shuffle", "maxkcut_classes", "maxkcut_metrics",
     "kmeans_silhouette", "events_ewma", "events_moments", "lineitem_corr",
-    "cypher_user_books", "cypher_recommend_knn", "cypher_large_groups")
+    "cypher_user_books", "cypher_recommend_knn", "cypher_large_groups",
+    "article_rank_topk")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
