@@ -472,6 +472,9 @@ object SparkEntry {
     // — Dedup suite (rows-only oracle; spec-verified) —
     "dedup_minhash_pairs" -> ((s, d) => graft.dedup.Dedup.minhashPairs(s, d)),
     "ngram_jaccard_pairs" -> ((s, d) => graft.dedup.Dedup.ngramJaccardPairs(s, d)),
+    // asymmetric-duplication detector: overlap coefficient on the
+    // df-capped discriminative shingles (Jaccard misses doc-in-doc)
+    "containment_pairs" -> ((s, d) => graft.dedup.Dedup.containmentPairs(s, d)),
     "dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => graft.dedup.Dedup.embeddingPairs(s, d)),
     "semdedup_pairs" -> ((s, d) => graft.dedup.SemDedup.pairs(s, d)),
@@ -3974,6 +3977,38 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
         |FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // all-pairs capped-containment truth: proves the engine's df-capped
+    // posting join is recall-complete AND precision-exact on the
+    // overlap-coefficient metric
+    "containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM toks
+        |), shex AS (
+        |  SELECT doc_id, unnest(s) AS shg FROM sh
+        |), dfk AS (
+        |  SELECT shg FROM shex GROUP BY shg HAVING COUNT(*) BETWEEN 2 AND 50
+        |), capped AS (
+        |  SELECT e.doc_id, list(e.shg) AS cs
+        |  FROM shex e JOIN dfk USING (shg) GROUP BY e.doc_id
+        |), cpairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE)
+        |      / LEAST(len(a.cs), len(b.cs)) AS containment
+        |  FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, ROUND(containment, 6) AS containment
+        |FROM cpairs WHERE containment >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     // exact replay of the md5-basis MinHash pipeline: same 48-bit

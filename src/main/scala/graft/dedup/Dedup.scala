@@ -231,6 +231,44 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** CONTAINMENT near-dup pairs (Broder's overlap coefficient):
+    * |A∩B| / min(|A|, |B|) over the DISCRIMINATIVE shingle sets — the
+    * asymmetric-duplication detector Jaccard structurally misses (a
+    * 20-token doc fully embedded in a 100-token doc scores J ≈ 0.2 but
+    * containment 1.0; quote-inclusion and boilerplate-wrapping dups
+    * look exactly like this). "Discriminative" = the df-cap made real:
+    * shingles with corpus df > `dfCap` (stop-grams — the ΣC(df,2)
+    * posting-explosion hazard documented at [[ngramJaccardPairs]]) and
+    * df < 2 (can never pair) are dropped BEFORE the posting self-join,
+    * which both bounds the join at any corpus size and sharpens the
+    * metric to content that can actually identify a duplicate. Every
+    * qualifying pair shares ≥ 1 kept shingle (containment > 0 requires
+    * it), so the posting join is recall-complete by construction — the
+    * oracle proves it against the all-pairs capped truth. */
+  def containmentPairs(spark: SparkSession, dir: String,
+      minContainment: Double = 0.8, dfCap: Int = 50): DataFrame = {
+    val posts = shingleSets(spark, dir)
+      .select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+      .localCheckpoint()
+    val keep = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("sh"))
+    val cp = posts.join(keep, Seq("sh"), "left_semi").localCheckpoint()
+    val sizes = cp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cp.select(col("sh"), col("doc_id").as("id_a"))
+      .join(cp.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * n-gram Jaccard pair graph (the step a production dedup actually
     * acts on — keep one doc per cluster, not per pair; pair output

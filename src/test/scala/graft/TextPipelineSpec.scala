@@ -96,6 +96,20 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, "z1", 10L, 9L)))
   }
 
+  test("containmentPairs: doc-in-doc scores 1.0 where Jaccard would dilute to ~0.2") {
+    // doc 1 = x1..x20; doc 2 = x1..x20 then y1..y80. The shared
+    // x-shingles have df=2 (kept), the y-shingles and the boundary
+    // x19/x20/y1 shingles df=1 (dropped) — capped sets are equal, so
+    // containment = 1.0 while full-set Jaccard ≈ 18/98
+    val dir = corpusDir(Seq(
+      (1L, toks("x", 20)),
+      (2L, toks("x", 20) + " " + toks("y", 80)),
+      (3L, toks("z", 30))))
+    val got = graft.dedup.Dedup.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("qualityClassifier: logistic score matches the scala reference on a pinned doc") {
     val text = "one two three four five six seven eight nine ten."
     val dir = corpusDir(Seq((1L, text)))
