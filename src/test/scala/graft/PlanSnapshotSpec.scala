@@ -165,7 +165,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "training_shuffle", "maxkcut_classes", "maxkcut_metrics",
     "kmeans_silhouette", "events_ewma", "events_moments", "lineitem_corr",
     "cypher_user_books", "cypher_recommend_knn", "cypher_large_groups",
-    "article_rank_topk")
+    "article_rank_topk", "containment_pairs")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
