@@ -39,6 +39,7 @@ object Bench {
       "ratings" -> (() => graph.RatingsGraph.ratings(spark, sfDir).count(): Unit),
       "pair_stats" -> (() => graph.Algorithms.coRatedPairStats(spark, sfDir).count(): Unit),
       "pair_stats_liked" -> (() => graph.Algorithms.coRatedPairStats(spark, sfDir, minRating = 6).count(): Unit),
+      "liked_norms" -> (() => graph.Algorithms.likedNorms(spark, sfDir).count(): Unit),
       "cooccurrence" -> (() => graph.RatingsGraph.cooccurrenceEdges(spark, sfDir).count(): Unit),
       "fastrp" -> (() => graph.FastRP.userEmbeddings(spark, sfDir).count(): Unit),
       "node2vec_emb" -> (() => graph.Node2Vec.userEmbeddings(spark, sfDir).count(): Unit),

@@ -2252,6 +2252,18 @@ object Algorithms {
           sum(col("r1") * col("r2")).as("dot"))
     }
 
+  /** Per-user L2 norm² of the LIKED (rating ≥ 6) rating vector — the
+    * denominator every liked-cosine consumer (userCosineTopK,
+    * predictRatings) shares. Session-cached: one groupBy over the
+    * ratings silver per session instead of one per call. */
+  def likedNorms(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "liked_norms") {
+      RatingsGraph.ratings(spark, dir)
+        .filter(col("rating") >= 6)
+        .groupBy(col("user_id"))
+        .agg(sum(col("rating") * col("rating")).as("sq"))
+    }
+
   /** Per-user PEARSON similarity (GDS `gds.similarity.pearson`, the
     * classic CF correlation) over CO-RATED books: for each user pair,
     * the correlation of their rating vectors restricted to the books
@@ -2336,11 +2348,7 @@ object Algorithms {
     * only the per-user full-vector norms are computed here. */
   def userCosineTopK(spark: SparkSession, dir: String, k: Int = 20,
       maxFanout: Int = 0): DataFrame = {
-    val liked = RatingsGraph.ratings(spark, dir)
-      .filter(col("rating") >= 6)
-      .select(col("user_id"), col("book_id"), col("rating"))
-    val norms = liked.groupBy(col("user_id"))
-      .agg(sum(col("rating") * col("rating")).as("sq"))
+    val norms = likedNorms(spark, dir)
     val num = coRatedPairStats(spark, dir, minRating = 6, maxFanout = maxFanout)
       .select(col("u1"), col("u2"), col("dot"))
     num
@@ -2403,17 +2411,18 @@ object Algorithms {
     * prediction one join + one aggregate over the neighbours' ratings. */
   def predictRatings(spark: SparkSession, dir: String, user: Long = 1L,
       kSim: Int = 20, k: Int = 10): DataFrame = {
-    val liked = RatingsGraph.ratings(spark, dir)
-      .filter(col("rating") >= 6)
-      .select(col("user_id"), col("book_id"), col("rating"))
-    val norms = liked.groupBy(col("user_id"))
-      .agg(sum(col("rating") * col("rating")).as("sq"))
-    val mine = liked.filter(col("user_id") === user)
-      .select(col("book_id"), col("rating").as("r_me"))
-    val sims = liked.join(broadcast(mine), Seq("book_id"))
-      .filter(col("user_id") =!= user)
-      .groupBy(col("user_id"))
-      .agg(sum(col("rating") * col("r_me")).as("dot"))
+    // Similarity leg rides the session-cached liked pair-stats silver
+    // (the same R⋈R build the cosine/Pearson/Euclidean family shares)
+    // restricted to pairs incident to the target, plus the cached
+    // liked-norms silver — per call this leg is a filter + two joins
+    // over cached frames, no recomputed R⋈R and no per-call norm
+    // shuffle. dot = Σ r_u·r_v over co-liked books is the integer the
+    // inline formulation computed, so results are bit-identical.
+    val norms = likedNorms(spark, dir)
+    val sims = coRatedPairStats(spark, dir, minRating = 6)
+      .filter(col("u1") === user || col("u2") === user)
+      .select(when(col("u1") === user, col("u2")).otherwise(col("u1"))
+        .as("user_id"), col("dot"))
       .join(norms.select(col("user_id"), col("sq").as("sq_v")), Seq("user_id"))
       .join(broadcast(norms.filter(col("user_id") === user)
         .select(col("sq").as("sq_me"))))
