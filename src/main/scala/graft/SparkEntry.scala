@@ -98,6 +98,8 @@ object SparkEntry {
     "bpe_first_merge" -> ((s, d) => TextOps.bpeFirstMerge(s, d)),
     "bpe_train_merges" -> ((s, d) => TextOps.bpeTrainMerges(s, d)),
     "bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
+    "bpe_corpus_encode" -> ((s, d) => TextOps.bpeCorpusEncode(s, d)),
+    "bpe_token_pack" -> ((s, d) => TextOps.bpeTokenPack(s, d)),
     "lang_id_accuracy" -> ((s, d) => TextOps.langIdAccuracy(s, d)),
     "eigenvector_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1409,6 +1411,53 @@ object SparkEntry {
        |FROM seg$BpeRounds
        |ORDER BY freq DESC, word LIMIT 30""".stripMargin
 
+  /** [[bpeCte]] extended with the full-corpus apply: the seg-state
+    * vocabulary joined back onto the re-exploded token stream,
+    * aggregated per document — mirrors [[graft.text.TextOps
+    * .bpeCorpusEncode]]'s broadcast-apply. Ends with CTE
+    * `bc`(doc_id, n_words, n_bpe_tokens). */
+  private def bpeCorpusCtes: String = {
+    val ws = "\\s+"
+    s"""$bpeCte, vocab AS (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(seg, '|'), x -> x <> '')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM seg$BpeRounds
+       |), stream AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '$ws'),
+       |                       t -> length(t) > 0)) AS word
+       |  FROM documents
+       |), bc AS MATERIALIZED (
+       |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(v.n_tokens) AS BIGINT) AS n_bpe_tokens
+       |  FROM stream s JOIN vocab v USING (word)
+       |  GROUP BY s.doc_id
+       |)""".stripMargin
+  }
+
+  private def bpeCorpusEncodeOracle: String =
+    bpeCorpusCtes +
+      "\nSELECT doc_id, n_words, n_bpe_tokens FROM bc ORDER BY doc_id"
+
+  /** BPE sequence packing replay: [[packSql]]'s window arithmetic with
+    * the counts swapped from whitespace tokens to the bc CTE's BPE
+    * token totals. */
+  private def bpeTokenPackOracle: String =
+    bpeCorpusCtes +
+      """, bo AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, n_bpe_tokens AS n_tokens,
+        |    CAST(COALESCE(SUM(n_bpe_tokens) OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM bc
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(FLOOR(start_off / 2048) AS BIGINT) AS bin_id,
+        |  start_off % 2048 AS bin_offset
+        |FROM bo ORDER BY doc_id""".stripMargin
+
   /** Shared DuckDB CTE mirroring SemDedup.assignments: norms, the
     * deterministic first-k centroids with k = max(8, n // 50) exactly as
     * SemDedup.adaptiveK computes it (both sides floor-divide a positive
@@ -2330,7 +2379,7 @@ object SparkEntry {
     * cross-engine hazard is a delta landing within float drift of tol
     * itself (~1e-15 of 1e-6) — a measure-zero boundary, same class as
     * every ROUND-boundary risk the green surface already carries. */
-  private def pagerankConvergentOracle: String = {
+  private def pagerankConvergentCtes: String = {
     val base =
       s"""$RatingsCte, cooc AS (
          |  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
@@ -2364,16 +2413,56 @@ object SparkEntry {
     base + iters +
       s""", dsel AS (SELECT CASE
          |    $probes
-         |    ELSE 10 END AS t)
-         |SELECT node_id, ROUND(rank, 6) AS rank FROM (
+         |    ELSE 10 END AS t),
+         |convsel AS MATERIALIZED (
          |  SELECT n.node_id,
          |    CASE dsel.t WHEN 2 THEN a2.rank WHEN 4 THEN a4.rank
          |      WHEN 6 THEN a6.rank WHEN 8 THEN a8.rank ELSE a10.rank END AS rank
          |  FROM nodes n CROSS JOIN dsel
          |  JOIN r2 a2 USING (node_id) JOIN r4 a4 USING (node_id)
          |  JOIN r6 a6 USING (node_id) JOIN r8 a8 USING (node_id)
-         |  JOIN r10 a10 USING (node_id))
-         |ORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20""".stripMargin
+         |  JOIN r10 a10 USING (node_id))""".stripMargin
+  }
+
+  private def pagerankConvergentOracle: String =
+    pagerankConvergentCtes +
+      """
+        |SELECT node_id, ROUND(rank, 6) AS rank FROM convsel
+        |ORDER BY ROUND(rank, 6) DESC, node_id LIMIT 20""".stripMargin
+
+  /** Convergence-gate replay (r8 — retires the hardcoded 0/0.0 verdict
+    * the r7 oracle restated): re-derive the fixed-at-t leg through a
+    * second unrolled chain with [[pagerankFixedOracle]]'s arithmetic,
+    * select the SAME data-dependent iterate the convergent probe picks,
+    * and COMPUTE n_mismatch / max_abs_diff between the two selections —
+    * the verdict is now an output of SQL arithmetic, not an input. */
+  private def convergenceGateOracle: String = {
+    val fixedIters = (1 to 10).map { i =>
+      s""", rf$i AS MATERIALIZED (
+         |  SELECT n.node_id,
+         |    0.15 + 0.85 * COALESCE(SUM(m.share * r.rank), 0.0) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN norm m ON m.dst = n.node_id
+         |  LEFT JOIN rf${i - 1} r ON r.node_id = m.src
+         |  GROUP BY n.node_id
+         |)""".stripMargin
+    }.mkString
+    pagerankConvergentCtes +
+      ", rf0 AS (SELECT node_id, 1.0 AS rank FROM nodes)" + fixedIters +
+      s""", fixedsel AS MATERIALIZED (
+         |  SELECT n.node_id,
+         |    CASE dsel.t WHEN 2 THEN f2.rank WHEN 4 THEN f4.rank
+         |      WHEN 6 THEN f6.rank WHEN 8 THEN f8.rank ELSE f10.rank END AS rank
+         |  FROM nodes n CROSS JOIN dsel
+         |  JOIN rf2 f2 USING (node_id) JOIN rf4 f4 USING (node_id)
+         |  JOIN rf6 f6 USING (node_id) JOIN rf8 f8 USING (node_id)
+         |  JOIN rf10 f10 USING (node_id))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(SUM(CASE WHEN ROUND(c.rank, 6) <> ROUND(f.rank, 6)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatch,
+         |  ROUND(COALESCE(MAX(ABS(ROUND(c.rank, 6) - ROUND(f.rank, 6))), 0.0), 6)
+         |    AS max_abs_diff
+         |FROM convsel c JOIN fixedsel f USING (node_id)""".stripMargin
   }
 
   /** lab0…lab5 CTE chain shared by the LPA oracle and the modularity
@@ -2524,6 +2613,154 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN cs <> cd THEN w ELSE 0 END) AS DOUBLE)
         |    / SUM(w), 6) AS cut_ratio
         |FROM klab""".stripMargin
+
+  /** One unrolled level of Louvain local moving (6 sweeps) — the modopt
+    * integer recipe on community labels: per sweep, Σw(node → candidate
+    * community) with a zero self-vote stay row, cross-multiplied ΔQ
+    * score 2m·w_nc − k·σ_adj in BIGINT, parity move classes
+    * (node_id % 2), argmax by (score DESC, cand ASC). Self-loops (the
+    * coarsened graph's intra-community weight) count for k and 2m but
+    * never vote, exactly as [[graft.graph.Louvain]]. */
+  private def louvainSweepCtes(lvl: Int, sweeps: Int): String =
+    (1 to sweeps).map { i =>
+      val parity = i % 2
+      val lab = s"lv${lvl}lab"
+      s""", ${lab}t$i AS MATERIALIZED (
+         |  SELECT l.comm, SUM(d.k) AS t FROM ${lab}${i - 1} l
+         |  JOIN deg$lvl d USING (node_id) GROUP BY l.comm
+         |), ${lab}c$i AS MATERIALIZED (
+         |  SELECT node_id, cand, SUM(w) AS w_nc FROM (
+         |    SELECT e.src AS node_id, l.comm AS cand, e.w
+         |    FROM e$lvl e JOIN ${lab}${i - 1} l ON e.dst = l.node_id
+         |    WHERE e.src <> e.dst
+         |    UNION ALL
+         |    SELECT node_id, comm, CAST(0 AS BIGINT) FROM ${lab}${i - 1}
+         |  ) GROUP BY node_id, cand
+         |  HAVING node_id % 2 = $parity
+         |), ${lab}$i AS MATERIALIZED (
+         |  SELECT node_id, cand AS comm FROM (
+         |    SELECT c.node_id, c.cand, ROW_NUMBER() OVER (PARTITION BY c.node_id
+         |      ORDER BY (m2.t * c.w_nc - d.k *
+         |          (t.t - CASE WHEN c.cand = cur.comm THEN d.k ELSE 0 END)) DESC,
+         |        c.cand) AS rk
+         |    FROM ${lab}c$i c
+         |    JOIN ${lab}${i - 1} cur USING (node_id)
+         |    JOIN deg$lvl d USING (node_id)
+         |    JOIN ${lab}t$i t ON t.comm = c.cand
+         |    CROSS JOIN w2 m2)
+         |  WHERE rk = 1
+         |  UNION ALL
+         |  SELECT node_id, comm FROM ${lab}${i - 1} WHERE node_id % 2 <> $parity
+         |)""".stripMargin
+    }.mkString
+
+  /** Full two-level Louvain replay ([[graft.graph.Louvain.louvain]]
+    * defaults: levels = 2, sweeps = 6): level-0 local moving on the
+    * co-occurrence graph, coarsening by community (keeping self-loops),
+    * level-1 local moving on the community graph, unfold with the
+    * LEFT-join/COALESCE (a community isolated at level 1 keeps its own
+    * label), canonical labels = min member node id. The engine's
+    * zero-move early exit is output-invisible, so this fixed unroll
+    * yields identical labels. Ends with CTE `louvain`(node_id,
+    * community). */
+  private def louvainCtes: String = {
+    val base =
+      s"""$RatingsCte, e0 AS MATERIALIZED (
+         |  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), deg0 AS MATERIALIZED (
+         |  SELECT src AS node_id, SUM(w) AS k FROM e0 GROUP BY src
+         |), w2 AS MATERIALIZED (SELECT SUM(k) AS t FROM deg0),
+         |lv0lab0 AS MATERIALIZED (SELECT node_id, node_id AS comm FROM deg0)""".stripMargin
+    val coarsen =
+      """, e1 AS MATERIALIZED (
+        |  SELECT ls.comm AS src, ld.comm AS dst, SUM(e.w) AS w
+        |  FROM e0 e JOIN lv0lab6 ls ON e.src = ls.node_id
+        |  JOIN lv0lab6 ld ON e.dst = ld.node_id
+        |  GROUP BY 1, 2
+        |), deg1 AS MATERIALIZED (
+        |  SELECT src AS node_id, SUM(w) AS k FROM e1 GROUP BY src
+        |), lv1lab0 AS MATERIALIZED (SELECT node_id, node_id AS comm FROM deg1)""".stripMargin
+    val unfold =
+      """, lmap AS MATERIALIZED (
+        |  SELECT m0.node_id, COALESCE(l1.comm, m0.comm) AS comm
+        |  FROM lv0lab6 m0 LEFT JOIN lv1lab6 l1 ON m0.comm = l1.node_id
+        |), louvain AS MATERIALIZED (
+        |  SELECT m.node_id, c.community
+        |  FROM lmap m JOIN (SELECT comm, MIN(node_id) AS community
+        |    FROM lmap GROUP BY comm) c USING (comm)
+        |)""".stripMargin
+    base + louvainSweepCtes(0, 6) + coarsen + louvainSweepCtes(1, 6) + unfold
+  }
+
+  private def louvainOracle: String =
+    louvainCtes + "\nSELECT node_id, community FROM louvain ORDER BY node_id"
+
+  /** Leiden replay: the Louvain unroll plus the connectivity-refinement
+    * pass ([[graft.graph.Louvain.leidenRefine]]) — min-label transitive
+    * closure (the connected_components oracle pattern) over the
+    * intra-community edges, members with no intra-community edge fall
+    * back to their own id. Needs the RECURSIVE modifier for the closure
+    * CTE. */
+  private def leidenOracle: String =
+    "WITH RECURSIVE " + louvainCtes.stripPrefix("WITH ") +
+      """, intra AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e0 e
+        |  JOIN louvain ls ON e.src = ls.node_id
+        |  JOIN louvain ld ON e.dst = ld.node_id
+        |  WHERE ls.community = ld.community
+        |), cclab(node_id, label) AS (
+        |  SELECT src, src FROM intra
+        |  UNION
+        |  SELECT e.dst, l.label FROM cclab l JOIN intra e ON l.node_id = e.src
+        |  WHERE l.label < e.dst
+        |), refined AS (
+        |  SELECT node_id, MIN(label) AS component FROM cclab GROUP BY node_id
+        |)
+        |SELECT l.node_id, COALESCE(r.component, l.node_id) AS community
+        |FROM louvain l LEFT JOIN refined r USING (node_id)
+        |ORDER BY l.node_id""".stripMargin
+
+  /** recommend_community over the LEARNED Louvain labels — the static
+    * recommend_community oracle with the louvain CTE as the user →
+    * community assignment ([[graft.recommend.Recommend
+    * .recommendCommunityLouvain]]). */
+  private def recommendCommunityLouvainOracle: String =
+    louvainCtes +
+      """, peers AS (
+        |  SELECT node_id AS user_id FROM louvain
+        |  WHERE community = (SELECT community FROM louvain WHERE node_id = 1)
+        |    AND node_id <> 1
+        |), mine AS (SELECT book_id FROM ratings WHERE user_id = 1)
+        |SELECT r.book_id, p.p_name AS title, COUNT(*) AS recommend_count
+        |FROM ratings r
+        |JOIN peers s ON r.user_id = s.user_id
+        |JOIN part p ON r.book_id = p.p_partkey
+        |WHERE r.rating >= 6
+        |  AND r.book_id NOT IN (SELECT book_id FROM mine)
+        |GROUP BY r.book_id, p.p_name
+        |ORDER BY recommend_count DESC, r.book_id LIMIT 3""".stripMargin
+
+  /** users_in_large_groups over the LEARNED Louvain labels: active
+    * users LEFT-joined to the louvain CTE — never-labelled users carry
+    * NULL and group together (the Neo4j null-property group,
+    * [[graft.recommend.Recommend.usersInLargeGroupsLouvain]]). NULLS
+    * FIRST matches Spark's ascending null order. */
+  private def usersInLargeGroupsLouvainOracle: String =
+    louvainCtes +
+      """, users AS (
+        |  SELECT c_custkey AS user_id, c_name AS name, l.community
+        |  FROM customer LEFT JOIN louvain l ON c_custkey = l.node_id
+        |  WHERE c_custkey IN (SELECT user_id FROM ratings)
+        |)
+        |SELECT user_id, name, community,
+        |       COUNT(*) OVER (PARTITION BY community) AS community_size
+        |FROM users
+        |QUALIFY community_size > 1
+        |ORDER BY community NULLS FIRST, user_id""".stripMargin
 
   /** `gds.scaleProperties` replay ([[graft.graph.Algorithms
     * .scaleProperties]]): every scaler statistic from integer sums in
@@ -2846,6 +3083,10 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "communities_lpa" -> lpaOracle,
     "communities_modopt" -> modoptOracle,
+    "communities_louvain" -> louvainOracle,
+    "communities_leiden" -> leidenOracle,
+    "recommend_community_louvain" -> recommendCommunityLouvainOracle,
+    "users_in_large_groups_louvain" -> usersInLargeGroupsLouvainOracle,
     "modopt_metrics" -> modoptMetricsOracle,
     "maxkcut_classes" -> maxkcutOracle,
     "maxkcut_metrics" -> maxkcutMetricsOracle,
@@ -4484,6 +4725,8 @@ object SparkEntry {
 
     "bpe_train_merges" -> bpeTrainOracle,
     "bpe_encode" -> bpeEncodeOracle,
+    "bpe_corpus_encode" -> bpeCorpusEncodeOracle,
+    "bpe_token_pack" -> bpeTokenPackOracle,
 
     "kspan_invariants" ->
       s"""$RatingsCteRecursive, cooc AS (
@@ -4555,18 +4798,7 @@ object SparkEntry {
     // gate contract — convergent-at-i must equal fixed-at-i at the 1e-6
     // rounding every rank consumer uses (see
     // Algorithms.userPageRankConvergenceGate)
-    "pagerank_convergence_gate" ->
-      s"""$RatingsCte, cooc AS (
-         |  SELECT a.user_id AS u1, b.user_id AS u2
-         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
-         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
-         |  WHERE a.user_id <> b.user_id
-         |  GROUP BY a.user_id, b.user_id
-         |)
-         |SELECT CAST(COUNT(DISTINCT u1) AS BIGINT) AS n_nodes,
-         |       CAST(0 AS BIGINT) AS n_mismatch,
-         |       CAST(0.0 AS DOUBLE) AS max_abs_diff
-         |FROM cooc""".stripMargin,
+    "pagerank_convergence_gate" -> convergenceGateOracle,
     "adamic_adar_user" ->
       s"""$RatingsCte, cooc AS (
          |  SELECT a.user_id AS u1, b.user_id AS u2

@@ -22,23 +22,32 @@ import org.apache.spark.storage.StorageLevel
 object Louvain {
 
   /** One level of SEMI-synchronous local moving: per sweep only nodes of
-    * one hash-parity class apply their best move (the standard fix for
-    * the symmetric-oscillation pathology of fully synchronous moving —
-    * two clique members would otherwise chase each other's labels
-    * forever). Deterministic: parity from xxhash64, fixed sweep count,
-    * total tie orders. Edges must be bidirectional with strictly
-    * positive weights and at most one row per (src, dst) pair
-    * (aggregate multigraphs first — both internal call sites are
-    * grouped: the co-occurrence projection and the coarsened graph).
-    * Returns (node_id, comm).
+    * one parity class (node_id % 2 — the modularityOptimization
+    * schedule, replayable as a SQL WHERE clause) apply their best move
+    * (the standard fix for the symmetric-oscillation pathology of fully
+    * synchronous moving — two clique members would otherwise chase each
+    * other's labels forever). Deterministic: fixed sweep count, total
+    * tie orders. Edges must be bidirectional with strictly positive
+    * weights and at most one row per (src, dst) pair (aggregate
+    * multigraphs first — both internal call sites are grouped: the
+    * co-occurrence projection and the coarsened graph). Returns
+    * (node_id, comm).
     *
-    * Converges early when (a) two consecutive parity sweeps move no
-    * node, or (b) a sweep's total modularity gain falls below
-    * `minGainFrac` of 2m — the long tail of sweeps shuffles |E| rows to
-    * reshuffle a handful of labels for ΔQ ≈ 0 (the `tolerance`
-    * convergence of the reference's gds.louvain,
-    * `Alg_Community_Detection.py:40-45`). */
-  private def localMoving(edges: DataFrame, sweeps: Int, minGainFrac: Double): DataFrame = {
+    * EXACT-REPLAY arithmetic: the ΔQ argmax is taken on the
+    * cross-multiplied score 2m·w_nc − k·σ_adj (the
+    * [[Algorithms.modularityOptimization]] recipe) instead of
+    * w_nc − k·σ_adj/2m — no division, so on count-weighted graphs every
+    * operand is an integer-valued double (exact below 2^53:
+    * |score| ≤ 2m·k_max, switch the products to decimal(38,0) past
+    * 2m·k_max ≈ 9e15) and the whole sweep chain replays bit-exactly in
+    * SQL BIGINT arithmetic. Fractional weights still order correctly
+    * (scaling ΔQ by 2m > 0 preserves the argmax).
+    *
+    * Converges early when two consecutive parity sweeps move no node —
+    * both classes are then happy, so running out the remaining sweeps
+    * is the identity and the early exit is output-invisible (a full
+    * fixed-budget unroll, e.g. the SQL oracle, yields the same labels). */
+  private def localMoving(edges: DataFrame, sweeps: Int): DataFrame = {
     // pre-partition on dst: the per-sweep edge⋈labels join then only
     // shuffles the (tiny) labels side
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
@@ -71,18 +80,18 @@ object Louvain {
       val best = if (sweep == 1) {
         // Sweep 1 always starts from singleton labels, where the general
         // pipeline collapses: cand = the neighbour itself, σ_tot(cand) =
-        // k_dst, stay gain = 0 exactly (w = 0, σ_adj = k − k = 0). Two
+        // k_dst, stay score = 0 exactly (w = 0, σ_adj = k − k = 0). Two
         // joins + one aggregation instead of five chained joins — and
         // the shuffle onto src is reused by the argmax grouping.
         e.filter(col("src") =!= col("dst") &&
-            pmod(xxhash64(col("src")), lit(2)) === parity)
+            pmod(col("src"), lit(2)) === parity)
           .join(labels.select(col("node_id").as("dst"), col("k").as("k_dst")), Seq("dst"))
           .select(col("src"), col("dst").as("cand"), col("weight"), col("k_dst"))
           .join(labels.select(col("node_id").as("src"), col("k")), Seq("src"))
           .select(col("src").as("node_id"), col("cand"),
-            (col("weight") - col("k") * col("k_dst") / m2).as("gain"))
+            (col("weight") * m2 - col("k") * col("k_dst")).as("gain"))
           .unionAll(labels
-            .filter(pmod(xxhash64(col("node_id")), lit(2)) === parity)
+            .filter(pmod(col("node_id"), lit(2)) === parity)
             .select(col("node_id"), col("node_id").as("cand"), lit(0.0).as("gain")))
           .groupBy(col("node_id"))
           .agg(max_by(col("cand"),
@@ -101,23 +110,23 @@ object Louvain {
         // coarse levels).
         val toComm = e
           .filter(col("src") =!= col("dst") &&
-            pmod(xxhash64(col("src")), lit(2)) === parity)
+            pmod(col("src"), lit(2)) === parity)
           .join(labels.select(col("node_id").as("dst"), col("comm").as("cand")), Seq("dst"))
           .select(col("src").as("node_id"), col("cand"), col("weight"))
           .unionAll(labels
-            .filter(pmod(xxhash64(col("node_id")), lit(2)) === parity)
+            .filter(pmod(col("node_id"), lit(2)) === parity)
             .select(col("node_id"), col("comm").as("cand"), lit(0.0).as("weight")))
           .groupBy(col("node_id"), col("cand"))
           .agg(sum(col("weight")).as("w_nc"))
         val scored = toComm
           .join(labels, Seq("node_id"))
           .join(commDeg.withColumnRenamed("comm", "cand"), Seq("cand"))
-          // ΔQ ∝ w_nc − k · Σ_tot(cand \ node) / 2m ; remove the node's
+          // ΔQ ∝ 2m·w_nc − k · Σ_tot(cand \ node) ; remove the node's
           // own degree from its current community's total
           .withColumn("sigma_adj",
             when(col("cand") === col("comm"), col("sigma_tot") - col("k"))
               .otherwise(col("sigma_tot")))
-          .withColumn("gain", col("w_nc") - col("k") * col("sigma_adj") / m2)
+          .withColumn("gain", col("w_nc") * m2 - col("k") * col("sigma_adj"))
         // stay_gain is always defined: the zero self-vote row guarantees
         // the current community is among the candidates
         scored.groupBy(col("node_id"))
@@ -145,27 +154,17 @@ object Louvain {
       val moveStats = updated.filter(col("moved"))
         .agg(count(lit(1)), sum(col("delta"))).head()
       val nMoves = moveStats.getLong(0)
-      // ΔQ of this sweep = 2·sweepGain/2m (each applied move contributes
-      // best_gain − stay_gain in w-units)
+      // ΔQ of this sweep ∝ sweepGain/(2m)² (each applied move contributes
+      // best_gain − stay_gain in cross-multiplied score units) — logged
+      // only; the sole early exit is the output-invisible zero-move one,
+      // so the fixed sweep budget replays exactly in the SQL oracle
       val sweepGain = if (moveStats.isNullAt(1)) 0.0 else moveStats.getDouble(1)
       labels = updated.select(col("node_id"), col("comm"), col("k"))
       val sweepSec = (System.nanoTime() - tSweep) / 1e9
       tSweep = System.nanoTime()
-      System.err.println(f"[graft] louvain sweep $sweep took $sweepSec%.2fs")
-      if (nMoves == 0L) {
-        zeroMoveSweeps += 1
-      } else {
-        zeroMoveSweeps = 0
-        if (sweepGain < minGainFrac * m2) {
-          // gains collapsed: this sweep's (tiny) moves are applied, stop
-          System.err.println(
-            f"[graft] louvain sweep $sweep: $nMoves moves, gain/2m=${sweepGain / m2}%.2e < $minGainFrac%.0e - converged")
-          zeroMoveSweeps = 2
-        } else {
-          System.err.println(
-            f"[graft] louvain sweep $sweep: $nMoves moves, gain/2m=${sweepGain / m2}%.2e")
-        }
-      }
+      System.err.println(
+        f"[graft] louvain sweep $sweep took $sweepSec%.2fs: $nMoves moves, dQ~${sweepGain / (m2 * m2)}%.2e")
+      if (nMoves == 0L) zeroMoveSweeps += 1 else zeroMoveSweeps = 0
       sweep += 1
     }
     if (zeroMoveSweeps >= 2)
@@ -186,7 +185,7 @@ object Louvain {
     * grouped by construction (the co-occurrence projection is — one row
     * per user pair by definition of its groupBy). */
   def louvain(edges: DataFrame, levels: Int = 2, sweeps: Int = 6,
-              minGainFrac: Double = 1e-4, assumeGrouped: Boolean = false): DataFrame = {
+              assumeGrouped: Boolean = false): DataFrame = {
     val positive = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .filter(col("weight") > 0.0)
     var currentEdges =
@@ -197,7 +196,7 @@ object Louvain {
     // mapping from original node to current-level node
     var mapping: DataFrame = null
     for (level <- 0 until levels) {
-      val labels = localMoving(currentEdges, sweeps, minGainFrac)
+      val labels = localMoving(currentEdges, sweeps)
       mapping =
         if (mapping == null) labels.select(col("node_id"), col("comm"))
         else mapping.select(col("node_id"), col("comm").as("mid"))
@@ -272,9 +271,9 @@ object Louvain {
   /** Louvain local-moving + aggregation with the Leiden refinement pass:
     * `gds.leiden`'s output contract (connected communities). */
   def leiden(edges: DataFrame, levels: Int = 2, sweeps: Int = 6,
-             minGainFrac: Double = 1e-4, assumeGrouped: Boolean = false): DataFrame =
+             assumeGrouped: Boolean = false): DataFrame =
     leidenRefine(edges.select(col("src"), col("dst"), col("weight")),
-      louvain(edges, levels, sweeps, minGainFrac, assumeGrouped))
+      louvain(edges, levels, sweeps, assumeGrouped))
 
   /** Leiden communities of the user co-occurrence graph, session-cached
     * (shares the cached Louvain base — refinement adds one CC pass). */
