@@ -68,7 +68,35 @@ object Cache {
     while (it.hasNext) {
       if (it.next().getValue.sparkSession.sparkContext eq sc) it.remove()
     }
+    val prefixes = ids.synchronized {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      val eit = ids.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getKey.sparkContext eq sc) out += e.getValue + "|"
+      }
+      out.toList
+    }
+    prefixes.foreach(evictSideMaps)
   }
+
+  /** Scalar side-state memoized NEXT TO a cached frame (PageRank's
+    * iteration count, KMeans' WSS trace) lives in caller-owned maps
+    * keyed `sessionId|…`. Registering them here ties their lifetime to
+    * the frame cache: [[clear]] and the application-end listener purge
+    * the session's side entries too, so a long-lived JVM cycling
+    * sessions doesn't grow them unboundedly. */
+  private val sideMaps =
+    new java.util.concurrent.CopyOnWriteArrayList[ConcurrentHashMap[String, _]]()
+
+  def registerSideMap(m: ConcurrentHashMap[String, _]): Unit =
+    sideMaps.add(m): Unit
+
+  private def evictSideMaps(prefix: String): Unit =
+    sideMaps.forEach { m =>
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
 
   def cached(spark: org.apache.spark.sql.SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
@@ -105,5 +133,6 @@ object Cache {
         it.remove()
       }
     }
+    evictSideMaps(prefix)
   }
 }

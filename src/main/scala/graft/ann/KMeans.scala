@@ -33,8 +33,11 @@ object KMeans {
     * exactly once per (session, dir, k, iters) since the cached builder
     * runs once. Lets [[invariants]] ride the SAME Lloyd run as the
     * clusters entry instead of re-training (~6 s per bench sweep). */
-  private val traces =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+  private val traces = {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+    graft.Cache.registerSideMap(m)
+    m
+  }
 
   /** (vec_id, cluster) for every embedding, k clusters, `iters`
     * Lloyd iterations from the hash-seeded init. */

@@ -2516,9 +2516,13 @@ object Algorithms {
 
   /** Iterations the cached [[userPageRank]] build actually ran, memoized
     * alongside the frame (Cache holds DataFrames only); written exactly
-    * once per (session, dir) since the cached builder runs once. */
-  private val userPageRankIters =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    * once per (session, dir) since the cached builder runs once.
+    * Registered with Cache so session eviction purges it too. */
+  private val userPageRankIters = {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.Cache.registerSideMap(m)
+    m
+  }
 
   /** PageRank of the user co-occurrence graph, session-cached (shared
     * by the top-k view, the invariant gate, and the convergence gate). */

@@ -84,18 +84,27 @@ object Serving {
     * serving tier holds its session open between requests, and building
     * a fresh session per call pays session-state + analyzer warm-up on
     * every lookup (BENCH_r06 measured the per-call variant at 4.6–5.2×
-    * the warm pin under load). Weak-keyed so a stopped context doesn't
-    * pin its session state. */
+    * the warm pin under load). The pinned session strongly references
+    * its context, so weak keying alone could never collect an entry —
+    * instead each context gets an application-end listener that evicts
+    * its entry when it stops (the graft.Cache eviction pattern), so a
+    * JVM cycling Spark applications doesn't accumulate dead sessions. */
   private val servingSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.SparkContext, SparkSession]())
 
   private def servingSession(spark: SparkSession): SparkSession =
     servingSessions.synchronized {
-      var s = servingSessions.get(spark.sparkContext)
+      val sc = spark.sparkContext
+      var s = servingSessions.get(sc)
       if (s == null) {
         s = spark.newSession()
         s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-        servingSessions.put(spark.sparkContext, s)
+        servingSessions.put(sc, s)
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            servingSessions.remove(sc): Unit
+        })
       }
       s
     }
