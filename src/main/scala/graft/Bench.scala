@@ -54,6 +54,7 @@ object Bench {
       "bipartite_cc" -> (() => graph.Algorithms.userBipartiteCC(spark, sfDir).count(): Unit),
       "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
       "toked_docs" -> (() => text.TextOps.tokedDocs(spark, sfDir).count(): Unit),
+      "bpe_seg" -> (() => text.TextOps.bpeSegState(spark, sfDir).count(): Unit),
       "yens_paths" -> (() => SparkEntry.queries("yens_paths")(spark, sfDir).count(): Unit),
       "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit),
       "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit),
@@ -110,11 +111,17 @@ object Bench {
     // so cross-round per-entry deltas mean what they say. Each row also
     // stamps the 1-min load average at measurement time so a slow line
     // is attributable to code vs box noise without archaeology.
+    // Gate entries are min-of-3 (graded vs the 2× pins). Everything
+    // else is min-of-3 too ONCE its first run exceeds 2 s — at r7 that
+    // threshold captures the ~20 slowest entries, exactly the rows
+    // whose cross-round deltas kept needing load archaeology; a cheap
+    // entry stays single-shot so the sweep doesn't triple.
+    val slowRetrySec = 2.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = if (gatePins.contains(name)) 3 else 1
       var best = Double.MaxValue
       var ok = true
       var i = 0
+      var reps = if (gatePins.contains(name)) 3 else 1
       while (ok && i < reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(): Unit }
@@ -123,7 +130,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             ok = false
         }
-        if (ok) best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        if (ok) {
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          if (i == 0 && best > slowRetrySec) reps = 3
+        }
         i += 1
       }
       val sec = if (ok) best else -1.0

@@ -236,7 +236,12 @@ object Recommend {
     * No NULLs anywhere: absent fields are '' / 0.0 so the row hash and
     * the total order are engine-independent. */
   def graphVizPayload(spark: SparkSession, dir: String, user: Long = TargetUser, simK: Int = 3): DataFrame = {
-    val edges = graphNeighborhood(spark, dir, user, simK)
+    // the payload reads the neighborhood FOUR times (sim users, book
+    // color agg, RATED edge rows, sim-edge normalizer); materialise the
+    // few-hundred-row frame once instead of re-executing the expansion
+    // subtree per branch — the cut is per-user-payload-sized, never
+    // corpus-sized, so the checkpoint is safe at any scale
+    val edges = graphNeighborhood(spark, dir, user, simK).localCheckpoint()
     val simUsers = edges.filter(col("edge_type") === "SIMILAR_TO")
       .select(col("dst").as("user_id"), col("weight"))
     // all user nodes in frame: the target plus the similar users

@@ -566,14 +566,19 @@ object TextOps {
 
   /** The packing core over any (doc_id, text) frame — shared by
     * [[tokenPack]] and [[corpusPipeline]]. */
-  private def packDocs(docs: DataFrame, budget: Int, nShards: Int): DataFrame = {
+  private def packDocs(docs: DataFrame, budget: Int, nShards: Int): DataFrame =
+    packCounts(docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '[^ \\t\\n\\f\\r]+', 0)"))
+        .cast("bigint").as("n_tokens")), budget, nShards)
+
+  /** The bin arithmetic over any (doc_id, n_tokens) frame — shared by
+    * the whitespace packer above and the BPE packer ([[bpeTokenPack]]),
+    * which differ only in where the counts come from. */
+  private def packCounts(counts: DataFrame, budget: Int, nShards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '[^ \\t\\n\\f\\r]+', 0)"))
-          .cast("bigint").as("n_tokens"))
+    counts
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
       .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
@@ -792,17 +797,65 @@ object TextOps {
     * against the token stream — |vocab|-sized state, not |corpus|. */
   def bpeEncode(spark: SparkSession, dir: String,
       rounds: Int = 3, k: Int = 30): DataFrame =
-    bpeEncodeOf(wordHistogram(spark, dir), rounds, k)
+    segProjection(bpeSegState(spark, dir, rounds)).limit(k)
 
   /** [[bpeEncode]] over any (word, freq) histogram. */
-  def bpeEncodeOf(words: DataFrame, rounds: Int, k: Int): DataFrame = {
-    val (_, seg) = bpeLoop(words, rounds)
+  def bpeEncodeOf(words: DataFrame, rounds: Int, k: Int): DataFrame =
+    segProjection(bpeLoop(words, rounds)._2).limit(k)
+
+  private def segProjection(seg: DataFrame): DataFrame =
     seg.select(col("word"), col("freq"),
         size(expr("filter(split(seg, '[|]'), x -> x <> '')"))
           .cast("long").as("n_tokens"),
         col("seg").as("encoded"))
-      .orderBy(col("freq").desc, col("word")).limit(k)
+      .orderBy(col("freq").desc, col("word"))
+
+  /** Final training-loop segmentation state (word, freq, seg), session-
+    * cached — the |vocab|-sized tokenizer table every encode-side
+    * consumer (top-k report, full-corpus apply, BPE packer) broadcasts;
+    * the training loop runs once per session instead of once per
+    * consumer. */
+  private[graft] def bpeSegState(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame =
+    graft.Cache.cached(spark, dir, s"bpe_seg_$rounds") {
+      bpeLoop(wordHistogram(spark, dir), rounds)._2
+    }
+
+  /** Full-corpus BPE ENCODING apply — the declared 100 TB shape of the
+    * tokenizer-application step: the trained (word → segmentation)
+    * table is |vocab|-sized, so it BROADCASTS against the exploded
+    * token stream (one map-side join, no shuffle of the corpus side)
+    * and aggregates per document. Output (doc_id, n_words,
+    * n_bpe_tokens) is all-integer — exactly oracle-checkable — and is
+    * precisely the size input a sequence packer needs ([[bpeTokenPack]]
+    * composes it with [[tokenPack]]'s bin arithmetic). Every corpus
+    * word appears in the histogram by construction, so the inner join
+    * drops nothing. */
+  def bpeCorpusEncode(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    val vocab = bpeSegState(spark, dir, rounds)
+      .select(col("word"),
+        size(expr("filter(split(seg, '[|]'), x -> x <> '')"))
+          .cast("long").as("n_tokens"))
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tokens")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
+
+  /** Sequence packing over BPE token counts — [[tokenPack]]'s exact bin
+    * arithmetic fed by [[bpeCorpusEncode]]'s per-document counts: the
+    * composed (train tokenizer → apply to corpus → pack sequences)
+    * tail of a pretraining data pipeline as one dataflow. */
+  def bpeTokenPack(spark: SparkSession, dir: String, rounds: Int = 3,
+      budget: Int = 2048, nShards: Int = 8): DataFrame =
+    packCounts(bpeCorpusEncode(spark, dir, rounds)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      budget, nShards)
 
   /** Bloom-filter decontamination gate — the SCALE path of
     * [[contaminationCheck]]: at 100 TB the train-gram set is far too

@@ -179,6 +179,34 @@ class R5Spec extends AnyFunSuite {
     assert(enc("newest") == (6L, "|n|e|w|e|s|t|"))
   }
 
+  test("bpeCorpusEncode/bpeTokenPack: full-corpus apply covers every doc, pack bins are exact prefix sums") {
+    val dir = "/root/testdata/sf0.001"
+    val nDocs = Tables.documents(spark, dir).count()
+    val enc = text.TextOps.bpeCorpusEncode(spark, dir).collect()
+    // the vocabulary is built FROM the corpus, so the inner join drops
+    // nothing: one row per document
+    assert(enc.length == nDocs)
+    // each word encodes to >= 1 symbol, and 3 merge rounds can at most
+    // halve nothing below one symbol per word
+    enc.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"doc ${r.getLong(0)}: fewer BPE tokens than words") }
+    // pack rows replay the per-shard running offsets exactly
+    val pack = text.TextOps.bpeTokenPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(pack.length == nDocs)
+    pack.groupBy(_._2).foreach { case (_, rows) =>
+      var off = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, bin, boff) =>
+        assert(bin == off / 2048 && boff == off % 2048)
+        off += n
+      }
+    }
+    // the packer's n_tokens column IS the corpus-encode count
+    val encMap = enc.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    pack.foreach { case (doc, _, n, _, _) => assert(encMap(doc) == n) }
+  }
+
   test("rwrSample: visit counts conserve walker-steps and stay inside the component") {
     // 1-2-3 triangle plus unreachable 10-11: walkers from 1 never leave
     // the triangle, and total visits = walkers * (steps + 1)
