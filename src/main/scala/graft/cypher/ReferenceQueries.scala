@@ -142,6 +142,37 @@ object ReferenceQueries {
       |RETURN u.id AS user_id, u.name AS name, u.segment AS segment
       |ORDER BY u.id""".stripMargin
 
+  /** `data/load_data.py:23-28` load_users — VERBATIM (backticked CSV
+    * header, empty-string → NULL age CASE). */
+  val LoadUsers: String =
+    """UNWIND $rows AS row
+      |MERGE (u:User {id: toInteger(row.`User-ID`)})
+      |SET u.location = row.Location, u.age = CASE row.Age WHEN '' THEN NULL ELSE toInteger(row.Age) END""".stripMargin
+
+  /** `data/load_data.py:36-43` load_books. */
+  val LoadBooks: String =
+    """UNWIND $rows AS row
+      |MERGE (b:Book {isbn: row.ISBN})
+      |SET b.title = row.`Book-Title`,
+      |    b.author = row.`Book-Author`,
+      |    b.year = toInteger(row.`Year-Of-Publication`),
+      |    b.publisher = row.Publisher""".stripMargin
+
+  /** `data/load_data.py:53-59` load_ratings (MATCH + MATCH + MERGE
+    * relationship + SET). */
+  val LoadRatings: String =
+    """UNWIND $rows AS row
+      |MATCH (u:User {id: toInteger(row.`User-ID`)})
+      |MATCH (b:Book {isbn: row.ISBN})
+      |MERGE (u)-[r:RATED]->(b)
+      |SET r.rating = toInteger(row.`Book-Rating`)""".stripMargin
+
+  /** `data/load_data.py:96-104` create_graph uniqueness constraints. */
+  val UserConstraint: String =
+    "CREATE CONSTRAINT IF NOT EXISTS FOR (u:User) REQUIRE u.id IS UNIQUE"
+  val BookConstraint: String =
+    "CREATE CONSTRAINT IF NOT EXISTS FOR (b:Book) REQUIRE b.isbn IS UNIQUE"
+
   private def params(user: Long): Map[String, Any] = Map("userId" -> user)
 
   def userBooks(spark: SparkSession, dir: String,
