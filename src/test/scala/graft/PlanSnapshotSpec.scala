@@ -67,8 +67,12 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("q14_promo_share", 2, 2),
     ("q15_top_supplier", 6, 3),
     ("q6_forecast", 1, 1),
-    ("vocab_coverage", 4, 2),
-    ("bpe_first_merge", 2, 1),
+    // +1 exchange each in r8: the shared bpe_seg_3 / word-histogram
+    // silvers are now session-cached (warmed by the new bpe_corpus
+    // entries and Bench's silver phase), so the warm plans carry the
+    // IMR's materialized stage line
+    ("vocab_coverage", 5, 2),
+    ("bpe_first_merge", 3, 1),
     // r6: +2 Exchanges — the Bloom sketch now builds as a DISTRIBUTED
     // bloom_filter_agg scalar subquery (its partial→final exchange and
     // its distinct's), replacing the plan-invisible driver-side
@@ -110,7 +114,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // silver's materialized stage lines)
     ("substring_dup_spans", 4, 1),
     ("substring_dup_coverage", 8, 3),
-    ("graph_viz_payload", 35, 9),
+    // 35 → 15 in r8: the payload branches read ONE localCheckpoint of
+    // the neighborhood instead of re-planning the expansion subtree
+    // four times
+    ("graph_viz_payload", 15, 5),
     ("events_approx_overlap", 10, 4),
     ("semdedup_pairs", 8, 3),
     ("semdedup_survivors", 9, 3),
@@ -154,7 +161,20 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("scale_properties", 14, 2),
     ("graph_generate_rmat", 2, 0),
     ("quality_classifier", 2, 1),
-    ("training_shuffle", 3, 1))
+    ("training_shuffle", 3, 1),
+    // r8 additions (verdict item 5: pin the sweep heavyweights +
+    // this round's new/changed plans). hits_topk's per-iteration work
+    // lives in checkpointed frames — its final frame must stay
+    // exchange-free; betweenness samples ride checkpoints too.
+    // predict_ratings now filters the cached pair-stats silver (IMR
+    // stage lines dominate its count, the ngram precedent).
+    ("hits_topk", 0, 0),
+    ("betweenness_sample", 3, 0),
+    ("predict_ratings", 16, 2),
+    ("communities_louvain", 7, 0),
+    ("communities_leiden", 12, 0),
+    ("bpe_corpus_encode", 4, 1),
+    ("bpe_token_pack", 6, 1))
 
   // hygiene gate for every r7 entry: no CartesianProduct (broadcast
   // nested-loop for scalar frames is fine), no keyless WindowExec
@@ -165,7 +185,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "training_shuffle", "maxkcut_classes", "maxkcut_metrics",
     "kmeans_silhouette", "events_ewma", "events_moments", "lineitem_corr",
     "cypher_user_books", "cypher_recommend_knn", "cypher_large_groups",
-    "article_rank_topk", "containment_pairs")
+    "article_rank_topk", "containment_pairs",
+    "hits_topk", "betweenness_sample", "predict_ratings",
+    "communities_louvain", "communities_leiden",
+    "bpe_corpus_encode", "bpe_token_pack")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
