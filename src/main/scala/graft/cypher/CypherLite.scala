@@ -310,6 +310,14 @@ object CypherLite {
             val arg = if (peek == "*") { next(); None } else Some(expr())
             expect(")")
             Agg(fl, arg)
+          } else if (peek == "(" && fl == "id") {
+            // id(v): Neo4j's internal-id accessor — the binding's `id`
+            // key field (`gds.graph.project.cypher`'s node/rel queries
+            // use it, `Alg_Community_Detection.py:21-30`)
+            next()
+            val v = next()
+            expect(")")
+            Prop(v, "id")
           } else if (peek == ".") {
             next(); Prop(name, next())
           } else Ident(name)

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.ReferenceQueries
+import graft.gds.GdsSession
+
+/** The reference's full GDS workflow (`Alg_KNN_FastRP.py`,
+  * `Alg_Community_Detection.py`) driven through the catalog twin:
+  * project → fastRP.write → knn.write / project.cypher →
+  * louvain.write, each write proved frame-identical to the engine's
+  * session-cached path. */
+class GdsSessionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def fresh = new GdsSession(ReferenceQueries.graph(spark, sf))
+
+  test("catalog lifecycle: project / exists / list / drop / dropIfExists") {
+    val g = fresh
+    assert(!g.graphExists("userGraph").head().getBoolean(0))
+    val meta = g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+      relProperties = Seq("rating")).head()
+    assert(meta.getString(0) == "userGraph")
+    val nUsers = graph.RatingsGraph.activeUsers(spark, sf).count()
+    val nBooks = graph.RatingsGraph.ratedBooks(spark, sf).count()
+    val nRated = graph.RatingsGraph.ratings(spark, sf).count()
+    assert(meta.getLong(1) == nUsers + nBooks)
+    assert(meta.getLong(2) == 2 * nRated, "UNDIRECTED stores both directions")
+    assert(g.graphExists("userGraph").head().getBoolean(0))
+    intercept[IllegalArgumentException] {
+      g.graphProject("userGraph", Seq("User"), "RATED")
+    }
+    assert(g.graphList().collect().map(_.getString(0)).toSeq == Seq("userGraph"))
+    assert(g.graphDrop("userGraph").head().getString(0) == "userGraph")
+    intercept[IllegalArgumentException] { g.graphDrop("userGraph") }
+    // the reference's exists → apoc.do.when cascade
+    assert(g.graphDropIfExists("userGraph").head().getString(0)
+      == "Graph was not present")
+  }
+
+  test("fastRP.write over the reference projection equals FastRP.userEmbeddings") {
+    val g = fresh
+    g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+      relProperties = Seq("rating"))
+    val written = g.fastRpWrite("userGraph").head().getLong(0)
+    val nUsers = graph.RatingsGraph.activeUsers(spark, sf).count()
+    val nBooks = graph.RatingsGraph.ratedBooks(spark, sf).count()
+    assert(written == nUsers + nBooks)
+    val viaGds = g.db.nodes("User")
+      .select(col("id").as("user_id"), col("embedding"))
+    val cached = graph.FastRP.userEmbeddings(spark, sf)
+    assert(viaGds.exceptAll(cached).isEmpty && cached.exceptAll(viaGds).isEmpty,
+      "gds fastRP.write diverged from the cached userEmbeddings path")
+  }
+
+  test("knn.write at the reference operating point equals userKnnEdgesRef") {
+    val g = fresh
+    g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+      relProperties = Seq("rating"))
+    g.fastRpWrite("userGraph")
+    // the reference re-projects ['User'] with the embedding property
+    // and DUMMY relations (`Alg_KNN_FastRP.py:83-97`)
+    g.graphProject("knnGraph", Seq("User"), "DUMMY",
+      nodeProperties = Seq("embedding"))
+    val meta = g.knnWrite("knnGraph", topK = 20, similarityCutoff = 0.8).head()
+    assert(meta.getLong(0) == graph.RatingsGraph.activeUsers(spark, sf).count())
+    val viaGds = g.db.edges("SIMILAR_TO")
+    val cached = graph.Algorithms.userKnnEdgesRef(spark, sf)
+    assert(meta.getLong(1) == cached.count())
+    assert(viaGds.exceptAll(cached).isEmpty && cached.exceptAll(viaGds).isEmpty,
+      "gds knn.write diverged from userKnnEdgesRef")
+  }
+
+  test("project.cypher VERBATIM + louvain.write equals Louvain.userCommunities") {
+    val g = fresh
+    // Alg_Community_Detection.py:21-30, verbatim modulo whitespace
+    g.graphProjectCypher("userSimilarityGraph",
+      "MATCH (u:User) RETURN id(u) AS id",
+      """MATCH (u1:User)-[r1:RATED]->(b:Book)<-[r2:RATED]-(u2:User)
+        |WHERE u1 <> u2 AND r1.rating >= 6 AND r2.rating >= 6
+        |RETURN id(u1) AS source, id(u2) AS target, COUNT(*) AS weight""".stripMargin)
+    val meta = g.louvainWrite("userSimilarityGraph").head()
+    val cached = graph.Louvain.userCommunities(spark, sf)
+    val viaGds = g.db.nodes("User")
+      .filter(col("community").isNotNull)
+      .select(col("id").as("node_id"), col("community"))
+    assert(viaGds.exceptAll(cached).isEmpty && cached.exceptAll(viaGds).isEmpty,
+      "gds louvain.write diverged from the cached Louvain path")
+    assert(meta.getLong(0) ==
+      cached.select(col("community")).distinct().count())
+    assert(meta.getDouble(1) > 0.0, "cooc-graph Louvain modularity must be positive")
+  }
+}
