@@ -2201,6 +2201,63 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Jones–Plassmann coloring replay (r8 — retires the graph_coloring
+    * no_oracle): the KNN-edge chain ([[knnCtes]], the same replay
+    * knn_similar_edges is gated on) feeds a fixed 96-round unroll of
+    * the JP fixpoint — per round, winners are uncolored nodes with no
+    * higher-md5-priority uncolored neighbour, each taking the mex of
+    * its colored neighbourhood (candidates = {0} ∪ {used + 1} minus
+    * used). The engine's sequential greedy IS this fixpoint
+    * ([[graft.graph.Algorithms.k1Coloring]]), and rounds past
+    * convergence are empty no-ops, so any unroll ≥ the longest
+    * decreasing-priority path replays exactly: measured depth 37/52 at
+    * sf0.001/sf0.01 — 96 gives ~1.8× regen margin, and a depth
+    * overrun fails VISIBLY as missing rows, never as wrong colors.
+    * DuckDB executes the ~480 materialized CTEs in ~4 s at sf0.01. */
+  private def coloringOracle: String = {
+    val rounds = 96
+    val base =
+      s"""${knnCtes("0.1")}, knnsel AS MATERIALIZED (
+         |  SELECT src, dst FROM knnr WHERE rk <= 20
+         |), jbidir AS MATERIALIZED (
+         |  SELECT src, dst FROM knnsel UNION SELECT dst, src FROM knnsel
+         |), jp AS MATERIALIZED (
+         |  SELECT node_id, md5(CAST(node_id AS VARCHAR) || ':color') AS p
+         |  FROM (SELECT DISTINCT src AS node_id FROM jbidir)
+         |), unc0 AS MATERIALIZED (SELECT node_id FROM jp),
+         |jcol0 AS MATERIALIZED (
+         |  SELECT node_id, CAST(0 AS INTEGER) AS color FROM jp WHERE 1 = 0
+         |)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s""", win$r AS MATERIALIZED (
+         |  SELECT u.node_id FROM unc${r - 1} u JOIN jp pu USING (node_id)
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM jbidir e JOIN unc${r - 1} n ON e.dst = n.node_id
+         |    JOIN jp pn ON pn.node_id = n.node_id
+         |    WHERE e.src = u.node_id AND pn.p > pu.p)
+         |), used$r AS (
+         |  SELECT e.src AS node_id, c.color FROM jbidir e
+         |  JOIN jcol${r - 1} c ON e.dst = c.node_id
+         |  JOIN win$r w ON e.src = w.node_id
+         |), newc$r AS (
+         |  SELECT node_id, MIN(c) AS color FROM (
+         |    SELECT w.node_id, 0 AS c FROM win$r w
+         |    UNION ALL SELECT node_id, color + 1 FROM used$r
+         |  ) cand
+         |  WHERE NOT EXISTS (SELECT 1 FROM used$r u2
+         |    WHERE u2.node_id = cand.node_id AND u2.color = cand.c)
+         |  GROUP BY node_id
+         |), jcol$r AS MATERIALIZED (
+         |  SELECT * FROM jcol${r - 1}
+         |  UNION ALL SELECT node_id, CAST(color AS INTEGER) FROM newc$r
+         |), unc$r AS MATERIALIZED (
+         |  SELECT u.node_id FROM unc${r - 1} u ANTI JOIN win$r w USING (node_id)
+         |)""".stripMargin
+    }.mkString
+    base + iters +
+      s"\nSELECT node_id, color FROM jcol$rounds ORDER BY node_id"
+  }
+
   private def knnOracle(cutoffRaw: String, simExpr: String): String =
     s"""${knnCtes(cutoffRaw)}
        |SELECT src, dst, $simExpr AS similarity
@@ -4881,6 +4938,8 @@ object SparkEntry {
          |)
          |SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS core_degree
          |FROM e4 GROUP BY src ORDER BY node_id""".stripMargin,
+
+    "graph_coloring" -> coloringOracle,
 
     "coloring_invariants" ->
       """SELECT CAST(0 AS BIGINT) AS monochrome_edges,
