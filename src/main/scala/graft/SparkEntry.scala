@@ -38,6 +38,65 @@ object SparkEntry {
       graft.cypher.ReferenceQueries.recommendKnn(s, d)),
     "cypher_large_groups" -> ((s, d) =>
       graft.cypher.ReferenceQueries.largeGroups(s, d)),
+    // — CypherLoad + GdsSession: the reference's WRITE path and GDS
+    // workflow driven end to end, gated on the hand-built twins' own
+    // oracles (ratings_edges / knn_similar_edges_ref / louvain). Each
+    // is session-cached: the entry semantics is "run the workflow once,
+    // read its written frames" —
+    "cypher_load_ratings" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "cypher_load_ratings") {
+        val events = RatingsGraph.filteredEvents(s, d)
+          .select(col("user_id").cast("string").as("User-ID"),
+            col("book_id").cast("string").as("ISBN"),
+            col("rating").cast("string").as("Book-Rating"))
+          .localCheckpoint()
+        val userRows = events.select(col("User-ID")).distinct()
+          .select(col("User-ID"), lit("").as("Location"), lit("").as("Age"))
+        val bookRows = events.select(col("ISBN")).distinct()
+          .select(col("ISBN"), col("ISBN").as("Book-Title"),
+            lit("").as("Book-Author"), lit("2000").as("Year-Of-Publication"),
+            lit("").as("Publisher"))
+        val rq = graft.cypher.ReferenceQueries
+        var st = graft.cypher.CypherLoad.run(
+          graft.cypher.CypherLoad.LoadState(
+            graft.cypher.CypherLite.Graph(Map.empty, Map.empty)),
+          rq.UserConstraint)
+        st = graft.cypher.CypherLoad.run(st, rq.BookConstraint)
+        st = graft.cypher.CypherLoad.run(st, rq.LoadUsers, Map("rows" -> userRows))
+        st = graft.cypher.CypherLoad.run(st, rq.LoadBooks, Map("rows" -> bookRows))
+        st = graft.cypher.CypherLoad.run(st, rq.LoadRatings, Map("rows" -> events))
+        st.graph.edges("RATED")
+          .select(col("src").cast("bigint").as("user_id"),
+            col("dst").cast("bigint").as("book_id"),
+            col("rating").cast("bigint").as("rating"))
+      }.orderBy("user_id", "book_id")
+    }),
+    "gds_knn_write" -> ((s, d) => {
+      graft.Cache.cached(s, d, "gds_knn_write") {
+        val g = new graft.gds.GdsSession(
+          graft.cypher.ReferenceQueries.graph(s, d))
+        g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+          relProperties = Seq("rating"))
+        g.fastRpWrite("userGraph")
+        g.graphProject("knnGraph", Seq("User"), "DUMMY",
+          nodeProperties = Seq("embedding"))
+        g.knnWrite("knnGraph", topK = 20, similarityCutoff = 0.8)
+        g.db.edges("SIMILAR_TO")
+      }.orderBy("src", "dst")
+    }),
+    "gds_louvain_write" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_louvain_write") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("userSimilarityGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        g.louvainWrite("userSimilarityGraph")
+        g.db.nodes("User").filter(col("community").isNotNull)
+          .select(col("id").as("node_id"), col("community"))
+      }.orderBy("node_id")
+    }),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
@@ -4149,6 +4208,15 @@ object SparkEntry {
     "knn_similar_edges" -> knnOracle("0.1", "ROUND(cosine, 6)"),
     "knn_similar_edges_ref" ->
       knnOracle((2 * 0.8 - 1).toString, "ROUND((cosine + 1) / 2, 6)"),
+    // the GDS/CypherLoad workflow entries are gated on the SAME oracles
+    // as the hand-built twins they must reproduce
+    "gds_knn_write" ->
+      knnOracle((2 * 0.8 - 1).toString, "ROUND((cosine + 1) / 2, 6)"),
+    "gds_louvain_write" -> louvainOracle,
+    "cypher_load_ratings" ->
+      s"""$RatingsCte
+         |SELECT user_id, book_id, rating FROM ratings
+         |ORDER BY user_id, book_id""".stripMargin,
 
     // r7: the embedding-KNN recommender — sims = user 1's top-20 KNN
     // edges at (topK=20, cutoff=0.1), then the recommend_knn aggregate

@@ -167,6 +167,16 @@ object ReferenceQueries {
       |MERGE (u)-[r:RATED]->(b)
       |SET r.rating = toInteger(row.`Book-Rating`)""".stripMargin
 
+  /** `Alg_Community_Detection.py:21-30` gds.graph.project.cypher's
+    * node/rel queries, VERBATIM — compiled by CypherLite when
+    * [[graft.gds.GdsSession.graphProjectCypher]] builds the
+    * userSimilarityGraph projection. */
+  val ProjectUserNodes: String = "MATCH (u:User) RETURN id(u) AS id"
+  val ProjectUserSimilarityRels: String =
+    """MATCH (u1:User)-[r1:RATED]->(b:Book)<-[r2:RATED]-(u2:User)
+      |WHERE u1 <> u2 AND r1.rating >= 6 AND r2.rating >= 6
+      |RETURN id(u1) AS source, id(u2) AS target, COUNT(*) AS weight""".stripMargin
+
   /** `data/load_data.py:96-104` create_graph uniqueness constraints. */
   val UserConstraint: String =
     "CREATE CONSTRAINT IF NOT EXISTS FOR (u:User) REQUIRE u.id IS UNIQUE"

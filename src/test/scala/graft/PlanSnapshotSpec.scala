@@ -201,6 +201,18 @@ class PlanSnapshotSpec extends AnyFunSuite {
     }
   }
 
+  // bpe_corpus_encode's scale claim IS its join strategy: the
+  // |vocab|-sized seg table must broadcast against the exploded token
+  // stream — a sort-merge join there shuffles the whole corpus side
+  // and the 100 TB story is gone. Pinned by name, not by count.
+  test("bpe_corpus_encode joins the vocab by broadcast, never sort-merge") {
+    SparkEntry.queries("bpe_corpus_encode")(spark, sf).count()
+    val plan = SparkEntry.queries("bpe_corpus_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+  }
+
   // The cached-query pins above dilute sensitivity for the operator
   // UNDER the cache (the IMR stage lines dominate the count), so the
   // wedge-intersection operator is also pinned raw: the generic
