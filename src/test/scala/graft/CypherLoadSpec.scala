@@ -69,6 +69,32 @@ class CypherLoadSpec extends AnyFunSuite {
     assert(u.head.getString(1) == "Mainz" && u.head.isNullAt(2))
   }
 
+  test("unsupported write constructs fail fast, never compile silently wrong") {
+    val rows = Seq(("1", "x", "")).toDF("User-ID", "Location", "Age")
+    // DELETE is outside the write subset
+    intercept[Exception] {
+      CypherLoad.run(empty, "UNWIND $rows AS row DETACH DELETE row",
+        Map("rows" -> rows))
+    }
+    // SET on a variable other than the MERGE target
+    intercept[Exception] {
+      CypherLoad.run(empty,
+        "UNWIND $rows AS row MERGE (u:User {id: toInteger(row.`User-ID`)}) SET x.location = row.Location",
+        Map("rows" -> rows))
+    }
+    // missing parameter
+    intercept[Exception] {
+      CypherLoad.run(empty, ReferenceQueries.LoadUsers)
+    }
+    // constraint violation on a pre-existing duplicate-key frame
+    val dup = CypherLite.Graph(
+      nodes = Map("User" -> Seq((1L, "a"), (1L, "b")).toDF("id", "name")),
+      edges = Map.empty)
+    intercept[IllegalArgumentException] {
+      CypherLoad.run(CypherLoad.LoadState(dup), ReferenceQueries.UserConstraint)
+    }
+  }
+
   test("compiled load is row-identical to the ratings_edges ETL on sf0.001") {
     // the reference loads filtered_users/books/ratings.csv; the engine's
     // CSV-shaped twin of those files is the filtered event log projected
