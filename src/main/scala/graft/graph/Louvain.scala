@@ -47,7 +47,8 @@ object Louvain {
     * both classes are then happy, so running out the remaining sweeps
     * is the identity and the early exit is output-invisible (a full
     * fixed-budget unroll, e.g. the SQL oracle, yields the same labels). */
-  private def localMoving(edges: DataFrame, sweeps: Int): DataFrame = {
+  private def localMoving(edges: DataFrame, sweeps: Int,
+      init: Option[DataFrame] = None): DataFrame = {
     // pre-partition on dst: the per-sweep edge⋈labels join then only
     // shuffles the (tiny) labels side
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
@@ -59,10 +60,20 @@ object Louvain {
       return e.select(col("src").as("node_id"), col("src").as("comm"))
     }
     val m2 = m2Row.getDouble(0) // = 2m
-    // labels CARRY the node degree k — saves a nodeDeg join per sweep
-    var labels = Algorithms.checkpointFresh(e.groupBy(col("src").as("node_id"))
+    // labels CARRY the node degree k — saves a nodeDeg join per sweep.
+    // A warm-start init seeds comm from the previous labelling (new
+    // nodes fall back to singletons); degrees always come from the
+    // CURRENT edges, so a delta'd graph scores with fresh k/σ_tot.
+    val deg = e.groupBy(col("src").as("node_id"))
       .agg(sum(col("weight")).as("k"))
-      .select(col("node_id"), col("node_id").as("comm"), col("k")))
+    var labels = Algorithms.checkpointFresh(init match {
+      case None =>
+        deg.select(col("node_id"), col("node_id").as("comm"), col("k"))
+      case Some(l0) =>
+        deg.join(l0.select(col("node_id"), col("comm")), Seq("node_id"), "left")
+          .select(col("node_id"),
+            coalesce(col("comm"), col("node_id")).as("comm"), col("k"))
+    })
     var sweep = 1
     var zeroMoveSweeps = 0
     var tSweep = System.nanoTime()
@@ -77,7 +88,9 @@ object Louvain {
       // struct (gain desc, cand asc) — a hash aggregate with map-side
       // partials, not a window sort over every candidate row.
       val parity = lit(sweep % 2)
-      val best = if (sweep == 1) {
+      // the sweep-1 shortcut is the SINGLETON-init collapse of the
+      // general pipeline — valid only for a cold start
+      val best = if (sweep == 1 && init.isEmpty) {
         // Sweep 1 always starts from singleton labels, where the general
         // pipeline collapses: cand = the neighbour itself, σ_tot(cand) =
         // k_dst, stay score = 0 exactly (w = 0, σ_adj = k − k = 0). Two
@@ -221,6 +234,32 @@ object Louvain {
       }
     }
     finishLabels(mapping)
+  }
+
+  /** Incremental community maintenance (the T8/T9 incremental story
+    * extended to the community tier): WARM-START local moving from an
+    * existing labelling after the graph absorbed a delta, instead of
+    * re-running full multi-level Louvain from singletons. Degrees and
+    * community totals are recomputed from the CURRENT edges, the
+    * previous labels only seed the assignment (new nodes start as
+    * singletons), and a couple of parity sweeps repair the
+    * neighbourhood of the delta — on a converged labelling with no
+    * delta the very first two sweeps move nothing and the labelling is
+    * returned unchanged (spec-pinned). At 100 TB this is the
+    * difference between touching the blast radius of the delta and
+    * re-clustering the corpus; like GDS's seedProperty warm start, the
+    * result is a valid greedy-modularity labelling but not necessarily
+    * the one a cold run would pick. Labels stay canonical
+    * (min member id). */
+  def louvainWarmStart(edges: DataFrame, prevLabels: DataFrame,
+      sweeps: Int = 2, assumeGrouped: Boolean = false): DataFrame = {
+    val positive = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .filter(col("weight") > 0.0)
+    val grouped =
+      if (assumeGrouped) positive
+      else positive.groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
+    finishLabels(localMoving(grouped, sweeps,
+      Some(prevLabels.select(col("node_id"), col("community").as("comm")))))
   }
 
   /** Canonicalise community labels to the minimum member node id. */

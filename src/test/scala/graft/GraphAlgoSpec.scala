@@ -152,6 +152,39 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(qLouvain >= qLpa - 1e-6, s"louvain Q=$qLouvain < lpa Q=$qLpa")
   }
 
+  test("louvainWarmStart: identity on a converged labelling, repairs a delta in 2 sweeps") {
+    def clique(ids: Seq[Long], w: Double) =
+      for { a <- ids; b <- ids if a != b } yield (a, b, w)
+    val base = (clique(Seq(1L, 2L, 3L), 5.0) ++ clique(Seq(4L, 5L, 6L), 5.0) ++
+      Seq((3L, 4L, 0.1), (4L, 3L, 0.1))).toDF("src", "dst", "weight")
+    val cold = graph.Louvain.louvain(base)
+    // no delta: the converged labelling is a local-moving fixpoint, so
+    // the warm start returns it UNCHANGED
+    val warm = graph.Louvain.louvainWarmStart(base, cold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coldM = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == coldM, s"warm start moved a converged labelling: $warm vs $coldM")
+    // delta: the bridge becomes far stronger than the cliques' internal
+    // weight — the warm start must pull the bridge endpoints into ONE
+    // community (a full merge is never modularity-optimal: a single
+    // blob scores Q = 0) without a cold restart
+    val merged = (clique(Seq(1L, 2L, 3L), 5.0) ++ clique(Seq(4L, 5L, 6L), 5.0) ++
+      Seq((3L, 4L, 60.0), (4L, 3L, 60.0))).toDF("src", "dst", "weight")
+    val repaired = graph.Louvain.louvainWarmStart(merged, cold, sweeps = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repaired(3L) == repaired(4L),
+      s"strong bridge endpoints not co-located by warm start: $repaired")
+    assert(repaired != coldM, "delta left the labelling untouched")
+    // new nodes absent from the previous labelling join as singletons
+    // and are folded in by the sweeps
+    val grown = (clique(Seq(1L, 2L, 3L, 9L), 5.0) ++ clique(Seq(4L, 5L, 6L), 5.0) ++
+      Seq((3L, 4L, 0.1), (4L, 3L, 0.1))).toDF("src", "dst", "weight")
+    val withNew = graph.Louvain.louvainWarmStart(grown, cold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withNew(9L) == withNew(1L), s"new clique member stranded: $withNew")
+    assert(withNew(4L) == withNew(5L) && withNew(4L) != withNew(1L))
+  }
+
   test("louvain: multigraph input (parallel edges) equals the pre-aggregated graph") {
     def clique(ids: Seq[Long], w: Double) =
       for { a <- ids; b <- ids if a != b } yield (a, b, w)
