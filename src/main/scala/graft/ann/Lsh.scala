@@ -119,6 +119,51 @@ object Lsh {
       .withColumn("cosine", CosineSim.cosine(df.sparkSession, col("vec_a"), col("vec_b")))
       .select(col("id_a"), col("id_b"), col("cosine"))
 
+  /** Incremental maintenance of the [[scoredPairs]] silver (T13 — the
+    * T9 co-occurrence-MERGE story for the ANN tier): after a delta of
+    * changed / new / deleted embeddings, only pairs INCIDENT to a
+    * changed id can change — signatures of unchanged vectors are
+    * unchanged, so their mutual collision status and cosines are too.
+    * The fold drops old pairs touching `changedIds` (which must
+    * include DELETED ids — the caller's contract) and re-scores only
+    * the changed-side band collisions: the posting self-join, the
+    * dominant cost, runs changed × all instead of all × all. The
+    * per-row signature projection over the full table is map-only (no
+    * shuffle); at 100 TB the posting table itself would live bucketed
+    * (the T5 layout) and ship only the changed buckets. Spec-proved ≡
+    * the full [[scoredPairs]] recompute on the delta'd table. */
+  def mergeScoredPairs(oldScored: DataFrame, emb: DataFrame,
+      changedIds: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int = 8, bitsPerBand: Int = 10, seed: Int = 7): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint()
+    val changed = changedIds.select(col(idCol).as("id")).distinct()
+      .localCheckpoint()
+    val sig = withBuckets(base, "vec", dim, bands, bitsPerBand, seed)
+    val banded = sig.select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+      .select(col("id"), col("pos").as("band_idx"), col("col").as("bkt"))
+      .localCheckpoint()
+    val l = banded.join(changed, Seq("id"), "left_semi")
+      .select(col("band_idx"), col("bkt"), col("id").as("id_a"))
+    val r = banded.select(col("band_idx"), col("bkt"), col("id").as("id_b"))
+    val touched = l.join(r, Seq("band_idx", "bkt"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cosine",
+        CosineSim.cosine(emb.sparkSession, col("vec_a"), col("vec_b")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    oldScored
+      .join(changed.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(changed.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .unionAll(touched)
+  }
+
   /** Top-k SIMILAR_TO edges from a precomputed scored-pair table, with
     * the similarity carried UNROUNDED (callers round exactly once,
     * optionally after a scale transform — double rounding shifts the

@@ -179,6 +179,34 @@ class R5Spec extends AnyFunSuite {
     assert(enc("newest") == (6L, "|n|e|w|e|s|t|"))
   }
 
+  test("mergeScoredPairs: incremental fold equals the full recompute after a delta") {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    // delta: 3 vectors re-embedded (reversed arrays — guaranteed sig
+    // churn), 1 new vector, 1 deleted
+    val changedIds = Seq(1L, 5L, 9L, 999999L, 2L).toDF("vec_id")
+    val reEmbedded = emb.filter(col("vec_id").isin(1L, 5L, 9L))
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val added = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), reverse(col("embedding")).as("embedding"))
+    val newEmb = emb
+      .filter(!col("vec_id").isin(1L, 5L, 9L, 2L)) // 2 deleted
+      .unionAll(reEmbedded).unionAll(added).localCheckpoint()
+    val oldScored = ann.Lsh.scoredPairs(emb, "vec_id", "embedding", dim)
+    val full = ann.Lsh.scoredPairs(newEmb, "vec_id", "embedding", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val merged = ann.Lsh.mergeScoredPairs(oldScored, newEmb, changedIds,
+        "vec_id", "embedding", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(merged.keySet == full.keySet,
+      s"pair sets diverged: only-merged=${(merged.keySet -- full.keySet).take(5)} " +
+        s"only-full=${(full.keySet -- merged.keySet).take(5)}")
+    merged.foreach { case (k, c) => assert(math.abs(c - full(k)) < 1e-12, s"$k") }
+  }
+
   test("bpeCorpusEncode/bpeTokenPack: full-corpus apply covers every doc, pack bins are exact prefix sums") {
     val dir = "/root/testdata/sf0.001"
     val nDocs = Tables.documents(spark, dir).count()
