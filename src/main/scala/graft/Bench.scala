@@ -74,6 +74,12 @@ object Bench {
       // carried a 17 s assignment-frame build, dbscan_clusters its
       // eps-graph, shortest_path_nodes its bidir-edge persist)
       "semdedup_frame" -> (() => dedup.SemDedup.cachedFrame(spark, sfDir).count(): Unit),
+      // r8: the front-end workflow entries build their whole pipeline
+      // into a session cache on first touch — warm here so their sweep
+      // lines are lookup times, with the build cost on its own row
+      "cypher_load" -> (() => SparkEntry.queries("cypher_load_ratings")(spark, sfDir).count(): Unit),
+      "gds_knn" -> (() => SparkEntry.queries("gds_knn_write")(spark, sfDir).count(): Unit),
+      "gds_louvain" -> (() => SparkEntry.queries("gds_louvain_write")(spark, sfDir).count(): Unit),
       "dbscan" -> (() => ann.Dbscan.dbscan(spark, sfDir).count(): Unit),
       "cooc_bidir" -> (() => graph.Algorithms.userCoocBidir(spark, sfDir).count(): Unit))
     val silverResults = silverBuilds.map { case (name, build) =>
