@@ -800,6 +800,21 @@ object SparkEntry {
     "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
     "embedding_quantize" -> ((s, d) => graft.ann.AnnSearch.quantize(s, d)),
+    // — r8: the named-rule quality tier + perplexity mixing knob —
+    "gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
+    "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(s, d)),
+    // — r8: SQ8 completes the FAISS index family (brute/LSH/IVF/PQ/
+    //   IVFPQ/SQ); gate lives in sq_invariants —
+    "ann_sq_topk" -> ((s, d) => graft.ann.AnnSearch.sqTopK(s, d)),
+    "sq_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sq = graft.ann.AnnSearch.sqTopK(s, d).select(col("vec_id"))
+      val bf = graft.ann.AnnSearch.bruteForceTopK(s, d).select(col("vec_id"))
+      sq.join(bf, Seq("vec_id")).agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("n_sq"), col("n_hits").cast("bigint").as("n_hits"),
+          round(col("n_hits").cast("double") / 10.0, 6).as("recall_at_10"),
+          (col("n_hits") >= 5L).as("recall_gate"))
+    }),
     // — r4 continuation: sampled centrality, personalized PageRank,
     //   packing/mixing/scrubbing pipeline ops, Q13 —
     "harmonic_centrality" -> ((s, d) =>
@@ -2016,6 +2031,252 @@ object SparkEntry {
          |  node_id, ROUND(dist, 6) AS dist
          |FROM bt
          |ORDER BY step""".stripMargin
+
+  /** Full Yen's-loop replay in DuckDB SQL — the `yens_paths` exact
+    * oracle. Mirrors [[graft.graph.Algorithms.yensPaths]]'s driver leg
+    * (the leg that runs at every correctness SF) step for step:
+    *
+    *  - A[0] is the [[dijkstraCte]] d6 relaxation backtracked with an
+    *    UNROLLED ≤rounds-hop parent walk (no recursion — the oracle is
+    *    one plain WITH chain of MATERIALIZED CTEs, the contractCte
+    *    lesson);
+    *  - each Yen's round unrolls spur indices j = 0..rounds−1
+    *    statically: a spur whose prefix index exceeds the previous
+    *    path simply selects an empty d0 (`WHERE step = j` finds no
+    *    row) and every downstream CTE stays empty, so the static
+    *    unroll is faithful to the driver's data-dependent loop;
+    *  - a spur's search is the same ROW_NUMBER-(dist, parent) min-plus
+    *    chain as dijkstra, over `lens` rows filtered by the spur's
+    *    banned root-interior nodes (dst NOT IN prefix) and banned
+    *    continuation edges (NOT EXISTS against the prefix-matched
+    *    (p[j], p[j+1]) rows of every accepted path) — bans computed in
+    *    SQL from the already-selected path CTEs, exactly the SpurSpec
+    *    construction;
+    *  - the candidate pool is keyed (cost, path_key) where path_key is
+    *    the fixed-width (lpad 12) node concatenation — string order ≡
+    *    Seq[Long] lexicographic order, so `ORDER BY cost, pk LIMIT 1`
+    *    is the SortedMap pop, leftovers carry across rounds, and
+    *    MAX(cid) per key replays the map's last-write-wins cum arrays
+    *    (insert order is rounds then spur index, both ascending).
+    *
+    * Bit-exactness: every dist is the same left-to-right double sum
+    * the driver leg computes (d.dist + e.len; spur dists offset by the
+    * stored root cum), so costs — including the candidate ORDERING,
+    * which uses exact unrounded doubles — are replayed exactly; the
+    * single ROUND(…, 6) happens at output, same as the entry. */
+  private def yensOracle(k: Int = 3, rounds: Int = 6): String = {
+    val sb = new StringBuilder(dijkstraCte)
+    // dijkstraCte's WITH list is RECURSIVE (the ratings ETL), and
+    // DuckDB disables CTE sharing inside WITH RECURSIVE — every
+    // unmarked reference re-inlines its whole upstream chain, so the
+    // 42 relax rounds would each rebuild the cooc self-join (measured
+    // 6 min at sf0.01). Pin the two shared frames once.
+    sb ++= """, y_lens AS MATERIALIZED (SELECT src, dst, len FROM lens)"""
+    sb ++= """, y_d6 AS MATERIALIZED (SELECT node_id, dist, parent FROM d6)"""
+    // unrolled parent backtrack: from `d` (a relaxation result CTE),
+    // walk ≤ budget hops from the target; the chain is kept only if it
+    // terminates (exactly one parent = -1 row — the search source)
+    def backtrack(p: String, d: String, budget: Int): Unit = {
+      sb ++= s""", ${p}bt0 AS MATERIALIZED (
+        |  SELECT node_id, dist, parent, 0 AS pos FROM $d WHERE node_id = 42
+        |)""".stripMargin
+      for (i <- 1 to budget)
+        sb ++= s""", ${p}bt$i AS MATERIALIZED (
+          |  SELECT d.node_id, d.dist, d.parent, b.pos + 1 AS pos
+          |  FROM ${p}bt${i - 1} b JOIN $d d ON b.parent = d.node_id
+          |  WHERE b.parent <> -1
+          |)""".stripMargin
+      sb ++= s""", ${p}raw AS MATERIALIZED (
+        |  ${(0 to budget).map(i => s"SELECT * FROM ${p}bt$i").mkString(" UNION ALL ")}
+        |)""".stripMargin
+    }
+    // A[0]: the d6 chain backtracked from the target, steps re-indexed
+    // source-first, cum dists exact (unrounded until final output)
+    backtrack("y_a0", "y_d6", rounds)
+    sb ++= s""", y_a0 AS MATERIALIZED (
+      |  SELECT (SELECT MAX(pos) FROM y_a0raw) - pos AS step, node_id, dist AS cum
+      |  FROM y_a0raw
+      |  WHERE (SELECT COUNT(*) FROM y_a0raw WHERE parent = -1) = 1
+      |)""".stripMargin
+    def pathKey(tbl: String): String =
+      s"string_agg(lpad(CAST(node_id AS VARCHAR), 12, '0'), '' ORDER BY step) AS pk" +
+        s" FROM $tbl"
+    sb ++= s""", y_a0k AS MATERIALIZED (
+      |  SELECT pk FROM (SELECT ${pathKey("y_a0")}) WHERE pk IS NOT NULL
+      |)""".stripMargin
+    for (r <- 1 until k) {
+      val prev = s"y_a${r - 1}"
+      for (j <- 0 until rounds) {
+        val s = s"y_s${r}_$j"
+        val budget = rounds - j
+        val cid = r * 10 + j
+        // banned continuation edges: for every accepted path p that
+        // (a) agrees with prev on steps 0..j and (b) continues past
+        // step j, ban p's (j → j+1) edge — the Yen's spur rule
+        val banLegs = (0 until r).map { pi =>
+          s"""  SELECT x.node_id AS b_src, y.node_id AS b_dst
+             |  FROM y_a$pi x JOIN y_a$pi y ON x.step = $j AND y.step = ${j + 1}
+             |  WHERE (SELECT COUNT(*) FROM y_a$pi u JOIN $prev v
+             |         ON u.step = v.step AND u.node_id = v.node_id
+             |         WHERE u.step <= $j) = ${j + 1}""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        sb ++= s""", ${s}banE AS MATERIALIZED (
+          |$banLegs
+          |)""".stripMargin
+        // spur search seed: prev's node at step j — and only when prev
+        // continues past j (the driver loops j < prev.length - 1)
+        sb ++= s""", ${s}d0 AS MATERIALIZED (
+          |  SELECT node_id, CAST(0.0 AS DOUBLE) AS dist, CAST(-1 AS BIGINT) AS parent
+          |  FROM $prev WHERE step = $j
+          |    AND EXISTS (SELECT 1 FROM $prev WHERE step = ${j + 1})
+          |)""".stripMargin
+        for (i <- 1 to budget)
+          sb ++= s""", ${s}d$i AS MATERIALIZED (
+            |  SELECT node_id, dist, parent FROM (
+            |    SELECT node_id, dist, parent,
+            |      ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY dist, parent) AS rn
+            |    FROM (
+            |      SELECT e.dst AS node_id, d.dist + e.len AS dist, e.src AS parent
+            |      FROM y_lens e JOIN ${s}d${i - 1} d ON e.src = d.node_id
+            |      WHERE e.dst NOT IN (SELECT node_id FROM $prev WHERE step < $j)
+            |        AND NOT EXISTS (SELECT 1 FROM ${s}banE b
+            |                        WHERE b.b_src = e.src AND b.b_dst = e.dst)
+            |      UNION ALL
+            |      SELECT node_id, dist, parent FROM ${s}d${i - 1}
+            |    )
+            |  ) WHERE rn = 1
+            |)""".stripMargin
+        backtrack(s, s"${s}d$budget", budget)
+        sb ++= s""", ${s}sp AS MATERIALIZED (
+          |  SELECT (SELECT MAX(pos) FROM ${s}raw) - pos AS sstep, node_id, dist
+          |  FROM ${s}raw
+          |  WHERE (SELECT COUNT(*) FROM ${s}raw WHERE parent = -1) = 1
+          |)""".stripMargin
+        // full candidate = prev's root prefix ++ spur suffix, suffix
+        // cums offset by the root's stored cum at the spur node
+        sb ++= s""", y_c${r}_$j AS MATERIALIZED (
+          |  SELECT CAST($cid AS BIGINT) AS cid, step, node_id, cum FROM (
+          |    SELECT step, node_id, cum FROM $prev
+          |    WHERE step < $j AND EXISTS (SELECT 1 FROM ${s}sp)
+          |    UNION ALL
+          |    SELECT sstep + $j AS step, node_id,
+          |      dist + (SELECT cum FROM $prev WHERE step = $j) AS cum
+          |    FROM ${s}sp
+          |  )
+          |)""".stripMargin
+        // candidate summary: exact cost, path key, simple-path check
+        sb ++= s""", y_m${r}_$j AS MATERIALIZED (
+          |  SELECT cid, cost, pk FROM (
+          |    SELECT CAST($cid AS BIGINT) AS cid, arg_max(cum, step) AS cost,
+          |      string_agg(lpad(CAST(node_id AS VARCHAR), 12, '0'), '' ORDER BY step) AS pk,
+          |      COUNT(*) AS n, COUNT(DISTINCT node_id) AS nd
+          |    FROM y_c${r}_$j
+          |  ) WHERE n > 0 AND n = nd
+          |)""".stripMargin
+      }
+      // pool_r = (pool_{r-1} minus the popped key) ∪ round-r candidates
+      // not already an accepted path; keyed (cost, pk) exactly like the
+      // driver's SortedMap, MAX(cid) = last-write-wins cum selection
+      val newLegs = (0 until rounds).map(j => s"SELECT * FROM y_m${r}_$j")
+        .mkString(" UNION ALL ")
+      val notInA = (0 until r)
+        .map(pi => s"NOT EXISTS (SELECT 1 FROM y_a${pi}k kk WHERE kk.pk = m.pk)")
+        .mkString(" AND ")
+      val carry =
+        if (r == 1) ""
+        else s"""  SELECT cid, cost, pk FROM y_pool${r - 1} p
+          |  WHERE NOT EXISTS (SELECT 1 FROM y_w${r - 1} w
+          |                    WHERE w.cost = p.cost AND w.pk = p.pk)
+          |  UNION ALL
+          |""".stripMargin
+      sb ++= s""", y_pool$r AS MATERIALIZED (
+        |  SELECT MAX(cid) AS cid, cost, pk FROM (
+        |$carry  SELECT cid, cost, pk FROM ($newLegs) m
+        |  WHERE $notInA
+        |  ) GROUP BY cost, pk
+        |)""".stripMargin
+      sb ++= s""", y_w$r AS MATERIALIZED (
+        |  SELECT cid, cost, pk FROM y_pool$r ORDER BY cost, pk LIMIT 1
+        |)""".stripMargin
+      val allCands = (1 to r)
+        .flatMap(rr => 0 until rounds map (j => s"SELECT * FROM y_c${rr}_$j"))
+        .mkString(" UNION ALL ")
+      sb ++= s""", y_a$r AS MATERIALIZED (
+        |  SELECT c.step, c.node_id, c.cum
+        |  FROM ($allCands) c JOIN y_w$r w ON c.cid = w.cid
+        |)""".stripMargin
+      sb ++= s""", y_a${r}k AS MATERIALIZED (
+        |  SELECT pk FROM (SELECT ${pathKey(s"y_a$r")}) WHERE pk IS NOT NULL
+        |)""".stripMargin
+    }
+    val out = (0 until k).map { r =>
+      s"""  SELECT CAST($r AS BIGINT) AS path_rank, CAST(step AS BIGINT) AS step,
+         |    node_id, ROUND((SELECT arg_max(cum, step) FROM y_a$r), 6) AS path_cost
+         |  FROM y_a$r""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    sb ++= s"""
+      |SELECT path_rank, step, node_id, path_cost FROM (
+      |$out
+      |) ORDER BY path_rank, step""".stripMargin
+    sb.toString
+  }
+
+  /** The SQ8 search replay shared by `ann_sq_topk` (finalList = true:
+    * the re-ranked top-10 rows) and `sq_invariants` (finalList = false:
+    * recall@10 of that list against an in-query brute-force top-10).
+    * Reconstruction is embedding_quantize's exact mid-rise formula;
+    * every dot/norm is the same left-to-right fold both engines run
+    * (the ann_bruteforce precedent), so the approximate top-40 CUT —
+    * not just the emitted rows — replays exactly. */
+  private def sqTopkSql(finalList: Boolean): String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+    def cos(a: String, b: String) =
+      s"CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0 " +
+        s"THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) " +
+        "ELSE 0.0 END"
+    val base =
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0
+         |), base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id <> 0
+         |), st AS (
+         |  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM base
+         |), rec AS (
+         |  SELECT vec_id, v,
+         |    CASE WHEN mx > mn
+         |      THEN list_transform(v, x ->
+         |             mn + (floor((x - mn) * 255.0 / (mx - mn)) + 0.5)
+         |                  * ((mx - mn) / 255.0))
+         |      ELSE list_transform(v, x -> mn) END AS rv
+         |  FROM st
+         |), cut AS (
+         |  SELECT vec_id, v, approx FROM (
+         |    SELECT vec_id, v, ${cos("rv", "qv")} AS approx FROM rec, q
+         |  ) ORDER BY approx DESC, vec_id LIMIT 40
+         |), fin AS (
+         |  SELECT vec_id, approx, ${cos("v", "qv")} AS ex FROM cut, q
+         |), top AS (
+         |  SELECT vec_id, ex, approx FROM fin ORDER BY ex DESC, vec_id LIMIT 10
+         |)""".stripMargin
+    if (finalList)
+      base + """
+        |SELECT vec_id, ROUND(ex, 6) AS cosine, ROUND(approx, 6) AS approx_cosine
+        |FROM top ORDER BY ex DESC, vec_id""".stripMargin
+    else
+      base + s""", bfq AS (
+        |  SELECT vec_id FROM (SELECT vec_id, ${cos("v", "qv")} AS c FROM base, q)
+        |  ORDER BY c DESC, vec_id LIMIT 10
+        |), hits AS (
+        |  SELECT COUNT(*) AS n_hits FROM top JOIN bfq USING (vec_id)
+        |)
+        |SELECT CAST(10 AS BIGINT) AS n_sq, CAST(n_hits AS BIGINT) AS n_hits,
+        |  ROUND(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall_at_10,
+        |  n_hits >= 5 AS recall_gate
+        |FROM hits""".stripMargin
+  }
 
   /** [[RatingsCte]] with the RECURSIVE modifier — a WITH list containing
     * any recursive member needs it up front; ONE ratings-ETL definition
@@ -5369,20 +5630,19 @@ object SparkEntry {
 
     "sssp_nearest" -> ssspOracle,
     "dijkstra_path" -> dijkstraOracle,
+    // Yen's K shortest loopless paths, EXACT (r8): the full spur loop
+    // replayed as an unrolled CTE program — see yensOracle's scaladoc.
+    "yens_paths" -> yensOracle(),
     // Yen's gate: structural booleans + the FIRST path's total cost,
     // which must equal the dijkstra relaxation's distance at the
     // target — the d6 CTE is the same unrolled loop dijkstra_path is
     // checked against, so first_cost is exact, not approximate.
-    // HONESTY NOTE on the other three columns: n_paths=3 is a PINNED
-    // FIXTURE EXPECTATION (the sf0.01 cooc graph is dense enough that
-    // k=3 loopless paths always exist inside the hop budget — if data
-    // drift ever yields fewer, this row fails by design and the fixture
-    // operating point must be revisited, not the oracle); the two
-    // booleans are literal TRUE because looplessness/nondecreasing are
-    // Spark-side self-assertions computed in the queries() entry — an
-    // independent SQL k-path enumeration would need exponential CTE
-    // rows. The independent cross-check this oracle DOES carry is
-    // first_cost.
+    // n_paths=3 is a PINNED FIXTURE EXPECTATION (if data drift ever
+    // yields fewer, this row fails by design); the two booleans are
+    // Spark-side self-assertions — but since r8 the `yens_paths` rows
+    // themselves are exactly oracled by the full spur-loop replay
+    // above, so this gate is the quick-read summary, not the only
+    // independent check anymore.
     "yens_invariants" -> (dijkstraCte +
       """
         |SELECT CAST(3 AS BIGINT) AS n_paths, TRUE AS paths_loopless,
@@ -6000,6 +6260,75 @@ object SparkEntry {
         |    i -> pow(v[i] - (mn + (CAST(codes[i] AS DOUBLE) + 0.5) * step), 2))) / len(v)
         |    AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                t -> length(t) > 0) AS w
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    list_sum(list_transform(w, x -> length(x))) AS sum_len,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                         s -> list_contains(w, s))) AS BIGINT) AS stop_hits,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+        |  FROM w
+        |), r AS (
+        |  SELECT doc_id, n_words, stop_hits,
+        |    ROUND(CASE WHEN n_words > 0
+        |          THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END, 6)
+        |      AS mean_word_len,
+        |    ROUND(CASE WHEN n_words > 0
+        |          THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END, 6)
+        |      AS alpha_frac,
+        |    ROUND(CASE WHEN n_words > 0
+        |          THEN CAST(n_symbols AS DOUBLE) / n_words ELSE 0.0 END, 6)
+        |      AS symbol_ratio
+        |  FROM m
+        |)
+        |SELECT doc_id, n_words, stop_hits, mean_word_len, alpha_frac, symbol_ratio,
+        |  n_words BETWEEN 50 AND 100000 AS rule_word_count,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS rule_word_len,
+        |  symbol_ratio <= 0.1 AS rule_symbols,
+        |  alpha_frac >= 0.8 AS rule_alpha,
+        |  stop_hits >= 2 AS rule_stops,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    // the doc_logprob unigram-LM CTEs + a per-language NTILE over the
+    // ROUNDED nll (the value both engines agree on bit-for-bit)
+    "ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    t -> length(t) > 0)) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM toks GROUP BY tok
+        |), total AS (
+        |  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM freq
+        |), nll AS (
+        |  SELECT t.doc_id,
+        |    ROUND(SUM(-ln(f.cnt / tt.n_total)) / COUNT(*), 6) AS nll_per_token
+        |  FROM toks t JOIN freq f ON t.tok = f.tok, total tt
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, lang, nll_per_token,
+        |  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY nll_per_token, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM documents JOIN nll USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // SQ8: per-vector affine reconstruction (embedding_quantize's exact
+    // formula), approximate-cosine cut at 40, exact-cosine re-rank to
+    // 10 — the approximate CUT replays exactly (left-to-right double
+    // folds in both engines), not just the final list
+    "ann_sq_topk" -> sqTopkSql(finalList = true),
+    "sq_invariants" -> sqTopkSql(finalList = false),
 
     "simhash_invariants" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -179,6 +179,55 @@ object AnnSearch {
       .orderBy(col("vec_id"))
   }
 
+  /** Scalar-quantized (SQ8) search — the remaining FAISS index family
+    * member next to IVF/PQ/IVFPQ: every candidate vector is stored as
+    * [[quantize]]'s per-vector affine int8 codes (mn + (code+0.5)·step
+    * mid-rise reconstruction — the identical formula, so the index
+    * artifact IS the `embedding_quantize` output), scored against the
+    * EXACT query vector by reconstructed cosine, and the top `rerank`
+    * approximate hits re-ranked by exact cosine to the final top-k.
+    * Emits both scores — the approximate ordering is the 4-bytes-per-
+    * dim→1-byte-per-dim scan the 100 TB tier pays for, the exact
+    * re-rank the small tail correction.
+    *
+    * Determinism: reconstruction, dot products, and norms are all
+    * left-to-right double folds over the same arrays in both engines
+    * (the ann_bruteforce precedent), so the approximate top-`rerank`
+    * CUT is replayed exactly by the oracle, not just the final list. */
+  def sqTopK(spark: SparkSession, dir: String,
+      queryId: Long = DefaultQueryId, k: Int = 10, rerank: Int = 40): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    val q = emb(spark, dir).filter(col("vec_id") === queryId)
+      .select(d.as("qv"))
+    val recon = emb(spark, dir)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), d.as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("step", when(col("mx") > col("mn"),
+        (col("mx") - col("mn")) / lit(255.0)).otherwise(lit(0.0)))
+      .withColumn("rv",
+        when(col("mx") > col("mn"),
+          transform(col("v"), x =>
+            col("mn") + (floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+              + lit(0.5)) * col("step")))
+          .otherwise(transform(col("v"), _ => col("mn"))))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val nn = sqrt(dot(a, a)) * sqrt(dot(b, b))
+      when(nn > 0, dot(a, b) / nn).otherwise(lit(0.0))
+    }
+    recon.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), cos(col("rv"), col("qv")).as("approx"),
+        col("qv"))
+      .orderBy(col("approx").desc, col("vec_id")).limit(rerank)
+      .select(col("vec_id"), col("approx"), cos(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"),
+        round(col("approx"), 6).as("approx_cosine"))
+  }
+
   /** Squared L2 between two array columns (any numeric element type). */
   private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) =>

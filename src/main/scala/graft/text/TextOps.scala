@@ -236,6 +236,85 @@ object TextOps {
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     qualityClassifierOf(documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** The Gopher rule set (Rae et al. 2021 §A1.1) — the named heuristic
+    * battery between the cheap [[qualityFilter]] score and the
+    * model-based [[qualityClassifierOf]] tier: word-count bounds
+    * [50, 100k], mean word length [3, 10], symbol-to-word ratio
+    * (#/ellipsis) ≤ 0.1, ≥ 80% of words containing an alphabetic
+    * character, and ≥ 2 of the 8 canonical stop words present. Emits
+    * the metrics, each rule's verdict, and the conjunction — a
+    * filter report, not just a filter, so downstream mixing can
+    * attribute WHY a document dropped. One stateless projection over
+    * one scan: every metric is array algebra on the same split — no
+    * explode, no shuffle, no UDF; ratios are integer-derived doubles
+    * (deterministic, exactly oracle-checkable). The line-level rules
+    * (bullet/ellipsis line ratios) are omitted: this corpus is
+    * single-line by construction, and a rule that can never fire
+    * would be a fake oracle row. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** [[gopherRules]] over ANY (doc_id, text) frame — stateless, so the
+    * identical Column algebra runs on a streaming frame (the S13
+    * at-ingest gate pattern). */
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val w = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    docs
+      .select(col("doc_id"), w.as("w"), col("text"))
+      .select(col("doc_id"),
+        size(col("w")).cast("bigint").as("n_words"),
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("bigint").as("n_alpha"),
+        size(filter(
+          array(stops.map(lit(_)): _*), s => array_contains(col("w"), s)))
+          .cast("bigint").as("stop_hits"),
+        size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)"))
+          .cast("bigint").as("n_symbols"))
+      .select(col("doc_id"), col("n_words"), col("stop_hits"),
+        round(when(col("n_words") > 0,
+          col("sum_len").cast("double") / col("n_words")).otherwise(lit(0.0)), 6)
+          .as("mean_word_len"),
+        round(when(col("n_words") > 0,
+          col("n_alpha").cast("double") / col("n_words")).otherwise(lit(0.0)), 6)
+          .as("alpha_frac"),
+        round(when(col("n_words") > 0,
+          col("n_symbols").cast("double") / col("n_words")).otherwise(lit(0.0)), 6)
+          .as("symbol_ratio"))
+      .withColumn("rule_word_count", col("n_words").between(50L, 100000L))
+      .withColumn("rule_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("rule_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("rule_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("rule_stops", col("stop_hits") >= 2L)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_word_len") && col("rule_symbols") &&
+          col("rule_alpha") && col("rule_stops"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, documents split into head/middle/tail terciles of the
+    * unigram-LM negative log-likelihood from [[docLogProb]] — the
+    * standard "keep head+middle, resample tail" mixing knob. Ordering
+    * uses the 1e-6-ROUNDED nll (the value both engines agree on
+    * bit-for-bit) with doc_id as the total-order tie-break, so the
+    * tercile assignment is deterministic and exactly oracle-checkable.
+    * The per-language NTILE is a window PARTITIONed BY lang — one
+    * shuffle keyed on the language, never a global sort; at 100 TB the
+    * within-language orders run as independent sorts (CCNet itself
+    * buckets per language for exactly this reason). */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("nll_per_token"), col("doc_id"))
+    documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(docLogProb(spark, dir).select(col("doc_id"), col("nll_per_token")),
+        Seq("doc_id"))
+      .withColumn("tile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("nll_per_token"),
+        when(col("tile") === 1, "head").when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-order shuffle — the LAST operator of every
     * pre-training pipeline: an epoch-salted md5 rank assigns each doc a
     * shard (hash bucket) and a position within it, so the training

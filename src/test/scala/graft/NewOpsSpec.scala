@@ -836,6 +836,25 @@ class NewOpsSpec extends AnyFunSuite {
     assert(q.filter(col("mse") < 0.0 || col("mse") > 1e-4).isEmpty)
   }
 
+  test("sqTopK: SQ8 scan + exact re-rank — recall vs brute force, score sanity, deterministic") {
+    import graft.ann.AnnSearch
+    val bf = AnnSearch.bruteForceTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val res = AnnSearch.sqTopK(spark, sf).collect()
+    assert(res.length == 10)
+    // 8-bit per-vector affine quantization is nearly lossless for
+    // cosine — recall@10 should be high, not just above the PQ floor
+    val overlap = res.map(_.getLong(0)).count(bf)
+    assert(overlap >= 8, s"SQ8 recall@10 too low: $overlap/10")
+    res.foreach { r =>
+      assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
+      // the approximate score must sit close to the exact one (SQ8
+      // reconstruction error is ≤ step/2 per element)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.05,
+        s"approx ${r.getDouble(2)} far from exact ${r.getDouble(1)}")
+    }
+    assert(res.toSeq == AnnSearch.sqTopK(spark, sf).collect().toSeq)
+  }
+
   test("kmeans: recovers three planted well-separated blobs") {
     // three blobs on orthogonal axes; ids are arranged so the three
     // smallest seeded-hash ids (the init picks) land in DIFFERENT

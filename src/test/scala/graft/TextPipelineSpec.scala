@@ -125,6 +125,40 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(0).getBoolean(2) == (p >= 0.5))
   }
 
+  test("gopherRules: hand-computed metrics, each rule fires independently") {
+    // doc 1: 60 alpha words incl. 'the' and 'of' (passes everything);
+    // doc 2: 10 words (fails word count); doc 3: 60 words, half digits
+    // (fails alpha frac), heavy '#' (fails symbols), no stop words
+    val pass = (1 to 58).map(i => s"word$i").mkString(" ") + " the of"
+    val short = toks("s", 10)
+    val noisy = ((1 to 30).map(i => s"x$i") ++ (1 to 30).map(i => s"$i"))
+      .mkString(" ") + " ##########"
+    val dir = corpusDir(Seq((1L, pass), (2L, short), (3L, noisy)))
+    val got = TextOps.gopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), "doc 1 must pass all rules")
+    assert(got(1L).getLong(1) == 60L && got(1L).getLong(2) == 2L)
+    assert(!got(2L).getAs[Boolean]("rule_word_count"), "doc 2: 10 words < 50")
+    assert(got(2L).getAs[Boolean]("rule_alpha"), "doc 2 is all-alpha")
+    assert(!got(3L).getAs[Boolean]("rule_alpha"),
+      "doc 3: 30/61 alpha words < 0.8")
+    assert(!got(3L).getAs[Boolean]("rule_stops"), "doc 3 has no stop words")
+    assert(!got(3L).getAs[Boolean]("rule_symbols"),
+      "doc 3: 10 '#' over 61 words = 0.164 > 0.1")
+  }
+
+  test("ccnetBuckets: per-language terciles ordered by unigram nll") {
+    // 6 docs, one lang: 3 made of the corpus-common token (lowest nll,
+    // head), then increasingly rare vocab; bucket boundaries at 2/2/2
+    val dir = corpusDir(Seq(
+      (1L, "c c c c"), (2L, "c c c r1"), (3L, "c c r2 r3"),
+      (4L, "c r4 r5 r6"), (5L, "r7 r8 r9 r10"), (6L, "r11 r12 r13 r14")))
+    val got = TextOps.ccnetBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"), s"got $got")
+  }
+
   test("trainingShuffle: dense per-shard positions, run-deterministic, epoch-distinct") {
     val dir = corpusDir((1L to 40L).map(i => (i, s"doc number about topic $i")))
     def run(epoch: Int) = TextOps.trainingShuffle(spark, dir, epoch = epoch)
