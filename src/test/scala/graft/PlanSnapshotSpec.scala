@@ -174,7 +174,15 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("communities_louvain", 7, 0),
     ("communities_leiden", 12, 0),
     ("bpe_corpus_encode", 4, 1),
-    ("bpe_token_pack", 6, 1))
+    ("bpe_token_pack", 6, 1),
+    // r8 batch-2 entries: SQ8 is one broadcast-scalar pass + a
+    // TakeOrdered (1 Exchange); gopher is a stateless projection
+    // (its only Exchange is the output orderBy); ccnet rides the
+    // checkpointed doc_logprob grain + one lang-keyed window
+    ("ann_sq_topk", 1, 2),
+    ("sq_invariants", 3, 4),
+    ("gopher_rules", 1, 1),
+    ("ccnet_buckets", 9, 1))
 
   // hygiene gate for every r7 entry: no CartesianProduct (broadcast
   // nested-loop for scalar frames is fine), no keyless WindowExec
@@ -188,7 +196,8 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "article_rank_topk", "containment_pairs",
     "hits_topk", "betweenness_sample", "predict_ratings",
     "communities_louvain", "communities_leiden",
-    "bpe_corpus_encode", "bpe_token_pack")
+    "bpe_corpus_encode", "bpe_token_pack",
+    "ann_sq_topk", "sq_invariants", "gopher_rules", "ccnet_buckets")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
