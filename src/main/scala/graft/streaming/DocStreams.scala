@@ -102,6 +102,16 @@ object DocStreams {
   def qualityClassifierStream(docs: DataFrame): DataFrame =
     graft.text.TextOps.qualityClassifierOf(docs)
 
+  /** S16 — stateless streaming Gopher rule battery: the named-rule
+    * filter REPORT ([[graft.text.TextOps.gopherRulesOf]] — metrics,
+    * per-rule verdicts, keep) at arrival, completing the at-ingest
+    * cascade S13 (score) → S16 (named rules) → S15 (model). Pure
+    * projection like its siblings: no watermark, no state store,
+    * Append mode, stream ≡ batch by row-set equality across trigger
+    * boundaries (StreamingSpec). */
+  def gopherRulesStream(docs: DataFrame): DataFrame =
+    graft.text.TextOps.gopherRulesOf(docs)
+
   /** Batch twin of [[nearDupStream]] for the stream ≡ batch proof:
     * every doc linked to its band bucket's min doc_id where min < doc.
     * Same signatures, same band keys, plain aggregation. */

@@ -479,4 +479,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == 3, "stateless scorer emits every doc with its score")
     } finally q.stop()
   }
+
+  test("gopherRulesStream (S16): stateless named-rule report ≡ batch, across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    val docs = Seq(
+      (1L, (1 to 58).map(i => s"word$i").mkString(" ") + " the of"),
+      (2L, "tiny doc"),
+      (3L, (1 to 60).map(i => s"$i").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.gopherRulesStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gps").outputMode("append").start()
+    try {
+      input.addData(docs(0))
+      q.processAllAvailable()
+      input.addData(docs(1), docs(2))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getAs[Boolean]("keep"),
+          r.getAs[Boolean]("rule_alpha"), r.getAs[Boolean]("rule_stops"))
+      val got = spark.table("gps").collect().map(key).toSet
+      val want = graft.text.TextOps.gopherRulesOf(
+          docs.toDF("doc_id", "text")).collect().map(key).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      assert(got.size == 3)
+      // semantic content: doc 1 passes everything, doc 3 is all-digit
+      assert(got.exists(t => t._1 == 1L && t._3), "doc 1 must keep")
+      assert(got.exists(t => t._1 == 3L && !t._4), "doc 3 fails alpha")
+    } finally q.stop()
+  }
 }
