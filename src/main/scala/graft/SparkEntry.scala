@@ -803,6 +803,7 @@ object SparkEntry {
     // — r8: the named-rule quality tier + perplexity mixing knob —
     "gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(s, d)),
+    "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     // — r8: SQ8 completes the FAISS index family (brute/LSH/IVF/PQ/
     //   IVFPQ/SQ); gate lives in sq_invariants —
     "ann_sq_topk" -> ((s, d) => graft.ann.AnnSearch.sqTopK(s, d)),
@@ -6299,6 +6300,42 @@ object SparkEntry {
         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR: two add-1 unigram LMs (target = the lang='en' slice, pool
+    // = everything) over the shared (doc, token, count) grain; the
+    // per-doc log ratio replays exactly, `selected` reads the ROUNDED
+    // per-token ratio in both engines
+    "dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       t -> length(t) > 0)) AS tok
+        |  FROM documents
+        |), grain AS (
+        |  SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, lang, tok
+        |), src AS (
+        |  SELECT tok, SUM(c) AS src_cnt FROM grain GROUP BY tok
+        |), tgt AS (
+        |  SELECT tok, SUM(c) AS tgt_cnt FROM grain WHERE lang = 'en' GROUP BY tok
+        |), vocab AS (
+        |  SELECT s.tok, s.src_cnt, COALESCE(t.tgt_cnt, 0) AS tgt_cnt
+        |  FROM src s LEFT JOIN tgt t ON s.tok = t.tok
+        |), totals AS (
+        |  SELECT SUM(src_cnt) AS n_src, SUM(tgt_cnt) AS n_tgt, COUNT(*) AS v
+        |  FROM vocab
+        |), scored AS (
+        |  SELECT g.doc_id, SUM(g.c) AS n_tokens,
+        |    SUM(CAST(g.c AS DOUBLE) *
+        |        (ln(CAST(tgt_cnt + 1 AS DOUBLE) / CAST(n_tgt + v AS DOUBLE)) -
+        |         ln(CAST(src_cnt + 1 AS DOUBLE) / CAST(n_src + v AS DOUBLE)))) AS logw
+        |  FROM grain g JOIN vocab USING (tok), totals
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(logw / n_tokens, 6) AS logw_per_token,
+        |  ROUND(logw / n_tokens, 6) > 0.0 AS selected
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     // the doc_logprob unigram-LM CTEs + a per-language NTILE over the
     // ROUNDED nll (the value both engines agree on bit-for-bit)

@@ -291,6 +291,58 @@ object TextOps {
           col("rule_alpha") && col("rule_stops"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every pool
+    * document by how much more likely it is under a TARGET-domain
+    * language model than under the raw-pool model —
+    * log w(d)/|d| = Σ_tok c_d(tok)·(ln p_tgt(tok) − ln p_src(tok)) / |d|,
+    * both models add-1-smoothed unigram LMs over the pool vocabulary
+    * (the hashed-ngram variant swaps the token column for a hash
+    * bucket; the dataflow is identical). Target here = the labelled
+    * `lang = targetLang` slice — deterministic, so the whole score is
+    * integer-derived doubles and exactly oracle-checkable. `selected`
+    * = positive log ratio (closer to target than pool).
+    *
+    * Dataflow: the (doc, token, count) grain built once (the
+    * doc_logprob lesson — in-doc repeats fold before any join), the
+    * two frequency tables derive from it (target by a doc_id
+    * semi-join), the scalar totals ride ONE broadcast single-row
+    * frame, and the score is one vocab-keyed join + one doc-keyed
+    * aggregate. At 100 TB: two map-side-combining shuffles over the
+    * grain + a vocabulary-sized join — no corpus self-join anywhere. */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val docTok = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val srcFreq = docTok.groupBy(col("tok")).agg(sum(col("c")).as("src_cnt"))
+    val tgtFreq = docTok.filter(col("lang") === targetLang)
+      .groupBy(col("tok")).agg(sum(col("c")).as("tgt_cnt"))
+    val vocab = srcFreq.join(tgtFreq, Seq("tok"), "left")
+      .select(col("tok"), col("src_cnt"),
+        coalesce(col("tgt_cnt"), lit(0L)).as("tgt_cnt"))
+      .localCheckpoint()
+    val totals = vocab.agg(sum(col("src_cnt")).as("n_src"),
+      sum(col("tgt_cnt")).as("n_tgt"), count(lit(1)).as("v"))
+    val term = log((col("tgt_cnt") + lit(1L)).cast("double") /
+        (col("n_tgt") + col("v")).cast("double")) -
+      log((col("src_cnt") + lit(1L)).cast("double") /
+        (col("n_src") + col("v")).cast("double"))
+    docTok.join(vocab, Seq("tok"))
+      .join(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * term).as("logw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logw") / col("n_tokens").cast("double"), 6)
+          .as("logw_per_token"))
+      .withColumn("selected", col("logw_per_token") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
     * language, documents split into head/middle/tail terciles of the
     * unigram-LM negative log-likelihood from [[docLogProb]] — the

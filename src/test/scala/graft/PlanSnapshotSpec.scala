@@ -182,7 +182,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("ann_sq_topk", 1, 2),
     ("sq_invariants", 3, 4),
     ("gopher_rules", 1, 1),
-    ("ccnet_buckets", 9, 1))
+    ("ccnet_buckets", 9, 1),
+    // dsir: grain + two freq aggs + vocab join + doc agg, all over the
+    // checkpointed grain (scans hide behind the checkpoint)
+    ("dsir_weights", 5, 0))
 
   // hygiene gate for every r7 entry: no CartesianProduct (broadcast
   // nested-loop for scalar frames is fine), no keyless WindowExec
@@ -197,7 +200,8 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "hits_topk", "betweenness_sample", "predict_ratings",
     "communities_louvain", "communities_leiden",
     "bpe_corpus_encode", "bpe_token_pack",
-    "ann_sq_topk", "sq_invariants", "gopher_rules", "ccnet_buckets")
+    "ann_sq_topk", "sq_invariants", "gopher_rules", "ccnet_buckets",
+    "dsir_weights")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()

@@ -159,6 +159,32 @@ class TextPipelineSpec extends AnyFunSuite {
       4L -> "middle", 5L -> "tail", 6L -> "tail"), s"got $got")
   }
 
+  test("dsirWeights: target-like docs score positive, pool-only vocab negative") {
+    // target (en) speaks 'alpha beta'; the pool (xx) speaks 'gamma
+    // delta' — except doc 5, an xx doc written in target vocab, which
+    // DSIR must surface (positive log ratio) despite its pool label
+    val dir = Files.createTempDirectory("graft_dsir").toString
+    Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "beta alpha beta alpha", "en"),
+      (3L, "gamma delta gamma delta", "xx"),
+      (4L, "delta gamma delta gamma", "xx"),
+      (5L, "alpha beta beta alpha", "xx"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'web' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.size == 5)
+    Seq(1L, 2L, 5L).foreach(d =>
+      assert(got(d)._1 > 0 && got(d)._2, s"doc $d must be selected: ${got(d)}"))
+    Seq(3L, 4L).foreach(d =>
+      assert(got(d)._1 < 0 && !got(d)._2, s"doc $d must not be selected: ${got(d)}"))
+    // symmetric fixture: the en docs and doc 5 share one exact score
+    assert(got(1L)._1 == got(5L)._1)
+  }
+
   test("trainingShuffle: dense per-shard positions, run-deterministic, epoch-distinct") {
     val dir = corpusDir((1L to 40L).map(i => (i, s"doc number about topic $i")))
     def run(epoch: Int) = TextOps.trainingShuffle(spark, dir, epoch = epoch)
