@@ -804,6 +804,7 @@ object SparkEntry {
     "gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(s, d)),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
+    "tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(s, d)),
     // — r8: SQ8 completes the FAISS index family (brute/LSH/IVF/PQ/
     //   IVFPQ/SQ); gate lives in sq_invariants —
     "ann_sq_topk" -> ((s, d) => graft.ann.AnnSearch.sqTopK(s, d)),
@@ -1518,6 +1519,22 @@ object SparkEntry {
   /** BPE sequence packing replay: [[packSql]]'s window arithmetic with
     * the counts swapped from whitespace tokens to the bc CTE's BPE
     * token totals. */
+  /** Fertility = BPE tokens per word, per language — the bc counts
+    * lang-joined and aggregated. */
+  private def tokenizerFertilityOracle: String =
+    bpeCorpusCtes +
+      """, f AS (
+        |  SELECT d.lang, SUM(bc.n_words) AS n_words,
+        |         SUM(bc.n_bpe_tokens) AS n_bpe_tokens
+        |  FROM bc JOIN documents d USING (doc_id)
+        |  GROUP BY d.lang
+        |)
+        |SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+        |  ROUND(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |    AS fertility
+        |FROM f ORDER BY lang""".stripMargin
+
   private def bpeTokenPackOracle: String =
     bpeCorpusCtes +
       """, bo AS (
@@ -5113,6 +5130,7 @@ object SparkEntry {
     "bpe_train_merges" -> bpeTrainOracle,
     "bpe_encode" -> bpeEncodeOracle,
     "bpe_corpus_encode" -> bpeCorpusEncodeOracle,
+    "tokenizer_fertility" -> tokenizerFertilityOracle,
     "bpe_token_pack" -> bpeTokenPackOracle,
 
     "kspan_invariants" ->

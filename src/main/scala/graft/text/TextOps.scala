@@ -978,6 +978,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility report — BPE tokens per whitespace word, by
+    * language: THE tokenizer-evaluation number for multilingual
+    * corpora (a fertility far above the target language's baseline
+    * means the vocab under-serves that language and its documents
+    * cost disproportionate sequence length). Composes
+    * [[bpeCorpusEncode]]'s per-document counts with the labelled lang
+    * column — one broadcast-vocab apply (already the 100 TB shape) +
+    * one lang-keyed aggregate. */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame =
+    bpeCorpusEncode(spark, dir, rounds)
+      .join(documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+      .orderBy(col("lang"))
+
   /** Sequence packing over BPE token counts — [[tokenPack]]'s exact bin
     * arithmetic fed by [[bpeCorpusEncode]]'s per-document counts: the
     * composed (train tokenizer → apply to corpus → pack sequences)

@@ -855,6 +855,23 @@ class NewOpsSpec extends AnyFunSuite {
     assert(res.toSeq == AnnSearch.sqTopK(spark, sf).collect().toSeq)
   }
 
+  test("tokenizerFertility: per-lang totals reconcile with the per-doc encode, fertility >= 1") {
+    import graft.text.TextOps
+    val perDoc = TextOps.bpeCorpusEncode(spark, sf).collect()
+    val byLang = TextOps.tokenizerFertility(spark, sf).collect()
+    assert(byLang.nonEmpty)
+    assert(byLang.map(_.getLong(1)).sum == perDoc.map(_.getLong(1)).sum,
+      "lang-summed word counts must reconcile with the per-doc encode")
+    assert(byLang.map(_.getLong(2)).sum == perDoc.map(_.getLong(2)).sum,
+      "lang-summed BPE counts must reconcile with the per-doc encode")
+    byLang.foreach { r =>
+      assert(r.getDouble(3) >= 1.0, s"fertility < 1 for ${r.getString(0)}")
+      val want = BigDecimal(r.getLong(2).toDouble / r.getLong(1).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want)
+    }
+  }
+
   test("kmeans: recovers three planted well-separated blobs") {
     // three blobs on orthogonal axes; ids are arranged so the three
     // smallest seeded-hash ids (the init picks) land in DIFFERENT

@@ -185,7 +185,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
     ("ccnet_buckets", 9, 1),
     // dsir: grain + two freq aggs + vocab join + doc agg, all over the
     // checkpointed grain (scans hide behind the checkpoint)
-    ("dsir_weights", 5, 0))
+    ("dsir_weights", 5, 0),
+    // fertility rides the cached bpe encode + one lang join/agg
+    ("tokenizer_fertility", 7, 2))
 
   // hygiene gate for every r7 entry: no CartesianProduct (broadcast
   // nested-loop for scalar frames is fine), no keyless WindowExec
@@ -201,7 +203,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "communities_louvain", "communities_leiden",
     "bpe_corpus_encode", "bpe_token_pack",
     "ann_sq_topk", "sq_invariants", "gopher_rules", "ccnet_buckets",
-    "dsir_weights")
+    "dsir_weights", "tokenizer_fertility")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
