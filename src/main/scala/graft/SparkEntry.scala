@@ -248,6 +248,8 @@ object SparkEntry {
     }),
     "hits_topk" -> ((s, d) => graft.graph.Algorithms.hitsTopK(s, d)),
     "predict_ratings" -> ((s, d) => graft.graph.Algorithms.predictRatings(s, d)),
+    "predict_ratings_item" ->
+      ((s, d) => graft.graph.Algorithms.predictRatingsItem(s, d)),
     "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "doc_logprob" -> ((s, d) => TextOps.docLogProb(s, d)),
@@ -4818,6 +4820,44 @@ object SparkEntry {
          |SELECT book_id, ROUND(SUM(sim * rating) / SUM(sim), 6) AS pred_rating,
          |  CAST(COUNT(*) AS BIGINT) AS n_raters
          |FROM cand GROUP BY book_id
+         |ORDER BY pred_rating DESC, book_id
+         |LIMIT 10""".stripMargin,
+
+    // item-based CF twin: book-pair liked-cosine restricted to the
+    // target's profile books, per-candidate top-20 neighbour cut by
+    // the bit-deterministic unrounded sim, weighted average of the
+    // target's own ratings
+    "predict_ratings_item" ->
+      s"""$RatingsCte, liked AS (
+         |  SELECT user_id, book_id, rating FROM ratings WHERE rating >= 6
+         |), bnorms AS (
+         |  SELECT book_id, SUM(rating * rating) AS sq FROM liked GROUP BY book_id
+         |), mine AS (
+         |  SELECT book_id AS m_b, rating AS r_me FROM ratings WHERE user_id = 1
+         |), dots AS (
+         |  SELECT c.book_id, m.book_id AS m_b, SUM(c.rating * m.rating) AS dot
+         |  FROM liked c JOIN liked m USING (user_id)
+         |  JOIN mine ON m.book_id = mine.m_b
+         |  WHERE c.book_id <> m.book_id
+         |  GROUP BY c.book_id, m.book_id
+         |), sims AS (
+         |  SELECT d.book_id, d.m_b, mi.r_me,
+         |    CAST(d.dot AS DOUBLE) /
+         |      (SQRT(CAST(nb.sq AS DOUBLE)) * SQRT(CAST(nm.sq AS DOUBLE))) AS sim
+         |  FROM dots d
+         |  JOIN bnorms nb ON d.book_id = nb.book_id
+         |  JOIN bnorms nm ON d.m_b = nm.book_id
+         |  JOIN mine mi ON d.m_b = mi.m_b
+         |  WHERE d.book_id NOT IN (SELECT m_b FROM mine)
+         |), cut AS (
+         |  SELECT book_id, r_me, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY book_id ORDER BY sim DESC, m_b) AS rk
+         |  FROM sims
+         |)
+         |SELECT book_id, ROUND(SUM(sim * r_me) / SUM(sim), 6) AS pred_rating,
+         |  CAST(COUNT(*) AS BIGINT) AS n_neighbors
+         |FROM cut WHERE rk <= 20
+         |GROUP BY book_id
          |ORDER BY pred_rating DESC, book_id
          |LIMIT 10""".stripMargin,
 

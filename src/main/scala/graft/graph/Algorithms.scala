@@ -2448,6 +2448,72 @@ object Algorithms {
       .limit(k)
   }
 
+  /** ITEM-based collaborative-filtering rating prediction — the
+    * classic transpose of [[predictRatings]] (user-based CF): for each
+    * book b the target hasn't rated, r̂(b) = Σ sim(b, b′)·r_u(b′) /
+    * Σ sim(b, b′) over the target's own rated books b′, similarities
+    * the liked-cosine between BOOK rating vectors (co-liker dot /
+    * norms), each candidate capped at its `kSim` most similar of the
+    * target's books. Item CF is the production-serving favourite
+    * because the similarity substrate depends only on the CORPUS, not
+    * the user — at 100 TB the pair statistics are a batch silver and
+    * a request touches |rated(u)| posting lists.
+    *
+    * Candidate generation is bounded the scalable way: the pair join's
+    * left side is restricted to the LIKERS OF THE TARGET'S OWN BOOKS
+    * first (liked ⋈ broadcast(mine)), so the quadratic term is
+    * Σ_{b′∈mine} likers(b′)·|their books| — never a corpus self-join.
+    * All sums integer-valued; the two float divisions round at the
+    * output; the per-candidate neighbour cut orders by the
+    * bit-deterministic unrounded sim with book-id tie-break. */
+  def predictRatingsItem(spark: SparkSession, dir: String, user: Long = 1L,
+      kSim: Int = 20, k: Int = 10): DataFrame = {
+    val liked = RatingsGraph.ratings(spark, dir)
+      .filter(col("rating") >= 6)
+      .select(col("user_id"), col("book_id"), col("rating"))
+    val bookNorms = graft.Cache.cached(spark, dir, "liked_book_norms") {
+      liked.groupBy(col("book_id")).agg(sum(col("rating") * col("rating")).as("sq"))
+    }
+    // the target's profile: EVERYTHING they rated (prediction weights),
+    // tiny — broadcast both into the pair join and the anti-join
+    val mine = RatingsGraph.ratings(spark, dir)
+      .filter(col("user_id") === user)
+      .select(col("book_id").as("m_b"), col("rating").as("r_me"))
+    // co-liker dot products between candidate books and profile books:
+    // likers-of-mine first, then one user-keyed join against liked
+    val likedMine = liked
+      .join(broadcast(mine.select(col("m_b"))), col("book_id") === col("m_b"))
+      .select(col("user_id"), col("m_b"), col("rating").as("r_mine_side"))
+    val dots = liked.as("c")
+      .join(likedMine.as("m"), Seq("user_id"))
+      .filter(col("c.book_id") =!= col("m.m_b"))
+      .groupBy(col("c.book_id").as("book_id"), col("m.m_b").as("m_b"))
+      .agg(sum(col("c.rating") * col("m.r_mine_side")).as("dot"))
+    val sims = dots
+      .join(bookNorms.select(col("book_id"), col("sq").as("sq_b")), Seq("book_id"))
+      .join(broadcast(bookNorms.select(col("book_id").as("m_b"), col("sq").as("sq_mb"))
+        .join(mine.select(col("m_b")), Seq("m_b"))), Seq("m_b"))
+      .join(broadcast(mine), Seq("m_b"))
+      .select(col("book_id"), col("m_b"), col("r_me"),
+        (col("dot").cast("double") /
+          (sqrt(col("sq_b").cast("double")) * sqrt(col("sq_mb").cast("double"))))
+          .as("sim"))
+      // drop candidates the target already rated
+      .join(broadcast(mine.select(col("m_b").as("book_id"))), Seq("book_id"),
+        "left_anti")
+    // per-candidate neighbour cut: kSim most similar profile books
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("book_id")).orderBy(col("sim").desc, col("m_b"))
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= kSim)
+      .groupBy(col("book_id"))
+      .agg((sum(col("sim") * col("r_me")) / sum(col("sim"))).as("pred"),
+        count(lit(1)).as("n_neighbors"))
+      .select(col("book_id"), round(col("pred"), 6).as("pred_rating"),
+        col("n_neighbors"))
+      .orderBy(col("pred_rating").desc, col("book_id"))
+      .limit(k)
+  }
+
   /** Degree assortativity (Newman's degree-correlation coefficient):
     * Pearson r of the endpoint degrees over every directed edge of a
     * symmetric graph. Positive = hubs link hubs, negative = hubs link

@@ -680,6 +680,26 @@ class NewOpsSpec extends AnyFunSuite {
       "recommended a book the target already rated")
   }
 
+  test("predictRatingsItem: predictions in [1,10], never a rated book, neighbour cap holds") {
+    val got = Algorithms.predictRatingsItem(spark, sf)
+    assert(got.count() > 0)
+    assert(got.filter(col("pred_rating") < 1.0 || col("pred_rating") > 10.0).isEmpty)
+    assert(got.filter(col("n_neighbors") < 1L || col("n_neighbors") > 20L).isEmpty)
+    val mine = graft.graph.RatingsGraph.ratings(spark, sf)
+      .filter(col("user_id") === 1L).select(col("book_id"))
+    assert(got.join(mine, Seq("book_id"), "left_semi").isEmpty,
+      "recommended a book the target already rated")
+    // a prediction is a weighted AVERAGE of the target's own ratings,
+    // so it can never exceed the target's own max (nor undercut the min)
+    val r = graft.graph.RatingsGraph.ratings(spark, sf)
+      .filter(col("user_id") === 1L)
+      .agg(min(col("rating")), max(col("rating"))).head()
+    val (lo, hi) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(got.filter(col("pred_rating") < lo - 1e-6 ||
+      col("pred_rating") > hi + 1e-6).isEmpty,
+      s"prediction outside the target's own rating range [$lo, $hi]")
+  }
+
   test("userCosineTopK: scores in (0,1], dot consistent with liked ratings") {
     val got = Algorithms.userCosineTopK(spark, sf)
     assert(got.count() > 0)

@@ -187,7 +187,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // checkpointed grain (scans hide behind the checkpoint)
     ("dsir_weights", 5, 0),
     // fertility rides the cached bpe encode + one lang join/agg
-    ("tokenizer_fertility", 7, 2))
+    ("tokenizer_fertility", 7, 2),
+    // item CF: profile-restricted pair join + norms + keyed window,
+    // every small side broadcast (counts include the cached ratings
+    // silver's stage lines)
+    ("predict_ratings_item", 15, 2))
 
   // hygiene gate for every r7 entry: no CartesianProduct (broadcast
   // nested-loop for scalar frames is fine), no keyless WindowExec
@@ -203,7 +207,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "communities_louvain", "communities_leiden",
     "bpe_corpus_encode", "bpe_token_pack",
     "ann_sq_topk", "sq_invariants", "gopher_rules", "ccnet_buckets",
-    "dsir_weights", "tokenizer_fertility")
+    "dsir_weights", "tokenizer_fertility", "predict_ratings_item")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
