@@ -126,6 +126,7 @@ object SparkEntry {
     "events_windowed_agg" -> ((s, d) => Olap.eventsWindowedAgg(s, d)),
     "events_anomaly" -> ((s, d) => Olap.eventsAnomaly(s, d)),
     "events_sessionize" -> ((s, d) => Olap.eventsSessionize(s, d)),
+    "events_scd2" -> ((s, d) => Olap.eventsScd2(s, d)),
     "asof_join" -> ((s, d) => Olap.asofJoinEventsOrders(s, d)),
     "min_price_per_part" -> ((s, d) => Olap.minPricePerPart(s, d)),
     "events_attribution" -> ((s, d) => Olap.eventsAttribution(s, d)),
@@ -797,6 +798,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => graft.dedup.Dedup.nearDupClusters(s, d)),
     "dedup_survivors" -> ((s, d) => graft.dedup.Dedup.dedupSurvivors(s, d)),
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "bm25_top_terms" -> ((s, d) => TextOps.bm25TopTerms(s, d)),
     "events_funnel" -> ((s, d) => Olap.eventsFunnel(s, d)),
     "events_gap_fill" -> ((s, d) => Olap.eventsGapFill(s, d)),
     "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),
@@ -4077,6 +4079,33 @@ object SparkEntry {
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
+    // SCD2 dimension build: change-row collapse + versioned validity
+    // windows, a ns-epoch-safe 2100-01-01 high date on the open version
+    // (NULL-free; year 9999 wraps in nanosecond readers)
+    "events_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM flagged
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), v AS (
+        |  SELECT user_id, event_type, ts,
+        |    ROW_NUMBER() OVER w AS version,
+        |    LEAD(ts, 1) OVER w AS next_ts
+        |  FROM changes
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |  date_trunc('second', ts) AS valid_from,
+        |  COALESCE(date_trunc('second', next_ts),
+        |           TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+        |  next_ts IS NULL AS is_current
+        |FROM v
+        |ORDER BY user_id, version""".stripMargin,
+
     "quality_filter" ->
       s"""SELECT ts.doc_id, li.lang_pred, ts.quality_score
          |FROM ($TextStatsSql) ts JOIN ($LangIdSql) li USING (doc_id)
@@ -6246,6 +6275,43 @@ object SparkEntry {
         |FROM toks t JOIN freq f ON t.tok = f.tok, total tt
         |GROUP BY t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // BM25: same single-explode grain as tfidf; k1+1 and the length
+    // norm are written as the same runtime double ARITHMETIC both
+    // engines execute (1.2 + 1.0, never a pre-folded 2.2 literal whose
+    // parse could differ from the sum in the last bit)
+    "bm25_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    t -> length(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term
+        |), g AS (
+        |  SELECT doc_id, term, tf,
+        |    COUNT(*) OVER (PARTITION BY term) AS df,
+        |    SUM(tf) OVER (PARTITION BY doc_id) AS dl
+        |  FROM tf
+        |), c AS (
+        |  SELECT SUM(tf) AS total_tokens, COUNT(DISTINCT doc_id) AS n_docs FROM tf
+        |), scored AS (
+        |  SELECT doc_id, term, tf,
+        |    ROUND(ln((CAST(n_docs AS DOUBLE) - df + 0.5) /
+        |             (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |        CAST(dl AS DOUBLE) /
+        |        (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+        |      AS score
+        |  FROM g, c
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH toks AS (

@@ -429,6 +429,46 @@ object Olap {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) build from the event log —
+    * the warehouse-canonical versioned dimension: each user's
+    * event_type stream collapses to its CHANGE rows (lag-detect), every
+    * change opens a version valid [valid_from, valid_to) with the next
+    * change's timestamp as its close, the open version carried at a
+    * HIGH DATE (NULL-free — the high-date sentinel IS the warehouse
+    * idiom, and it keeps the hash compare away from NULL-vs-NaT
+    * canonicalisation). The sentinel is 2100-01-01, not the classic
+    * 9999-12-31: a year-9999 µs timestamp overflows the nanosecond
+    * int64 epoch (pandas/Arrow ns readers wrap it to year 1816), and
+    * a dimension row nobody can read back is not a dimension row. Versions are numbered per user; deterministic
+    * total order (ts, event_id) everywhere, timestamps truncated to
+    * seconds like the sessionizer. Two keyed windows + one filter, one
+    * shuffle on user_id — the MERGE-free, scan-once SCD2 build that
+    * replaces per-row upserts at warehouse scale. */
+  def eventsScd2(spark: SparkSession, dir: String): DataFrame =
+    eventsScd2Of(events(spark, dir))
+
+  /** [[eventsScd2]] over ANY (user_id, event_type, ts, event_id)
+    * frame — the fixture/stream-composable form of the siblings. */
+  def eventsScd2Of(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val byUserChanges = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("version", row_number().over(byUserChanges).cast("bigint"))
+      .withColumn("valid_from", date_trunc("second", col("ts")))
+      .withColumn("valid_to",
+        coalesce(date_trunc("second", lead(col("ts"), 1).over(byUserChanges)),
+          to_timestamp(lit("2100-01-01 00:00:00"))))
+      .withColumn("is_current", lead(col("ts"), 1).over(byUserChanges).isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Time-based sliding frame (RANGE, not ROWS): per event, the count
     * and exact-decimal sum of the user's values in the trailing 30
     * minutes. The ROWS-frame sibling is [[eventsRolling]]; a RANGE

@@ -681,6 +681,45 @@ object TextOps {
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 
+  /** BM25 top-k terms per document (Robertson/Okapi, the Lucene
+    * scoring default) — [[tfidfTopTerms]]'s production-IR sibling with
+    * tf saturation (k1) and document-length normalisation (b):
+    * score = idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), idf the
+    * plus-one Lucene form ln((N − df + 0.5)/(df + 0.5) + 1). Same
+    * single-explode dataflow: tf grain once, df and doc length as
+    * WINDOWS over that grain (never a second corpus pass), the corpus
+    * constants one broadcast scalar row, TopKPerKey for the cut.
+    * Every score input is an integer-derived double, so the scalar
+    * chain replays exactly in SQL. */
+  def bm25TopTerms(spark: SparkSession, dir: String, k: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+    val df = count(lit(1)).over(w.partitionBy(col("term")))
+    val dl = sum(col("tf")).over(w.partitionBy(col("doc_id")))
+    val consts = tf.agg(sum(col("tf")).as("total_tokens"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .withColumn("df", df).withColumn("dl", dl)
+      .crossJoin(broadcast(consts))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("score",
+        round(col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+              (col("total_tokens").cast("double") / col("n_docs").cast("double")))),
+          6))
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+    graft.plans.TopKPerKey.topKPerKey(scored, Seq("doc_id"),
+        Seq(("score", false), ("term", true)), k)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
   /** Sequence packing (concat-and-chunk): assign documents to fixed-size
     * token bins, the step that turns a filtered corpus into fixed-length
     * training sequences. Documents are packed in deterministic doc_id

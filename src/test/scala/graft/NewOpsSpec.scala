@@ -1032,6 +1032,45 @@ class NewOpsSpec extends AnyFunSuite {
     assert(corr.toSeq == again.toSeq)
   }
 
+  test("eventsScd2: repeats collapse, versions dense, validity windows chain") {
+    // user 1: A A B A -> versions A[t1,t3) B[t3,t4) A[t4,high);
+    // user 2: single event -> one current version
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00")
+    val ev = Seq(
+      (1L, 1L, "A", ts(1)), (2L, 1L, "A", ts(2)), (3L, 1L, "B", ts(3)),
+      (4L, 1L, "A", ts(4)), (5L, 2L, "X", ts(5)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.olap.Olap.eventsScd2Of(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getBoolean(5)))
+    val high = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", ts(1), ts(3), false),
+      (1L, 2L, "B", ts(3), ts(4), false),
+      (1L, 3L, "A", ts(4), high, true),
+      (2L, 1L, "X", ts(5), high, true)), s"got ${got.toSeq}")
+  }
+
+  test("bm25TopTerms: closed-form scores on a single-doc corpus, saturation orders by tf") {
+    import graft.text.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    Seq((1L, "a a b"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.bm25TopTerms(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=1, df=1 -> idf = ln(0.5/1.5 + 1); dl = avgdl -> length norm = 1
+    val idf = math.log(0.5 / 1.5 + 1.0)
+    val sa = r6(idf * (2.0 * (1.2 + 1.0)) / (2.0 + 1.2))
+    val sb = r6(idf * (1.0 * (1.2 + 1.0)) / (1.0 + 1.2))
+    assert(got.toSeq == Seq(("a", 2L, sa), ("b", 1L, sb)), s"got ${got.toSeq}")
+    assert(sa > sb, "higher tf must win under saturation")
+  }
+
   test("eventsEwma: closed-form adjust=True values on a three-row series") {
     val ev = Seq((1L, "click", 1L, 10.0), (2L, "click", 2L, 20.0),
       (3L, "click", 3L, 5.0)).toDF("event_id", "event_type", "ts", "value")

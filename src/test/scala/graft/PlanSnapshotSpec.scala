@@ -191,7 +191,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // item CF: profile-restricted pair join + norms + keyed window,
     // every small side broadcast (counts include the cached ratings
     // silver's stage lines)
-    ("predict_ratings_item", 15, 2))
+    ("predict_ratings_item", 15, 2),
+    // scd2: one user-keyed shuffle feeds both windows; bm25 mirrors
+    // tfidf's single-explode grain (df/dl as windows over it)
+    ("events_scd2", 2, 1),
+    ("bm25_top_terms", 8, 2))
 
   // hygiene gate for every r7 entry: no CartesianProduct (broadcast
   // nested-loop for scalar frames is fine), no keyless WindowExec
@@ -207,7 +211,8 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "communities_louvain", "communities_leiden",
     "bpe_corpus_encode", "bpe_token_pack",
     "ann_sq_topk", "sq_invariants", "gopher_rules", "ccnet_buckets",
-    "dsir_weights", "tokenizer_fertility", "predict_ratings_item")
+    "dsir_weights", "tokenizer_fertility", "predict_ratings_item",
+    "events_scd2", "bm25_top_terms")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
