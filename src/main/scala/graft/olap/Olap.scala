@@ -469,6 +469,73 @@ object Olap {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** T14 — INCREMENTAL SCD2 maintenance: fold an APPEND-ONLY event
+    * delta into an existing [[eventsScd2Of]] dimension without
+    * rebuilding it. Blast radius = the delta's users only: untouched
+    * users pass through by anti-join; for touched users the delta's
+    * change rows are detected with the lag chain SEEDED by the user's
+    * current version's type (the louvainWarmStart recipe — a synthetic
+    * seed row that is dropped after the lag), new versions continue
+    * the user's numbering, and the previously-current row closes at
+    * the first new change's timestamp. Precondition (require'd): every
+    * delta event is strictly later than the dimension's open versions —
+    * the append-only contract under which merge ≡ full rebuild, which
+    * the spec proves row-for-row on new users, unchanged-type deltas,
+    * and multi-change deltas. */
+  def mergeScd2(dim: DataFrame, delta: DataFrame): DataFrame = {
+    val highDate = to_timestamp(lit("2100-01-01 00:00:00"))
+    val users = delta.select(col("user_id")).distinct()
+    val untouched = dim.join(users, Seq("user_id"), "left_anti")
+    val touched = dim.join(users, Seq("user_id"), "left_semi")
+    val current = touched.filter(col("is_current"))
+      .select(col("user_id"), col("event_type"), col("valid_from").as("ts"),
+        col("version").as("cur_version"))
+    // append-only contract: a delta event at or before an open
+    // version's start would rewrite history, not extend it
+    val tooEarly = delta.select(col("user_id"), col("ts"))
+      .join(current.select(col("user_id"), col("ts").as("cur_from")), Seq("user_id"))
+      .filter(col("ts") <= col("cur_from")).count()
+    require(tooEarly == 0L,
+      s"mergeScd2: $tooEarly delta events at or before an open version's start " +
+        "— the append-only contract is broken; rebuild with eventsScd2Of instead")
+    // seed row: the current type at the current valid_from with
+    // event_id -1 (sorts first), dropped after the lag
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newChanges = delta
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .unionByName(current.select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("event_id", lit(-1L)))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("event_id") =!= -1L)
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val numbered = newChanges
+      .join(broadcast(current.select(col("user_id"), col("cur_version"))),
+        Seq("user_id"), "left")
+      .withColumn("version",
+        (row_number().over(byUser) + coalesce(col("cur_version"), lit(0L)))
+          .cast("bigint"))
+      .withColumn("valid_from", date_trunc("second", col("ts")))
+      .withColumn("valid_to",
+        coalesce(date_trunc("second", lead(col("ts"), 1).over(byUser)), highDate))
+      .withColumn("is_current", lead(col("ts"), 1).over(byUser).isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+    // close the previously-current row at the user's FIRST new change
+    val firstChange = newChanges.groupBy(col("user_id"))
+      .agg(date_trunc("second", min(struct(col("ts"), col("event_id"))).getField("ts"))
+        .as("close_at"))
+    val adjusted = touched
+      .join(broadcast(firstChange), Seq("user_id"), "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("close_at").isNotNull, col("close_at"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current",
+        col("is_current") && col("close_at").isNull)
+      .drop("close_at")
+    untouched.unionByName(adjusted).unionByName(numbered)
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Time-based sliding frame (RANGE, not ROWS): per event, the count
     * and exact-decimal sum of the user's values in the trailing 30
     * minutes. The ROWS-frame sibling is [[eventsRolling]]; a RANGE

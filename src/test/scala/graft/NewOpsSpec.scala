@@ -1051,6 +1051,35 @@ class NewOpsSpec extends AnyFunSuite {
       (2L, 1L, "X", ts(5), high, true)), s"got ${got.toSeq}")
   }
 
+  test("mergeScd2 (T14): delta fold == full rebuild on new/unchanged/multi-change users") {
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    // base: u1 A A B (changes at 1, 3); u2 X; u3 Q (untouched by delta)
+    val base = Seq(
+      (1L, 1L, "A", ts(1)), (2L, 1L, "A", ts(2)), (3L, 1L, "B", ts(3)),
+      (4L, 2L, "X", ts(4)), (5L, 3L, "Q", ts(5)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    // delta: u1 B A B (change, change); u2 X X (no type change);
+    // u4 brand new N N M (change at first, change to M)
+    val delta = Seq(
+      (6L, 1L, "B", ts(10)), (7L, 1L, "A", ts(11)), (8L, 1L, "B", ts(12)),
+      (9L, 2L, "X", ts(13)), (10L, 2L, "X", ts(14)),
+      (11L, 4L, "N", ts(15)), (12L, 4L, "N", ts(16)), (13L, 4L, "M", ts(17)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getBoolean(5))).toSeq
+    val merged = rows(graft.olap.Olap.mergeScd2(
+      graft.olap.Olap.eventsScd2Of(base), delta))
+    val rebuilt = rows(graft.olap.Olap.eventsScd2Of(base.unionByName(delta)))
+    assert(merged == rebuilt, s"merged $merged\nrebuilt $rebuilt")
+    // the contract guard: a delta event at the open version's start fails fast
+    val bad = Seq((99L, 1L, "Z", ts(3))).toDF("event_id", "user_id", "event_type", "ts")
+    val ex = intercept[IllegalArgumentException] {
+      graft.olap.Olap.mergeScd2(graft.olap.Olap.eventsScd2Of(base), bad).count()
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
+
   test("bm25TopTerms: closed-form scores on a single-doc corpus, saturation orders by tf") {
     import graft.text.TextOps
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
