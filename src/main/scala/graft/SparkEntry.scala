@@ -816,9 +816,15 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val sq = graft.ann.AnnSearch.sqTopK(s, d).select(col("vec_id"))
       val bf = graft.ann.AnnSearch.bruteForceTopK(s, d).select(col("vec_id"))
+      // denominator = the ACTUAL SQ result count, not the literal 10:
+      // on a fixture with fewer than 11 non-query vectors the LIMIT
+      // underfills and a hardcoded 10 would under-report recall
+      val nSq = sq.agg(count(lit(1)).as("n_sq"))
       sq.join(bf, Seq("vec_id")).agg(count(lit(1)).as("n_hits"))
-        .select(lit(10L).as("n_sq"), col("n_hits").cast("bigint").as("n_hits"),
-          round(col("n_hits").cast("double") / 10.0, 6).as("recall_at_10"),
+        .crossJoin(nSq)
+        .select(col("n_sq").cast("bigint").as("n_sq"),
+          col("n_hits").cast("bigint").as("n_hits"),
+          round(col("n_hits").cast("double") / col("n_sq"), 6).as("recall_at_10"),
           (col("n_hits") >= 5L).as("recall_gate"))
     }),
     // — r4 continuation: sampled centrality, personalized PageRank,
@@ -2291,13 +2297,15 @@ object SparkEntry {
       base + s""", bfq AS (
         |  SELECT vec_id FROM (SELECT vec_id, ${cos("v", "qv")} AS c FROM base, q)
         |  ORDER BY c DESC, vec_id LIMIT 10
+        |), nsq AS (
+        |  SELECT COUNT(*) AS n_sq FROM top
         |), hits AS (
         |  SELECT COUNT(*) AS n_hits FROM top JOIN bfq USING (vec_id)
         |)
-        |SELECT CAST(10 AS BIGINT) AS n_sq, CAST(n_hits AS BIGINT) AS n_hits,
-        |  ROUND(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall_at_10,
+        |SELECT CAST(n_sq AS BIGINT) AS n_sq, CAST(n_hits AS BIGINT) AS n_hits,
+        |  ROUND(CAST(n_hits AS DOUBLE) / n_sq, 6) AS recall_at_10,
         |  n_hits >= 5 AS recall_gate
-        |FROM hits""".stripMargin
+        |FROM hits, nsq""".stripMargin
   }
 
   /** [[RatingsCte]] with the RECURSIVE modifier — a WITH list containing
@@ -4082,6 +4090,10 @@ object SparkEntry {
     // SCD2 dimension build: change-row collapse + versioned validity
     // windows, a ns-epoch-safe 2100-01-01 high date on the open version
     // (NULL-free; year 9999 wraps in nanosecond readers)
+    // sub-second coalescing mirrors eventsScd2Of: last change per
+    // (user, second), then drop changes whose type equals the surviving
+    // predecessor's — boundaries are second-truncated, so without it two
+    // changes in one second would mint a zero-width version
     "events_scd2" ->
       """WITH flagged AS (
         |  SELECT user_id, event_type, ts, event_id,
@@ -4089,20 +4101,33 @@ object SparkEntry {
         |      AS prev_type
         |  FROM events
         |), changes AS (
-        |  SELECT user_id, event_type, ts, event_id FROM flagged
+        |  SELECT user_id, event_type, ts, event_id,
+        |    date_trunc('second', ts) AS sec
+        |  FROM flagged
         |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), last_in_sec AS (
+        |  SELECT user_id, event_type, ts, event_id, sec FROM (
+        |    SELECT *, LEAD(sec, 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nsec
+        |    FROM changes)
+        |  WHERE nsec IS NULL OR nsec <> sec
+        |), dedup AS (
+        |  SELECT user_id, event_type, ts, event_id, sec FROM (
+        |    SELECT *, LAG(event_type, 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_kept
+        |    FROM last_in_sec)
+        |  WHERE prev_kept IS NULL OR prev_kept <> event_type
         |), v AS (
-        |  SELECT user_id, event_type, ts,
+        |  SELECT user_id, event_type, sec,
         |    ROW_NUMBER() OVER w AS version,
-        |    LEAD(ts, 1) OVER w AS next_ts
-        |  FROM changes
+        |    LEAD(sec, 1) OVER w AS next_sec
+        |  FROM dedup
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |)
         |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
-        |  date_trunc('second', ts) AS valid_from,
-        |  COALESCE(date_trunc('second', next_ts),
-        |           TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
-        |  next_ts IS NULL AS is_current
+        |  sec AS valid_from,
+        |  COALESCE(next_sec, TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+        |  next_sec IS NULL AS is_current
         |FROM v
         |ORDER BY user_id, version""".stripMargin,
 

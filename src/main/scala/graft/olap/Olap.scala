@@ -448,22 +448,38 @@ object Olap {
     eventsScd2Of(events(spark, dir))
 
   /** [[eventsScd2]] over ANY (user_id, event_type, ts, event_id)
-    * frame — the fixture/stream-composable form of the siblings. */
+    * frame — the fixture/stream-composable form of the siblings.
+    *
+    * Validity boundaries are second-truncated, so several changes inside
+    * one second would mint a ZERO-WIDTH version (valid_from == valid_to)
+    * that no `valid_from <= t < valid_to` lookup can ever return. Change
+    * rows are therefore coalesced per second: keep the LAST change in
+    * each (user, second) — the state the second ends on — then drop
+    * changes the coalescing made redundant (type equal to the surviving
+    * predecessor's; ONE lag pass suffices because a dropped row's type
+    * always equals its predecessor's, so equal runs collapse
+    * transitively). All passes share one partitionBy(user_id) ordering,
+    * so the whole build still rides a single user-keyed shuffle. */
   def eventsScd2Of(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val changes = ev
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-    val byUserChanges = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    changes
-      .withColumn("version", row_number().over(byUserChanges).cast("bigint"))
-      .withColumn("valid_from", date_trunc("second", col("ts")))
+      .withColumn("sec", date_trunc("second", col("ts")))
+    val lastInSecond = changes
+      .withColumn("nsec", lead(col("sec"), 1).over(byUser))
+      .filter(col("nsec").isNull || col("nsec") =!= col("sec"))
+    val deduped = lastInSecond
+      .withColumn("prev_kept", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_kept").isNull || col("prev_kept") =!= col("event_type"))
+    deduped
+      .withColumn("version", row_number().over(byUser).cast("bigint"))
+      .withColumn("valid_from", col("sec"))
       .withColumn("valid_to",
-        coalesce(date_trunc("second", lead(col("ts"), 1).over(byUserChanges)),
+        coalesce(lead(col("sec"), 1).over(byUser),
           to_timestamp(lit("2100-01-01 00:00:00"))))
-      .withColumn("is_current", lead(col("ts"), 1).over(byUserChanges).isNull)
+      .withColumn("is_current", lead(col("sec"), 1).over(byUser).isNull)
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy(col("user_id"), col("version"))
@@ -475,57 +491,91 @@ object Olap {
     * users pass through by anti-join; for touched users the delta's
     * change rows are detected with the lag chain SEEDED by the user's
     * current version's type (the louvainWarmStart recipe — a synthetic
-    * seed row that is dropped after the lag), new versions continue
-    * the user's numbering, and the previously-current row closes at
-    * the first new change's timestamp. Precondition (require'd): every
-    * delta event is strictly later than the dimension's open versions —
-    * the append-only contract under which merge ≡ full rebuild, which
-    * the spec proves row-for-row on new users, unchanged-type deltas,
-    * and multi-change deltas. */
-  def mergeScd2(dim: DataFrame, delta: DataFrame): DataFrame = {
+    * seed row that is dropped after the lag), coalesced per second like
+    * the full rebuild, new versions continue the user's numbering, and
+    * the previously-current row closes at the first new change's second.
+    *
+    * The append-only contract (require'd — ONE eager count job per call,
+    * by design: a silent history rewrite is worse than a job):
+    *  - with `watermark` = a (user_id, hwm) frame carrying the MAX BASE
+    *    EVENT timestamp per user (untruncated), the contract is
+    *    airtight: every delta event must land in a strictly LATER second
+    *    than the user's last base event (a same-second delta would
+    *    re-coalesce with it under a full rebuild), and merge ≡ rebuild.
+    *  - without it, the fallback guard compares against the open
+    *    version's second-truncated `valid_from` — it CANNOT see a delta
+    *    landing between the open version's start and the user's last
+    *    base event (base A@t1,A@t5 + delta B@t3 passes, yet diverges
+    *    from the rebuild). Callers that can produce the watermark
+    *    should; the dimension alone does not carry enough history.
+    *
+    * No broadcast hints: the delta-derived sides (`current`,
+    * `firstChange`) are "delta users"-sized — at 100 TB with a day-scale
+    * delta that is NOT provably broadcast-sized, so size-based auto
+    * selection (AQE) picks the strategy (§4 rule: hint only provably
+    * small sides). The spec pins the no-hint plan under
+    * autoBroadcastJoinThreshold=-1. */
+  def mergeScd2(dim: DataFrame, delta: DataFrame,
+      watermark: Option[DataFrame] = None): DataFrame = {
     val highDate = to_timestamp(lit("2100-01-01 00:00:00"))
     val users = delta.select(col("user_id")).distinct()
     val untouched = dim.join(users, Seq("user_id"), "left_anti")
     val touched = dim.join(users, Seq("user_id"), "left_semi")
     val current = touched.filter(col("is_current"))
-      .select(col("user_id"), col("event_type"), col("valid_from").as("ts"),
+      .select(col("user_id"), col("event_type"), col("valid_from").as("cur_from"),
         col("version").as("cur_version"))
-    // append-only contract: a delta event at or before an open
-    // version's start would rewrite history, not extend it
-    val tooEarly = delta.select(col("user_id"), col("ts"))
-      .join(current.select(col("user_id"), col("ts").as("cur_from")), Seq("user_id"))
-      .filter(col("ts") <= col("cur_from")).count()
+    val deltaSecs = delta.select(col("user_id"),
+      date_trunc("second", col("ts")).as("dsec"))
+    val tooEarly = (watermark match {
+      case Some(wm) => deltaSecs.join(
+        wm.select(col("user_id"), date_trunc("second", col("hwm")).as("bound")),
+        Seq("user_id"))
+      case None => deltaSecs.join(
+        current.select(col("user_id"), col("cur_from").as("bound")), Seq("user_id"))
+    }).filter(col("dsec") <= col("bound")).count()
     require(tooEarly == 0L,
-      s"mergeScd2: $tooEarly delta events at or before an open version's start " +
-        "— the append-only contract is broken; rebuild with eventsScd2Of instead")
-    // seed row: the current type at the current valid_from with
-    // event_id -1 (sorts first), dropped after the lag
+      s"mergeScd2: $tooEarly delta events at or before the append-only bound " +
+        "(watermark second, or the open version's start without one) " +
+        "— the contract is broken; rebuild with eventsScd2Of instead")
+    // seed row: the current type at cur_from with event_id -1 (sorts
+    // first); it anchors BOTH dedup passes — change detection and the
+    // post-coalesce type dedup — then drops before versioning
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val newChanges = delta
+    val changes = delta
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .unionByName(current.select(col("user_id"), col("event_type"), col("ts"))
-        .withColumn("event_id", lit(-1L)))
+      .unionByName(current.select(col("user_id"), col("event_type"),
+        col("cur_from").as("ts")).withColumn("event_id", lit(-1L)))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("event_id") === -1L ||
+        col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("sec", date_trunc("second", col("ts")))
+    // per-second coalescing + consecutive-type dedup, mirroring
+    // eventsScd2Of: a delta run that lands back on the current type
+    // inside one second must emit no redundant version. The guard above
+    // keeps the seed alone in its second (no delta shares it).
+    val lastInSecond = changes
+      .withColumn("nsec", lead(col("sec"), 1).over(byUser))
+      .filter(col("nsec").isNull || col("nsec") =!= col("sec"))
+    val kept = lastInSecond
+      .withColumn("prev_kept", lag(col("event_type"), 1).over(byUser))
       .filter(col("event_id") =!= -1L)
-      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-    val numbered = newChanges
-      .join(broadcast(current.select(col("user_id"), col("cur_version"))),
-        Seq("user_id"), "left")
+      .filter(col("prev_kept").isNull || col("prev_kept") =!= col("event_type"))
+    val numbered = kept
+      .join(current.select(col("user_id"), col("cur_version")), Seq("user_id"), "left")
       .withColumn("version",
         (row_number().over(byUser) + coalesce(col("cur_version"), lit(0L)))
           .cast("bigint"))
-      .withColumn("valid_from", date_trunc("second", col("ts")))
+      .withColumn("valid_from", col("sec"))
       .withColumn("valid_to",
-        coalesce(date_trunc("second", lead(col("ts"), 1).over(byUser)), highDate))
-      .withColumn("is_current", lead(col("ts"), 1).over(byUser).isNull)
+        coalesce(lead(col("sec"), 1).over(byUser), highDate))
+      .withColumn("is_current", lead(col("sec"), 1).over(byUser).isNull)
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from"), col("valid_to"), col("is_current"))
-    // close the previously-current row at the user's FIRST new change
-    val firstChange = newChanges.groupBy(col("user_id"))
-      .agg(date_trunc("second", min(struct(col("ts"), col("event_id"))).getField("ts"))
-        .as("close_at"))
+    // close the previously-current row at the user's FIRST kept change
+    val firstChange = kept.groupBy(col("user_id"))
+      .agg(min(col("sec")).as("close_at"))
     val adjusted = touched
-      .join(broadcast(firstChange), Seq("user_id"), "left")
+      .join(firstChange, Seq("user_id"), "left")
       .withColumn("valid_to",
         when(col("is_current") && col("close_at").isNotNull, col("close_at"))
           .otherwise(col("valid_to")))

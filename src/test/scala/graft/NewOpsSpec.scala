@@ -1051,6 +1051,33 @@ class NewOpsSpec extends AnyFunSuite {
       (2L, 1L, "X", ts(5), high, true)), s"got ${got.toSeq}")
   }
 
+  test("eventsScd2: sub-second change runs coalesce to the second's last type — no zero-width versions") {
+    // boundaries are second-truncated, so A@.100 B@.400 C@.700 inside
+    // second t1 must collapse to ONE version (type C), not three
+    // zero-width ones; and a run that lands back on the predecessor's
+    // type (u2: A then B@.2 A@.8 within t2) must emit no new version
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, "A", t("2024-01-01 00:00:01.100")),
+      (2L, 1L, "B", t("2024-01-01 00:00:01.400")),
+      (3L, 1L, "C", t("2024-01-01 00:00:01.700")),
+      (4L, 1L, "D", t("2024-01-01 00:00:05.000")),
+      (5L, 2L, "A", t("2024-01-01 00:00:01.000")),
+      (6L, 2L, "B", t("2024-01-01 00:00:02.200")),
+      (7L, 2L, "A", t("2024-01-01 00:00:02.800")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.olap.Olap.eventsScd2Of(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getBoolean(5)))
+    val high = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    assert(got.toSeq == Seq(
+      (1L, 1L, "C", t("2024-01-01 00:00:01"), t("2024-01-01 00:00:05"), false),
+      (1L, 2L, "D", t("2024-01-01 00:00:05"), high, true),
+      (2L, 1L, "A", t("2024-01-01 00:00:01"), high, true)), s"got ${got.toSeq}")
+    // every version strictly positive-width: valid_from < valid_to
+    assert(got.forall(r => r._4.before(r._5)), s"zero-width version in ${got.toSeq}")
+  }
+
   test("mergeScd2 (T14): delta fold == full rebuild on new/unchanged/multi-change users") {
     val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
     // base: u1 A A B (changes at 1, 3); u2 X; u3 Q (untouched by delta)
@@ -1077,7 +1104,51 @@ class NewOpsSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       graft.olap.Olap.mergeScd2(graft.olap.Olap.eventsScd2Of(base), bad).count()
     }
-    assert(ex.getMessage.contains("append-only"))
+    assert(ex.getMessage.contains("contract is broken"))
+  }
+
+  test("mergeScd2: watermark guard catches a delta BEHIND the last base event that the fallback cannot see") {
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    // base: u1 A@t1 A@t5 — one version, open since t1, last EVENT at t5.
+    // delta B@t3 is between them: a full rebuild would version at t3
+    // AND t5's A would re-change it, so merge ≠ rebuild — yet the
+    // fallback guard (t3 > open version's start t1) passes silently.
+    val base = Seq((1L, 1L, "A", ts(1)), (2L, 1L, "A", ts(5)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val dim = graft.olap.Olap.eventsScd2Of(base)
+    val midDelta = Seq((3L, 1L, "B", ts(3))).toDF("event_id", "user_id", "event_type", "ts")
+    val wm = base.groupBy(col("user_id")).agg(max(col("ts")).as("hwm"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.olap.Olap.mergeScd2(dim, midDelta, Some(wm)).count()
+    }
+    assert(ex.getMessage.contains("contract is broken"))
+    // a genuinely-later delta passes the watermark guard and merges ≡ rebuild
+    val okDelta = Seq((4L, 1L, "B", ts(7))).toDF("event_id", "user_id", "event_type", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getBoolean(5))).toSeq
+    assert(rows(graft.olap.Olap.mergeScd2(dim, okDelta, Some(wm))) ==
+      rows(graft.olap.Olap.eventsScd2Of(base.unionByName(okDelta))))
+  }
+
+  test("mergeScd2: no forced broadcasts — the delta path plans shuffle joins under autoBroadcast=-1") {
+    // the delta-derived sides are "delta users"-sized, NOT provably
+    // broadcast-sized at 100 TB; the plan must leave strategy choice to
+    // size-based auto selection (no hint survives threshold -1)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+      val base = Seq((1L, 1L, "A", ts(1)), (2L, 2L, "X", ts(2)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val delta = Seq((3L, 1L, "B", ts(10))).toDF("event_id", "user_id", "event_type", "ts")
+      val merged = graft.olap.Olap.mergeScd2(graft.olap.Olap.eventsScd2Of(base), delta)
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"forced broadcast on the delta path:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"forced broadcast join on the delta path:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("bm25TopTerms: closed-form scores on a single-doc corpus, saturation orders by tf") {
