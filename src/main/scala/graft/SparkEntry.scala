@@ -72,16 +72,22 @@ object SparkEntry {
             col("rating").cast("bigint").as("rating"))
       }.orderBy("user_id", "book_id")
     }),
+    // the heavy stages ride the engine's session-cached silvers through
+    // the GDS reuse seams (build once, register twice — each handed-in
+    // frame is spec-proved identical to the in-workflow build, and
+    // GdsSessionSpec also proves seeded ≡ unseeded end to end)
     "gds_knn_write" -> ((s, d) => {
       graft.Cache.cached(s, d, "gds_knn_write") {
         val g = new graft.gds.GdsSession(
           graft.cypher.ReferenceQueries.graph(s, d))
         g.graphProject("userGraph", Seq("User", "Book"), "RATED",
           relProperties = Seq("rating"))
-        g.fastRpWrite("userGraph")
+        g.fastRpWrite("userGraph",
+          precomputed = Some(graft.graph.FastRP.bipartiteEmbeddings(s, d)))
         g.graphProject("knnGraph", Seq("User"), "DUMMY",
           nodeProperties = Seq("embedding"))
-        g.knnWrite("knnGraph", topK = 20, similarityCutoff = 0.8)
+        g.knnWrite("knnGraph", topK = 20, similarityCutoff = 0.8,
+          precomputedScored = Some(graft.graph.Algorithms.userScoredPairs(s, d)))
         g.db.edges("SIMILAR_TO")
       }.orderBy("src", "dst")
     }),
@@ -92,7 +98,8 @@ object SparkEntry {
         val g = new graft.gds.GdsSession(rq.graph(s, d))
         g.graphProjectCypher("userSimilarityGraph",
           rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
-        g.louvainWrite("userSimilarityGraph")
+        g.louvainWrite("userSimilarityGraph",
+          precomputedLabels = Some(graft.graph.Louvain.userCommunities(s, d)))
         g.db.nodes("User").filter(col("community").isNotNull)
           .select(col("id").as("node_id"), col("community"))
       }.orderBy("node_id")

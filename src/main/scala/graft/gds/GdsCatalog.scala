@@ -101,10 +101,14 @@ final class GdsSession(initial: CypherLite.Graph) {
           .withColumnRenamed("src", "_s").withColumnRenamed("dst", "src")
           .withColumnRenamed("_s", "dst").select(rels0.columns.map(col): _*))
       else rels0
-    projections.put(name, Projection(labs, nodes, rels))
+    // materialise once: project() already pays an eager count of both
+    // frames for the YIELD row, and every write procedure re-reads them
+    // — without the checkpoint each consumer re-plans the projection
+    val p = Projection(labs, nodes.localCheckpoint(), rels.localCheckpoint())
+    projections.put(name, p)
     val s = spark
     import s.implicits._
-    Seq((name, nodes.count(), rels.count()))
+    Seq((name, p.nodes.count(), p.rels.count()))
       .toDF("graphName", "nodeCount", "relationshipCount")
   }
 
@@ -123,10 +127,14 @@ final class GdsSession(initial: CypherLite.Graph) {
       "rel query must return `source`, `target`")
     val rels = rels0.withColumnRenamed("source", "src")
       .withColumnRenamed("target", "dst")
-    projections.put(name, Projection(Nil, nodes, rels))
+    // the cypher rel query is typically a self-join (the reference's is
+    // the co-rating projection) — checkpoint so the count here, louvain,
+    // and the modularity pass don't each re-run it
+    val p = Projection(Nil, nodes.localCheckpoint(), rels.localCheckpoint())
+    projections.put(name, p)
     val s = spark
     import s.implicits._
-    Seq((name, nodes.count(), rels.count()))
+    Seq((name, p.nodes.count(), p.rels.count()))
       .toDF("graphName", "nodeCount", "relationshipCount")
   }
 
@@ -168,18 +176,27 @@ final class GdsSession(initial: CypherLite.Graph) {
     * (weight = `relationshipWeightProperty`, 1.0 when absent — the
     * reference projection carries `rating`), embeddings decoded back
     * per label and written onto the db node frames. YIELDs
-    * nodePropertiesWritten. */
+    * nodePropertiesWritten.
+    *
+    * `precomputed` is the materialised-silver reuse seam: a caller that
+    * already holds the (node_id, embedding) frame over this projection's
+    * ENCODED id space — e.g. the session-cached
+    * `FastRP.bipartiteEmbeddings`, spec-proved frame-identical to the
+    * in-workflow build — hands it in and the embed step is skipped, the
+    * way GDS itself reuses a mutated in-memory graph. The decode +
+    * write-back bookkeeping runs either way. */
   def fastRpWrite(graphName: String, writeProperty: String = "embedding",
       embeddingDimension: Int = 64,
-      relationshipWeightProperty: Option[String] = Some("rating")): DataFrame = {
+      relationshipWeightProperty: Option[String] = Some("rating"),
+      precomputed: Option[DataFrame] = None): DataFrame = {
     val p = projections.getOrElse(graphName,
       sys.error(s"graph '$graphName' does not exist"))
     val weight = relationshipWeightProperty
       .filter(p.rels.columns.contains)
       .map(col).getOrElse(lit(1.0))
-    val emb = graft.graph.FastRP.embed(
+    val emb = precomputed.getOrElse(graft.graph.FastRP.embed(
       p.rels.select(col("src"), col("dst"), weight.cast("double").as("weight")),
-      embeddingDimension)
+      embeddingDimension))
     val l = math.max(p.labels.length, 1).toLong
     var written = 0L
     val updated = p.labels.zipWithIndex.foldLeft(db.nodes) {
@@ -207,7 +224,8 @@ final class GdsSession(initial: CypherLite.Graph) {
       topK: Int = 5, similarityCutoff: Double = 0.8,
       writeRelationshipType: String = "SIMILAR_TO",
       writeProperty: String = "similarity",
-      embeddingDimension: Int = 64): DataFrame = {
+      embeddingDimension: Int = 64,
+      precomputedScored: Option[DataFrame] = None): DataFrame = {
     val p = projections.getOrElse(graphName,
       sys.error(s"graph '$graphName' does not exist"))
     require(p.labels.length <= 1,
@@ -217,10 +235,15 @@ final class GdsSession(initial: CypherLite.Graph) {
       .select(col("id"), col(nodeProperty))
       .filter(col(nodeProperty).isNotNull)
     val nodesCompared = withEmb.count()
+    // precomputedScored: the (id_a, id_b, cosine) scored-pair silver
+    // over the same ids/embeddings (Algorithms.userScoredPairs for the
+    // reference projection — spec-proved identical); the banding +
+    // scoring is the dominant cost, shared instead of rebuilt
+    val scored = precomputedScored.getOrElse(
+      graft.ann.Lsh.scoredPairs(withEmb, "id", nodeProperty,
+        embeddingDimension))
     val edges = graft.ann.Lsh.knnFromScoredRaw(
-        graft.ann.Lsh.scoredPairs(withEmb, "id", nodeProperty,
-          embeddingDimension),
-        topK, cutoff = 2 * similarityCutoff - 1)
+        scored, topK, cutoff = 2 * similarityCutoff - 1)
       .withColumn(writeProperty, round((col("similarity") + 1) / 2, 6))
       .select(col("src"), col("dst"), col(writeProperty))
       .localCheckpoint()
@@ -236,7 +259,8 @@ final class GdsSession(initial: CypherLite.Graph) {
     * appear (the cypher projection's id space is the raw node id). */
   def louvainWrite(graphName: String, writeProperty: String = "community",
       relationshipWeightProperty: Option[String] = Some("weight"),
-      writeLabel: String = "User"): DataFrame = {
+      writeLabel: String = "User",
+      precomputedLabels: Option[DataFrame] = None): DataFrame = {
     val p = projections.getOrElse(graphName,
       sys.error(s"graph '$graphName' does not exist"))
     val weight = relationshipWeightProperty
@@ -244,7 +268,12 @@ final class GdsSession(initial: CypherLite.Graph) {
       .map(col).getOrElse(lit(1.0))
     val edges = p.rels.select(col("src"), col("dst"),
       weight.cast("double").as("weight"))
-    val labels = graft.graph.Louvain.louvain(edges, assumeGrouped = true)
+    // precomputedLabels: the (node_id, community) silver over the same
+    // projection (Louvain.userCommunities for the reference's co-rating
+    // projection — spec-proved identical); modularity + write-back
+    // still run against THIS projection's edges
+    val labels = precomputedLabels.getOrElse(
+      graft.graph.Louvain.louvain(edges, assumeGrouped = true))
       .localCheckpoint()
     val q = graft.graph.Algorithms.modularity(edges,
         labels.select(col("node_id"), col("community").as("label")))

@@ -119,13 +119,26 @@ object FastRP {
           .as("embedding"))
   }
 
+  /** Session-cached FULL bipartite embedding frame — ENCODED node ids
+    * (user → 2·id, book → 2·id + 1), exactly the id space the GDS
+    * `['User','Book']`/RATED projection uses (`GdsCatalog.graphProject`
+    * encodes id·L + labelIndex with the same label order), so this ONE
+    * build feeds both [[userEmbeddings]] and `GdsSession.fastRpWrite`
+    * (build once, register twice — the r8 silver-creep lever). */
+  def bipartiteEmbeddings(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dim: Int = 64): DataFrame =
+    graft.Cache.cached(spark, dir, s"fastrp_bipartite_$dim") {
+      embed(Algorithms.bipartiteEdges(spark, dir), dim)
+    }
+
   /** FastRP embeddings for the USER side of the bipartite ratings graph
     * (the reference writes embeddings to all nodes, then runs KNN over
-    * users only — `Alg_KNN_FastRP.py:83-97`). Session-cached. */
+    * users only — `Alg_KNN_FastRP.py:83-97`). Session-cached; derives
+    * from [[bipartiteEmbeddings]] (the decode is a map-only filter). */
   def userEmbeddings(spark: org.apache.spark.sql.SparkSession, dir: String,
       dim: Int = 64): DataFrame =
     graft.Cache.cached(spark, dir, s"fastrp_user_$dim") {
-      embed(Algorithms.bipartiteEdges(spark, dir), dim)
+      bipartiteEmbeddings(spark, dir, dim)
         .filter(pmod(col("node_id"), lit(2)) === 0)
         .select((col("node_id") / 2).cast("bigint").as("user_id"), col("embedding"))
     }

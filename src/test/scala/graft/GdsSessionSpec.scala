@@ -92,4 +92,48 @@ class GdsSessionSpec extends AnyFunSuite {
       cached.select(col("community")).distinct().count())
     assert(meta.getDouble(1) > 0.0, "cooc-graph Louvain modularity must be positive")
   }
+
+  test("silver reuse seams: seeded writes ≡ unseeded writes (fastRP / knn / louvain)") {
+    // the SparkEntry workflow entries hand the engine's session-cached
+    // silvers into the write procedures; this pins that the seam frames
+    // really are the in-workflow builds — written db state identical
+    def knnState(seed: Boolean) = {
+      val g = fresh
+      g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+        relProperties = Seq("rating"))
+      g.fastRpWrite("userGraph", precomputed =
+        if (seed) Some(graph.FastRP.bipartiteEmbeddings(spark, sf)) else None)
+      g.graphProject("knnGraph", Seq("User"), "DUMMY",
+        nodeProperties = Seq("embedding"))
+      g.knnWrite("knnGraph", topK = 20, similarityCutoff = 0.8,
+        precomputedScored =
+          if (seed) Some(graph.Algorithms.userScoredPairs(spark, sf)) else None)
+      g.db.edges("SIMILAR_TO")
+    }
+    val (seeded, unseeded) = (knnState(true), knnState(false))
+    assert(seeded.exceptAll(unseeded).isEmpty && unseeded.exceptAll(seeded).isEmpty,
+      "seeded knn workflow diverged from the unseeded build")
+
+    def louvainState(seed: Boolean) = {
+      val g = fresh
+      g.graphProjectCypher("userSimilarityGraph",
+        "MATCH (u:User) RETURN id(u) AS id",
+        """MATCH (u1:User)-[r1:RATED]->(b:Book)<-[r2:RATED]-(u2:User)
+          |WHERE u1 <> u2 AND r1.rating >= 6 AND r2.rating >= 6
+          |RETURN id(u1) AS source, id(u2) AS target, COUNT(*) AS weight""".stripMargin)
+      val meta = g.louvainWrite("userSimilarityGraph", precomputedLabels =
+        if (seed) Some(graph.Louvain.userCommunities(spark, sf)) else None).head()
+      (g.db.nodes("User").filter(col("community").isNotNull)
+        .select(col("id"), col("community")), meta)
+    }
+    val (ls, lu) = (louvainState(true), louvainState(false))
+    assert(ls._1.exceptAll(lu._1).isEmpty && lu._1.exceptAll(ls._1).isEmpty,
+      "seeded louvain workflow diverged from the unseeded build")
+    // modularity is a double aggregate — the seeded labels frame has a
+    // different physical partitioning, so the sum association order
+    // differs by an ULP; ≡ means same value, not same float bits
+    assert(ls._2.getLong(0) == lu._2.getLong(0) &&
+      math.abs(ls._2.getDouble(1) - lu._2.getDouble(1)) < 1e-9,
+      s"YIELD rows diverged: ${ls._2} vs ${lu._2}")
+  }
 }
