@@ -38,6 +38,13 @@ object SparkEntry {
       graft.cypher.ReferenceQueries.recommendKnn(s, d)),
     "cypher_large_groups" -> ((s, d) =>
       graft.cypher.ReferenceQueries.largeGroups(s, d)),
+    // r9: the var-length `[:T*min..max]` and shortestPath() syntax
+    // families, compiled onto the bounded-BFS machinery and gated on
+    // the bfs_hops / shortest_path_nodes twins' own oracles
+    "cypher_bfs_hops" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.bfsHopsCompiled(s, d)),
+    "cypher_shortest_path" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.shortestPathCompiled(s, d)),
     // — CypherLoad + GdsSession: the reference's WRITE path and GDS
     // workflow driven end to end, gated on the hand-built twins' own
     // oracles (ratings_edges / knn_similar_edges_ref / louvain). Each
@@ -3491,7 +3498,9 @@ object SparkEntry {
   private def cypherOracles: Map[String, String] = Map(
     "cypher_user_books" -> oracleSqlBase("user_rated_books"),
     "cypher_recommend_knn" -> oracleSqlBase("recommend_knn"),
-    "cypher_large_groups" -> oracleSqlBase("users_in_large_groups"))
+    "cypher_large_groups" -> oracleSqlBase("users_in_large_groups"),
+    "cypher_bfs_hops" -> oracleSqlBase("bfs_hops"),
+    "cypher_shortest_path" -> oracleSqlBase("shortest_path_nodes"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,

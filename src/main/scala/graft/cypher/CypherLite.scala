@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
   *    `count(x)`, `avg(x)`, `sum(x)`, `min(x)`, `max(x)`,
   *    `COLLECT(x)`, plus trailing `WHERE` / `ORDER BY` / `LIMIT`;
   *  - `UNWIND list AS v`;
-  *  - `RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n]`.
+  *  - `RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n]`;
+  *  - var-length segments `-[r:T*min..max]->` / `-[:T*..k]-` (bounded
+  *    BFS; `r.hops` = minimal hop distance — see [[Compiler]] for the
+  *    documented DISTINCT-endpoint semantics) and
+  *    `MATCH p = shortestPath((a {id:s})-[:T*..k]-(b {id:t}))` with
+  *    `nodes(p)` / `length(p)`, lowered onto the engine's
+  *    shortest-path machinery.
   *
   * Variables live as STRUCT columns (node: id + properties; rel:
   * src/dst + properties), property access is `getField`, and a WITH
@@ -63,10 +69,15 @@ object CypherLite {
   private[cypher] case class Agg(fn: String, arg: Option[Expr]) extends Expr
   private[cypher] case class PatPred(a: String, relType: String, b: String) extends Expr
 
+  private[cypher] case class Fn1(name: String, arg: Expr) extends Expr
+
   private[cypher] case class NodePat(v: Option[String], label: Option[String],
       props: Seq[(String, Expr)])
+  /** `varLength = Some((min, max))` for `-[:T*min..max]->` segments;
+    * `undirected` for `-[:T]-` (no arrowhead either side). */
   private[cypher] case class RelPat(v: Option[String], relType: String,
-      leftToRight: Boolean)
+      leftToRight: Boolean, varLength: Option[(Int, Int)] = None,
+      undirected: Boolean = false)
   private[cypher] case class Chain(first: NodePat, rest: Seq[(RelPat, NodePat)])
 
   private[cypher] case class Item(expr: Expr, alias: Option[String])
@@ -75,6 +86,11 @@ object CypherLite {
   private[cypher] sealed trait Clause
   private[cypher] case class Match(chains: Seq[Chain],
       optional: Boolean = false) extends Clause
+  /** `MATCH p = shortestPath((a)-[:T*..k]-(b))` — binds `p` to the
+    * node sequence of THE shortest path (deterministic min-parent
+    * tie-break, [[graft.graph.Algorithms.shortestPathNodesOn]]). */
+  private[cypher] case class ShortestPath(pathVar: String,
+      chain: Chain) extends Clause
   private[cypher] case class Where(expr: Expr) extends Clause
   private[cypher] case class With(items: Seq[Item], distinct: Boolean,
       where: Option[Expr], order: Seq[Order], limit: Option[Long]) extends Clause
@@ -154,10 +170,18 @@ object CypherLite {
 
       private def clause(): Clause = next() match {
         case "MATCH" =>
-          val cs = Seq.newBuilder[Chain]
-          cs += chain()
-          while (peek == ",") { next(); cs += chain() }
-          Match(cs.result())
+          // `MATCH p = shortestPath((a)-[:T*..k]-(b))`
+          if (isIdent(peek) && peekAt(1) == "=" && peekAt(2) == "shortestPath") {
+            val pv = next(); next(); next(); expect("(")
+            val c = chain()
+            expect(")")
+            ShortestPath(pv, c)
+          } else {
+            val cs = Seq.newBuilder[Chain]
+            cs += chain()
+            while (peek == ",") { next(); cs += chain() }
+            Match(cs.result())
+          }
         case "OPTIONAL" =>
           expect("MATCH")
           val cs = Seq.newBuilder[Chain]
@@ -242,7 +266,8 @@ object CypherLite {
         out.result()
       }
 
-      /** `-[r:TYPE]->` or `<-[r:TYPE]-` */
+      /** `-[r:TYPE]->`, `<-[r:TYPE]-`, undirected `-[r:TYPE]-`, each
+        * with an optional var-length `*min..max` / `*k` / `*..k`. */
       private def relPat(): RelPat = {
         val leftArrow = peek == "<"
         if (leftArrow) { next(); expect("-") } else expect("-")
@@ -250,9 +275,31 @@ object CypherLite {
         val v = if (isIdent(peek)) Some(next()) else None
         expect(":")
         val t = next()
+        val vl = if (peek == "*") { next(); Some(varBounds()) } else None
         expect("]")
-        if (leftArrow) expect("-") else expect("->")
-        RelPat(v, t, leftToRight = !leftArrow)
+        if (leftArrow) { expect("-"); RelPat(v, t, leftToRight = false, vl) }
+        else if (peek == "->") { next(); RelPat(v, t, leftToRight = true, vl) }
+        else { expect("-"); RelPat(v, t, leftToRight = true, vl,
+          undirected = true) }
+      }
+
+      /** Var-length bounds after `*`. The tokenizer folds digit/dot
+        * runs, so `1..3` arrives as ONE token and `..3` as `.` `.` `3`.
+        * An unbounded `*` fails fast — a 100 TB graph has no business
+        * in an unbounded transitive closure; state the horizon. */
+      private def varBounds(): (Int, Int) = {
+        if (peek == "]") sys.error(
+          "unbounded var-length '*' unsupported; give an upper bound (*..k)")
+        if (peek == ".") { next(); expect("."); (1, next().toInt) }
+        else {
+          val tok = next()
+          if (tok.contains("..")) {
+            val parts = tok.split("\\.\\.")
+            require(parts.length == 2 && parts(1).nonEmpty,
+              s"var-length needs an upper bound, got '*$tok'")
+            (parts(0).toInt, parts(1).toInt)
+          } else (tok.toInt, tok.toInt)
+        }
       }
 
       // -- expressions ------------------------------------------------
@@ -318,6 +365,12 @@ object CypherLite {
             val v = next()
             expect(")")
             Prop(v, "id")
+          } else if (peek == "(" && fl == "nodes") {
+            // nodes(p): a shortestPath binding already IS its node
+            // sequence (array<struct<step, node_id>>) — identity
+            next(); val e = expr(); expect(")"); e
+          } else if (peek == "(" && fl == "length") {
+            next(); val e = expr(); expect(")"); Fn1("length", e)
           } else if (peek == ".") {
             next(); Prop(name, next())
           } else Ident(name)
@@ -339,6 +392,7 @@ object CypherLite {
       clauses.foreach {
         case m: Match if m.optional => m.chains.foreach(optionalChain)
         case m: Match => m.chains.foreach(matchChain)
+        case sp: ShortestPath => compileShortestPath(sp)
         case Where(e) => applyPredicate(e)
         case w: With => project(w.items, w.distinct, w.where, w.order, w.limit)
         case Unwind(e, v) =>
@@ -355,9 +409,25 @@ object CypherLite {
       base.select(struct(base.columns.map(col).toIndexedSeq: _*).as(as))
     }
 
-    private def edgeDf(relType: String, as: String): DataFrame = {
-      val base = graph.edges.getOrElse(relType,
+    private def edgeFrame(relType: String): DataFrame =
+      graph.edges.getOrElse(relType,
         sys.error(s"unknown relationship type :$relType"))
+
+    /** Edge frame as a struct column. An undirected pattern `-[:T]-`
+      * symmetrises the frame FIRST so the hop stays one equi-join (an
+      * OR over both endpoint orders would plan a nested-loop join);
+      * the struct's src/dst then reflect traversal direction, not
+      * storage order. */
+    private def edgeDf(relType: String, as: String,
+        undirected: Boolean = false): DataFrame = {
+      val base0 = edgeFrame(relType)
+      val base =
+        if (undirected) base0.unionAll(base0.select(base0.columns.map {
+          case "src" => col("dst").as("src")
+          case "dst" => col("src").as("dst")
+          case c => col(c)
+        }.toIndexedSeq: _*))
+        else base0
       base.select(struct(base.columns.map(col).toIndexedSeq: _*).as(as))
     }
 
@@ -368,30 +438,153 @@ object CypherLite {
       var prev = c.first.v.getOrElse(
         sys.error("chained pattern needs a named source node"))
       c.rest.foreach { case (rel, node) =>
-        val rv = rel.v.getOrElse(freshName())
-        val (fromField, toField) =
-          if (rel.leftToRight) ("src", "dst") else ("dst", "src")
-        df = df.join(edgeDf(rel.relType, rv),
-          col(prev).getField("id") === col(rv).getField(fromField))
-        structVars += rv
-        val bound = node.v match {
-          case Some(v) if structVars.contains(v) =>
-            df = df.filter(col(v).getField("id") === col(rv).getField(toField))
-            applyProps(v, node.props)
-            v
-          case _ =>
-            val v = node.v.getOrElse(freshName())
-            val label = node.label.getOrElse(
-              sys.error(s"new node '$v' in a chain needs a :Label"))
-            df = df.join(nodeDf(label, v),
-              col(v).getField("id") === col(rv).getField(toField))
-            structVars += v
-            applyProps(v, node.props)
-            v
-        }
-        prev = bound
+        prev =
+          if (rel.varLength.isDefined) varLengthHop(prev, rel, node)
+          else singleHop(prev, rel, node)
       }
     }
+
+    private def singleHop(prev: String, rel: RelPat, node: NodePat): String = {
+      val rv = rel.v.getOrElse(freshName())
+      val (fromField, toField) =
+        if (rel.undirected || rel.leftToRight) ("src", "dst")
+        else ("dst", "src")
+      df = df.join(edgeDf(rel.relType, rv, rel.undirected),
+        col(prev).getField("id") === col(rv).getField(fromField))
+      structVars += rv
+      bindChainTarget(node, col(rv).getField(toField))
+    }
+
+    /** Bind the target node of a hop given the column holding its id:
+      * filter when already bound, join the label frame when new. */
+    private def bindChainTarget(node: NodePat, idCol: Column): String =
+      node.v match {
+        case Some(v) if structVars.contains(v) =>
+          df = df.filter(col(v).getField("id") === idCol)
+          applyProps(v, node.props)
+          v
+        case _ =>
+          val v = node.v.getOrElse(freshName())
+          val label = node.label.getOrElse(
+            sys.error(s"new node '$v' in a chain needs a :Label"))
+          df = df.join(nodeDf(label, v), col(v).getField("id") === idCol)
+          structVars += v
+          applyProps(v, node.props)
+          v
+      }
+
+    /** `(a)-[r:T*min..max]->(b)`: bounded-BFS reachability. Binds each
+      * (a, b) endpoint pair ONCE, with the MINIMAL hop distance as the
+      * segment variable's `hops` field — i.e. Cypher's semantics under
+      * a `WITH DISTINCT a, b` projection (per-path row multiplicity and
+      * the relationship-list binding are not reproduced; a query that
+      * needs them fails fast at the binding site, never silently). The
+      * loop is the `bfs_hops` machinery generalised to a FRAME of
+      * sources: one equi-join + (source, node)-keyed min-aggregate per
+      * hop with a localCheckpoint lineage cut — no driver state, so a
+      * bound head with millions of rows BFSes as one multi-source wave
+      * (`Algorithms.multiSourceDistances`' shape: all waves share each
+      * shuffle). */
+    private def varLengthHop(prev: String, rel: RelPat,
+        node: NodePat): String = {
+      val (minH, maxH) = rel.varLength.get
+      require(0 <= minH && minH <= maxH && maxH >= 1,
+        s"bad var-length bounds *$minH..$maxH")
+      val dir0 = edgeFrame(rel.relType).select(col("src"), col("dst"))
+      val step =
+        (if (rel.undirected)
+          dir0.unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
+        else if (rel.leftToRight) dir0
+        else dir0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint()
+      val sources = df.select(col(prev).getField("id").as("__vl_source"))
+        .distinct().localCheckpoint()
+      var dist = sources.select(col("__vl_source"),
+        col("__vl_source").as("__vl_node"), lit(0L).as("__vl_hops"))
+      for (h <- 1 to maxH) {
+        val frontier = dist.filter(col("__vl_hops") === (h - 1).toLong)
+        val next = step
+          .join(frontier.select(col("__vl_source"), col("__vl_node").as("src")),
+            Seq("src"))
+          .select(col("__vl_source"), col("dst").as("__vl_node"),
+            lit(h.toLong).as("__vl_hops"))
+        dist = dist.unionAll(next)
+          .groupBy(col("__vl_source"), col("__vl_node"))
+          .agg(min(col("__vl_hops")).as("__vl_hops"))
+          .localCheckpoint()
+      }
+      val reach = dist.filter(col("__vl_hops") >= minH.toLong)
+      df = df.join(reach, col(prev).getField("id") === col("__vl_source"))
+      rel.v.foreach { rv =>
+        df = df.withColumn(rv, struct(col("__vl_hops").as("hops")))
+        structVars += rv
+      }
+      val v = bindChainTarget(node, col("__vl_node"))
+      df = df.drop("__vl_source", "__vl_node", "__vl_hops")
+      v
+    }
+
+    /** `MATCH p = shortestPath((a {id: s})-[:T*..k]-(b {id: t}))`:
+      * endpoints must pin `id` to a literal/param (the idiom's shape —
+      * anything else fails fast); lowers onto
+      * [[graft.graph.Algorithms.shortestPathNodes]] — BFS waves with
+      * the deterministic min-parent tie-break, then a depth-bounded
+      * backtrack. `p` binds as an `array<struct<step, node_id>>`
+      * column (`nodes(p)` yields it, `length(p)` = size − 1, UNWIND
+      * explodes it); an unreachable pair matches ZERO rows, like
+      * Cypher. This clause executes eagerly at compile time: the
+      * backtrack is ≤ k single-row lookups, the only driver-side work
+      * in the compiler. */
+    private def compileShortestPath(sp: ShortestPath): Unit = {
+      val c = sp.chain
+      require(c.rest.length == 1,
+        "shortestPath needs exactly (a)-[:T*..k]-(b)")
+      val (rel, dstPat) = c.rest.head
+      val (_, maxH) = rel.varLength.getOrElse(
+        sys.error("shortestPath needs a var-length relationship (*..k)"))
+      def idOf(n: NodePat, side: String): Long =
+        n.props.collectFirst {
+          case ("id", Lit(x)) => x
+          case ("id", Param(p)) =>
+            params.getOrElse(p, sys.error(s"missing param $$$p"))
+        } match {
+          case Some(v: Long) => v
+          case Some(v: Int) => v.toLong
+          case other => sys.error(
+            s"shortestPath $side endpoint must pin {id: literal|param}, got $other")
+        }
+      val source = idOf(c.first, "source")
+      val target = idOf(dstPat, "target")
+      val dir0 = edgeFrame(rel.relType).select(col("src"), col("dst"))
+      val prepared =
+        if (rel.undirected)
+          dir0.unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
+        else if (rel.leftToRight) dir0
+        else dir0.select(col("dst").as("src"), col("src").as("dst"))
+      val rows = graft.graph.Algorithms
+        .shortestPathNodes(prepared, source, target, maxH)
+        .collect() // ≤ maxH + 1 rows by construction
+      val s = graphSpark
+      if (rows.isEmpty) {
+        val empty = array().cast("array<struct<step:int,node_id:bigint>>")
+        df =
+          if (df == null) s.range(0).select(empty.as(sp.pathVar))
+          else df.limit(0).withColumn(sp.pathVar, empty)
+      } else {
+        val arr = array(rows.sortBy(_.getInt(0)).map(r =>
+          struct(lit(r.getInt(0)).as("step"),
+            lit(r.getLong(1)).as("node_id"))).toIndexedSeq: _*)
+        df =
+          if (df == null) s.range(1).select(arr.as(sp.pathVar))
+          else df.withColumn(sp.pathVar, arr)
+      }
+      structVars += sp.pathVar
+    }
+
+    private def graphSpark: org.apache.spark.sql.SparkSession =
+      (graph.nodes.values ++ graph.edges.values).headOption
+        .map(_.sparkSession)
+        .getOrElse(sys.error("empty graph: no session to plan on"))
 
     /** OPTIONAL MATCH: the whole pattern binds or every new variable is
       * NULL — the chain (edges + new nodes + their prop filters) joins
@@ -414,10 +607,13 @@ object CypherLite {
       val (headRel, _) = c.rest.head
       val headRv = headRel.v.getOrElse(freshName())
       c.rest.zipWithIndex.foreach { case ((rel, node), idx) =>
+        require(rel.varLength.isEmpty,
+          "var-length segments inside OPTIONAL MATCH are unsupported")
         val rv = if (idx == 0) headRv else rel.v.getOrElse(freshName())
         val (fromField, toField) =
-          if (rel.leftToRight) ("src", "dst") else ("dst", "src")
-        val ed = edgeDf(rel.relType, rv)
+          if (rel.undirected || rel.leftToRight) ("src", "dst")
+          else ("dst", "src")
+        val ed = edgeDf(rel.relType, rv, rel.undirected)
         ext =
           if (ext == null) ed
           else ext.join(ed, prevIdCol === col(rv).getField(fromField))
@@ -437,7 +633,7 @@ object CypherLite {
       }
       df = df.join(ext,
         col(head).getField("id") === col(headRv).getField(
-          if (headRel.leftToRight) "src" else "dst"),
+          if (headRel.undirected || headRel.leftToRight) "src" else "dst"),
         "left_outer")
       structVars ++= newVars
     }
@@ -559,6 +755,8 @@ object CypherLite {
       case And(l, r) => col1(l) && col1(r)
       case Or(l, r) => col1(l) || col1(r)
       case Not(x) => !col1(x)
+      case Fn1("length", x) => size(col1(x)) - 1
+      case Fn1(fn, _) => sys.error(s"unsupported function $fn()")
       case _: PatPred => sys.error(
         "pattern predicate only supported as a top-level WHERE conjunct")
       case a: Agg => aggCol(a)

@@ -142,6 +142,57 @@ object ReferenceQueries {
       |RETURN u.id AS user_id, u.name AS name, u.segment AS segment
       |ORDER BY u.id""".stripMargin
 
+  /** The bipartite ratings graph as a single-label property graph:
+    * node id = the engine's encoded bipartite id (user → 2·id, book →
+    * 2·id + 1, `Algorithms.bipartiteEdges`), LINKED = the rated edges
+    * (both directions already stored) — the binding the var-length
+    * traversal idiom walks. */
+  def bipartiteGraph(spark: SparkSession, dir: String): CypherLite.Graph = {
+    val edges = graft.graph.Algorithms.bipartiteEdges(spark, dir)
+      .select(col("src"), col("dst"))
+    CypherLite.Graph(
+      nodes = Map("BNode" -> edges.select(col("src").as("id")).distinct()),
+      edges = Map("LINKED" -> edges))
+  }
+
+  /** The `(a)-[:T*min..max]-(b)` idiom (the first wall a Cypher-fluent
+    * user hit in r8 — the reference app itself stays single-hop, so
+    * this is the `recommender_knn.py:48-79` neighborhood-expansion
+    * family written the Cypher-native way). Compiles onto the bounded
+    * multi-source BFS; gated on the `bfs_hops` twin's own oracle. */
+  val BfsHops: String =
+    """MATCH (s:BNode {id: 2})-[h:LINKED*0..3]-(v:BNode)
+      |RETURN v.id AS node_id, h.hops AS hops
+      |ORDER BY node_id""".stripMargin
+
+  def bfsHopsCompiled(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(bipartiteGraph(spark, dir), BfsHops)
+
+  /** The user co-occurrence graph binding for the shortestPath idiom —
+    * COOC edges come from the session-cached bidirectional silver
+    * (`Algorithms.userCoocBidir`), the same substrate the
+    * `shortest_path_nodes` twin traverses. */
+  def coocGraph(spark: SparkSession, dir: String): CypherLite.Graph = {
+    val cooc = graft.graph.Algorithms.userCoocBidir(spark, dir)
+    CypherLite.Graph(
+      nodes = Map("User" -> cooc.select(col("src").as("id")).distinct()),
+      edges = Map("COOC" -> cooc))
+  }
+
+  /** Cypher's `shortestPath()` syntax over the engine's deterministic
+    * BFS (min-parent tie-break) — gated on the `shortest_path_nodes`
+    * twin's own oracle. */
+  val ShortestPathQuery: String =
+    """MATCH p = shortestPath((a:User {id: $src})-[:COOC*..6]-(b:User {id: $dst}))
+      |UNWIND nodes(p) AS n
+      |RETURN n.step AS step, n.node_id AS node_id
+      |ORDER BY step""".stripMargin
+
+  def shortestPathCompiled(spark: SparkSession, dir: String,
+      src: Long = 1L, dst: Long = 42L): DataFrame =
+    CypherLite.run(coocGraph(spark, dir), ShortestPathQuery,
+      Map("src" -> src, "dst" -> dst))
+
   /** `data/load_data.py:23-28` load_users — VERBATIM (backticked CSV
     * header, empty-string → NULL age CASE). */
   val LoadUsers: String =

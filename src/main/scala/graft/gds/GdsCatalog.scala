@@ -191,12 +191,8 @@ final class GdsSession(initial: CypherLite.Graph) {
       precomputed: Option[DataFrame] = None): DataFrame = {
     val p = projections.getOrElse(graphName,
       sys.error(s"graph '$graphName' does not exist"))
-    val weight = relationshipWeightProperty
-      .filter(p.rels.columns.contains)
-      .map(col).getOrElse(lit(1.0))
-    val emb = precomputed.getOrElse(graft.graph.FastRP.embed(
-      p.rels.select(col("src"), col("dst"), weight.cast("double").as("weight")),
-      embeddingDimension))
+    val emb = fastRpEmbedOf(p, embeddingDimension,
+      relationshipWeightProperty, precomputed)
     val l = math.max(p.labels.length, 1).toLong
     var written = 0L
     val updated = p.labels.zipWithIndex.foldLeft(db.nodes) {
@@ -210,6 +206,45 @@ final class GdsSession(initial: CypherLite.Graph) {
     }
     db = db.copy(nodes = updated)
     metaLong("nodePropertiesWritten" -> written)
+  }
+
+  /** The FastRP frame all three fastRP modes share: (node_id,
+    * embedding) over the projection's ENCODED id space. */
+  private def fastRpEmbedOf(p: Projection, embeddingDimension: Int,
+      relationshipWeightProperty: Option[String],
+      precomputed: Option[DataFrame]): DataFrame = {
+    val weight = relationshipWeightProperty
+      .filter(p.rels.columns.contains)
+      .map(col).getOrElse(lit(1.0))
+    precomputed.getOrElse(graft.graph.FastRP.embed(
+      p.rels.select(col("src"), col("dst"), weight.cast("double").as("weight")),
+      embeddingDimension))
+  }
+
+  /** `gds.fastRP.stream(name, {...}) YIELD nodeId, embedding` — the
+    * write mode's frame handed back as rows instead of mutated into the
+    * db; `nodeId` is the projection's internal (encoded) id, exactly
+    * GDS's stream contract. Spec-proved row-identical to the write
+    * path's read-back. */
+  def fastRpStream(graphName: String, embeddingDimension: Int = 64,
+      relationshipWeightProperty: Option[String] = Some("rating"),
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val p = projections.getOrElse(graphName,
+      sys.error(s"graph '$graphName' does not exist"))
+    fastRpEmbedOf(p, embeddingDimension, relationshipWeightProperty, precomputed)
+      .select(col("node_id").as("nodeId"), col("embedding"))
+  }
+
+  /** `gds.fastRP.stats(name, {...}) YIELD nodeCount` — the estimate/
+    * dry-run mode: same compute graph, scalar YIELD, no db mutation. */
+  def fastRpStats(graphName: String, embeddingDimension: Int = 64,
+      relationshipWeightProperty: Option[String] = Some("rating"),
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val p = projections.getOrElse(graphName,
+      sys.error(s"graph '$graphName' does not exist"))
+    metaLong("nodeCount" ->
+      fastRpEmbedOf(p, embeddingDimension, relationshipWeightProperty,
+        precomputed).count())
   }
 
   /** `gds.knn.write(name, {nodeProperties, topK, similarityCutoff,
@@ -226,10 +261,27 @@ final class GdsSession(initial: CypherLite.Graph) {
       writeProperty: String = "similarity",
       embeddingDimension: Int = 64,
       precomputedScored: Option[DataFrame] = None): DataFrame = {
+    val (nodesCompared, sims) = knnEdgesOf(graphName, nodeProperty, topK,
+      similarityCutoff, embeddingDimension, precomputedScored)
+    val edges = sims
+      .select(col("src"), col("dst"), col("similarity").as(writeProperty))
+      .localCheckpoint()
+    db = db.copy(edges = db.edges + (writeRelationshipType -> edges))
+    metaLong("nodesCompared" -> nodesCompared,
+      "relationshipsWritten" -> edges.count())
+  }
+
+  /** The KNN edge frame all three knn modes share: (src, dst,
+    * similarity) at the GDS operating point — similarity normalised to
+    * (1 + cos)/2, cutoff on that scale, top-k per node — plus the
+    * nodesCompared count the YIELD rows report. */
+  private def knnEdgesOf(graphName: String, nodeProperty: String, topK: Int,
+      similarityCutoff: Double, embeddingDimension: Int,
+      precomputedScored: Option[DataFrame]): (Long, DataFrame) = {
     val p = projections.getOrElse(graphName,
       sys.error(s"graph '$graphName' does not exist"))
     require(p.labels.length <= 1,
-      "knnWrite expects a single-label projection (the reference's shape)")
+      "knn modes expect a single-label projection (the reference's shape)")
     val withEmb = p.labels.headOption.map(lab => db.nodes(lab))
       .getOrElse(p.nodes)
       .select(col("id"), col(nodeProperty))
@@ -242,14 +294,35 @@ final class GdsSession(initial: CypherLite.Graph) {
     val scored = precomputedScored.getOrElse(
       graft.ann.Lsh.scoredPairs(withEmb, "id", nodeProperty,
         embeddingDimension))
-    val edges = graft.ann.Lsh.knnFromScoredRaw(
+    val sims = graft.ann.Lsh.knnFromScoredRaw(
         scored, topK, cutoff = 2 * similarityCutoff - 1)
-      .withColumn(writeProperty, round((col("similarity") + 1) / 2, 6))
-      .select(col("src"), col("dst"), col(writeProperty))
-      .localCheckpoint()
-    db = db.copy(edges = db.edges + (writeRelationshipType -> edges))
+      .withColumn("similarity", round((col("similarity") + 1) / 2, 6))
+      .select(col("src"), col("dst"), col("similarity"))
+    (nodesCompared, sims)
+  }
+
+  /** `gds.knn.stream(name, {...}) YIELD node1, node2, similarity` —
+    * the write mode's edge frame as rows, GDS's stream column names,
+    * no db mutation. Spec-proved row-identical to the installed
+    * SIMILAR_TO frame. */
+  def knnStream(graphName: String, nodeProperty: String = "embedding",
+      topK: Int = 5, similarityCutoff: Double = 0.8,
+      embeddingDimension: Int = 64,
+      precomputedScored: Option[DataFrame] = None): DataFrame =
+    knnEdgesOf(graphName, nodeProperty, topK, similarityCutoff,
+      embeddingDimension, precomputedScored)._2
+      .select(col("src").as("node1"), col("dst").as("node2"),
+        col("similarity"))
+
+  /** `gds.knn.stats(name, {...}) YIELD nodesCompared, similarityPairs`. */
+  def knnStats(graphName: String, nodeProperty: String = "embedding",
+      topK: Int = 5, similarityCutoff: Double = 0.8,
+      embeddingDimension: Int = 64,
+      precomputedScored: Option[DataFrame] = None): DataFrame = {
+    val (nodesCompared, sims) = knnEdgesOf(graphName, nodeProperty, topK,
+      similarityCutoff, embeddingDimension, precomputedScored)
     metaLong("nodesCompared" -> nodesCompared,
-      "relationshipsWritten" -> edges.count())
+      "similarityPairs" -> sims.count())
   }
 
   /** `gds.louvain.write(name, {writeProperty,
@@ -261,6 +334,28 @@ final class GdsSession(initial: CypherLite.Graph) {
       relationshipWeightProperty: Option[String] = Some("weight"),
       writeLabel: String = "User",
       precomputedLabels: Option[DataFrame] = None): DataFrame = {
+    val (labels, q) = louvainLabelsOf(graphName, relationshipWeightProperty,
+      precomputedLabels)
+    val base = db.nodes(writeLabel).drop(writeProperty)
+    db = db.copy(nodes = db.nodes + (writeLabel ->
+      base.join(labels.select(col("node_id").as("id"),
+        col("community").as(writeProperty)), Seq("id"), "left")))
+    val s = spark
+    import s.implicits._
+    Seq((labels.select(col("community")).distinct().count(),
+        if (q.isNullAt(1)) 0.0 else q.getDouble(1)))
+      .toDF("communityCount", "modularity")
+  }
+
+  /** The (labels, modularity row) pair all three louvain modes share.
+    * precomputedLabels: the (node_id, community) silver over the same
+    * projection (Louvain.userCommunities for the reference's co-rating
+    * projection — spec-proved identical); modularity still runs against
+    * THIS projection's edges. */
+  private def louvainLabelsOf(graphName: String,
+      relationshipWeightProperty: Option[String],
+      precomputedLabels: Option[DataFrame])
+      : (DataFrame, org.apache.spark.sql.Row) = {
     val p = projections.getOrElse(graphName,
       sys.error(s"graph '$graphName' does not exist"))
     val weight = relationshipWeightProperty
@@ -268,20 +363,32 @@ final class GdsSession(initial: CypherLite.Graph) {
       .map(col).getOrElse(lit(1.0))
     val edges = p.rels.select(col("src"), col("dst"),
       weight.cast("double").as("weight"))
-    // precomputedLabels: the (node_id, community) silver over the same
-    // projection (Louvain.userCommunities for the reference's co-rating
-    // projection — spec-proved identical); modularity + write-back
-    // still run against THIS projection's edges
     val labels = precomputedLabels.getOrElse(
       graft.graph.Louvain.louvain(edges, assumeGrouped = true))
       .localCheckpoint()
     val q = graft.graph.Algorithms.modularity(edges,
         labels.select(col("node_id"), col("community").as("label")))
       .head()
-    val base = db.nodes(writeLabel).drop(writeProperty)
-    db = db.copy(nodes = db.nodes + (writeLabel ->
-      base.join(labels.select(col("node_id").as("id"),
-        col("community").as(writeProperty)), Seq("id"), "left")))
+    (labels, q)
+  }
+
+  /** `gds.louvain.stream(name, {...}) YIELD nodeId, communityId` — the
+    * label frame as rows, no db mutation. Spec-proved row-identical to
+    * the write path's read-back. */
+  def louvainStream(graphName: String,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputedLabels: Option[DataFrame] = None): DataFrame =
+    louvainLabelsOf(graphName, relationshipWeightProperty,
+      precomputedLabels)._1
+      .select(col("node_id").as("nodeId"), col("community").as("communityId"))
+
+  /** `gds.louvain.stats(name, {...}) YIELD communityCount, modularity`
+    * — the write mode's YIELD row without the write. */
+  def louvainStats(graphName: String,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputedLabels: Option[DataFrame] = None): DataFrame = {
+    val (labels, q) = louvainLabelsOf(graphName, relationshipWeightProperty,
+      precomputedLabels)
     val s = spark
     import s.implicits._
     Seq((labels.select(col("community")).distinct().count(),

@@ -177,5 +177,72 @@ class CypherLiteSpec extends AnyFunSuite {
       CypherLite.run(fixtureGraph,
         "MATCH (u:Unknown) RETURN u.id AS id")
     }
+    // unbounded transitive closure is refused, not silently planned
+    intercept[RuntimeException] {
+      CypherLite.run(fixtureGraph,
+        "MATCH (a:User {id: 1})-[:SIMILAR_TO*]->(v:User) RETURN v.id AS id")
+    }
+    intercept[RuntimeException] { // var-length inside OPTIONAL MATCH
+      CypherLite.run(fixtureGraph,
+        """MATCH (a:User {id: 1})
+          |OPTIONAL MATCH (a)-[:SIMILAR_TO*1..2]->(v:User)
+          |RETURN v.id AS id""".stripMargin)
+    }
+  }
+
+  // ---- var-length + shortestPath (r9) ----------------------------
+
+  test("var-length: directed, undirected, exact-k hop algebra on the fixture") {
+    // directed *1..2 from user 1: SIMILAR_TO fans 1→{2,3}, no deeper edges
+    val directed = CypherLite.run(fixtureGraph,
+      """MATCH (a:User {id: 1})-[h:SIMILAR_TO*1..2]->(v:User)
+        |RETURN v.id AS peer, h.hops AS hops ORDER BY peer""".stripMargin)
+    assert(rows(directed) == Seq(Seq(2L, 1L), Seq(3L, 1L)))
+    // undirected *1..2 over RATED from user 1: hop 1 = book 100, hop 2 =
+    // co-rater 2; the :User target label prunes to the co-rater; user 1
+    // itself is min-dist 0, outside the *1.. band (and Cypher's
+    // rel-uniqueness excludes the 1-100-1 backtrack too)
+    val undirected = CypherLite.run(fixtureGraph,
+      """MATCH (a:User {id: 1})-[h:RATED*1..2]-(v:User)
+        |RETURN v.id AS peer, h.hops AS hops ORDER BY peer""".stripMargin)
+    assert(rows(undirected) == Seq(Seq(2L, 2L)))
+    // exact *2 band keeps only min-dist-2 nodes
+    val exact = CypherLite.run(fixtureGraph,
+      """MATCH (a:User {id: 1})-[h:RATED*2]-(v:User)
+        |RETURN v.id AS peer ORDER BY peer""".stripMargin)
+    assert(rows(exact) == Seq(Seq(2L)))
+  }
+
+  test("compiled [:LINKED*0..3] ≡ the bfs_hops twin on real data") {
+    val got = rows(ReferenceQueries.bfsHopsCompiled(spark, sf))
+    val want = rows(graft.graph.Algorithms.bfsHops(
+      graft.graph.Algorithms.bipartiteEdges(spark, sf), source = 2L,
+      maxHops = 3).orderBy("node_id"))
+    assert(got == want, s"compiled ${got.take(3)} vs twin ${want.take(3)}")
+    assert(got.contains(Seq(2L, 0L)),
+      "*0.. must include the source at hops 0")
+  }
+
+  test("compiled shortestPath() ≡ the shortest_path_nodes twin on real data") {
+    val got = rows(ReferenceQueries.shortestPathCompiled(spark, sf))
+    val want = rows(graft.graph.Algorithms.shortestPathNodesOn(
+      graft.graph.Algorithms.userCoocBidir(spark, sf),
+      source = 1L, target = 42L))
+    assert(got == want, s"compiled $got vs twin $want")
+    assert(got.nonEmpty && got.head(1) == 1L && got.last(1) == 42L)
+  }
+
+  test("shortestPath: length(p), and an unreachable pair matches zero rows") {
+    val len = CypherLite.run(fixtureGraph,
+      """MATCH p = shortestPath((a:User {id: 1})-[:SIMILAR_TO*..3]->(b:User {id: 3}))
+        |RETURN length(p) AS len""".stripMargin)
+    assert(rows(len) == Seq(Seq(1)))
+    // directed: user 2 has no outgoing SIMILAR_TO — Cypher's MATCH on an
+    // unreachable shortestPath yields no rows
+    val unreachable = CypherLite.run(fixtureGraph,
+      """MATCH p = shortestPath((a:User {id: 2})-[:SIMILAR_TO*..3]->(b:User {id: 3}))
+        |UNWIND nodes(p) AS n
+        |RETURN n.node_id AS node_id""".stripMargin)
+    assert(rows(unreachable).isEmpty)
   }
 }

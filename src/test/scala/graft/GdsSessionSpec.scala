@@ -93,6 +93,67 @@ class GdsSessionSpec extends AnyFunSuite {
     assert(meta.getDouble(1) > 0.0, "cooc-graph Louvain modularity must be positive")
   }
 
+  test("stream/stats modes ≡ the write path's read-back (fastRP / knn / louvain)") {
+    val g = fresh
+    g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+      relProperties = Seq("rating"))
+    val pre = Some(graph.FastRP.bipartiteEmbeddings(spark, sf))
+
+    // fastRP.stream yields the ENCODED projection ids; the write path
+    // decodes per label — re-encode the read-back and compare
+    val streamed = g.fastRpStream("userGraph", precomputed = pre)
+    assert(g.fastRpStats("userGraph", precomputed = pre)
+      .head().getLong(0) == streamed.count())
+    g.fastRpWrite("userGraph", precomputed = pre)
+    val readBack = g.db.nodes("User")
+      .select((col("id") * 2).as("nodeId"), col("embedding"))
+      .unionByName(g.db.nodes("Book")
+        .select((col("id") * 2 + 1).as("nodeId"), col("embedding")))
+      .filter(col("embedding").isNotNull)
+    assert(streamed.exceptAll(readBack).isEmpty &&
+      readBack.exceptAll(streamed).isEmpty,
+      "fastRP.stream diverged from the write path's read-back")
+
+    g.graphProject("knnGraph", Seq("User"), "DUMMY",
+      nodeProperties = Seq("embedding"))
+    val scored = Some(graph.Algorithms.userScoredPairs(spark, sf))
+    val knnStreamed = g.knnStream("knnGraph", topK = 20,
+      similarityCutoff = 0.8, precomputedScored = scored)
+    val knnStat = g.knnStats("knnGraph", topK = 20, similarityCutoff = 0.8,
+      precomputedScored = scored).head()
+    g.knnWrite("knnGraph", topK = 20, similarityCutoff = 0.8,
+      precomputedScored = scored)
+    val simBack = g.db.edges("SIMILAR_TO")
+      .select(col("src").as("node1"), col("dst").as("node2"),
+        col("similarity"))
+    assert(knnStreamed.exceptAll(simBack).isEmpty &&
+      simBack.exceptAll(knnStreamed).isEmpty,
+      "knn.stream diverged from the installed SIMILAR_TO frame")
+    assert(knnStat.getLong(0) ==
+      graph.RatingsGraph.activeUsers(spark, sf).count() &&
+      knnStat.getLong(1) == simBack.count(),
+      "knn.stats YIELD diverged from the write path's counts")
+
+    g.graphProjectCypher("userSimilarityGraph",
+      ReferenceQueries.ProjectUserNodes,
+      ReferenceQueries.ProjectUserSimilarityRels)
+    val labels = Some(graph.Louvain.userCommunities(spark, sf))
+    val louvStreamed = g.louvainStream("userSimilarityGraph",
+      precomputedLabels = labels)
+    val louvStat = g.louvainStats("userSimilarityGraph",
+      precomputedLabels = labels).head()
+    val louvWrite = g.louvainWrite("userSimilarityGraph",
+      precomputedLabels = labels).head()
+    val commBack = g.db.nodes("User").filter(col("community").isNotNull)
+      .select(col("id").as("nodeId"), col("community").as("communityId"))
+    assert(louvStreamed.exceptAll(commBack).isEmpty &&
+      commBack.exceptAll(louvStreamed).isEmpty,
+      "louvain.stream diverged from the write path's read-back")
+    assert(louvStat.getLong(0) == louvWrite.getLong(0) &&
+      math.abs(louvStat.getDouble(1) - louvWrite.getDouble(1)) < 1e-9,
+      s"louvain.stats YIELD diverged from write: $louvStat vs $louvWrite")
+  }
+
   test("silver reuse seams: seeded writes ≡ unseeded writes (fastRP / knn / louvain)") {
     // the SparkEntry workflow entries hand the engine's session-cached
     // silvers into the write procedures; this pins that the seam frames
