@@ -74,11 +74,27 @@ object FastRP {
       }: _*), dim)
       .select(col("node_id"), array(eCols(dim).map(col): _*).as("embedding"))
 
+  /** The retained propagation states of one FastRP build: `states(k)`
+    * is the k-th iteration state as WIDE columns (node_id, e0…e{d-1}),
+    * `embedding` the final packed (node_id, embedding) frame. The
+    * per-iteration states are what [[mergeEmbeddings]] (T15) folds
+    * deltas into — at 100 TB they are the (|iterationWeights|)×
+    * embedding-sized silver a maintained embedding table keeps next to
+    * itself, the price of never re-embedding the unchanged 99.99 %. */
+  final case class FastRpState(states: Seq[DataFrame], embedding: DataFrame)
+
   /** Compute embeddings for every node in `edges` (src, dst, weight).
     * Edges should already contain both directions for undirected
     * semantics. Returns (node_id, embedding: array<double>). */
   def embed(edges: DataFrame, dim: Int = 64,
-      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0), seed: Int = 42): DataFrame = {
+      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0), seed: Int = 42): DataFrame =
+    embedStates(edges, dim, iterationWeights, seed).embedding
+
+  /** [[embed]] with the per-iteration states retained (same
+    * computation — embed IS this function's `.embedding`). */
+  def embedStates(edges: DataFrame, dim: Int = 64,
+      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0),
+      seed: Int = 42): FastRpState = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
     val nodes = e.select(col("src").as("node_id")).distinct().localCheckpoint()
 
@@ -86,6 +102,8 @@ object FastRP {
       nodes.select(col("node_id") +: eCols(dim).zipWithIndex.map {
         case (c, j) => baseEntry(col("node_id"), j, seed).as(c)
       }: _*), dim).localCheckpoint()
+    val states = Seq.newBuilder[DataFrame]
+    states += state
 
     var combined = state.select(col("node_id") +: eCols(dim).map(c =>
       (col(c) * iterationWeights.head).as(s"acc_$c")): _*)
@@ -101,15 +119,20 @@ object FastRP {
         .join(nodes, Seq("node_id"), "right")
         .na.fill(0.0, eCols(dim))
         .localCheckpoint()
+      states += state
       val w = iterationWeights(k)
       combined = combined.join(state, Seq("node_id"))
         .select(col("node_id") +: eCols(dim).map(c =>
           (col(s"acc_$c") + col(c) * w).as(s"acc_$c")): _*)
     }
 
-    // final L2 normalise + pack into an array column; coordinates
-    // snapped at 6 like every iteration state (see normalized) so the
-    // embedding CONSUMERS (cosines, LSH sign bits) are bit-replayable
+    FastRpState(states.result(), finishEmbedding(combined, dim))
+  }
+
+  /** Final L2 normalise + pack into an array column; coordinates
+    * snapped at 6 like every iteration state (see normalized) so the
+    * embedding CONSUMERS (cosines, LSH sign bits) are bit-replayable. */
+  private def finishEmbedding(combined: DataFrame, dim: Int): DataFrame = {
     val accNormSq = eCols(dim).map(c => col(s"acc_$c") * col(s"acc_$c")).reduce(_ + _)
     combined.withColumn("_norm", sqrt(accNormSq))
       .select(col("node_id"),
@@ -117,6 +140,100 @@ object FastRP {
           when(col("_norm") > 0, round(col(s"acc_$c") / col("_norm"), 6))
             .otherwise(lit(0.0))): _*)
           .as("embedding"))
+  }
+
+  /** Incremental FastRP maintenance (T15 — the embedding member of the
+    * T8/T9/T11/T12/T13/T14 incremental family): fold an edge delta
+    * into a retained [[FastRpState]] without re-embedding the graph.
+    *
+    * FastRP is LOCAL: state_k(v) depends only on v's in-neighbors'
+    * state_{k-1}, so after a delta only nodes within k propagation
+    * hops (along edge direction) of a changed edge's target can carry
+    * different states — the blast radius is the forward closure of the
+    * delta, provably, not heuristically. The fold:
+    *
+    *  1. `A₁` = target endpoints of `changedEdges` — the caller lists
+    *     every ADDED, REMOVED, or RE-WEIGHTED edge, in the same
+    *     both-directions form the edge frame uses (the T13
+    *     `changedIds`-includes-deletes contract);
+    *  2. per level k: grow `A` by one forward hop over the NEW edge
+    *     set, re-aggregate state_k for A only (messages restricted by
+    *     a left_semi on the target — the dominant join runs
+    *     delta-neighborhood × edges, never all × all), and patch it
+    *     into the old state frame (deleted nodes drop via a left_semi
+    *     against the new node set);
+    *  3. re-combine + re-normalise the final embedding for A only,
+    *     patch into the old embedding.
+    *
+    * state_0 is a pure per-id hash projection (map-only, no shuffle)
+    * and is recomputed wholesale rather than patched. Every recompute
+    * runs the exact aggregation shape of [[embedStates]] restricted to
+    * A, and every state is 6-decimal-snapped, so the merged frames are
+    * bit-identical to the full re-embed (spec-proved on
+    * add/re-weight/delete deltas — the `mergeScoredPairs` contract,
+    * `ann/Lsh.scala`). Composes with T13: feed `.embedding` deltas to
+    * `Lsh.mergeScoredPairs` to maintain the KNN substrate downstream. */
+  def mergeEmbeddings(old: FastRpState, newEdges: DataFrame,
+      changedEdges: DataFrame, dim: Int = 64,
+      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0),
+      seed: Int = 42): FastRpState = {
+    val levels = iterationWeights.length
+    require(old.states.length == levels,
+      s"retained ${old.states.length} states, need $levels (one per iteration weight)")
+    val e = newEdges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("weight")).localCheckpoint()
+    val nodes = e.select(col("src").as("node_id")).distinct().localCheckpoint()
+    var affected = changedEdges.select(col("dst").as("node_id")).distinct()
+      .join(nodes, Seq("node_id"), "left_semi").localCheckpoint()
+
+    var state = normalized(
+      nodes.select(col("node_id") +: eCols(dim).zipWithIndex.map {
+        case (c, j) => baseEntry(col("node_id"), j, seed).as(c)
+      }: _*), dim).localCheckpoint()
+    val patched = scala.collection.mutable.ArrayBuffer[DataFrame](state)
+
+    for (k <- 1 until levels) {
+      if (k > 1) // state_k(v) also moves when an in-neighbor moved at k-1
+        affected = affected.unionAll(
+          e.select(col("src").as("node_id"), col("dst"))
+            .join(affected, Seq("node_id"), "left_semi")
+            .select(col("dst").as("node_id")))
+          .distinct().localCheckpoint()
+      val msgs = e
+        .join(affected.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
+        .join(patched(k - 1).withColumnRenamed("node_id", "src"), Seq("src"))
+      val agg = msgs
+        .groupBy(col("dst").as("node_id"))
+        .agg(sum(col("weight")).as("_w"),
+          eCols(dim).map(c => sum(col(c) * col("weight")).as(c)): _*)
+      val mean = agg.select(col("node_id") +: eCols(dim).map(c =>
+        (col(c) / col("_w")).as(c)): _*)
+      val recomputed = normalized(mean, dim)
+        .join(affected, Seq("node_id"), "right")
+        .na.fill(0.0, eCols(dim))
+      state = old.states(k)
+        .join(nodes, Seq("node_id"), "left_semi")
+        .join(affected, Seq("node_id"), "left_anti")
+        .select(col("node_id") +: eCols(dim).map(col): _*)
+        .unionAll(recomputed.select(col("node_id") +: eCols(dim).map(col): _*))
+        .localCheckpoint()
+      patched += state
+    }
+
+    // re-combine the final embedding for the affected closure only —
+    // the same left-to-right weight fold embedStates runs
+    var combined = patched(0).join(affected, Seq("node_id"), "left_semi")
+      .select(col("node_id") +: eCols(dim).map(c =>
+        (col(c) * iterationWeights.head).as(s"acc_$c")): _*)
+    for (k <- 1 until levels)
+      combined = combined.join(patched(k), Seq("node_id"))
+        .select(col("node_id") +: eCols(dim).map(c =>
+          (col(s"acc_$c") + col(c) * iterationWeights(k)).as(s"acc_$c")): _*)
+    val embedding = old.embedding
+      .join(nodes, Seq("node_id"), "left_semi")
+      .join(affected, Seq("node_id"), "left_anti")
+      .unionAll(finishEmbedding(combined, dim))
+    FastRpState(patched.toSeq, embedding)
   }
 
   /** Session-cached FULL bipartite embedding frame — ENCODED node ids

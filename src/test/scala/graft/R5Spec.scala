@@ -207,6 +207,67 @@ class R5Spec extends AnyFunSuite {
     merged.foreach { case (k, c) => assert(math.abs(c - full(k)) < 1e-12, s"$k") }
   }
 
+  test("mergeEmbeddings (T15): incremental fold equals the full re-embed after a delta") {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    val dir = "/root/testdata/sf0.001"
+    val edges0 = graph.Algorithms.bipartiteEdges(spark, dir).localCheckpoint()
+    // delta: every edge of user-node 4 re-weighted (+1), user-node 6
+    // deleted outright, a brand-new user-node rating two books — the
+    // add/re-weight/delete triple, all in the frame's both-directions form
+    val target = 4L
+    val removed = 6L
+    val newNode = 999998L
+    val books = edges0.filter(col("src") % 2 === 1).select(col("src"))
+      .distinct().limit(2).collect().map(_.getLong(0))
+    val reweighted = edges0
+      .filter(col("src") === target || col("dst") === target)
+      .select(col("src"), col("dst"), (col("weight") + 1.0).as("weight"))
+    val addedEdges = books.toSeq.toDF("b")
+      .select(lit(newNode).as("src"), col("b").as("dst"), lit(7.0).as("weight"))
+    val addedBoth = addedEdges.unionAll(addedEdges
+      .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val dropped = edges0
+      .filter(col("src") === removed || col("dst") === removed)
+    val newEdges = edges0
+      .filter(col("src") =!= removed && col("dst") =!= removed)
+      .filter(col("src") =!= target && col("dst") =!= target)
+      .unionAll(reweighted).unionAll(addedBoth).localCheckpoint()
+    val changed = reweighted.select(col("src"), col("dst"))
+      .unionAll(dropped.select(col("src"), col("dst")))
+      .unionAll(addedBoth.select(col("src"), col("dst")))
+
+    val old = graph.FastRP.embedStates(edges0, dim)
+    val full = graph.FastRP.embedStates(newEdges, dim)
+    val merged = graph.FastRP.mergeEmbeddings(old, newEdges, changed, dim)
+
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val (fm, mm) = (toMap(full.embedding), toMap(merged.embedding))
+    assert(mm.keySet == fm.keySet,
+      s"node sets diverged: only-merged=${(mm.keySet -- fm.keySet).take(5)} " +
+        s"only-full=${(fm.keySet -- mm.keySet).take(5)}")
+    assert(!mm.contains(removed) && mm.contains(newNode))
+    // states are 6-decimal-snapped, so incremental ≡ full is BIT
+    // equality (< 1e-9 means same snapped value)
+    fm.foreach { case (id, v) =>
+      v.zip(mm(id)).zipWithIndex.foreach { case ((a, b), j) =>
+        assert(math.abs(a - b) < 1e-9, s"node $id dim $j: full $a vs merged $b") }
+    }
+    // the retained states must ALSO match — they are the silver the
+    // NEXT delta folds into
+    val (fs, ms) = (toMap(full.states.last.select(col("node_id"),
+        array((0 until dim).map(j => col(s"e$j")): _*))),
+      toMap(merged.states.last.select(col("node_id"),
+        array((0 until dim).map(j => col(s"e$j")): _*)))
+    )
+    assert(ms.keySet == fs.keySet)
+    fs.foreach { case (id, v) =>
+      v.zip(ms(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"state node $id: $a vs $b") }
+    }
+  }
+
   test("bpeCorpusEncode/bpeTokenPack: full-corpus apply covers every doc, pack bins are exact prefix sums") {
     val dir = "/root/testdata/sf0.001"
     val nDocs = Tables.documents(spark, dir).count()
