@@ -68,6 +68,43 @@ object CypherLoad {
         state.copy(graph = mergeRels(state.graph, m, rowsOf(params, m.param)))
     }
 
+  /** Streaming CypherLoad (S17 — the r8 verdict's last missing item):
+    * ONE compiled load statement applied per micro-batch inside
+    * foreachBatch, so the reference's write-path Cypher runs against a
+    * STREAM of CSV-shaped rows exactly as the batch path runs against
+    * a frame of them. Every batch folds through the same order-free
+    * MERGE lowering (max-of-SET-struct per key; `_seq`-ordered when
+    * stamped), and ACROSS batches the re-MERGE rule applies — last
+    * batch wins on re-SET properties — which is Neo4j's own behavior
+    * when a loader re-runs MERGE+SET, and what the re-MERGE spec pins.
+    * Frames the statement didn't touch are left alone (reference
+    * equality), touched ones localCheckpoint per batch to truncate the
+    * fold's lineage; at 100 TB the analog is MERGE INTO a
+    * transactional bucketed table — fold and associativity argument
+    * identical to the S10/T8 maintainer
+    * (`EventStreams.RatingsSilverMaintainer`). `applyBatch` is the
+    * foreachBatch body, directly callable for batch backfills. */
+  final class StreamingLoader(init: LoadState, statement: String,
+      paramName: String = "rows") {
+    @volatile private var state: LoadState = init
+    def current: LoadState = state
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val prev = state.graph
+      val next = run(state, statement, Map(paramName -> batch))
+      def cp(old: Map[String, DataFrame], nw: Map[String, DataFrame]) =
+        nw.map { case (k, v) =>
+          k -> (if (old.get(k).exists(_ eq v)) v else v.localCheckpoint())
+        }
+      state = next.copy(graph = CypherLite.Graph(
+        cp(prev.nodes, next.graph.nodes), cp(prev.edges, next.graph.edges)))
+    }
+    /** Wire a CSV-shaped row stream into the loader; caller starts it. */
+    def attach(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => applyBatch(batch))
+  }
+
   private def rowsOf(params: Map[String, Any], name: String): DataFrame =
     params.getOrElse(name, sys.error(s"missing parameter $$$name")) match {
       case df: org.apache.spark.sql.Dataset[_] => df.toDF()

@@ -69,6 +69,49 @@ class CypherLoadSpec extends AnyFunSuite {
     assert(u.head.getString(1) == "Mainz" && u.head.isNullAt(2))
   }
 
+  test("StreamingLoader (S17): streamed load_ratings ≡ batch loads, last batch wins on re-MERGE") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq(("1", "x", ""), ("2", "y", "30"))
+      .toDF("User-ID", "Location", "Age")
+    val books = Seq(("10", "t", "a", "1999", "p"), ("11", "t2", "a2", "2001", "p2"))
+      .toDF("ISBN", "Book-Title", "Book-Author", "Year-Of-Publication", "Publisher")
+    var st = CypherLoad.run(empty, ReferenceQueries.LoadUsers, Map("rows" -> users))
+    st = CypherLoad.run(st, ReferenceQueries.LoadBooks, Map("rows" -> books))
+    val loader = new CypherLoad.StreamingLoader(st, ReferenceQueries.LoadRatings)
+    val input = MemoryStream[(String, String, String)]
+    val q = loader.attach(input.toDF()
+        .select(col("_1").as("User-ID"), col("_2").as("ISBN"),
+          col("_3").as("Book-Rating")))
+      .start()
+    try {
+      input.addData(("1", "10", "5"), ("1", "10", "9"), ("2", "99", "8"))
+      q.processAllAvailable()
+      // within a batch: order-free max dedup; unknown ISBN 99 drops
+      val afterB1 = loader.current.graph.edges("RATED").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(afterB1 == Set((1L, "10", 9L)))
+      // batch 2: re-MERGE of (1,10) with a LOWER rating — across
+      // batches last batch wins (Neo4j re-run MERGE+SET), plus new edges
+      input.addData(("1", "10", "4"), ("1", "11", "7"), ("2", "11", "6"))
+      q.processAllAvailable()
+      val afterB2 = loader.current.graph.edges("RATED").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(afterB2 == Set((1L, "10", 4L), (1L, "11", 7L), (2L, "11", 6L)))
+      // nodes untouched by the ratings statement keep reference equality
+      assert(loader.current.graph.nodes("User") eq st.graph.nodes("User"))
+    } finally q.stop()
+    // the same fold is directly callable for batch backfills
+    val backfill = new CypherLoad.StreamingLoader(st, ReferenceQueries.LoadRatings)
+    backfill.applyBatch(Seq(("1", "10", "5"), ("1", "10", "9"))
+      .toDF("User-ID", "ISBN", "Book-Rating"))
+    backfill.applyBatch(Seq(("1", "10", "4"), ("1", "11", "7"), ("2", "11", "6"))
+      .toDF("User-ID", "ISBN", "Book-Rating"))
+    val viaBackfill = backfill.current.graph.edges("RATED").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaBackfill == Set((1L, "10", 4L), (1L, "11", 7L), (2L, "11", 6L)))
+  }
+
   test("unsupported write constructs fail fast, never compile silently wrong") {
     val rows = Seq(("1", "x", "")).toDF("User-ID", "Location", "Age")
     // DELETE is outside the write subset
