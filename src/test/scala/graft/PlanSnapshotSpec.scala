@@ -180,7 +180,12 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // (its only Exchange is the output orderBy); ccnet rides the
     // checkpointed doc_logprob grain + one lang-keyed window
     ("ann_sq_topk", 1, 2),
-    ("sq_invariants", 3, 4),
+    // 3/4 → 5/6 with the r8-close advice fix: the recall denominator
+    // is the ACTUAL SQ result count (underfilled-LIMIT safety), which
+    // re-runs the SQ top-k as a scalar count — a second pass over the
+    // two base scans plus its ≤1-row broadcast; every added exchange
+    // is a single-row/10-row broadcast
+    ("sq_invariants", 5, 6),
     ("gopher_rules", 1, 1),
     ("ccnet_buckets", 9, 1),
     // dsir: grain + two freq aggs + vocab join + doc agg, all over the
