@@ -36,8 +36,20 @@ object ScaleProbe {
 
     val times = queries.map { q =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, out).count()
-      q -> (System.nanoTime() - t0) / 1e9
+      val df = SparkEntry.queries(q)(spark, out)
+      df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // plan-shape signature AFTER timing (taking executedPlan first
+      // would warm silvers and fake the cold time) — diffing this
+      // between 1× and N× runs catches a size-adaptive threshold that
+      // flips the wrong way at scale (broadcast → SMJ, gated legs)
+      val plan = df.queryExecution.executedPlan.toString
+      val sig = Seq("Exchange", "BroadcastHashJoin", "SortMergeJoin",
+          "ShuffledHashJoin", "HashAggregate")
+        .map(k => s""""$k":${plan.linesIterator.count(_.contains(k))}""")
+        .mkString("{", ",", "}")
+      println(s"""[plan] {"q":"$q","sig":$sig}""")
+      q -> sec
     }
     println(times.map { case (q, s) => f""""$q":$s%.2f""" }
       .mkString(s"""{"copies":$copies,"dir":"$out",""", ",", "}"))
