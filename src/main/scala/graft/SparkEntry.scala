@@ -111,6 +111,33 @@ object SparkEntry {
           .select(col("id").as("node_id"), col("community"))
       }.orderBy("node_id")
     }),
+    // r9 breadth modes: wcc + degree streamed off the reference's own
+    // ['User','Book']/RATED projection — the encoded id space is the
+    // engine's bipartite convention, so the closure/count oracles of the
+    // hand-built twins apply verbatim
+    "gds_wcc_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_wcc_stream") {
+        val g = new graft.gds.GdsSession(
+          graft.cypher.ReferenceQueries.graph(s, d))
+        g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+          relProperties = Seq("rating"))
+        g.wccStream("userGraph")
+          .select(col("nodeId").as("node_id"),
+            col("componentId").as("component"))
+      }.orderBy("node_id")
+    }),
+    "gds_degree_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_degree_stream") {
+        val g = new graft.gds.GdsSession(
+          graft.cypher.ReferenceQueries.graph(s, d))
+        g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+          relProperties = Seq("rating"))
+        g.degreeStream("userGraph")
+          .select(col("nodeId").as("node_id"), col("score"))
+      }.orderBy("node_id")
+    }),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
@@ -4568,6 +4595,29 @@ object SparkEntry {
       s"""$RatingsCte
          |SELECT user_id, book_id, rating FROM ratings
          |ORDER BY user_id, book_id""".stripMargin,
+    // r9: wcc.stream over the reference projection = the bipartite
+    // closure oracle of connected_components verbatim (same encoding)
+    "gds_wcc_stream" ->
+      s"""$BipartiteEdgesCte, lab(node_id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, l.label FROM lab l JOIN edges e ON l.node_id = e.src
+        |  WHERE l.label < e.dst
+        |)
+        |SELECT node_id, MIN(label) AS component FROM lab GROUP BY node_id
+        |ORDER BY node_id""".stripMargin,
+    // r9: degree.stream = per-side rating counts in the same encoding
+    // (UNDIRECTED stores both directions, so src-grouping is undirected
+    // degree; every projected node rates/is rated ≥ once, so no zeros)
+    "gds_degree_stream" ->
+      s"""$RatingsCte, deg AS (
+        |  SELECT user_id * 2 AS node_id, CAST(COUNT(*) AS DOUBLE) AS score
+        |  FROM ratings GROUP BY user_id
+        |  UNION ALL
+        |  SELECT book_id * 2 + 1, CAST(COUNT(*) AS DOUBLE)
+        |  FROM ratings GROUP BY book_id
+        |)
+        |SELECT node_id, score FROM deg ORDER BY node_id""".stripMargin,
 
     // r7: the embedding-KNN recommender — sims = user 1's top-20 KNN
     // edges at (topK=20, cutoff=0.1), then the recommend_knn aggregate

@@ -40,8 +40,12 @@ final class GdsSession(initial: CypherLite.Graph) {
     * keyed by label (key column `id`), edge frames keyed by type. */
   @volatile var db: CypherLite.Graph = initial
 
+  /** `mutRels` holds relationship frames added by `.mutate` procedures
+    * (GDS mutates the in-memory graph, not the store); `relType` is the
+    * projected base type ("" for cypher projections, which carry none). */
   final case class Projection(labels: Seq[String], nodes: DataFrame,
-      rels: DataFrame)
+      rels: DataFrame, relType: String = "",
+      mutRels: Map[String, DataFrame] = Map.empty)
 
   private val projections = TrieMap.empty[String, Projection]
 
@@ -56,6 +60,8 @@ final class GdsSession(initial: CypherLite.Graph) {
     cols match {
       case Seq((n1, v1)) => Seq(v1).toDF(n1)
       case Seq((n1, v1), (n2, v2)) => Seq((v1, v2)).toDF(n1, n2)
+      case Seq((n1, v1), (n2, v2), (n3, v3)) =>
+        Seq((v1, v2, v3)).toDF(n1, n2, n3)
       case _ => sys.error("unsupported meta arity")
     }
   }
@@ -104,7 +110,8 @@ final class GdsSession(initial: CypherLite.Graph) {
     // materialise once: project() already pays an eager count of both
     // frames for the YIELD row, and every write procedure re-reads them
     // — without the checkpoint each consumer re-plans the projection
-    val p = Projection(labs, nodes.localCheckpoint(), rels.localCheckpoint())
+    val p = Projection(labs, nodes.localCheckpoint(), rels.localCheckpoint(),
+      relType)
     projections.put(name, p)
     val s = spark
     import s.implicits._
@@ -282,8 +289,12 @@ final class GdsSession(initial: CypherLite.Graph) {
       sys.error(s"graph '$graphName' does not exist"))
     require(p.labels.length <= 1,
       "knn modes expect a single-label projection (the reference's shape)")
-    val withEmb = p.labels.headOption.map(lab => db.nodes(lab))
-      .getOrElse(p.nodes)
+    // GDS reads node properties from the in-memory graph: prefer the
+    // projection's own frame when it carries the property (projected at
+    // project() time, or added by fastRP.mutate); fall back to the db
+    // label frame for the write-then-reproject workflow shape
+    val withEmb = (if (p.nodes.columns.contains(nodeProperty)) p.nodes
+      else p.labels.headOption.map(lab => db.nodes(lab)).getOrElse(p.nodes))
       .select(col("id"), col(nodeProperty))
       .filter(col(nodeProperty).isNotNull)
     val nodesCompared = withEmb.count()
@@ -394,5 +405,421 @@ final class GdsSession(initial: CypherLite.Graph) {
     Seq((labels.select(col("community")).distinct().count(),
         if (q.isNullAt(1)) 0.0 else q.getDouble(1)))
       .toDF("communityCount", "modularity")
+  }
+
+  // ————— mutate modes: results land on the IN-MEMORY projection (the
+  // GDS mutate contract — downstream procedures over the same graph see
+  // them; the db is untouched) —————
+
+  private def projOf(name: String): Projection =
+    projections.getOrElse(name, sys.error(s"graph '$name' does not exist"))
+
+  /** Join a (node_id, value) result onto the projection's node frame as
+    * `mutateProperty` (node_id is the projection's own id space — no
+    * label decode, exactly GDS's in-memory property). Returns the
+    * property count (the mutate YIELD's nodePropertiesWritten). */
+  private def mutateNodeProp(name: String, frame: DataFrame,
+      mutateProperty: String): Long = {
+    val p = projOf(name)
+    val f = frame.toDF("id", mutateProperty).localCheckpoint()
+    val n = f.count()
+    projections.put(name, p.copy(nodes =
+      p.nodes.drop(mutateProperty).join(f, Seq("id"), "left")
+        .localCheckpoint()))
+    n
+  }
+
+  /** `gds.fastRP.mutate(name, {mutateProperty, ...}) YIELD
+    * nodePropertiesWritten` — embeddings onto the projection (ENCODED
+    * ids), so a downstream `knn` over this graph reads them without a
+    * write → re-project round-trip. */
+  def fastRpMutate(graphName: String, mutateProperty: String = "embedding",
+      embeddingDimension: Int = 64,
+      relationshipWeightProperty: Option[String] = Some("rating"),
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val emb = fastRpEmbedOf(projOf(graphName), embeddingDimension,
+      relationshipWeightProperty, precomputed)
+    metaLong("nodePropertiesWritten" ->
+      mutateNodeProp(graphName, emb.select(col("node_id"), col("embedding")),
+        mutateProperty))
+  }
+
+  /** `gds.knn.mutate(name, {mutateRelationshipType, mutateProperty,
+    * ...}) YIELD nodesCompared, relationshipsWritten` — the SIMILAR_TO
+    * frame onto the projection's relationship set (readable via
+    * [[graphRelationshipsStream]]), db untouched. */
+  def knnMutate(graphName: String, nodeProperty: String = "embedding",
+      topK: Int = 5, similarityCutoff: Double = 0.8,
+      mutateRelationshipType: String = "SIMILAR_TO",
+      mutateProperty: String = "similarity",
+      embeddingDimension: Int = 64,
+      precomputedScored: Option[DataFrame] = None): DataFrame = {
+    val (nodesCompared, sims) = knnEdgesOf(graphName, nodeProperty, topK,
+      similarityCutoff, embeddingDimension, precomputedScored)
+    val edges = sims
+      .select(col("src"), col("dst"), col("similarity").as(mutateProperty))
+      .localCheckpoint()
+    val p = projOf(graphName)
+    projections.put(graphName,
+      p.copy(mutRels = p.mutRels + (mutateRelationshipType -> edges)))
+    metaLong("nodesCompared" -> nodesCompared,
+      "relationshipsWritten" -> edges.count())
+  }
+
+  /** `gds.louvain.mutate(name, {mutateProperty}) YIELD communityCount,
+    * modularity` — community labels onto the projection nodes. */
+  def louvainMutate(graphName: String, mutateProperty: String = "community",
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputedLabels: Option[DataFrame] = None): DataFrame = {
+    val (labels, q) = louvainLabelsOf(graphName, relationshipWeightProperty,
+      precomputedLabels)
+    mutateNodeProp(graphName,
+      labels.select(col("node_id"), col("community")), mutateProperty)
+    val s = spark
+    import s.implicits._
+    Seq((labels.select(col("community")).distinct().count(),
+        if (q.isNullAt(1)) 0.0 else q.getDouble(1)))
+      .toDF("communityCount", "modularity")
+  }
+
+  // ————— graph-catalog streamers (`gds.graph.nodeProperties.stream` /
+  // `gds.graph.relationships.stream`): the observability procedures
+  // that make projected + mutated state readable without a write —————
+
+  /** `gds.graph.nodeProperties.stream(name, property) YIELD nodeId,
+    * propertyValue` — from the projection frame (projected or mutated
+    * properties; ids are the projection's internal space). */
+  def graphNodePropertiesStream(graphName: String,
+      nodeProperty: String): DataFrame = {
+    val p = projOf(graphName)
+    require(p.nodes.columns.contains(nodeProperty),
+      s"projection carries no node property '$nodeProperty'")
+    p.nodes.filter(col(nodeProperty).isNotNull)
+      .select(col("id").as("nodeId"), col(nodeProperty).as("propertyValue"))
+  }
+
+  /** `gds.graph.relationships.stream(name[, type]) YIELD sourceNodeId,
+    * targetNodeId, relationshipType` — base projected rels plus every
+    * mutated relationship frame; `relationshipType` filters to one. */
+  def graphRelationshipsStream(graphName: String,
+      relationshipType: Option[String] = None): DataFrame = {
+    val p = projOf(graphName)
+    val all = (Seq(p.relType ->
+        p.rels.select(col("src"), col("dst"))) ++
+      p.mutRels.toSeq.map { case (t, f) =>
+        t -> f.select(col("src"), col("dst")) })
+      .filter { case (t, _) => relationshipType.forall(_ == t) }
+    require(all.nonEmpty,
+      s"projection carries no relationship type '${relationshipType.get}'")
+    all.map { case (t, f) =>
+      f.select(col("src").as("sourceNodeId"), col("dst").as("targetNodeId"),
+        lit(t).as("relationshipType"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ————— algorithm breadth: the GDS procedures a reference user would
+  // reach for next (wcc / pageRank / labelPropagation / degree /
+  // triangleCount), all four modes each, routed onto the engine's
+  // generic kernels (`Algorithms.connectedComponentsAdaptive`,
+  // `pageRankIters`, `labelPropagation`, `triangleCountPerNode`) over
+  // the projection's rels — routing, not a second implementation. —————
+
+  /** The projection's weighted edge list (weight property when carried,
+    * else 1.0) — the input shape every kernel expects. */
+  private def weightedRelsOf(p: Projection,
+      relationshipWeightProperty: Option[String]): DataFrame = {
+    val w = relationshipWeightProperty.filter(p.rels.columns.contains)
+      .map(col).getOrElse(lit(1.0))
+    p.rels.select(col("src"), col("dst"), w.cast("double").as("weight"))
+  }
+
+  /** Left-join a kernel result onto the projection's FULL node set so
+    * isolated nodes (no projected rels) still get a value — GDS labels
+    * every node of the in-memory graph, and edge-derived kernels can't
+    * see edgeless nodes. */
+  private def overAllNodes(p: Projection, frame: DataFrame,
+      default: org.apache.spark.sql.Column): DataFrame =
+    p.nodes.select(col("id").as("node_id"))
+      .join(frame, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col(frame.columns.last), default).as("value"))
+
+  /** The (node_id, value) frame of one breadth procedure — the single
+    * compute definition its write/stream/stats/mutate modes share. */
+  private def wccFrame(p: Projection): DataFrame =
+    overAllNodes(p, graft.graph.Algorithms.connectedComponentsAdaptive(
+      p.rels.select(col("src"), col("dst"))), col("node_id"))
+
+  private def pageRankFrame(p: Projection, iterations: Int, damping: Double,
+      relationshipWeightProperty: Option[String]): (DataFrame, Int) = {
+    val (ranks, iters) = graft.graph.Algorithms.pageRankIters(
+      weightedRelsOf(p, relationshipWeightProperty), iterations, damping)
+    // an edgeless node's rank is exactly its (1−d) base term
+    (overAllNodes(p, ranks, lit(1.0 - damping)), iters)
+  }
+
+  private def lpaFrame(p: Projection, iterations: Int,
+      relationshipWeightProperty: Option[String]): DataFrame =
+    overAllNodes(p, graft.graph.Algorithms.labelPropagation(
+      weightedRelsOf(p, relationshipWeightProperty), iterations),
+      col("node_id"))
+
+  /** Per-node degree over the projection as stored — UNDIRECTED
+    * projections hold both directions, so the src-grouped count IS the
+    * undirected degree (GDS's orientation-of-the-graph contract). */
+  private def degreeFrame(p: Projection): DataFrame =
+    overAllNodes(p,
+      p.rels.groupBy(col("src").as("node_id"))
+        .agg(count(lit(1)).cast("double").as("score")),
+      lit(0.0))
+
+  private def triangleFrame(p: Projection): DataFrame =
+    overAllNodes(p, graft.graph.Algorithms.triangleCountPerNode(
+      p.rels.select(col("src"), col("dst"))), lit(0L))
+
+  /** Decode a (node_id, value) result back per label and write it onto
+    * the db node frames as `writeProperty` — the [[fastRpWrite]] decode
+    * fold generalised; cypher projections (no labels) write to
+    * `writeLabel` in the raw id space like [[louvainWrite]]. Returns
+    * nodePropertiesWritten. */
+  private def writeNodeProp(p: Projection, frame: DataFrame,
+      writeProperty: String, writeLabel: String): Long = {
+    val f = frame.toDF("node_id", "value")
+    if (p.labels.nonEmpty) {
+      val l = p.labels.length.toLong
+      var written = 0L
+      val updated = p.labels.zipWithIndex.foldLeft(db.nodes) {
+        case (nodes, (lab, i)) =>
+          val labFrame = f.filter(pmod(col("node_id"), lit(l)) === i.toLong)
+            .select(((col("node_id") - i.toLong) / l).cast("bigint").as("id"),
+              col("value").as(writeProperty))
+          written += labFrame.count()
+          nodes + (lab -> nodes(lab).drop(writeProperty)
+            .join(labFrame, Seq("id"), "left"))
+      }
+      db = db.copy(nodes = updated)
+      written
+    } else {
+      val labFrame = f.select(col("node_id").as("id"),
+        col("value").as(writeProperty))
+      val n = labFrame.count()
+      db = db.copy(nodes = db.nodes + (writeLabel ->
+        db.nodes(writeLabel).drop(writeProperty)
+          .join(labFrame, Seq("id"), "left")))
+      n
+    }
+  }
+
+  /** `gds.wcc.write(name, {writeProperty}) YIELD componentCount,
+    * nodePropertiesWritten`. */
+  def wccWrite(graphName: String, writeProperty: String = "componentId",
+      writeLabel: String = "User"): DataFrame = {
+    val p = projOf(graphName)
+    val f = wccFrame(p).localCheckpoint()
+    metaLong("componentCount" -> f.select(col("value")).distinct().count(),
+      "nodePropertiesWritten" -> writeNodeProp(p, f, writeProperty, writeLabel))
+  }
+
+  /** `gds.wcc.stream(name) YIELD nodeId, componentId`. */
+  def wccStream(graphName: String): DataFrame =
+    wccFrame(projOf(graphName))
+      .select(col("node_id").as("nodeId"), col("value").as("componentId"))
+
+  /** `gds.wcc.stats(name) YIELD componentCount`. */
+  def wccStats(graphName: String): DataFrame =
+    metaLong("componentCount" ->
+      wccFrame(projOf(graphName)).select(col("value")).distinct().count())
+
+  /** `gds.wcc.mutate(name, {mutateProperty}) YIELD componentCount,
+    * nodePropertiesWritten`. */
+  def wccMutate(graphName: String,
+      mutateProperty: String = "componentId"): DataFrame = {
+    val f = wccFrame(projOf(graphName)).localCheckpoint()
+    metaLong("componentCount" -> f.select(col("value")).distinct().count(),
+      "nodePropertiesWritten" -> mutateNodeProp(graphName, f, mutateProperty))
+  }
+
+  /** `gds.pageRank.write(name, {writeProperty, maxIterations,
+    * dampingFactor}) YIELD nodePropertiesWritten, ranIterations`. */
+  def pageRankWrite(graphName: String, writeProperty: String = "pagerank",
+      maxIterations: Int = 10, dampingFactor: Double = 0.85,
+      relationshipWeightProperty: Option[String] = None,
+      writeLabel: String = "User"): DataFrame = {
+    val p = projOf(graphName)
+    val (f, iters) = pageRankFrame(p, maxIterations, dampingFactor,
+      relationshipWeightProperty)
+    metaLong(
+      "nodePropertiesWritten" ->
+        writeNodeProp(p, f.localCheckpoint(), writeProperty, writeLabel),
+      "ranIterations" -> iters.toLong)
+  }
+
+  /** `gds.pageRank.stream(name, {...}) YIELD nodeId, score`. */
+  def pageRankStream(graphName: String, maxIterations: Int = 10,
+      dampingFactor: Double = 0.85,
+      relationshipWeightProperty: Option[String] = None): DataFrame =
+    pageRankFrame(projOf(graphName), maxIterations, dampingFactor,
+      relationshipWeightProperty)._1
+      .select(col("node_id").as("nodeId"), col("value").as("score"))
+
+  /** `gds.pageRank.stats(name, {...}) YIELD ranIterations, nodeCount`. */
+  def pageRankStats(graphName: String, maxIterations: Int = 10,
+      dampingFactor: Double = 0.85,
+      relationshipWeightProperty: Option[String] = None): DataFrame = {
+    val (f, iters) = pageRankFrame(projOf(graphName), maxIterations,
+      dampingFactor, relationshipWeightProperty)
+    metaLong("ranIterations" -> iters.toLong, "nodeCount" -> f.count())
+  }
+
+  /** `gds.pageRank.mutate(name, {mutateProperty, ...}) YIELD
+    * nodePropertiesWritten, ranIterations`. */
+  def pageRankMutate(graphName: String, mutateProperty: String = "pagerank",
+      maxIterations: Int = 10, dampingFactor: Double = 0.85,
+      relationshipWeightProperty: Option[String] = None): DataFrame = {
+    val (f, iters) = pageRankFrame(projOf(graphName), maxIterations,
+      dampingFactor, relationshipWeightProperty)
+    metaLong(
+      "nodePropertiesWritten" ->
+        mutateNodeProp(graphName, f.localCheckpoint(), mutateProperty),
+      "ranIterations" -> iters.toLong)
+  }
+
+  /** `gds.labelPropagation.write(name, {writeProperty, maxIterations})
+    * YIELD communityCount, nodePropertiesWritten`. */
+  def labelPropagationWrite(graphName: String,
+      writeProperty: String = "communityId", maxIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      writeLabel: String = "User"): DataFrame = {
+    val p = projOf(graphName)
+    val f = lpaFrame(p, maxIterations, relationshipWeightProperty)
+      .localCheckpoint()
+    metaLong("communityCount" -> f.select(col("value")).distinct().count(),
+      "nodePropertiesWritten" -> writeNodeProp(p, f, writeProperty, writeLabel))
+  }
+
+  /** `gds.labelPropagation.stream(name, {...}) YIELD nodeId,
+    * communityId`. */
+  def labelPropagationStream(graphName: String, maxIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = Some("weight")): DataFrame =
+    lpaFrame(projOf(graphName), maxIterations, relationshipWeightProperty)
+      .select(col("node_id").as("nodeId"), col("value").as("communityId"))
+
+  /** `gds.labelPropagation.stats(name, {...}) YIELD communityCount`. */
+  def labelPropagationStats(graphName: String, maxIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = Some("weight")): DataFrame =
+    metaLong("communityCount" ->
+      lpaFrame(projOf(graphName), maxIterations, relationshipWeightProperty)
+        .select(col("value")).distinct().count())
+
+  /** `gds.labelPropagation.mutate(name, {mutateProperty, ...}) YIELD
+    * communityCount, nodePropertiesWritten`. */
+  def labelPropagationMutate(graphName: String,
+      mutateProperty: String = "communityId", maxIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = Some("weight")): DataFrame = {
+    val f = lpaFrame(projOf(graphName), maxIterations,
+      relationshipWeightProperty).localCheckpoint()
+    metaLong("communityCount" -> f.select(col("value")).distinct().count(),
+      "nodePropertiesWritten" -> mutateNodeProp(graphName, f, mutateProperty))
+  }
+
+  /** `gds.degree.write(name, {writeProperty}) YIELD
+    * nodePropertiesWritten`. */
+  def degreeWrite(graphName: String, writeProperty: String = "degree",
+      writeLabel: String = "User"): DataFrame = {
+    val p = projOf(graphName)
+    metaLong("nodePropertiesWritten" ->
+      writeNodeProp(p, degreeFrame(p).localCheckpoint(), writeProperty,
+        writeLabel))
+  }
+
+  /** `gds.degree.stream(name) YIELD nodeId, score`. */
+  def degreeStream(graphName: String): DataFrame =
+    degreeFrame(projOf(graphName))
+      .select(col("node_id").as("nodeId"), col("value").as("score"))
+
+  /** `gds.degree.stats(name) YIELD nodeCount, meanDegree`. */
+  def degreeStats(graphName: String): DataFrame = {
+    val row = degreeFrame(projOf(graphName))
+      .agg(count(lit(1)).as("nodeCount"),
+        round(avg(col("value")), 6).as("meanDegree"))
+    row
+  }
+
+  /** `gds.degree.mutate(name, {mutateProperty}) YIELD
+    * nodePropertiesWritten`. */
+  def degreeMutate(graphName: String,
+      mutateProperty: String = "degree"): DataFrame =
+    metaLong("nodePropertiesWritten" ->
+      mutateNodeProp(graphName,
+        degreeFrame(projOf(graphName)).localCheckpoint(), mutateProperty))
+
+  /** `gds.triangleCount.write(name, {writeProperty}) YIELD
+    * globalTriangleCount, nodeCount, nodePropertiesWritten`. */
+  def triangleCountWrite(graphName: String,
+      writeProperty: String = "triangles",
+      writeLabel: String = "User"): DataFrame = {
+    val p = projOf(graphName)
+    val f = triangleFrame(p).localCheckpoint()
+    // Σ t(v) counts each triangle at all three corners
+    val global = f.agg(coalesce(sum(col("value")), lit(0L))).head().getLong(0) / 3
+    metaLong("globalTriangleCount" -> global, "nodeCount" -> f.count(),
+      "nodePropertiesWritten" -> writeNodeProp(p, f, writeProperty, writeLabel))
+  }
+
+  /** `gds.triangleCount.stream(name) YIELD nodeId, triangleCount`. */
+  def triangleCountStream(graphName: String): DataFrame =
+    triangleFrame(projOf(graphName))
+      .select(col("node_id").as("nodeId"), col("value").as("triangleCount"))
+
+  /** `gds.triangleCount.stats(name) YIELD globalTriangleCount,
+    * nodeCount`. */
+  def triangleCountStats(graphName: String): DataFrame = {
+    val f = triangleFrame(projOf(graphName)).localCheckpoint()
+    metaLong(
+      "globalTriangleCount" -> f.agg(coalesce(sum(col("value")), lit(0L))).head().getLong(0) / 3,
+      "nodeCount" -> f.count())
+  }
+
+  /** `gds.triangleCount.mutate(name, {mutateProperty}) YIELD
+    * globalTriangleCount, nodeCount, nodePropertiesWritten`. */
+  def triangleCountMutate(graphName: String,
+      mutateProperty: String = "triangles"): DataFrame = {
+    val f = triangleFrame(projOf(graphName)).localCheckpoint()
+    metaLong(
+      "globalTriangleCount" -> f.agg(coalesce(sum(col("value")), lit(0L))).head().getLong(0) / 3,
+      "nodeCount" -> f.count(),
+      "nodePropertiesWritten" -> mutateNodeProp(graphName, f, mutateProperty))
+  }
+
+  /** `gds.<procedure>.write.estimate(name, {...}) YIELD nodeCount,
+    * relationshipCount, bytesMin, bytesMax, requiredMemory` — a
+    * DOCUMENTED planning heuristic (per-element working-set arithmetic
+    * over the projection's counts), not instrumentation: GDS's own
+    * estimate mode is the same kind of closed-form model. Counts are
+    * exact (the projection is materialised); bytes assume 8-byte ids,
+    * float embeddings, and a 2× transient ceiling for the iterative
+    * kernels' current+next frames. */
+  def writeEstimate(graphName: String, procedure: String,
+      embeddingDimension: Int = 64, topK: Int = 5): DataFrame = {
+    val p = projOf(graphName)
+    val n = p.nodes.count()
+    val m = p.rels.count()
+    val graphBytes = n * 16L + m * 24L
+    val (resMin, resMax) = procedure match {
+      case "fastRP" =>
+        (n * embeddingDimension * 4L, n * embeddingDimension * 8L)
+      case "knn" => (n * topK * 24L, n * topK * 48L)
+      case "louvain" | "labelPropagation" | "wcc" => (n * 16L, n * 32L)
+      case "pageRank" => (n * 16L, n * 32L)
+      case "degree" => (n * 8L, n * 16L)
+      case "triangleCount" => (n * 8L + m * 8L, (n * 8L + m * 8L) * 2L)
+      case other => sys.error(s"no estimate model for procedure '$other'")
+    }
+    val (bytesMin, bytesMax) = (graphBytes + resMin, graphBytes + resMax)
+    val s = spark
+    import s.implicits._
+    Seq((n, m, bytesMin, bytesMax, s"[$bytesMin Bytes ... $bytesMax Bytes]"))
+      .toDF("nodeCount", "relationshipCount", "bytesMin", "bytesMax",
+        "requiredMemory")
   }
 }

@@ -559,14 +559,15 @@ object Algorithms {
     clusteringFrom(deg, oriented, sortedAdj(oriented), k, minDegree)
   }
 
-  private def clusteringFrom(deg: DataFrame, oriented: DataFrame, adj: DataFrame,
-      k: Int, minDegree: Int): DataFrame = {
-    // per oriented edge (u, w): X = N⁺(u) ∩ N⁺(w) closes one triangle
-    // per member; credit all three corners in ONE exploded projection
-    // (u and w get |X| each, every x ∈ X gets 1) — the per-node count
-    // arrives in a single map-side-combined aggregation, no triangle
-    // set reuse, no second pass
-    val credits = oriented
+  /** Per-node triangle credits (v, t) of an oriented adjacency: per
+    * oriented edge (u, w), X = N⁺(u) ∩ N⁺(w) closes one triangle per
+    * member; credit all three corners in ONE exploded projection (u and
+    * w get |X| each, every x ∈ X gets 1) — the per-node count arrives
+    * in a single map-side-combined aggregation, no triangle set reuse,
+    * no second pass. Shared by [[clusteringCoefficientTopK]] and the
+    * GDS `triangleCount` per-node modes. */
+  private def triangleCredits(oriented: DataFrame, adj: DataFrame): DataFrame =
+    oriented
       .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_w")), Seq("dst"))
       .select(array_intersect(col("nbrs_u"), col("nbrs_w")).as("xs"),
@@ -578,6 +579,25 @@ object Algorithms {
         transform(col("xs"), x => struct(x.as("v"), lit(1L).as("c"))))).as("cr"))
       .select(col("cr.v").as("v"), col("cr.c").as("c"))
       .groupBy(col("v")).agg(sum(col("c")).as("t"))
+
+  /** Per-node triangle counts (node_id, triangles) — the GDS
+    * `triangleCount` stream shape: every node of the undirected graph,
+    * zero-triangle nodes included. Same degree-ordered orientation +
+    * array-intersection credits as [[clusteringCoefficientTopK]]. */
+  def triangleCountPerNode(edges: DataFrame): DataFrame = {
+    val und = canonPairs(edges)
+    val oriented = orientOf(und, undDegrees(und)).localCheckpoint()
+    val credits = triangleCredits(oriented, sortedAdj(oriented))
+    und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .distinct()
+      .join(credits, Seq("v"), "left")
+      .select(col("v").as("node_id"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+  }
+
+  private def clusteringFrom(deg: DataFrame, oriented: DataFrame, adj: DataFrame,
+      k: Int, minDegree: Int): DataFrame = {
+    val credits = triangleCredits(oriented, adj)
     deg.join(credits, Seq("v"), "left")
       .filter(col("degree") >= minDegree)
       .select(col("v").as("node_id"), col("degree"),

@@ -197,4 +197,191 @@ class GdsSessionSpec extends AnyFunSuite {
       math.abs(ls._2.getDouble(1) - lu._2.getDouble(1)) < 1e-9,
       s"YIELD rows diverged: ${ls._2} vs ${lu._2}")
   }
+
+  test("breadth wcc/degree/triangleCount over the bipartite projection") {
+    val g = fresh
+    g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+      relProperties = Seq("rating"))
+    // independent edge build in the projection's encoding (user → 2·id,
+    // book → 2·id + 1) straight from the ratings table — no catalog code
+    val ratings = graph.RatingsGraph.ratings(spark, sf)
+    val encEdges = ratings.select((col("user_id") * 2).as("src"),
+      (col("book_id") * 2 + 1).as("dst"))
+
+    val cc = graph.Algorithms.connectedComponentsAdaptive(encEdges)
+      .select(col("node_id").as("nodeId"), col("component").as("componentId"))
+    val streamed = g.wccStream("userGraph")
+    assert(streamed.exceptAll(cc).isEmpty && cc.exceptAll(streamed).isEmpty,
+      "wcc.stream diverged from components of the independently-built edges")
+    val wroteMeta = g.wccWrite("userGraph").head()
+    assert(wroteMeta.getLong(0) ==
+      cc.select(col("componentId")).distinct().count())
+    val userBack = g.db.nodes("User").filter(col("componentId").isNotNull)
+      .select((col("id") * 2).as("nodeId"), col("componentId"))
+    val userStream = streamed.filter(col("nodeId") % 2 === 0)
+    assert(userBack.exceptAll(userStream).isEmpty &&
+      userStream.exceptAll(userBack).isEmpty,
+      "wcc.write read-back diverged from the stream frame")
+
+    // degree of the UNDIRECTED bipartite graph = per-side rating counts
+    val degOracle = ratings.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("score"))
+      .select((col("user_id") * 2).as("nodeId"), col("score"))
+      .unionByName(ratings.groupBy(col("book_id"))
+        .agg(count(lit(1)).cast("double").as("score"))
+        .select((col("book_id") * 2 + 1).as("nodeId"), col("score")))
+    val degStream = g.degreeStream("userGraph")
+    assert(degStream.exceptAll(degOracle).isEmpty &&
+      degOracle.exceptAll(degStream).isEmpty,
+      "degree.stream diverged from per-side rating counts")
+    assert(g.degreeStats("userGraph").head().getLong(0) == degOracle.count())
+
+    // a bipartite graph has no triangles — closed-form zero
+    val triMeta = g.triangleCountStats("userGraph").head()
+    assert(triMeta.getLong(0) == 0L, "bipartite graph must have 0 triangles")
+    assert(g.triangleCountStream("userGraph")
+      .agg(sum(col("triangleCount"))).head().getLong(0) == 0L)
+  }
+
+  test("breadth pageRank/labelPropagation + mutate over the cypher projection") {
+    val g = fresh
+    g.graphProjectCypher("userSimilarityGraph",
+      ReferenceQueries.ProjectUserNodes,
+      ReferenceQueries.ProjectUserSimilarityRels)
+    // kernel cross-check over the SAME rel query run directly — proves
+    // the catalog routing (weight binding, isolated-node completion)
+    val rels = cypher.CypherLite.run(g.db,
+        ReferenceQueries.ProjectUserSimilarityRels)
+      .select(col("source").as("src"), col("target").as("dst"),
+        col("weight").cast("double"))
+    val prKernel = graph.Algorithms.pageRank(rels
+        .select(col("src"), col("dst"), col("weight")))
+      .select(col("node_id").as("nodeId"), col("rank").as("score"))
+    val prStream = g.pageRankStream("userSimilarityGraph",
+      relationshipWeightProperty = Some("weight"))
+    // on the kernel's (edge-touched) node set the frames must be
+    // identical; users with no qualifying co-rating partner are the
+    // catalog's isolated-node completion — exactly the (1−d) base rank
+    // double aggregates: the projection frames have a different physical
+    // partitioning than the fresh kernel run, so the rank sums associate
+    // in a different order — ≡ means same value within the convergence
+    // drift bound (tol·d/(1−d) per run ≈ 6e-6), not same float bits
+    val prJoined = prStream.join(prKernel
+      .withColumnRenamed("score", "kernel_score"), Seq("nodeId"))
+    assert(prJoined.count() == prKernel.count(),
+      "pageRank.stream must cover the kernel's node set")
+    assert(prJoined
+      .filter(abs(col("score") - col("kernel_score")) > 1e-4).isEmpty,
+      "pageRank.stream diverged from the kernel over the same projection")
+    val prIsolated = prStream.join(prKernel.select("nodeId"),
+      Seq("nodeId"), "left_anti")
+    assert(prIsolated.filter(abs(col("score") - 0.15) > 1e-12).isEmpty,
+      "isolated nodes must carry the (1-d) base rank")
+    val prStats = g.pageRankStats("userSimilarityGraph",
+      relationshipWeightProperty = Some("weight")).head()
+    assert(prStats.getLong(1) == prStream.count())
+
+    val lpaKernel = graph.Algorithms.labelPropagation(rels)
+      .select(col("node_id").as("nodeId"), col("label").as("communityId"))
+    val lpaStream = g.labelPropagationStream("userSimilarityGraph")
+    val lpaOnKernel = lpaStream.join(lpaKernel.select("nodeId"),
+      Seq("nodeId"), "left_semi")
+    assert(lpaOnKernel.exceptAll(lpaKernel).isEmpty &&
+      lpaKernel.exceptAll(lpaOnKernel).isEmpty,
+      "labelPropagation.stream diverged from the kernel")
+    val lpaIsolated = lpaStream.join(lpaKernel.select("nodeId"),
+      Seq("nodeId"), "left_anti")
+    assert(lpaIsolated.filter(col("communityId") =!= col("nodeId")).isEmpty,
+      "isolated nodes must keep their own label")
+    assert(g.labelPropagationStats("userSimilarityGraph").head().getLong(0) ==
+      lpaStream.select(col("communityId")).distinct().count())
+    val lpaMut = g.labelPropagationMutate("userSimilarityGraph").head()
+    assert(lpaMut.getLong(1) == lpaStream.count())
+    val mutBack = g.graphNodePropertiesStream("userSimilarityGraph",
+      "communityId")
+      .select(col("nodeId"), col("propertyValue").as("communityId"))
+    assert(mutBack.exceptAll(lpaStream).isEmpty &&
+      lpaStream.exceptAll(mutBack).isEmpty,
+      "labelPropagation.mutate read-back diverged from the stream frame")
+    // mutate touches the PROJECTION only — the db never sees the column
+    assert(!g.db.nodes("User").columns.contains("communityId"))
+
+    // louvain.mutate: projection property ≡ louvain.stream, db untouched
+    // (the base db User frame already carries a `community` column from
+    // the loader, so "untouched" = the same frame by reference)
+    val userFrameBefore = g.db.nodes("User")
+    val labels = Some(graph.Louvain.userCommunities(spark, sf))
+    val louvStream = g.louvainStream("userSimilarityGraph",
+      precomputedLabels = labels)
+    g.louvainMutate("userSimilarityGraph", precomputedLabels = labels)
+    val louvBack = g.graphNodePropertiesStream("userSimilarityGraph",
+        "community")
+      .select(col("nodeId"), col("propertyValue").as("communityId"))
+    assert(louvBack.exceptAll(louvStream).isEmpty &&
+      louvStream.exceptAll(louvBack).isEmpty,
+      "louvain.mutate read-back diverged from louvain.stream")
+    assert(g.db.nodes("User") eq userFrameBefore,
+      "louvain.mutate must not touch the db")
+  }
+
+  test("fastRP.mutate + knn.mutate: in-memory chain, db untouched") {
+    val g = fresh
+    g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+      relProperties = Seq("rating"))
+    val pre = Some(graph.FastRP.bipartiteEmbeddings(spark, sf))
+    val streamed = g.fastRpStream("userGraph", precomputed = pre)
+    val mutMeta = g.fastRpMutate("userGraph", precomputed = pre).head()
+    assert(mutMeta.getLong(0) == streamed.count())
+    val back = g.graphNodePropertiesStream("userGraph", "embedding")
+      .select(col("nodeId"), col("propertyValue").as("embedding"))
+    assert(back.exceptAll(streamed).isEmpty && streamed.exceptAll(back).isEmpty,
+      "fastRP.mutate read-back diverged from fastRP.stream")
+    assert(!g.db.nodes("User").columns.contains("embedding"),
+      "fastRP.mutate must not touch the db")
+
+    // knn.mutate over a projection carrying the embedding property:
+    // edges land on the projection's relationship set, not the db
+    g.fastRpWrite("userGraph", precomputed = pre)
+    g.graphProject("knnGraph", Seq("User"), "DUMMY",
+      nodeProperties = Seq("embedding"))
+    val scored = Some(graph.Algorithms.userScoredPairs(spark, sf))
+    val knnStreamed = g.knnStream("knnGraph", topK = 20,
+      similarityCutoff = 0.8, precomputedScored = scored)
+    // the loader's base db already carries a SIMILAR_TO frame, so
+    // "untouched" = same frame by reference after the mutate
+    val simBefore = g.db.edges.get("SIMILAR_TO")
+    val knnMut = g.knnMutate("knnGraph", topK = 20, similarityCutoff = 0.8,
+      precomputedScored = scored).head()
+    assert(knnMut.getLong(1) == knnStreamed.count())
+    assert(g.db.edges.get("SIMILAR_TO").zip(simBefore).forall(p => p._1 eq p._2)
+      && g.db.edges.contains("SIMILAR_TO") == simBefore.isDefined,
+      "knn.mutate must not install or replace the db edge frame")
+    val relBack = g.graphRelationshipsStream("knnGraph", Some("SIMILAR_TO"))
+      .select(col("sourceNodeId").as("node1"), col("targetNodeId").as("node2"))
+    val expected = knnStreamed.select(col("node1"), col("node2"))
+    assert(relBack.exceptAll(expected).isEmpty &&
+      expected.exceptAll(relBack).isEmpty,
+      "relationships.stream diverged from the mutated knn edge frame")
+    intercept[RuntimeException] {
+      g.graphRelationshipsStream("knnGraph", Some("NO_SUCH_TYPE")).collect()
+    }
+  }
+
+  test("write.estimate: exact counts, documented memory model") {
+    val g = fresh
+    val meta = g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+      relProperties = Seq("rating")).head()
+    val est = g.writeEstimate("userGraph", "fastRP",
+      embeddingDimension = 64).head()
+    assert(est.getLong(0) == meta.getLong(1) &&
+      est.getLong(1) == meta.getLong(2),
+      "estimate counts must equal the projection's exact counts")
+    assert(est.getLong(2) <= est.getLong(3))
+    val est128 = g.writeEstimate("userGraph", "fastRP",
+      embeddingDimension = 128).head()
+    assert(est128.getLong(2) > est.getLong(2),
+      "fastRP estimate must grow with the embedding dimension")
+    assert(est.getString(4).contains("Bytes"))
+    intercept[RuntimeException] { g.writeEstimate("userGraph", "nope") }
+  }
 }
