@@ -138,6 +138,15 @@ object SparkEntry {
           .select(col("nodeId").as("node_id"), col("score"))
       }.orderBy("node_id")
     }),
+    "gds_nodesim_stream" -> ((s, d) => {
+      graft.Cache.cached(s, d, "gds_nodesim_stream") {
+        val g = new graft.gds.GdsSession(
+          graft.cypher.ReferenceQueries.graph(s, d))
+        g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+          relProperties = Seq("rating"))
+        g.nodeSimilarityStream("userGraph")
+      }.orderBy("node1", "node2")
+    }),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
@@ -4618,6 +4627,33 @@ object SparkEntry {
         |  FROM ratings GROUP BY book_id
         |)
         |SELECT node_id, score FROM deg ORDER BY node_id""".stripMargin,
+
+    // r9: nodeSimilarity.stream over the reference projection — Jaccard
+    // of neighbour sets in the encoded bipartite space, top-10 per node1
+    // (both directions, GDS's per-source lists); similarity rounded to
+    // 6dp BEFORE the rank so the top-k boundary replays exactly
+    "gds_nodesim_stream" ->
+      s"""$BipartiteEdgesCte, sizes AS (
+        |  SELECT src, COUNT(*) AS sz FROM edges GROUP BY src
+        |), inter AS (
+        |  SELECT a.src AS node1, b.src AS node2, COUNT(*) AS n_common
+        |  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src <> b.src
+        |  GROUP BY a.src, b.src
+        |), scored AS (
+        |  SELECT node1, node2,
+        |    ROUND(CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common), 6)
+        |      AS similarity
+        |  FROM inter
+        |  JOIN sizes s1 ON node1 = s1.src
+        |  JOIN sizes s2 ON node2 = s2.src
+        |), ranked AS (
+        |  SELECT node1, node2, similarity,
+        |    ROW_NUMBER() OVER (PARTITION BY node1
+        |      ORDER BY similarity DESC, node2) AS rk
+        |  FROM scored
+        |)
+        |SELECT node1, node2, similarity FROM ranked
+        |WHERE rk <= 10 ORDER BY node1, node2""".stripMargin,
 
     // r7: the embedding-KNN recommender — sims = user 1's top-20 KNN
     // edges at (topK=20, cutoff=0.1), then the recommend_knn aggregate

@@ -791,6 +791,127 @@ final class GdsSession(initial: CypherLite.Graph) {
       "nodePropertiesWritten" -> mutateNodeProp(graphName, f, mutateProperty))
   }
 
+  // ————— nodeSimilarity: `gds.nodeSimilarity` (Jaccard of neighbour
+  // sets) — the non-embedding similarity procedure a recommendations
+  // user reaches for, routed onto the `Algorithms.userJaccardTopK`
+  // posting-join shape over an arbitrary projection. —————
+
+  /** The (node1, node2, similarity) frame all four nodeSimilarity
+    * modes share, plus the nodesCompared count. Jaccard of
+    * out-neighbour SETS for every pair sharing ≥ 1 neighbour, top-k per
+    * node1 (GDS emits a directed top-k list per source node, so both
+    * (a,b) and (b,a) appear). Computed as one posting self-join on the
+    * shared neighbour — pairs materialise only within a neighbour's
+    * posting list, never all-pairs — plus a degree aggregate.
+    * `upperDegreeCutoff` is GDS's own lever with GDS's semantics:
+    * nodes above the cutoff are excluded from COMPARISON (never appear
+    * as node1/node2) but still count as set elements. Honesty at scale:
+    * the residual quadratic is a hub shared-NEIGHBOUR's posting width
+    * (its own degree — many small nodes sharing one hub neighbour),
+    * which this cutoff does not bound; at 100 TB cap that at
+    * projection time (the containment df-cap pattern,
+    * `TextOps.containmentPairs`). Similarity is
+    * rounded to 6dp BEFORE the per-node rank so the top-k boundary
+    * replays bit-for-bit in the DuckDB oracle; the default cutoff is
+    * 0.0 rather than GDS's 1e-42 — equivalent here, since n_common ≥ 1
+    * makes every scored pair strictly positive pre-rounding. */
+  private def nodeSimFrame(p: Projection, topK: Int,
+      similarityCutoff: Double,
+      upperDegreeCutoff: Option[Long]): (Long, DataFrame) = {
+    // neighbour SETS: distinct guards multigraph projections (idempotent
+    // on the reference's unique (user, book) rels)
+    val und = p.rels.select(col("src"), col("dst")).distinct()
+    val sizesAll = und.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val sizes = upperDegreeCutoff
+      .map(c => sizesAll.filter(col("sz") <= c)).getOrElse(sizesAll)
+    val kept = upperDegreeCutoff.map(_ =>
+      und.join(sizes.select(col("src")), Seq("src"), "left_semi"))
+      .getOrElse(und)
+    val inter = kept.select(col("src").as("node1"), col("dst"))
+      .join(kept.select(col("src").as("node2"), col("dst")), Seq("dst"))
+      .filter(col("node1") =!= col("node2"))
+      .groupBy(col("node1"), col("node2"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = inter
+      .join(sizes.select(col("src").as("node1"), col("sz").as("sz1")),
+        Seq("node1"))
+      .join(sizes.select(col("src").as("node2"), col("sz").as("sz2")),
+        Seq("node2"))
+      .withColumn("similarity", round(
+        col("n_common").cast("double") /
+          (col("sz1") + col("sz2") - col("n_common")), 6))
+      .filter(col("similarity") >= similarityCutoff)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node1"))
+      .orderBy(col("similarity").desc, col("node2"))
+    val sims = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("node1"), col("node2"), col("similarity"))
+    (sizes.count(), sims)
+  }
+
+  /** `gds.nodeSimilarity.stream(name, {topK, similarityCutoff}) YIELD
+    * node1, node2, similarity`. */
+  def nodeSimilarityStream(graphName: String, topK: Int = 10,
+      similarityCutoff: Double = 0.0,
+      upperDegreeCutoff: Option[Long] = None): DataFrame =
+    nodeSimFrame(projOf(graphName), topK, similarityCutoff,
+      upperDegreeCutoff)._2
+
+  /** `gds.nodeSimilarity.stats(name, {...}) YIELD nodesCompared,
+    * similarityPairs`. */
+  def nodeSimilarityStats(graphName: String, topK: Int = 10,
+      similarityCutoff: Double = 0.0,
+      upperDegreeCutoff: Option[Long] = None): DataFrame = {
+    val (nodesCompared, sims) = nodeSimFrame(projOf(graphName), topK,
+      similarityCutoff, upperDegreeCutoff)
+    metaLong("nodesCompared" -> nodesCompared,
+      "similarityPairs" -> sims.count())
+  }
+
+  /** `gds.nodeSimilarity.write(name, {writeRelationshipType,
+    * writeProperty, ...}) YIELD nodesCompared, relationshipsWritten` —
+    * installs the SIMILAR edge frame into the db (the knnWrite
+    * contract, Jaccard instead of embedding cosine). */
+  def nodeSimilarityWrite(graphName: String, topK: Int = 10,
+      similarityCutoff: Double = 0.0,
+      writeRelationshipType: String = "SIMILAR",
+      writeProperty: String = "similarity",
+      upperDegreeCutoff: Option[Long] = None): DataFrame = {
+    val (nodesCompared, sims) = nodeSimFrame(projOf(graphName), topK,
+      similarityCutoff, upperDegreeCutoff)
+    val edges = sims
+      .select(col("node1").as("src"), col("node2").as("dst"),
+        col("similarity").as(writeProperty))
+      .localCheckpoint()
+    db = db.copy(edges = db.edges + (writeRelationshipType -> edges))
+    metaLong("nodesCompared" -> nodesCompared,
+      "relationshipsWritten" -> edges.count())
+  }
+
+  /** `gds.nodeSimilarity.mutate(name, {mutateRelationshipType,
+    * mutateProperty, ...}) YIELD nodesCompared, relationshipsWritten` —
+    * the SIMILAR frame onto the projection's relationship set
+    * (readable via [[graphRelationshipsStream]]), db untouched. */
+  def nodeSimilarityMutate(graphName: String, topK: Int = 10,
+      similarityCutoff: Double = 0.0,
+      mutateRelationshipType: String = "SIMILAR",
+      mutateProperty: String = "similarity",
+      upperDegreeCutoff: Option[Long] = None): DataFrame = {
+    val (nodesCompared, sims) = nodeSimFrame(projOf(graphName), topK,
+      similarityCutoff, upperDegreeCutoff)
+    val edges = sims
+      .select(col("node1").as("src"), col("node2").as("dst"),
+        col("similarity").as(mutateProperty))
+      .localCheckpoint()
+    val p = projOf(graphName)
+    projections.put(graphName,
+      p.copy(mutRels = p.mutRels + (mutateRelationshipType -> edges)))
+    metaLong("nodesCompared" -> nodesCompared,
+      "relationshipsWritten" -> edges.count())
+  }
+
   /** `gds.<procedure>.write.estimate(name, {...}) YIELD nodeCount,
     * relationshipCount, bytesMin, bytesMax, requiredMemory` — a
     * DOCUMENTED planning heuristic (per-element working-set arithmetic
@@ -808,7 +929,7 @@ final class GdsSession(initial: CypherLite.Graph) {
     val (resMin, resMax) = procedure match {
       case "fastRP" =>
         (n * embeddingDimension * 4L, n * embeddingDimension * 8L)
-      case "knn" => (n * topK * 24L, n * topK * 48L)
+      case "knn" | "nodeSimilarity" => (n * topK * 24L, n * topK * 48L)
       case "louvain" | "labelPropagation" | "wcc" => (n * 16L, n * 32L)
       case "pageRank" => (n * 16L, n * 32L)
       case "degree" => (n * 8L, n * 16L)

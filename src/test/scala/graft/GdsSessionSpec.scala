@@ -367,6 +367,68 @@ class GdsSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("nodeSimilarity: closed-form fixture, all four modes") {
+    import spark.implicits._
+    // u1 likes {b10,b11}, u2 {b10,b11,b12}, u3 {b12} — Jaccards by hand:
+    // u1·u2 = 2/3, u2·u3 = 1/3, b10·b11 = 1, b10·b12 = b11·b12 = 1/3
+    val users = Seq((1L, "u1"), (2L, "u2"), (3L, "u3")).toDF("id", "name")
+    val books = Seq((10L, "t"), (11L, "t"), (12L, "t")).toDF("id", "title")
+    val rated = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 12L)).toDF("src", "dst")
+    def fresh2 = {
+      val g = new GdsSession(graft.cypher.CypherLite.Graph(
+        nodes = Map("User" -> users, "Book" -> books),
+        edges = Map("RATED" -> rated)))
+      g.graphProject("fix", Seq("User", "Book"), "RATED")
+      g
+    }
+    // encoded ids: user → 2·id, book → 2·id + 1
+    val expected = Set(
+      (2L, 4L, 0.666667), (4L, 2L, 0.666667), (4L, 6L, 0.333333),
+      (6L, 4L, 0.333333), (21L, 23L, 1.0), (21L, 25L, 0.333333),
+      (23L, 21L, 1.0), (23L, 25L, 0.333333), (25L, 21L, 0.333333),
+      (25L, 23L, 0.333333))
+    val g = fresh2
+    val streamed = g.nodeSimilarityStream("fix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == expected, "stream diverged from hand Jaccards")
+
+    // topK=1 keeps the per-node1 argmax; node1=25's tie (21 vs 23 at
+    // 1/3) breaks on the node2 ascending tiebreak
+    val top1 = g.nodeSimilarityStream("fix", topK = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 == Set((2L, 4L), (4L, 2L), (6L, 4L), (21L, 23L),
+      (23L, 21L), (25L, 21L)))
+
+    val stats = g.nodeSimilarityStats("fix").head()
+    assert(stats.getLong(0) == 6L && stats.getLong(1) == 10L)
+
+    // upperDegreeCutoff=2 excludes u2 (degree 3) from comparison; its
+    // id stays a set ELEMENT (b10·b12 still share it) — GDS semantics
+    val capped = g.nodeSimilarityStream("fix", upperDegreeCutoff = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == expected.filter(t => t._1 % 2 == 1 && t._2 % 2 == 1),
+      "cutoff must drop every pair touching u2 as an endpoint")
+    assert(g.nodeSimilarityStats("fix", upperDegreeCutoff = Some(2L))
+      .head().getLong(0) == 5L)
+
+    // mutate lands on the projection, db untouched; write installs SIMILAR
+    val mutMeta = g.nodeSimilarityMutate("fix").head()
+    assert(mutMeta.getLong(1) == 10L)
+    assert(!g.db.edges.contains("SIMILAR"), "mutate must not touch the db")
+    val viaProj = g.graphRelationshipsStream("fix", Some("SIMILAR")).count()
+    assert(viaProj == 10L)
+    val wroteMeta = g.nodeSimilarityWrite("fix").head()
+    assert(wroteMeta.getLong(0) == 6L && wroteMeta.getLong(1) == 10L)
+    val back = g.db.edges("SIMILAR").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == expected, "write read-back diverged from the stream frame")
+
+    // estimate model covers the new procedure
+    assert(g.writeEstimate("fix", "nodeSimilarity", topK = 10)
+      .head().getLong(0) == 6L)
+  }
+
   test("write.estimate: exact counts, documented memory model") {
     val g = fresh
     val meta = g.graphProject("userGraph", Seq("User", "Book"), "RATED",
