@@ -80,6 +80,7 @@ object Bench {
       "cypher_load" -> (() => SparkEntry.queries("cypher_load_ratings")(spark, sfDir).count(): Unit),
       "gds_knn" -> (() => SparkEntry.queries("gds_knn_write")(spark, sfDir).count(): Unit),
       "gds_louvain" -> (() => SparkEntry.queries("gds_louvain_write")(spark, sfDir).count(): Unit),
+      "gds_nodesim" -> (() => SparkEntry.queries("gds_nodesim_stream")(spark, sfDir).count(): Unit),
       "dbscan" -> (() => ann.Dbscan.dbscan(spark, sfDir).count(): Unit),
       "cooc_bidir" -> (() => graph.Algorithms.userCoocBidir(spark, sfDir).count(): Unit))
     val silverResults = silverBuilds.map { case (name, build) =>

@@ -180,6 +180,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KnnIndexMaintainer (S18): stream-folded embedding + pair silvers equal the batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IndexStreams
+    import graft.streaming.IndexStreams.EdgeOp
+    val dim = 16
+    val dir = "/root/testdata/sf0.001"
+    val edges0 = graph.Algorithms.bipartiteEdges(spark, dir).localCheckpoint()
+    val m = new IndexStreams.KnnIndexMaintainer(edges0, dim)
+
+    // the T15 delta triple, split across two micro-batches: batch 1
+    // re-weights every edge of user-node 4 (+1) and adds a brand-new
+    // user rating two books; batch 2 deletes user-node 6 outright
+    val target = 4L
+    val removed = 6L
+    val newNode = 999998L
+    val books = edges0.filter(col("src") % 2 === 1).select(col("src"))
+      .distinct().limit(2).collect().map(_.getLong(0))
+    def ops(df: org.apache.spark.sql.DataFrame): Seq[EdgeOp] =
+      df.collect().map(r => EdgeOp(r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString.toDouble))).toSeq
+    val batch1 = ops(edges0
+        .filter(col("src") === target || col("dst") === target)
+        .select(col("src"), col("dst"), (col("weight") + 1.0).as("weight"))) ++
+      books.toSeq.flatMap(b => Seq(EdgeOp(newNode, b, Some(7.0)),
+        EdgeOp(b, newNode, Some(7.0))))
+    val batch2 = ops(edges0
+        .filter(col("src") === removed || col("dst") === removed)
+        .select(col("src"), col("dst"), lit(null).cast("double").as("weight")))
+
+    val input = MemoryStream[EdgeOp]
+    val q = m.attach(input.toDF()).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch-recompute truth over the final edge table
+    val finalEdges = edges0
+      .filter(col("src") =!= removed && col("dst") =!= removed)
+      .filter(col("src") =!= target && col("dst") =!= target)
+      .unionAll(edges0
+        .filter(col("src") === target || col("dst") === target)
+        .select(col("src"), col("dst"), (col("weight") + 1.0).as("weight")))
+      .unionAll(books.toSeq.toDF("b")
+        .select(lit(newNode).as("src"), col("b").as("dst"), lit(7.0).as("weight"))
+        .unionAll(books.toSeq.toDF("b")
+          .select(col("b").as("src"), lit(newNode).as("dst"), lit(7.0).as("weight"))))
+      .localCheckpoint()
+    val gotEdges = m.currentEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expEdges = finalEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotEdges == expEdges, "maintained edge table diverged")
+
+    val fullEmb = graph.FastRP.embed(finalEdges, dim)
+    def embMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val (fm, mm) = (embMap(fullEmb), embMap(m.embedding))
+    assert(mm.keySet == fm.keySet, "embedding node sets diverged")
+    assert(!mm.contains(removed) && mm.contains(newNode))
+    fm.foreach { case (id, v) =>
+      v.zip(mm(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"node $id: full $a vs folded $b") }
+    }
+
+    val fullScored = ann.Lsh.scoredPairs(fullEmb, "node_id", "embedding", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gotScored = m.scoredPairs
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotScored.keySet == fullScored.keySet,
+      s"pair sets diverged: only-folded=${(gotScored.keySet -- fullScored.keySet).take(5)} " +
+        s"only-full=${(fullScored.keySet -- gotScored.keySet).take(5)}")
+    fullScored.foreach { case (k, c) =>
+      assert(math.abs(c - gotScored(k)) < 1e-12, s"$k") }
+  }
+
   test("enrichEvents: stream-static join equals the batch join, unknown users pass with nulls") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
