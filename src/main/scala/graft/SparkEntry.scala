@@ -138,12 +138,17 @@ object SparkEntry {
           .select(col("nodeId").as("node_id"), col("score"))
       }.orderBy("node_id")
     }),
+    // NATURAL orientation — GDS's canonical bipartite nodeSimilarity
+    // shape: only nodes with OUT-rels (users) are compared, over their
+    // book sets. UNDIRECTED would also compare books over hub users —
+    // Σ_u d_u² extra pairs for no reference analog (the fixture spec
+    // covers that mode; this entry runs the one a GDS user runs).
     "gds_nodesim_stream" -> ((s, d) => {
       graft.Cache.cached(s, d, "gds_nodesim_stream") {
         val g = new graft.gds.GdsSession(
           graft.cypher.ReferenceQueries.graph(s, d))
         g.graphProject("userGraph", Seq("User", "Book"), "RATED",
-          relProperties = Seq("rating"))
+          orientation = "NATURAL", relProperties = Seq("rating"))
         g.nodeSimilarityStream("userGraph")
       }.orderBy("node1", "node2")
     }),
@@ -4628,24 +4633,26 @@ object SparkEntry {
         |)
         |SELECT node_id, score FROM deg ORDER BY node_id""".stripMargin,
 
-    // r9: nodeSimilarity.stream over the reference projection — Jaccard
-    // of neighbour sets in the encoded bipartite space, top-10 per node1
-    // (both directions, GDS's per-source lists); similarity rounded to
-    // 6dp BEFORE the rank so the top-k boundary replays exactly
+    // r9: nodeSimilarity.stream over the NATURAL-orientation reference
+    // projection — only users (out-rel sources) are compared, Jaccard of
+    // their rated-book sets, top-10 per node1 in both (u1,u2)/(u2,u1)
+    // directions; similarity rounded to 6dp BEFORE the rank so the
+    // top-k boundary replays exactly
     "gds_nodesim_stream" ->
-      s"""$BipartiteEdgesCte, sizes AS (
-        |  SELECT src, COUNT(*) AS sz FROM edges GROUP BY src
+      s"""$RatingsCte, sizes AS (
+        |  SELECT user_id, COUNT(*) AS sz FROM ratings GROUP BY user_id
         |), inter AS (
-        |  SELECT a.src AS node1, b.src AS node2, COUNT(*) AS n_common
-        |  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src <> b.src
-        |  GROUP BY a.src, b.src
+        |  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_common
+        |  FROM ratings a JOIN ratings b USING (book_id)
+        |  WHERE a.user_id <> b.user_id
+        |  GROUP BY a.user_id, b.user_id
         |), scored AS (
-        |  SELECT node1, node2,
+        |  SELECT u1 * 2 AS node1, u2 * 2 AS node2,
         |    ROUND(CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common), 6)
         |      AS similarity
         |  FROM inter
-        |  JOIN sizes s1 ON node1 = s1.src
-        |  JOIN sizes s2 ON node2 = s2.src
+        |  JOIN sizes s1 ON u1 = s1.user_id
+        |  JOIN sizes s2 ON u2 = s2.user_id
         |), ranked AS (
         |  SELECT node1, node2, similarity,
         |    ROW_NUMBER() OVER (PARTITION BY node1

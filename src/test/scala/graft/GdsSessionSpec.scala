@@ -427,6 +427,18 @@ class GdsSessionSpec extends AnyFunSuite {
     // estimate model covers the new procedure
     assert(g.writeEstimate("fix", "nodeSimilarity", topK = 10)
       .head().getLong(0) == 6L)
+
+    // NATURAL orientation (the oracle entry's shape): only out-rel
+    // sources (users) are compared — book pairs disappear
+    val gn = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("User" -> users, "Book" -> books),
+      edges = Map("RATED" -> rated)))
+    gn.graphProject("fixN", Seq("User", "Book"), "RATED",
+      orientation = "NATURAL")
+    val natural = gn.nodeSimilarityStream("fixN").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(natural == expected.filter(t => t._1 % 2 == 0 && t._2 % 2 == 0))
+    assert(gn.nodeSimilarityStats("fixN").head().getLong(0) == 3L)
   }
 
   test("write.estimate: exact counts, documented memory model") {
