@@ -791,6 +791,60 @@ final class GdsSession(initial: CypherLite.Graph) {
       "nodePropertiesWritten" -> mutateNodeProp(graphName, f, mutateProperty))
   }
 
+  // ————— pathfinding: `gds.shortestPath.dijkstra` / `gds.bfs` —
+  // routed onto the oracled kernels (`Algorithms.dijkstraPath`,
+  // `Algorithms.bfsHops`); stream modes only — GDS's path procedures
+  // are read-shaped (path writes-as-relationships have no consumer in
+  // the reference workflow). —————
+
+  /** `gds.shortestPath.dijkstra.stream(name, {sourceNode, targetNode,
+    * relationshipWeightProperty}) YIELD index, sourceNode, targetNode,
+    * totalCost, nodeIds, costs` — the GDS one-row path shape over the
+    * kernel's (step, node_id, dist) frame. No weight property ⇒ every
+    * hop costs 1.0 (GDS's unweighted fallback). Unreachable target (or
+    * reachable only beyond `rounds` relaxation rounds — the kernel's
+    * documented bounded-depth contract) ⇒ zero rows. */
+  def shortestPathDijkstraStream(graphName: String, sourceNode: Long,
+      targetNode: Long, relationshipWeightProperty: Option[String] = None,
+      rounds: Int = 6): DataFrame = {
+    val p = projOf(graphName)
+    val lengths = weightedRelsOf(p, relationshipWeightProperty)
+      .select(col("src"), col("dst"), col("weight").as("len"))
+    val path = graft.graph.Algorithms.dijkstraPath(
+      lengths, sourceNode, targetNode, rounds)
+    path
+      .agg(sort_array(collect_list(
+        struct(col("step"), col("node_id"), col("dist")))).as("steps"))
+      .filter(size(col("steps")) > 0)
+      .select(lit(0L).as("index"), lit(sourceNode).as("sourceNode"),
+        lit(targetNode).as("targetNode"),
+        element_at(col("steps"), -1).getField("dist").as("totalCost"),
+        transform(col("steps"), s => s.getField("node_id")).as("nodeIds"),
+        transform(col("steps"), s => s.getField("dist")).as("costs"))
+  }
+
+  /** `gds.bfs.stream(name, {sourceNode, maxDepth}) YIELD sourceNode,
+    * nodeIds` — breadth-first visit from the source over the
+    * projection's rels. The kernel symmetrises its edge input, so the
+    * traversal is UNDIRECTED — identical semantics on the reference's
+    * UNDIRECTED projections (which already store both directions), a
+    * documented deviation on NATURAL ones. GDS leaves same-depth visit order
+    * implementation-defined; here it is pinned DETERMINISTIC:
+    * ascending (hop, node_id) — the only order a distributed frontier
+    * can reproduce run-to-run. */
+  def bfsStream(graphName: String, sourceNode: Long,
+      maxDepth: Int = 3): DataFrame = {
+    val p = projOf(graphName)
+    val hops = graft.graph.Algorithms.bfsHops(
+      p.rels.select(col("src"), col("dst")), sourceNode, maxDepth)
+    hops
+      .agg(sort_array(collect_list(
+        struct(col("hops"), col("node_id")))).as("visits"))
+      .filter(size(col("visits")) > 0)
+      .select(lit(sourceNode).as("sourceNode"),
+        transform(col("visits"), v => v.getField("node_id")).as("nodeIds"))
+  }
+
   // ————— nodeSimilarity: `gds.nodeSimilarity` (Jaccard of neighbour
   // sets) — the non-embedding similarity procedure a recommendations
   // user reaches for, routed onto the `Algorithms.userJaccardTopK`

@@ -441,6 +441,48 @@ class GdsSessionSpec extends AnyFunSuite {
     assert(gn.nodeSimilarityStats("fixN").head().getLong(0) == 3L)
   }
 
+  test("pathfinding: shortestPath.dijkstra + bfs stream over a closed-form fixture") {
+    import spark.implicits._
+    // weighted digraph on one label: 1→2 (1.0), 2→3 (1.0), 1→3 (5.0),
+    // 3→4 (1.0); UNDIRECTED projection stores both directions.
+    // Shortest 1⇝4 = 1-2-3-4 at cost 3.0 (beats 1-3-4 at 6.0).
+    val nodes = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "iso"))
+      .toDF("id", "name")
+    val rels = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "cost")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> rels)))
+    g.graphProject("paths", Seq("N"), "E", relProperties = Seq("cost"))
+
+    val sp = g.shortestPathDijkstraStream("paths", 1L, 4L,
+      relationshipWeightProperty = Some("cost")).collect()
+    assert(sp.length == 1)
+    val r = sp(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-9)
+    assert(r.getSeq[Long](4) == Seq(1L, 2L, 3L, 4L))
+    assert(r.getSeq[Double](5) == Seq(0.0, 1.0, 2.0, 3.0))
+
+    // unweighted fallback: every hop costs 1.0 — 1⇝4 now prefers the
+    // 2-hop 1-3-4 (tie-broken deterministically by the kernel's
+    // (dist, parent) struct-min)
+    val spU = g.shortestPathDijkstraStream("paths", 1L, 4L).head()
+    assert(math.abs(spU.getDouble(3) - 2.0) < 1e-9)
+    assert(spU.getSeq[Long](4) == Seq(1L, 3L, 4L))
+
+    // unreachable (isolated node 9) ⇒ zero rows
+    assert(g.shortestPathDijkstraStream("paths", 1L, 9L,
+      relationshipWeightProperty = Some("cost")).isEmpty)
+
+    // bfs: deterministic (hop, node_id) visit order from node 1
+    val bfs = g.bfsStream("paths", 1L).head()
+    assert(bfs.getLong(0) == 1L)
+    assert(bfs.getSeq[Long](1) == Seq(1L, 2L, 3L, 4L),
+      "hop-0 source, hop-1 {2,3} ascending, hop-2 {4}")
+    assert(g.bfsStream("paths", 1L, maxDepth = 1).head().getSeq[Long](1)
+      == Seq(1L, 2L, 3L))
+  }
+
   test("write.estimate: exact counts, documented memory model") {
     val g = fresh
     val meta = g.graphProject("userGraph", Seq("User", "Book"), "RATED",
