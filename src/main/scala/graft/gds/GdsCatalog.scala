@@ -823,6 +823,23 @@ final class GdsSession(initial: CypherLite.Graph) {
         transform(col("steps"), s => s.getField("dist")).as("costs"))
   }
 
+  /** `gds.allShortestPaths.dijkstra.stream(name, {sourceNode,
+    * relationshipWeightProperty}) YIELD sourceNode, targetNode,
+    * distance` — single-source distances over the bounded min-plus
+    * kernel (`Algorithms.ssspWeighted`); nodes unreached within
+    * `rounds` relaxation rounds are absent (the kernel's documented
+    * horizon), the source itself reports 0.0. */
+  def allShortestPathsDijkstraStream(graphName: String, sourceNode: Long,
+      relationshipWeightProperty: Option[String] = None,
+      rounds: Int = 5): DataFrame = {
+    val p = projOf(graphName)
+    val lengths = weightedRelsOf(p, relationshipWeightProperty)
+      .select(col("src"), col("dst"), col("weight").as("len"))
+    graft.graph.Algorithms.ssspWeighted(lengths, sourceNode, rounds)
+      .select(lit(sourceNode).as("sourceNode"),
+        col("node_id").as("targetNode"), col("dist").as("distance"))
+  }
+
   /** `gds.bfs.stream(name, {sourceNode, maxDepth}) YIELD sourceNode,
     * nodeIds` — breadth-first visit from the source over the
     * projection's rels. The kernel symmetrises its edge input, so the

@@ -474,6 +474,13 @@ class GdsSessionSpec extends AnyFunSuite {
     assert(g.shortestPathDijkstraStream("paths", 1L, 9L,
       relationshipWeightProperty = Some("cost")).isEmpty)
 
+    // allShortestPaths: single-source distances (source reports 0.0;
+    // isolated node 9 absent)
+    val asp = g.allShortestPathsDijkstraStream("paths", 1L,
+      relationshipWeightProperty = Some("cost")).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(asp == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0))
+
     // bfs: deterministic (hop, node_id) visit order from node 1
     val bfs = g.bfsStream("paths", 1L).head()
     assert(bfs.getLong(0) == 1L)
