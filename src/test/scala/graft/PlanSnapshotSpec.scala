@@ -217,7 +217,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "bpe_corpus_encode", "bpe_token_pack",
     "ann_sq_topk", "sq_invariants", "gopher_rules", "ccnet_buckets",
     "dsir_weights", "tokenizer_fertility", "predict_ratings_item",
-    "events_scd2", "bm25_top_terms")
+    "events_scd2", "bm25_top_terms",
+    // r9 entries: the two compiled Cypher idioms and the three
+    // GDS-breadth streams
+    "cypher_bfs_hops", "cypher_shortest_path",
+    "gds_wcc_stream", "gds_degree_stream", "gds_nodesim_stream")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
