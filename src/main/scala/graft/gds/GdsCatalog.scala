@@ -791,6 +791,205 @@ final class GdsSession(initial: CypherLite.Graph) {
       "nodePropertiesWritten" -> mutateNodeProp(graphName, f, mutateProperty))
   }
 
+  // ————— centrality/structure breadth: articleRank, eigenvector,
+  // betweenness, closeness.harmonic, scc, localClusteringCoefficient —
+  // each in all four modes via a factored mode driver, routing onto
+  // the generic kernels (never a second implementation). —————
+
+  /** The write/stream/stats/mutate boilerplate shared by every
+    * (node_id, value)-shaped procedure — factored once instead of
+    * re-printing the pageRank pattern six more times. `frame` is
+    * re-evaluated per mode call (the kernels are lazy plans; heavy
+    * shared state rides the session caches, not this object). */
+  private final class NodeModes(graphName: String, streamCol: String,
+      frame: () => DataFrame) {
+    def stream(): DataFrame = frame()
+      .select(col("node_id").as("nodeId"), col("value").as(streamCol))
+    def write(writeProperty: String, writeLabel: String): DataFrame =
+      metaLong("nodePropertiesWritten" -> writeNodeProp(projOf(graphName),
+        frame().localCheckpoint(), writeProperty, writeLabel))
+    def stats(): DataFrame =
+      metaLong("nodeCount" -> frame().count())
+    def mutate(mutateProperty: String): DataFrame =
+      metaLong("nodePropertiesWritten" ->
+        mutateNodeProp(graphName, frame(), mutateProperty))
+  }
+
+  /** Deterministic source sample for the sampled centralities: the
+    * `samplingSize` LOWEST node ids. GDS samples randomly; a
+    * deterministic choice is the only one a re-run (or an oracle) can
+    * reproduce — documented deviation. */
+  private def sampleSources(p: Projection, samplingSize: Int): Seq[Long] =
+    p.nodes.select(col("id")).orderBy(col("id"))
+      .limit(samplingSize).collect().map(_.getLong(0)).toSeq
+
+  private def articleRankModes(graphName: String, maxIterations: Int,
+      dampingFactor: Double): NodeModes =
+    new NodeModes(graphName, "score", () => {
+      val p = projOf(graphName)
+      // an edgeless node's rank is exactly its (1−d) base term
+      overAllNodes(p, graft.graph.Algorithms.articleRankFrame(
+        p.rels.select(col("src"), col("dst")), maxIterations, dampingFactor),
+        lit(1.0 - dampingFactor))
+    })
+
+  /** `gds.articleRank.*` — PageRank with the mean-out-degree-lifted
+    * denominator; default maxIterations=5 is the repo's oracled
+    * operating point (`article_rank_topk`). */
+  def articleRankStream(graphName: String, maxIterations: Int = 5,
+      dampingFactor: Double = 0.85): DataFrame =
+    articleRankModes(graphName, maxIterations, dampingFactor).stream()
+  def articleRankWrite(graphName: String, writeProperty: String = "articleRank",
+      maxIterations: Int = 5, dampingFactor: Double = 0.85,
+      writeLabel: String = "User"): DataFrame =
+    articleRankModes(graphName, maxIterations, dampingFactor)
+      .write(writeProperty, writeLabel)
+  def articleRankStats(graphName: String, maxIterations: Int = 5,
+      dampingFactor: Double = 0.85): DataFrame =
+    articleRankModes(graphName, maxIterations, dampingFactor).stats()
+  def articleRankMutate(graphName: String,
+      mutateProperty: String = "articleRank", maxIterations: Int = 5,
+      dampingFactor: Double = 0.85): DataFrame =
+    articleRankModes(graphName, maxIterations, dampingFactor)
+      .mutate(mutateProperty)
+
+  private def eigenvectorModes(graphName: String, maxIterations: Int,
+      relationshipWeightProperty: Option[String]): NodeModes =
+    new NodeModes(graphName, "score", () => {
+      val p = projOf(graphName)
+      overAllNodes(p, graft.graph.Algorithms.eigenvectorFrame(
+        weightedRelsOf(p, relationshipWeightProperty), maxIterations),
+        lit(0.0))
+    })
+
+  /** `gds.eigenvector.*` — fixed-iteration power method with
+    * per-iteration L2 normalisation (the `eigenvector_topk` kernel). */
+  def eigenvectorStream(graphName: String, maxIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = None): DataFrame =
+    eigenvectorModes(graphName, maxIterations, relationshipWeightProperty)
+      .stream()
+  def eigenvectorWrite(graphName: String, writeProperty: String = "eigenvector",
+      maxIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = None,
+      writeLabel: String = "User"): DataFrame =
+    eigenvectorModes(graphName, maxIterations, relationshipWeightProperty)
+      .write(writeProperty, writeLabel)
+  def eigenvectorStats(graphName: String, maxIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = None): DataFrame =
+    eigenvectorModes(graphName, maxIterations, relationshipWeightProperty)
+      .stats()
+  def eigenvectorMutate(graphName: String,
+      mutateProperty: String = "eigenvector", maxIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = None): DataFrame =
+    eigenvectorModes(graphName, maxIterations, relationshipWeightProperty)
+      .mutate(mutateProperty)
+
+  private def betweennessModes(graphName: String, samplingSize: Int,
+      maxHops: Int): NodeModes =
+    new NodeModes(graphName, "score", () => {
+      val p = projOf(graphName)
+      // symmetric=false lets the kernel symmetrise: idempotent on
+      // UNDIRECTED projections (both directions already stored), and
+      // the correct completion on NATURAL ones
+      overAllNodes(p, graft.graph.Algorithms.betweennessSample(
+        p.rels.select(col("src"), col("dst")),
+        sampleSources(p, samplingSize), maxHops), lit(0.0))
+    })
+
+  /** `gds.betweenness.*` — Brandes dependency sums from a
+    * DETERMINISTIC source sample within a bounded horizon (exact
+    * betweenness is full APSP and never runs at 100 TB; GDS's own
+    * samplingSize knob, deterministic here). */
+  def betweennessStream(graphName: String, samplingSize: Int = 8,
+      maxHops: Int = 4): DataFrame =
+    betweennessModes(graphName, samplingSize, maxHops).stream()
+  def betweennessWrite(graphName: String, writeProperty: String = "betweenness",
+      samplingSize: Int = 8, maxHops: Int = 4,
+      writeLabel: String = "User"): DataFrame =
+    betweennessModes(graphName, samplingSize, maxHops)
+      .write(writeProperty, writeLabel)
+  def betweennessStats(graphName: String, samplingSize: Int = 8,
+      maxHops: Int = 4): DataFrame =
+    betweennessModes(graphName, samplingSize, maxHops).stats()
+  def betweennessMutate(graphName: String,
+      mutateProperty: String = "betweenness", samplingSize: Int = 8,
+      maxHops: Int = 4): DataFrame =
+    betweennessModes(graphName, samplingSize, maxHops).mutate(mutateProperty)
+
+  private def harmonicModes(graphName: String, samplingSize: Int,
+      maxHops: Int): NodeModes =
+    new NodeModes(graphName, "centrality", () => {
+      val p = projOf(graphName)
+      overAllNodes(p, graft.graph.Algorithms.harmonicCentrality(
+        p.rels.select(col("src"), col("dst")),
+        sampleSources(p, samplingSize), maxHops), lit(0.0))
+    })
+
+  /** `gds.closeness.harmonic.*` — Σ 1/d(s, v) over a deterministic
+    * source sample within a bounded horizon (the scalable stand-in for
+    * exact harmonic closeness, the `harmonic_centrality` kernel). */
+  def harmonicStream(graphName: String, samplingSize: Int = 8,
+      maxHops: Int = 3): DataFrame =
+    harmonicModes(graphName, samplingSize, maxHops).stream()
+  def harmonicWrite(graphName: String, writeProperty: String = "harmonic",
+      samplingSize: Int = 8, maxHops: Int = 3,
+      writeLabel: String = "User"): DataFrame =
+    harmonicModes(graphName, samplingSize, maxHops)
+      .write(writeProperty, writeLabel)
+  def harmonicStats(graphName: String, samplingSize: Int = 8,
+      maxHops: Int = 3): DataFrame =
+    harmonicModes(graphName, samplingSize, maxHops).stats()
+  def harmonicMutate(graphName: String, mutateProperty: String = "harmonic",
+      samplingSize: Int = 8, maxHops: Int = 3): DataFrame =
+    harmonicModes(graphName, samplingSize, maxHops).mutate(mutateProperty)
+
+  private def sccModes(graphName: String): NodeModes =
+    new NodeModes(graphName, "componentId", () => {
+      val p = projOf(graphName)
+      // an edgeless node is its own singleton SCC
+      overAllNodes(p, graft.graph.Algorithms.stronglyConnectedComponents(
+        p.rels.select(col("src"), col("dst"))), col("node_id"))
+    })
+
+  /** `gds.scc.*` — strongly connected components (size-adaptive
+    * distributed peel / driver Tarjan, min-member labels — the
+    * `scc_components` kernel). On an UNDIRECTED projection every weak
+    * component is strongly connected by construction. */
+  def sccStream(graphName: String): DataFrame = sccModes(graphName).stream()
+  def sccWrite(graphName: String, writeProperty: String = "componentId",
+      writeLabel: String = "User"): DataFrame =
+    sccModes(graphName).write(writeProperty, writeLabel)
+  def sccStats(graphName: String): DataFrame = {
+    val f = sccModes(graphName).stream().localCheckpoint()
+    metaLong("componentCount" ->
+      f.select(col("componentId")).distinct().count(),
+      "nodeCount" -> f.count())
+  }
+  def sccMutate(graphName: String,
+      mutateProperty: String = "componentId"): DataFrame =
+    sccModes(graphName).mutate(mutateProperty)
+
+  private def lccModes(graphName: String): NodeModes =
+    new NodeModes(graphName, "localClusteringCoefficient", () => {
+      val p = projOf(graphName)
+      overAllNodes(p, graft.graph.Algorithms.localClusteringCoefficients(
+        p.rels.select(col("src"), col("dst"))), lit(0.0))
+    })
+
+  /** `gds.localClusteringCoefficient.*` — 2t/(d(d−1)) per node via the
+    * factored triangle credits (the clustering-coefficient kernel). */
+  def localClusteringCoefficientStream(graphName: String): DataFrame =
+    lccModes(graphName).stream()
+  def localClusteringCoefficientWrite(graphName: String,
+      writeProperty: String = "localClusteringCoefficient",
+      writeLabel: String = "User"): DataFrame =
+    lccModes(graphName).write(writeProperty, writeLabel)
+  def localClusteringCoefficientStats(graphName: String): DataFrame =
+    lccModes(graphName).stats()
+  def localClusteringCoefficientMutate(graphName: String,
+      mutateProperty: String = "localClusteringCoefficient"): DataFrame =
+    lccModes(graphName).mutate(mutateProperty)
+
   // ————— pathfinding: `gds.shortestPath.dijkstra` / `gds.bfs` —
   // routed onto the oracled kernels (`Algorithms.dijkstraPath`,
   // `Algorithms.bfsHops`); stream modes only — GDS's path procedures
@@ -1001,10 +1200,12 @@ final class GdsSession(initial: CypherLite.Graph) {
       case "fastRP" =>
         (n * embeddingDimension * 4L, n * embeddingDimension * 8L)
       case "knn" | "nodeSimilarity" => (n * topK * 24L, n * topK * 48L)
-      case "louvain" | "labelPropagation" | "wcc" => (n * 16L, n * 32L)
-      case "pageRank" => (n * 16L, n * 32L)
+      case "louvain" | "labelPropagation" | "wcc" | "scc" => (n * 16L, n * 32L)
+      case "pageRank" | "articleRank" | "eigenvector" | "betweenness" |
+           "harmonic" => (n * 16L, n * 32L)
       case "degree" => (n * 8L, n * 16L)
-      case "triangleCount" => (n * 8L + m * 8L, (n * 8L + m * 8L) * 2L)
+      case "triangleCount" | "localClusteringCoefficient" =>
+        (n * 8L + m * 8L, (n * 8L + m * 8L) * 2L)
       case other => sys.error(s"no estimate model for procedure '$other'")
     }
     val (bytesMin, bytesMax) = (graphBytes + resMin, graphBytes + resMax)

@@ -595,6 +595,23 @@ object Algorithms {
         coalesce(col("t"), lit(0L)).as("triangles"))
   }
 
+  /** Per-node local clustering coefficient over ANY edge frame (GDS
+    * `gds.localClusteringCoefficient`): 2t / (d(d−1)), 0 for degree
+    * < 2 — [[triangleCountPerNode]]'s credits joined to the undirected
+    * degree; no shuffle beyond those two aggregates. */
+  def localClusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = canonPairs(edges)
+    val deg = und.select(col("a").as("node_id"))
+      .unionAll(und.select(col("b").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+    triangleCountPerNode(edges)
+      .join(deg, Seq("node_id"), "left")
+      .select(col("node_id"),
+        when(col("degree") >= 2,
+          col("triangles") * 2.0 / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("coefficient"))
+  }
+
   private def clusteringFrom(deg: DataFrame, oriented: DataFrame, adj: DataFrame,
       k: Int, minDegree: Int): DataFrame = {
     val credits = triangleCredits(oriented, adj)
@@ -1784,7 +1801,16 @@ object Algorithms {
     * PageRank-oracle argument). One join + one aggregate per iteration,
     * keyed on node id; the norm is an O(1) scalar probe per round. */
   def eigenvectorCentrality(edges: DataFrame, iterations: Int = 5,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20): DataFrame =
+    eigenvectorFrame(edges, iterations)
+      .select(col("node_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("node_id"))
+      .limit(topK)
+
+  /** [[eigenvectorCentrality]]'s power loop returning the full
+    * unrounded per-node frame (pure code motion — the GDS catalog
+    * modes consume this; the entry keeps its round/top-k tail). */
+  def eigenvectorFrame(edges: DataFrame, iterations: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = nodesOf(e).localCheckpoint()
@@ -1801,9 +1827,7 @@ object Algorithms {
       x = raw.select(col("node_id"), (col("raw") / norm).as("score"))
     }
     e.unpersist(blocking = false)
-    x.select(col("node_id"), round(col("score"), 6).as("score"))
-      .orderBy(col("score").desc, col("node_id"))
-      .limit(topK)
+    x
   }
 
   /** Maximum (or minimum) spanning FOREST via distributed Borůvka (GDS
@@ -2705,9 +2729,20 @@ object Algorithms {
     * scalar), every share is a deterministic double, so the whole run
     * replays exactly like pagerank_fixed_topk. */
   def articleRank(spark: SparkSession, dir: String,
-      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
-    val edges = RatingsGraph.cooccurrenceEdges(spark, dir)
-      .select(col("u1").as("src"), col("u2").as("dst"))
+      iterations: Int = 5, damping: Double = 0.85): DataFrame =
+    articleRankFrame(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")),
+        iterations, damping)
+      .select(col("node_id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node_id"))
+      .limit(20)
+
+  /** [[articleRank]]'s loop over ANY (src, dst) edge frame — the full
+    * unrounded per-node frame the GDS catalog modes consume (pure code
+    * motion from the oracled entry; same operations, same plan). */
+  def articleRankFrame(edges0: DataFrame, iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val s = deg.agg(sum(col("deg")), count(lit(1))).head()
@@ -2727,9 +2762,7 @@ object Algorithms {
         .agg((lit(1.0 - damping) + lit(damping) * sum(col("contrib"))).as("rank"))
         .localCheckpoint()
     }
-    ranks.select(col("node_id"), round(col("rank"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("node_id"))
-      .limit(20)
+    ranks
   }
 
   private def userCoocNorm(spark: SparkSession, dir: String): DataFrame =

@@ -490,6 +490,72 @@ class GdsSessionSpec extends AnyFunSuite {
       == Seq(1L, 2L, 3L))
   }
 
+  test("centrality/structure breadth: closed-form fixture, all families") {
+    import spark.implicits._
+    // kite + tail: triangle 1-2-3, edge 3-4, isolated 9 (the paths
+    // fixture minus weights — hops only)
+    val nodes = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "iso"))
+      .toDF("id", "name")
+    val rels = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> rels)))
+    g.graphProject("kite", Seq("N"), "E")
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // scc: UNDIRECTED stores both directions, so the weak component
+    // {1,2,3,4} is strongly connected; isolated 9 is its own singleton
+    val scc = g.sccStream("kite").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+    val sccStats = g.sccStats("kite").head()
+    assert(sccStats.getLong(0) == 2L && sccStats.getLong(1) == 5L)
+
+    // localClusteringCoefficient: deg 1:2 2:2 3:3 4:1, one triangle
+    val lcc = asMap(g.localClusteringCoefficientStream("kite"))
+    assert(lcc(1L) == 1.0 && lcc(2L) == 1.0 && lcc(4L) == 0.0 && lcc(9L) == 0.0)
+    assert(math.abs(lcc(3L) - 1.0 / 3) < 1e-9)
+
+    // betweenness (all 5 nodes sampled ⇒ exact): only node 3 is
+    // interior — on 1⇝4 and 2⇝4, so 4 directed dependencies / 2 = 2.0
+    val btw = asMap(g.betweennessStream("kite", samplingSize = 5))
+    assert(btw == Map(1L -> 0.0, 2L -> 0.0, 3L -> 2.0, 4L -> 0.0, 9L -> 0.0))
+
+    // harmonic (all sources): Σ 1/d — 1: 1+1+1/2, 2: same, 3: 3,
+    // 4: 1/2+1/2+1, 9 unreached: 0
+    val harm = asMap(g.harmonicStream("kite", samplingSize = 5))
+    assert(harm == Map(1L -> 2.5, 2L -> 2.5, 3L -> 3.0, 4L -> 2.0, 9L -> 0.0))
+
+    // eigenvector: unit-L2 over the connected part, hub 3 on top,
+    // isolated 9 exactly 0
+    val eig = asMap(g.eigenvectorStream("kite"))
+    assert(eig(9L) == 0.0)
+    assert(eig(3L) == eig.values.max)
+    val l2 = math.sqrt(eig.values.map(v => v * v).sum)
+    assert(math.abs(l2 - 1.0) < 1e-9)
+
+    // articleRank: isolated 9 sits exactly at the (1−d) base term,
+    // hub 3 on top
+    val ar = asMap(g.articleRankStream("kite"))
+    assert(math.abs(ar(9L) - 0.15) < 1e-12)
+    assert(ar(3L) == ar.values.max)
+
+    // write + mutate round-trips through the shared mode driver
+    assert(g.betweennessWrite("kite", samplingSize = 5,
+      writeLabel = "N").head().getLong(0) == 5L)
+    val back = g.db.nodes("N").filter(col("betweenness").isNotNull).count()
+    assert(back == 5L)
+    assert(g.harmonicMutate("kite").head().getLong(0) == 5L)
+    assert(g.graphNodePropertiesStream("kite", "harmonic").count() == 5L)
+
+    // estimate model covers the new procedures
+    Seq("articleRank", "eigenvector", "betweenness", "harmonic", "scc",
+      "localClusteringCoefficient").foreach { proc =>
+      assert(g.writeEstimate("kite", proc).head().getLong(0) == 5L)
+    }
+  }
+
   test("write.estimate: exact counts, documented memory model") {
     val g = fresh
     val meta = g.graphProject("userGraph", Seq("User", "Book"), "RATED",
