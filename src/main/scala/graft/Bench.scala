@@ -33,68 +33,83 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg
 
-    // the silver phase: each build materialised (count) and timed. A
-    // failed build times as -1 and reports in `failed` like a query.
-    val silverBuilds: Seq[(String, () => Unit)] = Seq(
-      "ratings" -> (() => graph.RatingsGraph.ratings(spark, sfDir).count(): Unit),
-      "pair_stats" -> (() => graph.Algorithms.coRatedPairStats(spark, sfDir).count(): Unit),
-      "pair_stats_liked" -> (() => graph.Algorithms.coRatedPairStats(spark, sfDir, minRating = 6).count(): Unit),
-      "liked_norms" -> (() => graph.Algorithms.likedNorms(spark, sfDir).count(): Unit),
-      "cooccurrence" -> (() => graph.RatingsGraph.cooccurrenceEdges(spark, sfDir).count(): Unit),
-      "fastrp" -> (() => graph.FastRP.userEmbeddings(spark, sfDir).count(): Unit),
-      "node2vec_emb" -> (() => graph.Node2Vec.userEmbeddings(spark, sfDir).count(): Unit),
-      "knn_scored_pairs" -> (() => graph.Algorithms.userScoredPairs(spark, sfDir).count(): Unit),
-      "lpa_communities" -> (() => graph.Algorithms.userCommunities(spark, sfDir).count(): Unit),
-      "louvain_communities" -> (() => graph.Louvain.userCommunities(spark, sfDir).count(): Unit),
-      "pagerank" -> (() => graph.Algorithms.userPageRank(spark, sfDir).count(): Unit),
-      "ngram_pairs" -> (() => dedup.Dedup.ngramJaccardPairs(spark, sfDir).count(): Unit),
-      "oriented_adj" -> (() => graph.Algorithms.userOrientedAdj(spark, sfDir).count(): Unit),
-      "edge_support" -> (() => graph.Algorithms.userEdgeSupport(spark, sfDir).count(): Unit),
-      "kcore" -> (() => graph.Algorithms.userKcore(spark, sfDir).count(): Unit),
-      "bipartite_cc" -> (() => graph.Algorithms.userBipartiteCC(spark, sfDir).count(): Unit),
-      "msbfs" -> (() => graph.Algorithms.userCoocDistances(spark, sfDir).count(): Unit),
-      "toked_docs" -> (() => text.TextOps.tokedDocs(spark, sfDir).count(): Unit),
-      "bpe_seg" -> (() => text.TextOps.bpeSegState(spark, sfDir).count(): Unit),
-      "yens_paths" -> (() => SparkEntry.queries("yens_paths")(spark, sfDir).count(): Unit),
-      "grams_split" -> (() => text.TextOps.gramSplitFrame(spark, sfDir, 8).count(): Unit),
-      "mst_forest" -> (() => graph.Algorithms.userSpanningForest(spark, sfDir).count(): Unit),
+    // the silver phase: each build materialised (count) and timed, with
+    // the 1-min load stamped per build (r10: silver verdicts must be as
+    // self-defending as the gates — a co-tenant burst must be readable
+    // off the artifact, not archaeology). A failed build times as -1
+    // and reports in `failed` like a query. Builds take the SESSION as
+    // a parameter so a contested run can re-measure in a fresh session
+    // (fresh cache keys → true rebuilds) after the sweep.
+    val silverBuilds: Seq[(String, SparkSession => Unit)] = Seq(
+      "ratings" -> ((s: SparkSession) => graph.RatingsGraph.ratings(s, sfDir).count(): Unit),
+      "pair_stats" -> ((s: SparkSession) => graph.Algorithms.coRatedPairStats(s, sfDir).count(): Unit),
+      "pair_stats_liked" -> ((s: SparkSession) => graph.Algorithms.coRatedPairStats(s, sfDir, minRating = 6).count(): Unit),
+      "liked_norms" -> ((s: SparkSession) => graph.Algorithms.likedNorms(s, sfDir).count(): Unit),
+      "cooccurrence" -> ((s: SparkSession) => graph.RatingsGraph.cooccurrenceEdges(s, sfDir).count(): Unit),
+      "fastrp" -> ((s: SparkSession) => graph.FastRP.userEmbeddings(s, sfDir).count(): Unit),
+      "node2vec_emb" -> ((s: SparkSession) => graph.Node2Vec.userEmbeddings(s, sfDir).count(): Unit),
+      "knn_scored_pairs" -> ((s: SparkSession) => graph.Algorithms.userScoredPairs(s, sfDir).count(): Unit),
+      "lpa_communities" -> ((s: SparkSession) => graph.Algorithms.userCommunities(s, sfDir).count(): Unit),
+      "louvain_communities" -> ((s: SparkSession) => graph.Louvain.userCommunities(s, sfDir).count(): Unit),
+      "pagerank" -> ((s: SparkSession) => graph.Algorithms.userPageRank(s, sfDir).count(): Unit),
+      "ngram_pairs" -> ((s: SparkSession) => dedup.Dedup.ngramJaccardPairs(s, sfDir).count(): Unit),
+      "oriented_adj" -> ((s: SparkSession) => graph.Algorithms.userOrientedAdj(s, sfDir).count(): Unit),
+      "edge_support" -> ((s: SparkSession) => graph.Algorithms.userEdgeSupport(s, sfDir).count(): Unit),
+      "kcore" -> ((s: SparkSession) => graph.Algorithms.userKcore(s, sfDir).count(): Unit),
+      "bipartite_cc" -> ((s: SparkSession) => graph.Algorithms.userBipartiteCC(s, sfDir).count(): Unit),
+      "msbfs" -> ((s: SparkSession) => graph.Algorithms.userCoocDistances(s, sfDir).count(): Unit),
+      "toked_docs" -> ((s: SparkSession) => text.TextOps.tokedDocs(s, sfDir).count(): Unit),
+      "bpe_seg" -> ((s: SparkSession) => text.TextOps.bpeSegState(s, sfDir).count(): Unit),
+      "yens_paths" -> ((s: SparkSession) => SparkEntry.queries("yens_paths")(s, sfDir).count(): Unit),
+      "grams_split" -> ((s: SparkSession) => text.TextOps.gramSplitFrame(s, sfDir, 8).count(): Unit),
+      "mst_forest" -> ((s: SparkSession) => graph.Algorithms.userSpanningForest(s, sfDir).count(): Unit),
       // r6: one-time session-cached builds that previously landed on
       // whichever consumer entry iterated first (kspan_invariants was
       // carrying the clusters build, ivfpq_invariants the PQ/IVF index)
-      "kspan_clusters" -> (() => graph.Algorithms.kSpanningClusters(spark, sfDir).count(): Unit),
-      "leiden_communities" -> (() => graph.Louvain.userCommunitiesLeiden(spark, sfDir).count(): Unit),
-      "kmeans" -> (() => ann.KMeans.assign(spark, sfDir).count(): Unit),
-      "pq_codes" -> (() => ann.AnnSearch.pqCodes(spark, sfDir).count(): Unit),
-      "ivf_assignment" -> (() => ann.AnnSearch.ivfAssignment(spark, sfDir).count(): Unit),
-      "k1_coloring" -> (() => SparkEntry.queries("graph_coloring")(spark, sfDir).count(): Unit),
-      "serve_books_table" -> (() => recommend.Serving.userBooksTable(spark, sfDir): Unit),
-      "serve_recs_table" -> (() => recommend.Serving.recommendationsTable(spark, sfDir): Unit),
+      "kspan_clusters" -> ((s: SparkSession) => graph.Algorithms.kSpanningClusters(s, sfDir).count(): Unit),
+      "leiden_communities" -> ((s: SparkSession) => graph.Louvain.userCommunitiesLeiden(s, sfDir).count(): Unit),
+      "kmeans" -> ((s: SparkSession) => ann.KMeans.assign(s, sfDir).count(): Unit),
+      "pq_codes" -> ((s: SparkSession) => ann.AnnSearch.pqCodes(s, sfDir).count(): Unit),
+      "ivf_assignment" -> ((s: SparkSession) => ann.AnnSearch.ivfAssignment(s, sfDir).count(): Unit),
+      // r10 attribution fix: the ANN entries' first run pays the
+      // embeddings parquet read + codegen warm-up (sweep lines read
+      // 1.5–1.9 s cold vs ~0.4 s warm) — run each once here so the
+      // sweep stays attribution-clean and the cost sits on this row
+      "ann_first_touch" -> ((s: SparkSession) =>
+        Seq("ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+          "ann_pq_topk", "ann_ivfpq_topk", "ann_sq_topk")
+          .foreach(k => SparkEntry.queries(k)(s, sfDir).count(): Unit)),
+      "k1_coloring" -> ((s: SparkSession) => SparkEntry.queries("graph_coloring")(s, sfDir).count(): Unit),
+      "serve_books_table" -> ((s: SparkSession) => recommend.Serving.userBooksTable(s, sfDir): Unit),
+      "serve_recs_table" -> ((s: SparkSession) => recommend.Serving.recommendationsTable(s, sfDir): Unit),
       // r7 no-hidden-build: session-cached substrates that previously
       // landed inside their first consumer's query line (semdedup_pairs
       // carried a 17 s assignment-frame build, dbscan_clusters its
       // eps-graph, shortest_path_nodes its bidir-edge persist)
-      "semdedup_frame" -> (() => dedup.SemDedup.cachedFrame(spark, sfDir).count(): Unit),
+      "semdedup_frame" -> ((s: SparkSession) => dedup.SemDedup.cachedFrame(s, sfDir).count(): Unit),
       // r8: the front-end workflow entries build their whole pipeline
       // into a session cache on first touch — warm here so their sweep
       // lines are lookup times, with the build cost on its own row
-      "cypher_load" -> (() => SparkEntry.queries("cypher_load_ratings")(spark, sfDir).count(): Unit),
-      "gds_knn" -> (() => SparkEntry.queries("gds_knn_write")(spark, sfDir).count(): Unit),
-      "gds_louvain" -> (() => SparkEntry.queries("gds_louvain_write")(spark, sfDir).count(): Unit),
-      "gds_nodesim" -> (() => SparkEntry.queries("gds_nodesim_stream")(spark, sfDir).count(): Unit),
-      "dbscan" -> (() => ann.Dbscan.dbscan(spark, sfDir).count(): Unit),
-      "cooc_bidir" -> (() => graph.Algorithms.userCoocBidir(spark, sfDir).count(): Unit))
-    val silverResults = silverBuilds.map { case (name, build) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { build(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] silver $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
-        }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      (name, sec, ok)
-    }
+      "cypher_load" -> ((s: SparkSession) => SparkEntry.queries("cypher_load_ratings")(s, sfDir).count(): Unit),
+      "gds_knn" -> ((s: SparkSession) => SparkEntry.queries("gds_knn_write")(s, sfDir).count(): Unit),
+      "gds_louvain" -> ((s: SparkSession) => SparkEntry.queries("gds_louvain_write")(s, sfDir).count(): Unit),
+      "gds_nodesim" -> ((s: SparkSession) => SparkEntry.queries("gds_nodesim_stream")(s, sfDir).count(): Unit),
+      "dbscan" -> ((s: SparkSession) => ann.Dbscan.dbscan(s, sfDir).count(): Unit),
+      "cooc_bidir" -> ((s: SparkSession) => graph.Algorithms.userCoocBidir(s, sfDir).count(): Unit))
+    def runSilvers(s: SparkSession): Seq[(String, Double, Boolean, Double)] =
+      silverBuilds.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { build(s); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] silver $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        (name, sec, ok, loadAvg)
+      }
+    val silverPass1 = runSilvers(spark)
 
     // BASELINE.md reference-analog pins (r5, sf0.1 warm): these 13 are
     // GRADED against a 2× gate, so they are measured min-of-3 — a
@@ -182,6 +197,33 @@ object Bench {
       }
     }
     val results = resultsMut.toSeq.map { case (k, (sec, ok, l)) => (k, sec, ok, l) }
+
+    // Self-defending SILVER phase (r10): when any build ran under real
+    // contention (1-min load > 3.0 stamped at build time), the whole
+    // silver list re-measures ONCE in a fresh session at the END of the
+    // run (the box had the whole sweep to get quiet; fresh cache keys →
+    // true rebuilds, dependency order preserved). The artifact keeps
+    // both trails and reports the per-build MIN — a loaded driver run
+    // can no longer fake a silver breach, exactly the gates' min-of-N
+    // discipline. A quiet run never pays the second pass.
+    val silverLoadThreshold = 3.0
+    val silverContested = silverPass1.exists(_._4 > silverLoadThreshold)
+    val silverPass2: Option[Seq[(String, Double, Boolean, Double)]] =
+      if (!silverContested) None
+      else {
+        System.err.println(s"[bench] silver phase contested (1-min load > $silverLoadThreshold during a build) — re-measuring in a fresh session")
+        val s2 = spark.newSession()
+        val r = runSilvers(s2)
+        graft.Cache.clear(s2) // free the duplicate silver storage
+        Some(r)
+      }
+    val silverResults = silverPass1.map { case (name, sec1, ok1, l1) =>
+      silverPass2.flatMap(_.find(_._1 == name)) match {
+        case Some((_, sec2, ok2, _)) if ok2 && (!ok1 || sec2 < sec1) =>
+          (name, sec2, true, l1)
+        case _ => (name, sec1, ok1, l1)
+      }
+    }
     def r3(d: Double) = math.rint(d * 1000) / 1000
     // graph/corpus density stamp: cross-round bench deltas must be
     // separable from testdata drift without archaeology (the driver
@@ -211,10 +253,10 @@ object Bench {
     val loadJson = s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"host_uptime_sec":${r3(hostUptime)},"cpus":"$cpus""""
     def timesJson(rs: Iterable[(String, Double)]) =
       rs.map { case (k, sec) => s"\"$k\":${r3(sec)}" }.mkString("{", ",", "}")
-    val silverTotal = silverResults.collect { case (_, sec, true) => sec }.sum
+    val silverTotal = silverResults.collect { case (_, sec, true, _) => sec }.sum
     val queriesTotal = results.collect { case (_, sec, true, _) => sec }.sum
     val oks = results.map { case (k, _, ok, _) => s"\"$k\":$ok" }.mkString("{", ",", "}")
-    val failedSeq = silverResults.collect { case (k, _, false) => s"silver:$k" } ++
+    val failedSeq = silverResults.collect { case (k, _, false, _) => s"silver:$k" } ++
       results.collect { case (k, _, false, _) => k }
     def failedJson(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // BASELINE gate verdicts, computed IN the artifact (min-of-3 times
@@ -235,7 +277,17 @@ object Bench {
     // Full per-query detail goes to a FILE — the one printed JSON line
     // must stay short: the driver captures only the tail of stdout, so
     // a multi-KB line gets its head truncated and fails to parse.
-    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults.map(t => (t._1, t._2)))},"silver_total":${r3(silverTotal)},"queries_total":${r3(queriesTotal)},"queries":${timesJson(results.map(t => (t._1, t._2)))},"query_load":$queryLoadJson,"gates":$gatesJson,$gateSummary,"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
+    // silver self-defense detail: per-build load stamps for pass 1, and
+    // — when the contested re-measure ran — the raw pass-1/pass-2 maps
+    // so the min is auditable
+    val silverLoadJson = silverPass1.map { case (k, _, _, l) =>
+      s"\"$k\":${r3(l)}" }.mkString("{", ",", "}")
+    val silverDefenseJson = silverPass2 match {
+      case Some(p2) =>
+        s""","silver_contested":true,"silver_p1":${timesJson(silverPass1.map(t => (t._1, t._2)))},"silver_p2":${timesJson(p2.map(t => (t._1, t._2)))},"silver_p2_load":${p2.map { case (k, _, _, l) => s"\"$k\":${r3(l)}" }.mkString("{", ",", "}")}"""
+      case None => s""","silver_contested":false"""
+    }
+    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults.map(t => (t._1, t._2)))},"silver_total":${r3(silverTotal)},"silver_load":$silverLoadJson$silverDefenseJson,"queries_total":${r3(queriesTotal)},"queries":${timesJson(results.map(t => (t._1, t._2)))},"query_load":$queryLoadJson,"gates":$gatesJson,$gateSummary,"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8")): Unit
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
@@ -254,7 +306,7 @@ object Bench {
       "quality_filter", "corpus_pipeline", "multimodal_features")
     val headlineTimes = timesJson(results.collect {
       case (k, sec, _, _) if headline(k) => (k, sec) })
-    val line = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","n_queries":${results.size},"silver_total":${r3(silverTotal)},"queries":$headlineTimes,$gateSummary,"failed":${failedJson(failedSeq.take(8))},"n_failed":${failedSeq.size},$loadJson,$densityJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+    val line = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","n_queries":${results.size},"silver_total":${r3(silverTotal)},"silver_contested":$silverContested,"queries":$headlineTimes,$gateSummary,"failed":${failedJson(failedSeq.take(8))},"n_failed":${failedSeq.size},$loadJson,$densityJson,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING printed line ${line.length} chars > 1800 — may truncate in driver tail")
     println(line)

@@ -152,6 +152,26 @@ object SparkEntry {
         g.nodeSimilarityStream("userGraph")
       }.orderBy("node1", "node2")
     }),
+    // r10: personalized pageRank through the GDS front door — the
+    // reference's cypher projection (cooc graph, weight = co-rating
+    // count) + `sourceNodes`, routed onto the ppr kernel; the ppr_topk
+    // unrolled-CTE oracle applies VERBATIM because the projection's
+    // edge frame is the same cooc graph (isolated users rank 0.0 and
+    // cannot enter the all-positive top 20)
+    "gds_ppr_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_ppr_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("pprGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        g.pageRankStream("pprGraph", maxIterations = 5,
+            relationshipWeightProperty = Some("weight"),
+            sourceNodes = Seq(1L, 2L, 3L))
+          .select(col("nodeId").as("node_id"),
+            round(col("score"), 6).as("rank"))
+      }.orderBy(col("rank").desc, col("node_id")).limit(20)
+    }),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
@@ -5847,6 +5867,11 @@ object SparkEntry {
          |ORDER BY component_size""".stripMargin,
 
     "ppr_topk" -> pprOracle,
+    // the GDS front-door twin computes the same PPR over the same cooc
+    // graph (cypher projection): the unrolled-CTE oracle is shared
+    // verbatim — projection-added isolated users rank 0.0 and cannot
+    // displace the all-positive top 20
+    "gds_ppr_stream" -> pprOracle,
 
     "betweenness_sample" -> betweennessOracle,
 

@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   *  - `RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n]`;
   *  - var-length segments `-[r:T*min..max]->` / `-[:T*..k]-` (bounded
   *    BFS; `r.hops` = minimal hop distance — see [[Compiler]] for the
-  *    documented DISTINCT-endpoint semantics) and
+  *    documented DISTINCT-endpoint semantics), inside plain AND
+  *    OPTIONAL MATCH, and
   *    `MATCH p = shortestPath((a {id:s})-[:T*..k]-(b {id:t}))` with
-  *    `nodes(p)` / `length(p)`, lowered onto the engine's
-  *    shortest-path machinery.
+  *    `nodes(p)` / `relationships(p)` / `length(p)`, lowered onto the
+  *    engine's shortest-path machinery.
   *
   * Variables live as STRUCT columns (node: id + properties; rel:
   * src/dst + properties), property access is `getField`, and a WITH
@@ -369,6 +370,8 @@ object CypherLite {
             // nodes(p): a shortestPath binding already IS its node
             // sequence (array<struct<step, node_id>>) — identity
             next(); val e = expr(); expect(")"); e
+          } else if (peek == "(" && fl == "relationships") {
+            next(); val e = expr(); expect(")"); Fn1("relationships", e)
           } else if (peek == "(" && fl == "length") {
             next(); val e = expr(); expect(")"); Fn1("length", e)
           } else if (peek == ".") {
@@ -487,6 +490,26 @@ object CypherLite {
       * shuffle). */
     private def varLengthHop(prev: String, rel: RelPat,
         node: NodePat): String = {
+      val reach = varLengthReachFrom(
+        df.select(col(prev).getField("id").as("__vl_source")), rel)
+      df = df.join(reach, col(prev).getField("id") === col("__vl_source"))
+      rel.v.foreach { rv =>
+        df = df.withColumn(rv, struct(col("__vl_hops").as("hops")))
+        structVars += rv
+      }
+      val v = bindChainTarget(node, col("__vl_node"))
+      df = df.drop("__vl_source", "__vl_node", "__vl_hops")
+      v
+    }
+
+    /** The var-length BFS core, frame-parameterised so MATCH and
+      * OPTIONAL MATCH share it: given a one-column frame of source ids,
+      * returns (__vl_source, __vl_node, __vl_hops) for every endpoint
+      * within the hop bounds — minimal hop distance per pair, no driver
+      * state, one equi-join + (source, node) min-aggregate per hop with
+      * a localCheckpoint lineage cut. */
+    private def varLengthReachFrom(sourcesRaw: DataFrame,
+        rel: RelPat): DataFrame = {
       val (minH, maxH) = rel.varLength.get
       require(0 <= minH && minH <= maxH && maxH >= 1,
         s"bad var-length bounds *$minH..$maxH")
@@ -497,8 +520,8 @@ object CypherLite {
         else if (rel.leftToRight) dir0
         else dir0.select(col("dst").as("src"), col("src").as("dst")))
           .distinct().localCheckpoint()
-      val sources = df.select(col(prev).getField("id").as("__vl_source"))
-        .distinct().localCheckpoint()
+      val sources = sourcesRaw.toDF("__vl_source")
+        .filter(col("__vl_source").isNotNull).distinct().localCheckpoint()
       var dist = sources.select(col("__vl_source"),
         col("__vl_source").as("__vl_node"), lit(0L).as("__vl_hops"))
       for (h <- 1 to maxH) {
@@ -513,15 +536,7 @@ object CypherLite {
           .agg(min(col("__vl_hops")).as("__vl_hops"))
           .localCheckpoint()
       }
-      val reach = dist.filter(col("__vl_hops") >= minH.toLong)
-      df = df.join(reach, col(prev).getField("id") === col("__vl_source"))
-      rel.v.foreach { rv =>
-        df = df.withColumn(rv, struct(col("__vl_hops").as("hops")))
-        structVars += rv
-      }
-      val v = bindChainTarget(node, col("__vl_node"))
-      df = df.drop("__vl_source", "__vl_node", "__vl_hops")
-      v
+      dist.filter(col("__vl_hops") >= minH.toLong)
     }
 
     /** `MATCH p = shortestPath((a {id: s})-[:T*..k]-(b {id: t}))`:
@@ -588,11 +603,19 @@ object CypherLite {
 
     /** OPTIONAL MATCH: the whole pattern binds or every new variable is
       * NULL — the chain (edges + new nodes + their prop filters) joins
-      * INTERNALLY first, then attaches to the frame with ONE left_outer
-      * keyed on the bound head node. A null head (itself from an
-      * earlier OPTIONAL) joins nothing and null-fills, which is exactly
-      * Cypher's cascade. Head must be bound (the reference's only
-      * usage); WHERE inside OPTIONAL is not supported. */
+      * INTERNALLY first against the DISTINCT set of head ids, then
+      * attaches to the frame with ONE left_outer keyed on the bound
+      * head node. A null head (itself from an earlier OPTIONAL) joins
+      * nothing and null-fills, which is exactly Cypher's cascade. Head
+      * must be bound (the reference's only usage); WHERE inside
+      * OPTIONAL is not supported. Var-length segments compile onto the
+      * shared [[varLengthReachFrom]] BFS with the engine's
+      * DISTINCT-endpoint contract: each (head, target) pair binds once
+      * at its minimal hop distance, the segment variable carrying
+      * `hops`; per-path row multiplicity stays out of scope, and a
+      * query needing it fails at the binding site like everywhere
+      * else (there is no relationship-LIST binding to fail here — the
+      * segment var is the hops struct by construction). */
     private def optionalChain(c: Chain): Unit = {
       val head = c.first.v.getOrElse(
         sys.error("OPTIONAL MATCH needs a named, bound head node"))
@@ -601,40 +624,49 @@ object CypherLite {
       require(c.first.props.isEmpty,
         "props on the bound head of an OPTIONAL MATCH are unsupported")
       require(c.rest.nonEmpty, "OPTIONAL MATCH needs a relationship pattern")
-      var ext: DataFrame = null
-      var prevIdCol: Column = null // id of the previous node INSIDE ext
+      // the chain extension starts from the distinct head-id frame, so
+      // every segment kind (single hop, var-length) composes uniformly
+      // and the frame is joined back exactly once
+      var ext: DataFrame = df
+        .select(col(head).getField("id").as("__opt_head"))
+        .filter(col("__opt_head").isNotNull).distinct()
+      var prevIdCol: Column = col("__opt_head")
       var newVars = List.empty[String]
-      val (headRel, _) = c.rest.head
-      val headRv = headRel.v.getOrElse(freshName())
-      c.rest.zipWithIndex.foreach { case ((rel, node), idx) =>
-        require(rel.varLength.isEmpty,
-          "var-length segments inside OPTIONAL MATCH are unsupported")
-        val rv = if (idx == 0) headRv else rel.v.getOrElse(freshName())
-        val (fromField, toField) =
-          if (rel.undirected || rel.leftToRight) ("src", "dst")
-          else ("dst", "src")
-        val ed = edgeDf(rel.relType, rv, rel.undirected)
-        ext =
-          if (ext == null) ed
-          else ext.join(ed, prevIdCol === col(rv).getField(fromField))
-        newVars ::= rv
+      c.rest.foreach { case (rel, node) =>
         val v = node.v.getOrElse(freshName())
         require(!structVars.contains(v),
           s"re-binding '$v' inside OPTIONAL MATCH is unsupported")
         val label = node.label.getOrElse(
           sys.error(s"new node '$v' in a chain needs a :Label"))
-        ext = ext.join(nodeDf(label, v),
-          col(v).getField("id") === col(rv).getField(toField))
+        if (rel.varLength.isDefined) {
+          val reach = varLengthReachFrom(ext.select(prevIdCol), rel)
+          ext = ext.join(reach, prevIdCol === col("__vl_source"))
+          rel.v.foreach { rv =>
+            ext = ext.withColumn(rv, struct(col("__vl_hops").as("hops")))
+            newVars ::= rv
+          }
+          ext = ext.join(nodeDf(label, v),
+            col(v).getField("id") === col("__vl_node"))
+            .drop("__vl_source", "__vl_node", "__vl_hops")
+        } else {
+          val rv = rel.v.getOrElse(freshName())
+          val (fromField, toField) =
+            if (rel.undirected || rel.leftToRight) ("src", "dst")
+            else ("dst", "src")
+          ext = ext.join(edgeDf(rel.relType, rv, rel.undirected),
+            prevIdCol === col(rv).getField(fromField))
+          newVars ::= rv
+          ext = ext.join(nodeDf(label, v),
+            col(v).getField("id") === col(rv).getField(toField))
+        }
         node.props.foreach { case (k, e) =>
           ext = ext.filter(col(v).getField(k) === constCol(e))
         }
         newVars ::= v
         prevIdCol = col(v).getField("id")
       }
-      df = df.join(ext,
-        col(head).getField("id") === col(headRv).getField(
-          if (headRel.undirected || headRel.leftToRight) "src" else "dst"),
-        "left_outer")
+      df = df.join(ext, col(head).getField("id") === col("__opt_head"),
+        "left_outer").drop("__opt_head")
       structVars ++= newVars
     }
 
@@ -756,6 +788,21 @@ object CypherLite {
       case Or(l, r) => col1(l) || col1(r)
       case Not(x) => !col1(x)
       case Fn1("length", x) => size(col1(x)) - 1
+      case Fn1("relationships", x) =>
+        // relationships(p) over a shortestPath binding: the path's
+        // relationship sequence derived by zipping consecutive node
+        // structs — array<struct<src, dst>>, size = length(p), empty
+        // for a zero-hop path. The path IS concrete (one shortest
+        // path, deterministic tie-break), so the rel list is exact —
+        // no per-path multiplicity involved.
+        {
+          val a = col1(x)
+          val n = greatest(size(a) - 1, lit(0))
+          zip_with(
+            slice(a, lit(1), n), slice(a, lit(2), n),
+            (s, d) => struct(s.getField("node_id").as("src"),
+              d.getField("node_id").as("dst")))
+        }
       case Fn1(fn, _) => sys.error(s"unsupported function $fn()")
       case _: PatPred => sys.error(
         "pattern predicate only supported as a top-level WHERE conjunct")

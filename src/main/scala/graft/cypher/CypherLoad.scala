@@ -105,6 +105,46 @@ object CypherLoad {
         .foreachBatch((batch: DataFrame, _: Long) => applyBatch(batch))
   }
 
+  /** Streaming read-side Cypher (S19): a compiled [[CypherLite]] READ
+    * query maintained over the S17-streamed graph — the S10 maintainer
+    * pattern applied to a QUERY RESULT instead of a silver table. Each
+    * micro-batch folds through the [[StreamingLoader]]'s MERGE
+    * lowering, then the read query re-compiles against the folded
+    * frames and the retained result refreshes — a live materialised
+    * view of the reference's read path over its own write path.
+    * Refresh is recompute-over-the-maintained-silvers, which is the
+    * honest contract for an arbitrary Cypher view: the FOLD is
+    * incremental (the graph frames never rebuild), the VIEW derives
+    * from them per batch exactly as a warehouse MV refreshes off its
+    * delta-folded base tables; stream ≡ batch re-run is therefore
+    * structural, and the spec pins it across batches including a MERGE
+    * that changes the result. `current` is localCheckpointed so
+    * readers never race the next fold's lineage. The read query must
+    * COMPILE against the INITIAL graph — a label/type the stream will
+    * only create later must be seeded as an empty frame first (run the
+    * load statement once with zero rows), keeping CypherLite's
+    * fail-fast-on-unknown-type contract instead of special-casing the
+    * first batch. */
+  final class StreamingQueryView(init: LoadState, loadStatement: String,
+      readQuery: String, readParams: Map[String, Any] = Map.empty,
+      paramName: String = "rows") {
+    private val loader = new StreamingLoader(init, loadStatement, paramName)
+    @volatile private var view: DataFrame =
+      CypherLite.run(init.graph, readQuery, readParams).localCheckpoint()
+    def current: DataFrame = view
+    def graph: CypherLite.Graph = loader.current.graph
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      loader.applyBatch(batch)
+      view = CypherLite.run(loader.current.graph, readQuery, readParams)
+        .localCheckpoint()
+    }
+    /** Wire a CSV-shaped row stream into the view; caller starts it. */
+    def attach(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => applyBatch(batch))
+  }
+
   private def rowsOf(params: Map[String, Any], name: String): DataFrame =
     params.getOrElse(name, sys.error(s"missing parameter $$$name")) match {
       case df: org.apache.spark.sql.Dataset[_] => df.toDF()

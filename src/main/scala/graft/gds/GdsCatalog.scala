@@ -533,6 +533,21 @@ final class GdsSession(initial: CypherLite.Graph) {
     p.rels.select(col("src"), col("dst"), w.cast("double").as("weight"))
   }
 
+  /** Fail-fast weight resolution for procedures whose
+    * `relationshipWeightProperty` DEFAULT is None — there any supplied
+    * property is explicit, so a typo'd name must error like GDS does,
+    * not silently fall back to weight 1.0 (unweighted distances that
+    * look weighted). Procedures defaulting to Some("weight") keep
+    * [[weightedRelsOf]]'s lenient fallback: their default must keep
+    * working on unweighted projections. */
+  private def requireWeightProp(p: Projection,
+      prop: Option[String]): Option[String] = {
+    prop.foreach(n => require(p.rels.columns.contains(n),
+      s"relationshipWeightProperty '$n' does not exist on the projection " +
+        s"(carried: ${p.rels.columns.filterNot(c => c == "src" || c == "dst").mkString(", ")})"))
+    prop
+  }
+
   /** Left-join a kernel result onto the projection's FULL node set so
     * isolated nodes (no projected rels) still get a value — GDS labels
     * every node of the in-memory graph, and edge-derived kernels can't
@@ -551,12 +566,28 @@ final class GdsSession(initial: CypherLite.Graph) {
       p.rels.select(col("src"), col("dst"))), col("node_id"))
 
   private def pageRankFrame(p: Projection, iterations: Int, damping: Double,
-      relationshipWeightProperty: Option[String]): (DataFrame, Int) = {
-    val (ranks, iters) = graft.graph.Algorithms.pageRankIters(
-      weightedRelsOf(p, relationshipWeightProperty), iterations, damping)
-    // an edgeless node's rank is exactly its (1−d) base term
-    (overAllNodes(p, ranks, lit(1.0 - damping)), iters)
-  }
+      relationshipWeightProperty: Option[String],
+      sourceNodes: Seq[Long] = Nil): (DataFrame, Int) =
+    if (sourceNodes.nonEmpty) {
+      // GDS `sourceNodes` (personalized PageRank): teleport mass
+      // restricted to the source set, 1/|S| each — routes onto the
+      // fixed-iteration PPR kernel the `ppr_topk` oracle already pins.
+      // An edgeless node's rank is its (1−d)·teleport base term: 0 for
+      // non-sources, (1−d)/|S| for an edgeless source.
+      val ranks = graft.graph.Algorithms.personalizedPageRank(
+        weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty)),
+        sourceNodes, iterations, damping)
+      val base = (1.0 - damping) / sourceNodes.size
+      (overAllNodes(p, ranks,
+        when(col("node_id").isin(sourceNodes: _*), lit(base))
+          .otherwise(lit(0.0))), iterations)
+    } else {
+      val (ranks, iters) = graft.graph.Algorithms.pageRankIters(
+        weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty)),
+        iterations, damping)
+      // an edgeless node's rank is exactly its (1−d) base term
+      (overAllNodes(p, ranks, lit(1.0 - damping)), iters)
+    }
 
   private def lpaFrame(p: Projection, iterations: Int,
       relationshipWeightProperty: Option[String]): DataFrame =
@@ -640,14 +671,17 @@ final class GdsSession(initial: CypherLite.Graph) {
   }
 
   /** `gds.pageRank.write(name, {writeProperty, maxIterations,
-    * dampingFactor}) YIELD nodePropertiesWritten, ranIterations`. */
+    * dampingFactor, sourceNodes}) YIELD nodePropertiesWritten,
+    * ranIterations` — non-empty `sourceNodes` is GDS's personalized
+    * mode (teleport restricted to the sources, fixed iterations). */
   def pageRankWrite(graphName: String, writeProperty: String = "pagerank",
       maxIterations: Int = 10, dampingFactor: Double = 0.85,
       relationshipWeightProperty: Option[String] = None,
-      writeLabel: String = "User"): DataFrame = {
+      writeLabel: String = "User",
+      sourceNodes: Seq[Long] = Nil): DataFrame = {
     val p = projOf(graphName)
     val (f, iters) = pageRankFrame(p, maxIterations, dampingFactor,
-      relationshipWeightProperty)
+      relationshipWeightProperty, sourceNodes)
     metaLong(
       "nodePropertiesWritten" ->
         writeNodeProp(p, f.localCheckpoint(), writeProperty, writeLabel),
@@ -657,17 +691,19 @@ final class GdsSession(initial: CypherLite.Graph) {
   /** `gds.pageRank.stream(name, {...}) YIELD nodeId, score`. */
   def pageRankStream(graphName: String, maxIterations: Int = 10,
       dampingFactor: Double = 0.85,
-      relationshipWeightProperty: Option[String] = None): DataFrame =
+      relationshipWeightProperty: Option[String] = None,
+      sourceNodes: Seq[Long] = Nil): DataFrame =
     pageRankFrame(projOf(graphName), maxIterations, dampingFactor,
-      relationshipWeightProperty)._1
+      relationshipWeightProperty, sourceNodes)._1
       .select(col("node_id").as("nodeId"), col("value").as("score"))
 
   /** `gds.pageRank.stats(name, {...}) YIELD ranIterations, nodeCount`. */
   def pageRankStats(graphName: String, maxIterations: Int = 10,
       dampingFactor: Double = 0.85,
-      relationshipWeightProperty: Option[String] = None): DataFrame = {
+      relationshipWeightProperty: Option[String] = None,
+      sourceNodes: Seq[Long] = Nil): DataFrame = {
     val (f, iters) = pageRankFrame(projOf(graphName), maxIterations,
-      dampingFactor, relationshipWeightProperty)
+      dampingFactor, relationshipWeightProperty, sourceNodes)
     metaLong("ranIterations" -> iters.toLong, "nodeCount" -> f.count())
   }
 
@@ -675,9 +711,10 @@ final class GdsSession(initial: CypherLite.Graph) {
     * nodePropertiesWritten, ranIterations`. */
   def pageRankMutate(graphName: String, mutateProperty: String = "pagerank",
       maxIterations: Int = 10, dampingFactor: Double = 0.85,
-      relationshipWeightProperty: Option[String] = None): DataFrame = {
+      relationshipWeightProperty: Option[String] = None,
+      sourceNodes: Seq[Long] = Nil): DataFrame = {
     val (f, iters) = pageRankFrame(projOf(graphName), maxIterations,
-      dampingFactor, relationshipWeightProperty)
+      dampingFactor, relationshipWeightProperty, sourceNodes)
     metaLong(
       "nodePropertiesWritten" ->
         mutateNodeProp(graphName, f.localCheckpoint(), mutateProperty),
@@ -858,8 +895,8 @@ final class GdsSession(initial: CypherLite.Graph) {
     new NodeModes(graphName, "score", () => {
       val p = projOf(graphName)
       overAllNodes(p, graft.graph.Algorithms.eigenvectorFrame(
-        weightedRelsOf(p, relationshipWeightProperty), maxIterations),
-        lit(0.0))
+        weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty)),
+        maxIterations), lit(0.0))
     })
 
   /** `gds.eigenvector.*` — fixed-iteration power method with
@@ -1007,7 +1044,7 @@ final class GdsSession(initial: CypherLite.Graph) {
       targetNode: Long, relationshipWeightProperty: Option[String] = None,
       rounds: Int = 6): DataFrame = {
     val p = projOf(graphName)
-    val lengths = weightedRelsOf(p, relationshipWeightProperty)
+    val lengths = weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty))
       .select(col("src"), col("dst"), col("weight").as("len"))
     val path = graft.graph.Algorithms.dijkstraPath(
       lengths, sourceNode, targetNode, rounds)
@@ -1032,7 +1069,7 @@ final class GdsSession(initial: CypherLite.Graph) {
       relationshipWeightProperty: Option[String] = None,
       rounds: Int = 5): DataFrame = {
     val p = projOf(graphName)
-    val lengths = weightedRelsOf(p, relationshipWeightProperty)
+    val lengths = weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty))
       .select(col("src"), col("dst"), col("weight").as("len"))
     graft.graph.Algorithms.ssspWeighted(lengths, sourceNode, rounds)
       .select(lit(sourceNode).as("sourceNode"),
@@ -1067,27 +1104,44 @@ final class GdsSession(initial: CypherLite.Graph) {
   // posting-join shape over an arbitrary projection. —————
 
   /** The (node1, node2, similarity) frame all four nodeSimilarity
-    * modes share, plus the nodesCompared count. Jaccard of
+    * modes share, plus a LAZY nodesCompared thunk (stream mode never
+    * pays the count job whose result it discards). Similarity of
     * out-neighbour SETS for every pair sharing ≥ 1 neighbour, top-k per
     * node1 (GDS emits a directed top-k list per source node, so both
     * (a,b) and (b,a) appear). Computed as one posting self-join on the
     * shared neighbour — pairs materialise only within a neighbour's
     * posting list, never all-pairs — plus a degree aggregate.
+    *
+    * `similarityMetric` is GDS's own parameter: JACCARD (default,
+    * n/(|A|+|B|−n)), OVERLAP (n/min(|A|,|B|)), COSINE (n/√(|A|·|B|)) —
+    * same intersection counts, different denominator algebra.
+    *
     * `upperDegreeCutoff` is GDS's own lever with GDS's semantics:
     * nodes above the cutoff are excluded from COMPARISON (never appear
-    * as node1/node2) but still count as set elements. Honesty at scale:
-    * the residual quadratic is a hub shared-NEIGHBOUR's posting width
-    * (its own degree — many small nodes sharing one hub neighbour),
-    * which this cutoff does not bound; at 100 TB cap that at
-    * projection time (the containment df-cap pattern,
-    * `TextOps.containmentPairs`). Similarity is
-    * rounded to 6dp BEFORE the per-node rank so the top-k boundary
-    * replays bit-for-bit in the DuckDB oracle; the default cutoff is
-    * 0.0 rather than GDS's 1e-42 — equivalent here, since n_common ≥ 1
-    * makes every scored pair strictly positive pre-rounding. */
+    * as node1/node2) but still count as set elements.
+    *
+    * `postingWidthCap` is the SCALE lever GDS lacks and 100 TB needs
+    * (the containment df-cap pattern, `Dedup.containmentPairs`): a
+    * shared hub NEIGHBOUR of posting width d contributes d² pairs to
+    * the self-join, and `upperDegreeCutoff` bounds node1/node2 degree,
+    * not the shared neighbour's width. With the cap set, neighbours
+    * whose posting list exceeds it are excluded from PAIR GENERATION —
+    * they still count as set elements in |A|/|B|, so capped
+    * similarities are exact for pairs sharing no capped hub and strict
+    * UNDERESTIMATES (never inventions) for pairs that do; a pair whose
+    * every shared neighbour is capped disappears. Default None keeps
+    * the GDS-exact semantics (the oracle entry's operating point).
+    *
+    * Similarity is rounded to 6dp BEFORE the per-node rank so the
+    * top-k boundary replays bit-for-bit in the DuckDB oracle; the
+    * default cutoff is 0.0 rather than GDS's 1e-42 — equivalent here,
+    * since n_common ≥ 1 makes every scored pair strictly positive
+    * pre-rounding. */
   private def nodeSimFrame(p: Projection, topK: Int,
       similarityCutoff: Double,
-      upperDegreeCutoff: Option[Long]): (Long, DataFrame) = {
+      upperDegreeCutoff: Option[Long],
+      postingWidthCap: Option[Long] = None,
+      similarityMetric: String = "JACCARD"): (() => Long, DataFrame) = {
     // neighbour SETS: distinct guards multigraph projections (idempotent
     // on the reference's unique (user, book) rels)
     val und = p.rels.select(col("src"), col("dst")).distinct()
@@ -1097,19 +1151,33 @@ final class GdsSession(initial: CypherLite.Graph) {
     val kept = upperDegreeCutoff.map(_ =>
       und.join(sizes.select(col("src")), Seq("src"), "left_semi"))
       .getOrElse(und)
-    val inter = kept.select(col("src").as("node1"), col("dst"))
-      .join(kept.select(col("src").as("node2"), col("dst")), Seq("dst"))
+    // the df-cap: bound every posting list BEFORE the self-join, so the
+    // worst-case pair count is |E_kept| · cap instead of Σ_hub d_hub²
+    val posting = postingWidthCap.map { cap =>
+      require(cap >= 1, s"postingWidthCap must be >= 1, got $cap")
+      val narrow = kept.groupBy(col("dst")).agg(count(lit(1)).as("pw"))
+        .filter(col("pw") <= cap).select(col("dst"))
+      kept.join(narrow, Seq("dst"), "left_semi")
+    }.getOrElse(kept)
+    val inter = posting.select(col("src").as("node1"), col("dst"))
+      .join(posting.select(col("src").as("node2"), col("dst")), Seq("dst"))
       .filter(col("node1") =!= col("node2"))
       .groupBy(col("node1"), col("node2"))
       .agg(count(lit(1)).as("n_common"))
+    val n = col("n_common").cast("double")
+    val simExpr = similarityMetric.toUpperCase match {
+      case "JACCARD" => n / (col("sz1") + col("sz2") - col("n_common"))
+      case "OVERLAP" => n / least(col("sz1"), col("sz2"))
+      case "COSINE" => n / sqrt(col("sz1").cast("double") * col("sz2"))
+      case other => sys.error(
+        s"unknown similarityMetric '$other' (JACCARD | OVERLAP | COSINE)")
+    }
     val scored = inter
       .join(sizes.select(col("src").as("node1"), col("sz").as("sz1")),
         Seq("node1"))
       .join(sizes.select(col("src").as("node2"), col("sz").as("sz2")),
         Seq("node2"))
-      .withColumn("similarity", round(
-        col("n_common").cast("double") /
-          (col("sz1") + col("sz2") - col("n_common")), 6))
+      .withColumn("similarity", round(simExpr, 6))
       .filter(col("similarity") >= similarityCutoff)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node1"))
@@ -1118,59 +1186,86 @@ final class GdsSession(initial: CypherLite.Graph) {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col("node1"), col("node2"), col("similarity"))
-    (sizes.count(), sims)
+    (() => sizes.count(), sims)
   }
 
-  /** `gds.nodeSimilarity.stream(name, {topK, similarityCutoff}) YIELD
-    * node1, node2, similarity`. */
+  /** `gds.nodeSimilarity.stream(name, {topK, similarityCutoff,
+    * similarityMetric}) YIELD node1, node2, similarity`. */
   def nodeSimilarityStream(graphName: String, topK: Int = 10,
       similarityCutoff: Double = 0.0,
-      upperDegreeCutoff: Option[Long] = None): DataFrame =
+      upperDegreeCutoff: Option[Long] = None,
+      postingWidthCap: Option[Long] = None,
+      similarityMetric: String = "JACCARD"): DataFrame =
     nodeSimFrame(projOf(graphName), topK, similarityCutoff,
-      upperDegreeCutoff)._2
+      upperDegreeCutoff, postingWidthCap, similarityMetric)._2
 
   /** `gds.nodeSimilarity.stats(name, {...}) YIELD nodesCompared,
     * similarityPairs`. */
   def nodeSimilarityStats(graphName: String, topK: Int = 10,
       similarityCutoff: Double = 0.0,
-      upperDegreeCutoff: Option[Long] = None): DataFrame = {
+      upperDegreeCutoff: Option[Long] = None,
+      postingWidthCap: Option[Long] = None,
+      similarityMetric: String = "JACCARD"): DataFrame = {
     val (nodesCompared, sims) = nodeSimFrame(projOf(graphName), topK,
-      similarityCutoff, upperDegreeCutoff)
-    metaLong("nodesCompared" -> nodesCompared,
+      similarityCutoff, upperDegreeCutoff, postingWidthCap, similarityMetric)
+    metaLong("nodesCompared" -> nodesCompared(),
       "similarityPairs" -> sims.count())
   }
 
   /** `gds.nodeSimilarity.write(name, {writeRelationshipType,
     * writeProperty, ...}) YIELD nodesCompared, relationshipsWritten` —
     * installs the SIMILAR edge frame into the db (the knnWrite
-    * contract, Jaccard instead of embedding cosine). */
+    * contract, neighbour-set similarity instead of embedding cosine).
+    * GDS writes back in ORIGINAL node ids: on a multi-label projection
+    * the endpoints are decoded from the projection encoding
+    * (id·L + labelIndex) to raw per-label ids, with `srcLabel` /
+    * `dstLabel` columns carrying the label so the frame joins back to
+    * the db node frames unambiguously (raw id spaces are per-label).
+    * Single-label and cypher projections install plain (src, dst,
+    * property) — their id space IS the db's. */
   def nodeSimilarityWrite(graphName: String, topK: Int = 10,
       similarityCutoff: Double = 0.0,
       writeRelationshipType: String = "SIMILAR",
       writeProperty: String = "similarity",
-      upperDegreeCutoff: Option[Long] = None): DataFrame = {
-    val (nodesCompared, sims) = nodeSimFrame(projOf(graphName), topK,
-      similarityCutoff, upperDegreeCutoff)
-    val edges = sims
+      upperDegreeCutoff: Option[Long] = None,
+      postingWidthCap: Option[Long] = None,
+      similarityMetric: String = "JACCARD"): DataFrame = {
+    val p = projOf(graphName)
+    val (nodesCompared, sims) = nodeSimFrame(p, topK,
+      similarityCutoff, upperDegreeCutoff, postingWidthCap, similarityMetric)
+    val raw = sims
       .select(col("node1").as("src"), col("node2").as("dst"),
         col("similarity").as(writeProperty))
-      .localCheckpoint()
+    val edges = (if (p.labels.length > 1) {
+      val l = p.labels.length.toLong
+      val labArr = array(p.labels.map(lit): _*)
+      def decId(c: org.apache.spark.sql.Column) =
+        ((c - pmod(c, lit(l))) / lit(l)).cast("bigint")
+      def labOf(c: org.apache.spark.sql.Column) =
+        element_at(labArr, (pmod(c, lit(l)) + 1).cast("int"))
+      raw.select(decId(col("src")).as("src"), labOf(col("src")).as("srcLabel"),
+        decId(col("dst")).as("dst"), labOf(col("dst")).as("dstLabel"),
+        col(writeProperty))
+    } else raw).localCheckpoint()
     db = db.copy(edges = db.edges + (writeRelationshipType -> edges))
-    metaLong("nodesCompared" -> nodesCompared,
+    metaLong("nodesCompared" -> nodesCompared(),
       "relationshipsWritten" -> edges.count())
   }
 
   /** `gds.nodeSimilarity.mutate(name, {mutateRelationshipType,
     * mutateProperty, ...}) YIELD nodesCompared, relationshipsWritten` —
     * the SIMILAR frame onto the projection's relationship set
-    * (readable via [[graphRelationshipsStream]]), db untouched. */
+    * (readable via [[graphRelationshipsStream]]) in the PROJECTION's
+    * id space (GDS mutates the in-memory graph), db untouched. */
   def nodeSimilarityMutate(graphName: String, topK: Int = 10,
       similarityCutoff: Double = 0.0,
       mutateRelationshipType: String = "SIMILAR",
       mutateProperty: String = "similarity",
-      upperDegreeCutoff: Option[Long] = None): DataFrame = {
+      upperDegreeCutoff: Option[Long] = None,
+      postingWidthCap: Option[Long] = None,
+      similarityMetric: String = "JACCARD"): DataFrame = {
     val (nodesCompared, sims) = nodeSimFrame(projOf(graphName), topK,
-      similarityCutoff, upperDegreeCutoff)
+      similarityCutoff, upperDegreeCutoff, postingWidthCap, similarityMetric)
     val edges = sims
       .select(col("node1").as("src"), col("node2").as("dst"),
         col("similarity").as(mutateProperty))
@@ -1178,7 +1273,7 @@ final class GdsSession(initial: CypherLite.Graph) {
     val p = projOf(graphName)
     projections.put(graphName,
       p.copy(mutRels = p.mutRels + (mutateRelationshipType -> edges)))
-    metaLong("nodesCompared" -> nodesCompared,
+    metaLong("nodesCompared" -> nodesCompared(),
       "relationshipsWritten" -> edges.count())
   }
 

@@ -29,24 +29,53 @@ import org.apache.spark.sql.functions._
   */
 object Node2Vec {
 
-  /** Window-`window` context pairs of a walk corpus with their SPPMI
-    * weights: (src, dst, weight), symmetric by construction (the pair
-    * join emits both orders). Zero-or-negative SPPMI pairs are dropped
-    * — exactly the pairs SGNS learns nothing positive from. */
-  def sppmiContexts(walks: DataFrame, window: Int = 2,
-      shift: Double = 1.0): DataFrame = {
+  /** Window-`window` context PAIR COUNTS of a walk corpus:
+    * (u, c, n_uc), symmetric by construction (the pair join emits both
+    * orders). This is the incremental family's natural SILVER for
+    * node2vec (T16): counts are ADDITIVE over walks — every (u, c)
+    * co-occurrence belongs to exactly one walk — so a walk-corpus
+    * delta folds exactly via [[mergeWalkPairCounts]] while the
+    * expensive stages (biased walk generation for unchanged nodes, the
+    * walk_id self-join over the full corpus) are skipped. */
+  def walkPairCounts(walks: DataFrame, window: Int = 2): DataFrame = {
     require(window >= 1, "context window must be >= 1")
     val a = walks.select(col("walk_id"), col("step").as("si"), col("node_id").as("u"))
     val b = walks.select(col("walk_id"), col("step").as("sj"), col("node_id").as("c"))
-    val pairs = a.join(b, Seq("walk_id"))
+    a.join(b, Seq("walk_id"))
       .filter(col("si") =!= col("sj") &&
         abs(col("si") - col("sj")) <= window)
       .groupBy(col("u"), col("c"))
       .agg(count(lit(1)).as("n_uc"))
-    val rowSums = pairs.groupBy(col("u")).agg(sum(col("n_uc")).as("n_u"))
-    val colSums = pairs.groupBy(col("c")).agg(sum(col("n_uc")).as("n_c"))
-    val total = pairs.agg(sum(col("n_uc")).as("n_all"))
-    pairs
+  }
+
+  /** T16 fold: the pair-count silver updated by a walk-corpus delta —
+    * `counts + counts(addedWalks) − counts(removedWalks)`, zero rows
+    * dropped. EXACT by additivity (long arithmetic, no float): fold ≡
+    * full recompute on the union corpus, spec-proved. The SPPMI
+    * weights themselves are NOT incremental — they depend on the
+    * global total, so every weight shifts when the corpus grows — but
+    * they (and the projection) derive from the folded counts in one
+    * linear pass ([[embedFromCounts]]), which is the cheap tail of the
+    * pipeline. One outer-join-shaped aggregate keyed (u, c); the added
+    * /removed sides ship only the delta walks' windows. */
+  def mergeWalkPairCounts(counts: DataFrame, addedWalks: DataFrame,
+      removedWalks: DataFrame, window: Int = 2): DataFrame =
+    counts.select(col("u"), col("c"), col("n_uc"))
+      .unionAll(walkPairCounts(addedWalks, window))
+      .unionAll(walkPairCounts(removedWalks, window)
+        .select(col("u"), col("c"), (-col("n_uc")).as("n_uc")))
+      .groupBy(col("u"), col("c"))
+      .agg(sum(col("n_uc")).as("n_uc"))
+      .filter(col("n_uc") > 0)
+
+  /** SPPMI weights from a pair-count silver — the marginals and total
+    * re-derive from the counts (one aggregate each), then
+    * SPPMI(u,c) = max(0, log(n_uc·T / (n_u·n_c)) − log(shift)). */
+  def sppmiFromCounts(counts: DataFrame, shift: Double = 1.0): DataFrame = {
+    val rowSums = counts.groupBy(col("u")).agg(sum(col("n_uc")).as("n_u"))
+    val colSums = counts.groupBy(col("c")).agg(sum(col("n_uc")).as("n_c"))
+    val total = counts.agg(sum(col("n_uc")).as("n_all"))
+    counts
       .join(rowSums, Seq("u"))
       .join(colSums, Seq("c"))
       .crossJoin(broadcast(total))
@@ -56,6 +85,22 @@ object Node2Vec {
       .filter(col("sppmi") > 0)
       .select(col("u").as("src"), col("c").as("dst"), col("sppmi").as("weight"))
   }
+
+  /** Embed a pair-count silver: SPPMI weights → one FastRP projection
+    * step — [[embedWalks]]'s tail over a (possibly folded) count
+    * frame. */
+  def embedFromCounts(counts: DataFrame, dim: Int = 64,
+      shift: Double = 1.0, seed: Int = 1337): DataFrame =
+    FastRP.embed(sppmiFromCounts(counts, shift), dim,
+      iterationWeights = Seq(0.0, 1.0), seed = seed)
+
+  /** Window-`window` context pairs of a walk corpus with their SPPMI
+    * weights: (src, dst, weight), symmetric by construction (the pair
+    * join emits both orders). Zero-or-negative SPPMI pairs are dropped
+    * — exactly the pairs SGNS learns nothing positive from. */
+  def sppmiContexts(walks: DataFrame, window: Int = 2,
+      shift: Double = 1.0): DataFrame =
+    sppmiFromCounts(walkPairCounts(walks, window), shift)
 
   /** Embed a walk corpus: SPPMI context graph → one FastRP projection
     * step (iterationWeights [0,1] = project the SPPMI matrix onto the

@@ -31,20 +31,29 @@ object IndexStreams {
     * the both-directions weighted edge table, the retained FastRP
     * state ([[FastRP.FastRpState]]), and the LSH scored-pair table.
     *
-    * Batch row contract: `(src, dst, weight)` in BOTH-DIRECTIONS form
-    * (the T13/T15 delta contract — each logical undirected edge
-    * arrives as both orientations); `weight` NULL means DELETE the
-    * directed edge, non-null upserts it to that weight. Within a
-    * batch, operations are order-free: per directed edge the greatest
-    * weight wins and any upsert beats a delete (`max` ignores nulls) —
-    * the S17 last-writer discipline made associative.
+    * Batch row contract: `(src, dst, weight[, _seq])` in
+    * BOTH-DIRECTIONS form (the T13/T15 delta contract — each logical
+    * undirected edge arrives as both orientations; the affected-set
+    * closure below symmetrises defensively, so a single-direction
+    * caller gets correct — if costlier — re-scoring rather than
+    * silently stale pairs). `weight` NULL means DELETE the directed
+    * edge, non-null upserts it to that weight. Within a batch,
+    * operations are order-free by default: per directed edge the
+    * greatest weight wins and any upsert beats a delete (`max` ignores
+    * nulls) — the S17 last-writer discipline made associative. A
+    * caller replaying an ORDERED changelog where a logical sequence
+    * (e.g. upsert-then-delete) can land in one micro-batch must stamp
+    * a `_seq` column: then the max-`_seq` row wins exactly
+    * (CypherLoad's ordered-batch rule — last write INCLUDING deletes),
+    * instead of upsert-beats-delete.
     *
     * `changedIds` handed to the pair fold is a PROVABLE superset of
     * every node whose embedding can have moved: the delta endpoints'
-    * (levels−1)-hop forward closure over old ∪ new edges, which
-    * contains `mergeEmbeddings`' own affected set (same seeds, superset
-    * edge relation) plus every appeared/vanished id (they are endpoints
-    * of the delta). A superset only re-scores extra unchanged pairs —
+    * (levels−1)-hop forward closure over the SYMMETRISED old ∪ new
+    * edges, which contains `mergeEmbeddings`' own affected set (same
+    * seeds, superset edge relation — symmetrising only widens it) plus
+    * every appeared/vanished id (they are endpoints of the delta). A
+    * superset only re-scores extra unchanged pairs —
     * `mergeScoredPairs` is ≡ full recompute for ANY changedIds ⊇ the
     * true changed set. */
   final class KnnIndexMaintainer(initEdges: DataFrame, dim: Int = 16,
@@ -72,9 +81,18 @@ object IndexStreams {
 
     /** The foreachBatch body; directly callable for batch backfills. */
     def applyBatch(opsRaw: DataFrame): Unit = synchronized {
-      val ops = opsRaw
-        .groupBy(col("src"), col("dst"))
-        .agg(max(col("weight").cast("double")).as("weight"))
+      // within-batch merge: max-`_seq` row wins when the caller stamps
+      // ingest order (a delete CAN then win over an earlier upsert);
+      // otherwise the order-free max-weight/upsert-beats-delete rule
+      val ops = (if (opsRaw.columns.contains("_seq"))
+          // struct-wrapped like CypherLoad's dedup: the chosen row's
+          // weight may legitimately be NULL (a delete winning on _seq)
+          opsRaw.groupBy(col("src"), col("dst"))
+            .agg(max_by(struct(col("weight").cast("double").as("weight")),
+              col("_seq")).as("_v"))
+            .select(col("src"), col("dst"), col("_v.weight").as("weight"))
+        else opsRaw.groupBy(col("src"), col("dst"))
+          .agg(max(col("weight").cast("double")).as("weight")))
         .localCheckpoint()
       val newEdges = edges.join(ops, Seq("src", "dst"), "left_anti")
         .unionByName(ops.filter(col("weight").isNotNull))
@@ -83,10 +101,17 @@ object IndexStreams {
       val newState =
         FastRP.mergeEmbeddings(state, newEdges, changed, dim, iterationWeights)
       // (levels−1)-hop forward closure of the delta endpoints over
-      // old ∪ new edges — each hop is one equi-join + distinct, the
-      // frontier bounded by the delta's neighbourhood, never the graph
-      val unionEdges = edges.select(col("src"), col("dst"))
+      // old ∪ new edges, SYMMETRISED — the closure must be a superset
+      // of every moved embedding even when a caller violates the
+      // both-directions delta contract, so both orientations of every
+      // edge feed the hop join (on contract-honouring input this only
+      // duplicates rows the distinct collapses) — each hop is one
+      // equi-join + distinct, the frontier bounded by the delta's
+      // neighbourhood, never the graph
+      val unionDir = edges.select(col("src"), col("dst"))
         .unionAll(newEdges.select(col("src"), col("dst")))
+      val unionEdges = unionDir
+        .unionAll(unionDir.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
       var affected = changed.select(col("dst").as("node_id"))
         .unionAll(changed.select(col("src").as("node_id")))

@@ -182,12 +182,61 @@ class CypherLiteSpec extends AnyFunSuite {
       CypherLite.run(fixtureGraph,
         "MATCH (a:User {id: 1})-[:SIMILAR_TO*]->(v:User) RETURN v.id AS id")
     }
-    intercept[RuntimeException] { // var-length inside OPTIONAL MATCH
+    intercept[RuntimeException] { // re-binding inside OPTIONAL MATCH
       CypherLite.run(fixtureGraph,
-        """MATCH (a:User {id: 1})
-          |OPTIONAL MATCH (a)-[:SIMILAR_TO*1..2]->(v:User)
+        """MATCH (a:User {id: 1})-[:SIMILAR_TO]->(v:User)
+          |OPTIONAL MATCH (a)-[:SIMILAR_TO]->(v:User)
           |RETURN v.id AS id""".stripMargin)
     }
+  }
+
+  test("var-length inside OPTIONAL MATCH: binds or null-fills per head") {
+    // r10: the r9 fail-fast compiled onto the shared BFS —
+    // DISTINCT-endpoint semantics (min hops per (head, target) pair)
+    // inside the optional's internal chain, one left_outer on the head
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (a:User)
+        |OPTIONAL MATCH (a)-[h:SIMILAR_TO*1..2]->(v:User)
+        |RETURN a.id AS uid, v.id AS peer, h.hops AS hops
+        |ORDER BY uid, peer""".stripMargin)
+    // 1 fans to {2,3} at hop 1 (no deeper edges); 2 and 3 have no
+    // outgoing SIMILAR_TO — they null-fill instead of dropping
+    assert(rows(out) == Seq(
+      Seq(1L, 2L, 1L), Seq(1L, 3L, 1L),
+      Seq(2L, null, null), Seq(3L, null, null)))
+    // mixed chain: var-length segment + plain hop INSIDE the optional —
+    // the whole pattern binds or every new var is null
+    val mixed = CypherLite.run(fixtureGraph,
+      """MATCH (a:User)
+        |OPTIONAL MATCH (a)-[h:SIMILAR_TO*1..2]->(v:User)-[r:RATED]->(b:Book)
+        |RETURN a.id AS uid, v.id AS peer, b.id AS book
+        |ORDER BY uid, peer, book""".stripMargin)
+    assert(rows(mixed) == Seq(
+      Seq(1L, 2L, 100L), Seq(1L, 2L, 200L), Seq(1L, 3L, 200L),
+      Seq(2L, null, null), Seq(3L, null, null)))
+    // undirected var-length inside OPTIONAL: user 3 reaches co-rater 2
+    // over RATED in 2 hops; *2 band excludes itself (min-dist 0)
+    val und = CypherLite.run(fixtureGraph,
+      """MATCH (a:User {id: 3})
+        |OPTIONAL MATCH (a)-[h:RATED*2]-(v:User)
+        |RETURN v.id AS peer, h.hops AS hops ORDER BY peer""".stripMargin)
+    assert(rows(und) == Seq(Seq(2L, 2L)))
+  }
+
+  test("relationships(p): the shortestPath's relationship sequence") {
+    // undirected RATED path 1—100—2: two rels, zipped from consecutive
+    // path nodes — exact, since the shortestPath binding IS one path
+    val rels = CypherLite.run(fixtureGraph,
+      """MATCH p = shortestPath((a:User {id: 1})-[:RATED*..4]-(b:User {id: 2}))
+        |UNWIND relationships(p) AS r
+        |RETURN r.src AS src, r.dst AS dst""".stripMargin)
+    assert(rows(rels) == Seq(Seq(1L, 100L), Seq(100L, 2L)))
+    // |relationships(p)| = length(p), here 1 for the direct edge
+    val one = CypherLite.run(fixtureGraph,
+      """MATCH p = shortestPath((a:User {id: 1})-[:SIMILAR_TO*..3]->(b:User {id: 2}))
+        |UNWIND relationships(p) AS r
+        |RETURN r.src AS src, r.dst AS dst""".stripMargin)
+    assert(rows(one) == Seq(Seq(1L, 2L)))
   }
 
   // ---- var-length + shortestPath (r9) ----------------------------

@@ -112,6 +112,59 @@ class CypherLoadSpec extends AnyFunSuite {
     assert(viaBackfill == Set((1L, "10", 4L), (1L, "11", 7L), (2L, "11", 6L)))
   }
 
+  test("StreamingQueryView (S19): compiled READ view over the streamed graph ≡ batch re-run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq(("1", "x", ""), ("2", "y", "30"))
+      .toDF("User-ID", "Location", "Age")
+    val books = Seq(("10", "t", "a", "1999", "p"), ("11", "t2", "a2", "2001", "p2"))
+      .toDF("ISBN", "Book-Title", "Book-Author", "Year-Of-Publication", "Publisher")
+    var st = CypherLoad.run(empty, ReferenceQueries.LoadUsers, Map("rows" -> users))
+    st = CypherLoad.run(st, ReferenceQueries.LoadBooks, Map("rows" -> books))
+    // seed the RATED frame empty: the read query must compile against
+    // the initial graph (the documented StreamingQueryView contract)
+    st = CypherLoad.run(st, ReferenceQueries.LoadRatings,
+      Map("rows" -> Seq.empty[(String, String, String)]
+        .toDF("User-ID", "ISBN", "Book-Rating")))
+    val readQ =
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |RETURN u.id AS user, count(*) AS n, max(r.rating) AS top
+        |ORDER BY user""".stripMargin
+    val view = new CypherLoad.StreamingQueryView(st,
+      ReferenceQueries.LoadRatings, readQ)
+    // pre-stream view: the compiled query over the initial graph (no
+    // RATED edges yet — zero rows, not an error)
+    assert(view.current.isEmpty)
+    def viewRows = view.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b1 = Seq(("1", "10", "5"), ("2", "11", "6"))
+    val b2 = Seq(("1", "10", "9"), ("1", "11", "7")) // re-MERGE raises 1·10
+    val input = MemoryStream[(String, String, String)]
+    val q = view.attach(input.toDF()
+        .select(col("_1").as("User-ID"), col("_2").as("ISBN"),
+          col("_3").as("Book-Rating")))
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(viewRows == Seq((1L, 1L, 5L), (2L, 1L, 6L)))
+      // batch 2 includes a MERGE that CHANGES the standing result:
+      // (1,10) re-SET 5→9 plus a brand-new (1,11) edge
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(viewRows == Seq((1L, 2L, 9L), (2L, 1L, 6L)))
+    } finally q.stop()
+    // stream ≡ batch re-run: the same two batches folded batch-side,
+    // the same compiled query over the folded graph
+    var bst = st
+    Seq(b1, b2).foreach { b =>
+      bst = CypherLoad.run(bst, ReferenceQueries.LoadRatings,
+        Map("rows" -> b.toDF("User-ID", "ISBN", "Book-Rating")))
+    }
+    val batchRows = CypherLite.run(bst.graph, readQ).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewRows == batchRows,
+      "streamed view diverged from the batch re-run")
+  }
+
   test("unsupported write constructs fail fast, never compile silently wrong") {
     val rows = Seq(("1", "x", "")).toDF("User-ID", "Location", "Age")
     // DELETE is outside the write subset

@@ -420,9 +420,25 @@ class GdsSessionSpec extends AnyFunSuite {
     assert(viaProj == 10L)
     val wroteMeta = g.nodeSimilarityWrite("fix").head()
     assert(wroteMeta.getLong(0) == 6L && wroteMeta.getLong(1) == 10L)
+    // GDS writes back in ORIGINAL ids: the multi-label projection's
+    // encoded endpoints decode to raw per-label ids + label columns,
+    // so the installed frame joins back to the User/Book node frames
+    assert(g.db.edges("SIMILAR").columns.toSeq ==
+      Seq("src", "srcLabel", "dst", "dstLabel", "similarity"))
     val back = g.db.edges("SIMILAR").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(back == expected, "write read-back diverged from the stream frame")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSet
+    val decode = (enc: Long) =>
+      (enc / 2, if (enc % 2 == 0) "User" else "Book")
+    assert(back == expected.map { case (n1, n2, s) =>
+      val (i1, l1) = decode(n1); val (i2, l2) = decode(n2)
+      (i1, l1, i2, l2, s)
+    }, "write read-back diverged from the decoded stream frame")
+    // decoded ids must join back to the db node frames per label
+    val simUsers = g.db.edges("SIMILAR").filter(col("srcLabel") === "User")
+    assert(simUsers.join(g.db.nodes("User").select(col("id").as("src")),
+      Seq("src"), "left_anti").isEmpty,
+      "decoded User endpoints must exist in the User frame")
 
     // estimate model covers the new procedure
     assert(g.writeEstimate("fix", "nodeSimilarity", topK = 10)
@@ -439,6 +455,126 @@ class GdsSessionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(natural == expected.filter(t => t._1 % 2 == 0 && t._2 % 2 == 0))
     assert(gn.nodeSimilarityStats("fixN").head().getLong(0) == 3L)
+  }
+
+  test("nodeSimilarity: similarityMetric OVERLAP/COSINE + postingWidthCap exclusion semantics") {
+    import spark.implicits._
+    // same fixture as the Jaccard test: u1={b10,b11}, u2={b10,b11,b12},
+    // u3={b12}; UNDIRECTED also gives b10={u1,u2}, b11={u1,u2},
+    // b12={u2,u3} — encoded user→2·id, book→2·id+1
+    val users = Seq((1L, "u1"), (2L, "u2"), (3L, "u3")).toDF("id", "name")
+    val books = Seq((10L, "t"), (11L, "t"), (12L, "t")).toDF("id", "title")
+    val rated = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 12L)).toDF("src", "dst")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("User" -> users, "Book" -> books),
+      edges = Map("RATED" -> rated)))
+    g.graphProject("fix", Seq("User", "Book"), "RATED")
+    def streamed(metric: String, cap: Option[Long] = None) =
+      g.nodeSimilarityStream("fix", similarityMetric = metric,
+          postingWidthCap = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // OVERLAP = n/min(|A|,|B|): containment-style — u2⊇u3 scores 1.0
+    assert(streamed("OVERLAP") == Set(
+      (2L, 4L, 1.0), (4L, 2L, 1.0), (4L, 6L, 1.0), (6L, 4L, 1.0),
+      (21L, 23L, 1.0), (23L, 21L, 1.0),
+      (21L, 25L, 0.5), (23L, 25L, 0.5), (25L, 21L, 0.5), (25L, 23L, 0.5)),
+      "OVERLAP diverged from hand values")
+    // COSINE = n/√(|A|·|B|) over the unweighted sets
+    assert(streamed("cosine") == Set(
+      (2L, 4L, 0.816497), (4L, 2L, 0.816497),
+      (4L, 6L, 0.57735), (6L, 4L, 0.57735),
+      (21L, 23L, 1.0), (23L, 21L, 1.0),
+      (21L, 25L, 0.5), (23L, 25L, 0.5), (25L, 21L, 0.5), (25L, 23L, 0.5)),
+      "COSINE diverged from hand values (case-insensitive metric name)")
+    intercept[RuntimeException] { streamed("EUCLID") }
+
+    // postingWidthCap=2: shared neighbour u2's posting list {b10,b11,
+    // b12} has width 3 → excluded from PAIR GENERATION. Its set
+    // MEMBERSHIP stays: b10·b11 share {u1,u2} but count only u1 →
+    // 1/(2+2−1) = 1/3 (underestimate, never invention); b10·b12 and
+    // b11·b12 shared ONLY u2 → the pairs disappear; user pairs ride on
+    // width-2 book postings → unchanged
+    assert(streamed("JACCARD", cap = Some(2L)) == Set(
+      (2L, 4L, 0.666667), (4L, 2L, 0.666667),
+      (4L, 6L, 0.333333), (6L, 4L, 0.333333),
+      (21L, 23L, 0.333333), (23L, 21L, 0.333333)),
+      "postingWidthCap exclusion semantics diverged")
+    // a cap wide enough to keep every posting is exactly GDS semantics
+    assert(streamed("JACCARD", cap = Some(3L)) == streamed("JACCARD"),
+      "a non-binding cap must not change the result")
+    intercept[IllegalArgumentException] {
+      streamed("JACCARD", cap = Some(0L))
+    }
+    // stats under the cap: nodesCompared counts candidate nodes (the
+    // cutoff semantics), pairs reflect the capped generation
+    val capStats = g.nodeSimilarityStats("fix",
+      postingWidthCap = Some(2L)).head()
+    assert(capStats.getLong(0) == 6L && capStats.getLong(1) == 6L)
+  }
+
+  test("pageRank sourceNodes (personalized) mode matrix + weight fail-fast") {
+    import spark.implicits._
+    // weighted digraph: 1→2 (1.0), 2→3 (1.0), 1→3 (5.0), 3→4 (1.0),
+    // isolated node 9; UNDIRECTED projection stores both directions
+    val nodes = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "iso"))
+      .toDF("id", "name")
+    val rels = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "cost")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> rels)))
+    g.graphProject("pr", Seq("N"), "E", relProperties = Seq("cost"))
+
+    // stream ≡ the PPR kernel over the same (weighted) edge frame
+    val both = rels.select(col("src"), col("dst"), col("cost").as("weight"))
+      .unionAll(rels.select(col("dst").as("src"), col("src").as("dst"),
+        col("cost").as("weight")))
+    val kernel = graph.Algorithms.personalizedPageRank(both,
+      sources = Seq(1L), iterations = 5)
+    val streamed = g.pageRankStream("pr", maxIterations = 5,
+      relationshipWeightProperty = Some("cost"), sourceNodes = Seq(1L))
+    val joined = streamed.join(kernel
+      .select(col("node_id").as("nodeId"), col("rank")), Seq("nodeId"))
+    assert(joined.count() == kernel.count() &&
+      joined.filter(abs(col("score") - col("rank")) > 1e-12).isEmpty,
+      "sourceNodes stream diverged from the PPR kernel")
+    // isolated node: 0.0 for a non-source, (1−d)/|S| for a source
+    assert(streamed.filter(col("nodeId") === 9L).head().getDouble(1) == 0.0)
+    val srcIso = g.pageRankStream("pr", maxIterations = 5,
+      sourceNodes = Seq(9L, 1L))
+    assert(math.abs(srcIso.filter(col("nodeId") === 9L).head().getDouble(1)
+      - 0.075) < 1e-12, "an edgeless source keeps its (1-d)/|S| teleport")
+    // stats/write/mutate route through the same frame
+    val st = g.pageRankStats("pr", maxIterations = 5,
+      sourceNodes = Seq(1L)).head()
+    assert(st.getLong(0) == 5L && st.getLong(1) == 5L)
+    g.pageRankMutate("pr", mutateProperty = "ppr", maxIterations = 5,
+      relationshipWeightProperty = Some("cost"), sourceNodes = Seq(1L))
+    // tolerance-join, not exceptAll: the two invocations re-run the
+    // PPR fixpoint and distributed double sums may differ in the last
+    // bits between runs
+    val mutBack = g.graphNodePropertiesStream("pr", "ppr")
+      .select(col("nodeId"), col("propertyValue").as("mscore"))
+    val mj = mutBack.join(streamed, Seq("nodeId"))
+    assert(mj.count() == streamed.count() &&
+      mj.filter(abs(col("mscore") - col("score")) > 1e-12).isEmpty,
+      "sourceNodes mutate read-back diverged from the stream")
+
+    // fail-fast: a typo'd EXPLICIT weight property must error, not
+    // silently run unweighted (GDS fails fast) — pageRank + both
+    // dijkstra entry points
+    intercept[IllegalArgumentException] {
+      g.pageRankStream("pr", relationshipWeightProperty = Some("cst"))
+    }
+    intercept[IllegalArgumentException] {
+      g.shortestPathDijkstraStream("pr", 1L, 4L,
+        relationshipWeightProperty = Some("cst"))
+    }
+    intercept[IllegalArgumentException] {
+      g.allShortestPathsDijkstraStream("pr", 1L,
+        relationshipWeightProperty = Some("cst"))
+    }
   }
 
   test("pathfinding: shortestPath.dijkstra + bfs stream over a closed-form fixture") {

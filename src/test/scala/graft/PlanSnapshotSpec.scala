@@ -221,7 +221,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // r9 entries: the two compiled Cypher idioms and the three
     // GDS-breadth streams
     "cypher_bfs_hops", "cypher_shortest_path",
-    "gds_wcc_stream", "gds_degree_stream", "gds_nodesim_stream")
+    "gds_wcc_stream", "gds_degree_stream", "gds_nodesim_stream",
+    // r10: personalized pageRank through the GDS front door
+    "gds_ppr_stream")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()

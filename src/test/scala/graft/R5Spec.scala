@@ -179,6 +179,46 @@ class R5Spec extends AnyFunSuite {
     assert(enc("newest") == (6L, "|n|e|w|e|s|t|"))
   }
 
+  test("mergeWalkPairCounts (T16): walk-delta fold ≡ full recompute, counts then embedding") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, dir)
+      .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+    val walks = graph.Algorithms.node2vecWalkCorpus(cooc,
+      walksPerNode = 2, steps = 4, symmetric = true, weighted = true)
+      .localCheckpoint()
+    // delta split: walks partitioned by walk_id parity — "old corpus"
+    // = even walks, the fold adds the odd ones and removes a slice of
+    // the evens (the add + remove pair every incremental op needs)
+    val evens = walks.filter(col("walk_id") % 2 === 0)
+    val odds = walks.filter(col("walk_id") % 2 =!= 0)
+    val removedIds = evens.select(col("walk_id")).distinct().limit(3)
+    val removed = evens.join(removedIds, Seq("walk_id"), "left_semi")
+      .localCheckpoint()
+    val kept = evens.join(removedIds, Seq("walk_id"), "left_anti")
+
+    val folded = graph.Node2Vec.mergeWalkPairCounts(
+      graph.Node2Vec.walkPairCounts(evens), odds, removed)
+    val full = graph.Node2Vec.walkPairCounts(kept.unionAll(odds))
+    // counts are LONG-additive: fold ≡ recompute is exact set equality
+    def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (fm, mm) = (cmap(full), cmap(folded))
+    assert(mm == fm,
+      s"count fold diverged: only-folded=${(mm.toSet -- fm.toSet).take(3)} " +
+        s"only-full=${(fm.toSet -- mm.toSet).take(3)}")
+
+    // the embedding tail derives from the folded counts alone —
+    // embedFromCounts(folded) ≡ embedWalks(final corpus)
+    def emap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaFold = emap(graph.Node2Vec.embedFromCounts(folded, dim = 16))
+    val viaFull = emap(graph.Node2Vec.embedWalks(kept.unionAll(odds), dim = 16))
+    assert(viaFold.keySet == viaFull.keySet)
+    viaFull.foreach { case (id, v) => v.zip(viaFold(id)).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-9, s"node $id") } }
+  }
+
   test("mergeScoredPairs: incremental fold equals the full recompute after a delta") {
     import org.apache.spark.sql.functions._
     val dim = 64

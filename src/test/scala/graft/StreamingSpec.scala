@@ -257,6 +257,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(c - gotScored(k)) < 1e-12, s"$k") }
   }
 
+  test("KnnIndexMaintainer: _seq ordered batches + single-direction deltas stay ≡ batch recompute") {
+    import spark.implicits._
+    import graft.streaming.IndexStreams
+    val dim = 16
+    // tiny both-directions bipartite init
+    val edges0 = Seq((1L, 11L, 5.0), (11L, 1L, 5.0), (2L, 11L, 4.0),
+      (11L, 2L, 4.0), (2L, 12L, 3.0), (12L, 2L, 3.0))
+      .toDF("src", "dst", "weight")
+
+    // (a) ordered changelog: with _seq stamped, the max-_seq row wins —
+    // a delete AFTER an upsert in the same micro-batch deletes (the
+    // order-free rule would resurrect the edge: upsert beats delete)
+    val m = new IndexStreams.KnnIndexMaintainer(edges0, dim)
+    m.applyBatch(Seq(
+      (1L, 11L, Some(9.0), 1L), // re-weight, single direction (contract
+      //                           violation — 11→1 keeps weight 5)
+      (1L, 12L, Some(7.0), 1L), (12L, 1L, Some(7.0), 2L), // new edge
+      (2L, 12L, Some(8.0), 1L), (2L, 12L, None, 2L)) // upsert THEN delete
+      .toDF("src", "dst", "w", "_seq")
+      .select(col("src"), col("dst"), col("w").as("weight"), col("_seq")))
+    val truth = Seq((1L, 11L, 9.0), (11L, 1L, 5.0), (2L, 11L, 4.0),
+      (11L, 2L, 4.0), (12L, 2L, 3.0), (1L, 12L, 7.0), (12L, 1L, 7.0))
+    assert(m.currentEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      truth.toSet, "_seq fold diverged from the ordered-changelog truth")
+    // the fold stays ≡ full recompute even though the delta was fed
+    // single-direction: the affected closure symmetrises defensively
+    val finalEdges = truth.toDF("src", "dst", "weight").localCheckpoint()
+    val fullEmb = graph.FastRP.embed(finalEdges, dim)
+    val mm = m.embedding.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fm = fullEmb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(mm.keySet == fm.keySet)
+    fm.foreach { case (id, v) => v.zip(mm(id)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"node $id stale after 1-dir delta") } }
+    val fullScored = ann.Lsh.scoredPairs(fullEmb, "node_id", "embedding", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gotScored = m.scoredPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotScored.keySet == fullScored.keySet, "stale scored pairs")
+    fullScored.foreach { case (k, c) =>
+      assert(math.abs(c - gotScored(k)) < 1e-12, s"$k") }
+
+    // (b) the same upsert+delete WITHOUT _seq: order-free rule —
+    // upsert beats delete, greatest weight wins
+    val m2 = new IndexStreams.KnnIndexMaintainer(edges0, dim)
+    m2.applyBatch(Seq((2L, 12L, Some(8.0)), (2L, 12L, None),
+      (2L, 12L, Some(6.0)))
+      .toDF("src", "dst", "weight")
+      .select(col("src"), col("dst"), col("weight").cast("double")))
+    assert(m2.currentEdges
+      .filter(col("src") === 2L && col("dst") === 12L)
+      .head().getDouble(2) == 8.0,
+      "order-free rule must keep the greatest upsert")
+  }
+
   test("enrichEvents: stream-static join equals the batch join, unknown users pass with nulls") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
