@@ -172,6 +172,30 @@ object SparkEntry {
             round(col("score"), 6).as("rank"))
       }.orderBy(col("rank").desc, col("node_id")).limit(20)
     }),
+    // r10 expression-language breadth: the CypherLite scalar/aggregate
+    // whitelist exercised end to end (CASE, DISTINCT aggregates,
+    // aggregate arithmetic, string predicates/functions, percentileCont,
+    // stDevP) — each gated on its own DuckDB oracle
+    "cypher_case_agg" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.caseAggCompiled(s, d)),
+    "cypher_string_funcs" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.stringFuncsCompiled(s, d)),
+    "cypher_segment_stats" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.segmentStatsCompiled(s, d)),
+    // r10: gds.graph.export — the projection (topology + mutated state)
+    // exported to parquet, YIELDing the GDS stats row; the entry returns
+    // the YIELD row, oracled against the projection's own counts
+    "gds_export_stats" -> ((s, d) => {
+      graft.Cache.cached(s, d, "gds_export_stats") {
+        val g = new graft.gds.GdsSession(
+          graft.cypher.ReferenceQueries.graph(s, d))
+        g.graphProject("exportGraph", Seq("User", "Book"), "RATED",
+          relProperties = Seq("rating"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_gds_export").toString
+        g.graphExport("exportGraph", out)
+      }
+    }),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
@@ -3561,7 +3585,51 @@ object SparkEntry {
     "cypher_recommend_knn" -> oracleSqlBase("recommend_knn"),
     "cypher_large_groups" -> oracleSqlBase("users_in_large_groups"),
     "cypher_bfs_hops" -> oracleSqlBase("bfs_hops"),
-    "cypher_shortest_path" -> oracleSqlBase("shortest_path_nodes"))
+    "cypher_shortest_path" -> oracleSqlBase("shortest_path_nodes"),
+    // r10 expression-language entries: NOT twin reuses — each oracle
+    // restates the compiled query in ANSI SQL over the raw tables
+    "cypher_case_agg" ->
+      s"""$RatingsCte
+         |SELECT p_type AS book_type,
+         |       CAST(SUM(CASE WHEN r.rating >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS high_ratings,
+         |       COUNT(DISTINCT r.user_id) AS raters,
+         |       COUNT(*) AS n,
+         |       SUM(r.rating) * 1.0 / COUNT(*) AS avg_rating
+         |FROM ratings r JOIN part ON p_partkey = r.book_id
+         |GROUP BY p_type
+         |ORDER BY book_type""".stripMargin,
+    "cypher_string_funcs" ->
+      s"""$RatingsCte
+         |SELECT c_custkey AS user_id,
+         |       lower(c_mktsegment) AS seg,
+         |       substr(c_name, 1, 8) AS name8,
+         |       CAST(length(c_name) AS BIGINT) AS name_len,
+         |       c_custkey * 2 + 1 AS odd_id,
+         |       CASE WHEN CAST(c_nationkey AS BIGINT) >= 12
+         |            THEN 'high' ELSE 'low' END AS tier
+         |FROM customer
+         |WHERE c_custkey IN (SELECT user_id FROM ratings)
+         |  AND c_mktsegment LIKE 'BU%'
+         |  AND (c_custkey % 10) IN (0, 3, 7)
+         |ORDER BY user_id""".stripMargin,
+    "cypher_segment_stats" ->
+      s"""$RatingsCte
+         |SELECT c_mktsegment AS segment,
+         |       COUNT(DISTINCT r.book_id) AS distinct_books,
+         |       quantile_cont(r.rating, 0.5) AS median_rating,
+         |       round(stddev_pop(r.rating) * 1000000) / 1000000.0 AS sd6
+         |FROM ratings r JOIN customer ON c_custkey = r.user_id
+         |GROUP BY segment
+         |ORDER BY segment""".stripMargin,
+    "gds_export_stats" ->
+      s"""$RatingsCte
+         |SELECT 'exportGraph' AS graphName,
+         |       (SELECT COUNT(DISTINCT user_id) FROM ratings)
+         |         + (SELECT COUNT(DISTINCT book_id) FROM ratings) AS nodeCount,
+         |       2 * (SELECT COUNT(*) FROM ratings) AS relationshipCount,
+         |       CAST(1 AS BIGINT) AS relationshipTypeCount,
+         |       CAST(0 AS BIGINT) AS nodePropertyCount""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,

@@ -17,13 +17,30 @@ import org.apache.spark.sql.functions._
   *  - `MATCH (v:Label {prop: $param|literal|boundScalar})` node
   *    patterns, chained relationships `(a)-[r:TYPE]->(b)`, multiple
   *    MATCH clauses sharing variables;
-  *  - `WHERE` with =, <>, <, <=, >, >=, AND, OR, NOT, and the pattern
+  *  - `WHERE` with =, <>, <, <=, >, >=, AND, OR, XOR, NOT, `IS [NOT]
+  *    NULL`, `STARTS WITH` / `ENDS WITH` / `CONTAINS` / `IN [list]` /
+  *    `=~` (whole-string regex, literal pattern), and the pattern
   *    predicate `NOT (a)-[:TYPE]->(b)` (compiled as a left_anti join;
   *    the positive form as left_semi);
+  *  - arithmetic `+ - * / %` with standard precedence and unary minus
+  *    (`+` concatenates when either side is a string; `/` is true
+  *    division — Spark's and DuckDB's shared semantics, documented
+  *    deviation from Neo4j's int/int truncation), searched `CASE WHEN
+  *    … THEN … [ELSE …] END`, list literals `[a, b, c]`, and the
+  *    scalar whitelist (all codegen'd built-ins, no UDFs): toLower,
+  *    toUpper, trim/ltrim/rtrim, reverse, toString, toInteger,
+  *    toFloat, abs, round(x[, d]), ceil, floor, sqrt, sign, exp, log,
+  *    log10, size (list or string by resolved type), head, last,
+  *    coalesce, substring (0-based), replace, split, left, right,
+  *    range;
   *  - `WITH [DISTINCT] items` with aggregation grouping Cypher-style
-  *    (group keys = the non-aggregate items) over `count(*)`,
-  *    `count(x)`, `avg(x)`, `sum(x)`, `min(x)`, `max(x)`,
-  *    `COLLECT(x)`, plus trailing `WHERE` / `ORDER BY` / `LIMIT`;
+  *    (group keys = the non-aggregate items; an item containing an
+  *    aggregate ANYWHERE is an aggregate item, so `sum(x) * 1.0 /
+  *    count(*)` compiles) over `count(*)`, `count([DISTINCT] x)`,
+  *    `avg([DISTINCT] x)`, `sum([DISTINCT] x)`, `min(x)`, `max(x)`,
+  *    `COLLECT([DISTINCT] x)` (DISTINCT in canonical sorted order),
+  *    `stDev(x)`, `stDevP(x)`, `percentileCont(x, p)`, plus trailing
+  *    `WHERE` / `ORDER BY` / `LIMIT`;
   *  - `UNWIND list AS v`;
   *  - `RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n]`;
   *  - var-length segments `-[r:T*min..max]->` / `-[:T*..k]-` (bounded
@@ -67,10 +84,22 @@ object CypherLite {
   private[cypher] case class And(l: Expr, r: Expr) extends Expr
   private[cypher] case class Or(l: Expr, r: Expr) extends Expr
   private[cypher] case class Not(e: Expr) extends Expr
-  private[cypher] case class Agg(fn: String, arg: Option[Expr]) extends Expr
+  /** `distinct` = `count(DISTINCT x)` etc.; `arg2` carries the second
+    * argument of two-arg aggregates (`percentileCont(x, p)`). */
+  private[cypher] case class Agg(fn: String, arg: Option[Expr],
+      distinct: Boolean = false, arg2: Option[Expr] = None) extends Expr
   private[cypher] case class PatPred(a: String, relType: String, b: String) extends Expr
 
   private[cypher] case class Fn1(name: String, arg: Expr) extends Expr
+  /** Generic scalar function call, compiled against the whitelist in
+    * [[Compiler.col1]]. */
+  private[cypher] case class FnN(name: String, args: Seq[Expr]) extends Expr
+  private[cypher] case class Arith(op: String, l: Expr, r: Expr) extends Expr
+  private[cypher] case class Neg(e: Expr) extends Expr
+  private[cypher] case class ListLit(items: Seq[Expr]) extends Expr
+  private[cypher] case class CaseExpr(whens: Seq[(Expr, Expr)],
+      default: Option[Expr]) extends Expr
+  private[cypher] case class IsNull(e: Expr, negated: Boolean) extends Expr
 
   private[cypher] case class NodePat(v: Option[String], label: Option[String],
       props: Seq[(String, Expr)])
@@ -103,8 +132,9 @@ object CypherLite {
 
   private object Parser {
     private val Keywords = Set("MATCH", "OPTIONAL", "WHERE", "WITH", "UNWIND",
-      "RETURN", "AS", "AND", "OR", "NOT", "DISTINCT", "ORDER", "BY", "LIMIT",
-      "ASC", "DESC")
+      "RETURN", "AS", "AND", "OR", "XOR", "NOT", "DISTINCT", "ORDER", "BY",
+      "LIMIT", "ASC", "DESC", "STARTS", "ENDS", "CONTAINS", "IN", "IS",
+      "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "TRUE", "FALSE")
 
     def parse(q: String): Seq[Clause] = new P(tokenize(q)).clauses()
 
@@ -137,6 +167,8 @@ object CypherLite {
           val j = q.indexWhere(c => !c.isLetterOrDigit && c != '_', i + 1)
           val end = if (j < 0) q.length else j
           out += q.substring(i, end); i = end
+        } else if (ch == '=' && i + 1 < q.length && q(i + 1) == '~') {
+          out += "=~"; i += 2
         } else if (ch == '<' && i + 1 < q.length && (q(i + 1) == '>' || q(i + 1) == '=')) {
           out += q.substring(i, i + 2); i += 2
         } else if (ch == '>' && i + 1 < q.length && q(i + 1) == '=') {
@@ -304,10 +336,18 @@ object CypherLite {
       }
 
       // -- expressions ------------------------------------------------
+      // precedence (loosest first): OR, XOR, AND, NOT, comparison /
+      // string predicates / IN / IS NULL, + -, * / %, unary -, primary
       def expr(): Expr = orE()
       private def orE(): Expr = {
+        var e = xorE()
+        while (peek == "OR") { next(); e = Or(e, xorE()) }
+        e
+      }
+      private def xorE(): Expr = {
         var e = andE()
-        while (peek == "OR") { next(); e = Or(e, andE()) }
+        // boolean XOR ≡ NOT(l = r) for boolean operands
+        while (peek == "XOR") { next(); e = Not(Cmp("=", e, andE())) }
         e
       }
       private def andE(): Expr = {
@@ -319,21 +359,53 @@ object CypherLite {
         if (peek == "NOT") { next(); Not(notE()) }
         else cmpE()
       private def cmpE(): Expr = {
-        val l = primary()
+        val l = addE()
         peek match {
           case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") =>
-            next(); Cmp(op, l, primary())
+            next(); Cmp(op, l, addE())
+          case "=~" => next(); Cmp("regex", l, addE())
+          case "STARTS" => next(); expect("WITH"); Cmp("startsWith", l, addE())
+          case "ENDS" => next(); expect("WITH"); Cmp("endsWith", l, addE())
+          case "CONTAINS" => next(); Cmp("contains", l, addE())
+          case "IN" => next(); Cmp("in", l, addE())
+          case "IS" =>
+            next()
+            if (peek == "NOT") { next(); expect("NULL"); IsNull(l, negated = true) }
+            else { expect("NULL"); IsNull(l, negated = false) }
           case _ => l
         }
       }
+      private def addE(): Expr = {
+        var e = mulE()
+        while (peek == "+" || peek == "-") {
+          val op = next(); e = Arith(op, e, mulE())
+        }
+        e
+      }
+      private def mulE(): Expr = {
+        var e = unaryE()
+        while (peek == "*" || peek == "/" || peek == "%") {
+          val op = next(); e = Arith(op, e, unaryE())
+        }
+        e
+      }
+      private def unaryE(): Expr =
+        if (peek == "-") { next(); Neg(unaryE()) }
+        else if (peek == "+") { next(); unaryE() }
+        else primary()
+      private val AggFns = Set("count", "avg", "sum", "min", "max",
+        "collect", "stdev", "stdevp", "percentilecont")
+
       private def primary(): Expr = {
         val t = peek
         if (t == "(") {
           // '(' starts either a parenthesised expr or a PATTERN
           // predicate `(a)-[:T]->(b)`; patterns are `(ident)` followed
-          // by `-` — look ahead two tokens to disambiguate
+          // by `-[` or `<-` — look ahead FOUR tokens so parenthesised
+          // arithmetic `(a) - 1` / comparison `(a) < b` stays an expr
           if (isIdent(peekAt(1)) && peekAt(2) == ")" &&
-              (peekAt(3) == "-" || peekAt(3) == "<")) {
+              ((peekAt(3) == "-" && peekAt(4) == "[") ||
+               (peekAt(3) == "<" && peekAt(4) == "-"))) {
             val c = chain()
             require(c.rest.length == 1 && c.rest.head._2.v.isDefined &&
               c.first.v.isDefined, "pattern predicate must be (a)-[:T]->(b)")
@@ -343,7 +415,31 @@ object CypherLite {
           } else {
             next(); val e = expr(); expect(")"); e
           }
-        } else if (t.startsWith("$")) { next(); Param(t.drop(1)) }
+        } else if (t == "[") {
+          next()
+          val items = Seq.newBuilder[Expr]
+          if (peek != "]") {
+            items += expr()
+            while (peek == ",") { next(); items += expr() }
+          }
+          expect("]")
+          ListLit(items.result())
+        } else if (t == "CASE") {
+          // searched CASE: CASE WHEN cond THEN v [WHEN …] [ELSE v] END
+          next()
+          require(peek == "WHEN",
+            "only searched CASE (CASE WHEN cond THEN …) is supported")
+          val whens = Seq.newBuilder[(Expr, Expr)]
+          while (peek == "WHEN") {
+            next(); val c = expr(); expect("THEN"); whens += ((c, expr()))
+          }
+          val dflt = if (peek == "ELSE") { next(); Some(expr()) } else None
+          expect("END")
+          CaseExpr(whens.result(), dflt)
+        } else if (t == "NULL") { next(); Lit(null) }
+        else if (t == "TRUE") { next(); Lit(true) }
+        else if (t == "FALSE") { next(); Lit(false) }
+        else if (t.startsWith("$")) { next(); Param(t.drop(1)) }
         else if (t.startsWith("'")) { next(); Lit(t.substring(1, t.length - 1)) }
         else if (t.nonEmpty && t(0).isDigit) {
           next()
@@ -352,12 +448,14 @@ object CypherLite {
         else if (isIdent(t)) {
           val name = next()
           val fl = name.toLowerCase
-          if (peek == "(" &&
-              Set("count", "avg", "sum", "min", "max", "collect").contains(fl)) {
+          if (peek == "(" && AggFns.contains(fl)) {
             next()
+            val distinct = peek == "DISTINCT"
+            if (distinct) next()
             val arg = if (peek == "*") { next(); None } else Some(expr())
+            val arg2 = if (peek == ",") { next(); Some(expr()) } else None
             expect(")")
-            Agg(fl, arg)
+            Agg(fl, arg, distinct, arg2)
           } else if (peek == "(" && fl == "id") {
             // id(v): Neo4j's internal-id accessor — the binding's `id`
             // key field (`gds.graph.project.cypher`'s node/rel queries
@@ -374,6 +472,17 @@ object CypherLite {
             next(); val e = expr(); expect(")"); Fn1("relationships", e)
           } else if (peek == "(" && fl == "length") {
             next(); val e = expr(); expect(")"); Fn1("length", e)
+          } else if (peek == "(") {
+            // generic scalar call — compiled against the whitelist in
+            // Compiler.col1 (unknown names still fail fast, at compile)
+            next()
+            val args = Seq.newBuilder[Expr]
+            if (peek != ")") {
+              args += expr()
+              while (peek == ",") { next(); args += expr() }
+            }
+            expect(")")
+            FnN(fl, args.result())
           } else if (peek == ".") {
             next(); Prop(name, next())
           } else Ident(name)
@@ -727,8 +836,24 @@ object CypherLite {
         col(b).getField("id") === col("__pp_dst"), how)
     }
 
+    /** An item containing an aggregate ANYWHERE is an aggregate item
+      * (Cypher's grouping rule: group keys are the aggregate-free
+      * items) — `count(*) * 1.0 / sum(x)` lands in the agg list and
+      * Catalyst accepts the arithmetic around the AggregateExpressions. */
     private def isAgg(e: Expr): Boolean = e match {
       case _: Agg => true
+      case Arith(_, l, r) => isAgg(l) || isAgg(r)
+      case Neg(x) => isAgg(x)
+      case Cmp(_, l, r) => isAgg(l) || isAgg(r)
+      case And(l, r) => isAgg(l) || isAgg(r)
+      case Or(l, r) => isAgg(l) || isAgg(r)
+      case Not(x) => isAgg(x)
+      case IsNull(x, _) => isAgg(x)
+      case Fn1(_, x) => isAgg(x)
+      case FnN(_, args) => args.exists(isAgg)
+      case ListLit(items) => items.exists(isAgg)
+      case CaseExpr(whens, d) =>
+        whens.exists(w => isAgg(w._1) || isAgg(w._2)) || d.exists(isAgg)
       case _ => false
     }
 
@@ -745,14 +870,17 @@ object CypherLite {
       val (aggs, keys) = named.partition(kv => isAgg(kv._2))
       if (aggs.nonEmpty) {
         val keyCols = keys.map { case (n, e) => col1(e).as(n) }
-        val aggCols = aggs.map { case (n, e) => aggCol(e.asInstanceOf[Agg]).as(n) }
+        // col1 compiles composite aggregate items (`sum(x) * 1.0 /
+        // count(*)`) — Catalyst accepts arithmetic around the
+        // AggregateExpressions inside .agg
+        val aggCols = aggs.map { case (n, e) => col1(e).as(n) }
         df = df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       } else {
         df = df.select(named.map { case (n, e) => col1(e).as(n) }: _*)
       }
       structVars = named.collect {
         case (n, Ident(v)) if structVars.contains(v) => n
-        case (n, Agg("collect", _)) => n
+        case (n, Agg("collect", _, _, _)) => n
       }.toSet
       if (distinct) df = df.distinct()
       where.foreach(e => df = df.filter(col1(e)))
@@ -762,16 +890,100 @@ object CypherLite {
       limit.foreach(n => df = df.limit(n.toInt))
     }
 
+    /** The scalar-function whitelist (names arrive lowercased). Every
+      * entry lowers to a codegen'd built-in — no UDFs — and unknown
+      * names fail fast with the arity, never silently null. */
+    private def fnCol(fn: String, args: Seq[Expr]): Column = (fn, args) match {
+      case ("tolower", Seq(x)) => lower(col1(x))
+      case ("toupper", Seq(x)) => upper(col1(x))
+      case ("trim", Seq(x)) => trim(col1(x))
+      case ("ltrim", Seq(x)) => ltrim(col1(x))
+      case ("rtrim", Seq(x)) => rtrim(col1(x))
+      // string or list — Spark's reverse handles both
+      case ("reverse", Seq(x)) => reverse(col1(x))
+      case ("tostring", Seq(x)) => col1(x).cast("string")
+      case ("tointeger", Seq(x)) => col1(x).cast("bigint")
+      case ("tofloat", Seq(x)) => col1(x).cast("double")
+      case ("abs", Seq(x)) => abs(col1(x))
+      case ("round", Seq(x)) => round(col1(x), 0)
+      case ("round", Seq(x, Lit(n: Long))) => round(col1(x), n.toInt)
+      case ("ceil", Seq(x)) => ceil(col1(x))
+      case ("floor", Seq(x)) => floor(col1(x))
+      case ("sqrt", Seq(x)) => sqrt(col1(x))
+      case ("sign", Seq(x)) => signum(col1(x)).cast("bigint")
+      case ("exp", Seq(x)) => exp(col1(x))
+      case ("log", Seq(x)) => log(col1(x))
+      case ("log10", Seq(x)) => log10(col1(x))
+      // size(): list → element count, string → char count, picked by
+      // the resolved type (collect() inside an agg item is a list)
+      case ("size", Seq(x)) =>
+        val c = col1(x)
+        if (isAgg(x)) size(c).cast("bigint")
+        else dtypeOf(c) match {
+          case _: org.apache.spark.sql.types.ArrayType => size(c).cast("bigint")
+          case _: org.apache.spark.sql.types.StringType => length(c).cast("bigint")
+          case other => sys.error(s"size() needs a list or string, got $other")
+        }
+      case ("head", Seq(x)) => element_at(col1(x), 1)
+      case ("last", Seq(x)) => element_at(col1(x), -1)
+      case ("coalesce", as) if as.nonEmpty => coalesce(as.map(col1): _*)
+      // Cypher substring is 0-based; Column.substr is 1-based
+      case ("substring", Seq(x, st)) =>
+        col1(x).substr(col1(st).cast("int") + lit(1), lit(Int.MaxValue))
+      case ("substring", Seq(x, st, ln)) =>
+        col1(x).substr(col1(st).cast("int") + lit(1), col1(ln).cast("int"))
+      case ("replace", Seq(x, a, b)) => replace(col1(x), col1(a), col1(b))
+      // Cypher split is a LITERAL delimiter; Spark's is a regex — quote
+      case ("split", Seq(x, Lit(d: String))) =>
+        split(col1(x), java.util.regex.Pattern.quote(d))
+      case ("left", Seq(x, n)) =>
+        col1(x).substr(lit(1), col1(n).cast("int"))
+      case ("right", Seq(x, n)) =>
+        val c = col1(x); val k = col1(n).cast("int")
+        c.substr(greatest(length(c) - k + lit(1), lit(1)), k)
+      // range(a, b[, step]) — inclusive both ends, like Cypher
+      case ("range", Seq(a, b)) => sequence(col1(a), col1(b))
+      case ("range", Seq(a, b, st)) => sequence(col1(a), col1(b), col1(st))
+      case _ => sys.error(s"unsupported function $fn/${args.length}")
+    }
+
     private def aggCol(a: Agg): Column = (a.fn, a.arg) match {
       case ("count", None) => count(lit(1))
+      case ("count", Some(e)) if a.distinct => count_distinct(col1(e))
       case ("count", Some(e)) => count(col1(e))
+      // avg(DISTINCT) as the exact quotient of its distinct parts —
+      // nulls drop from both factors, matching Cypher/SQL
+      case ("avg", Some(e)) if a.distinct =>
+        sum_distinct(col1(e)) / count_distinct(col1(e))
       case ("avg", Some(e)) => avg(col1(e))
+      case ("sum", Some(e)) if a.distinct => sum_distinct(col1(e))
       case ("sum", Some(e)) => sum(col1(e))
       case ("min", Some(e)) => min(col1(e))
       case ("max", Some(e)) => max(col1(e))
+      // collect(DISTINCT): Cypher leaves the order undefined; compile
+      // to the canonical sorted form so replays are deterministic
+      case ("collect", Some(e)) if a.distinct =>
+        array_sort(collect_set(col1(e)))
       case ("collect", Some(e)) => collect_list(col1(e))
+      case ("stdev", Some(e)) => stddev_samp(col1(e))
+      case ("stdevp", Some(e)) => stddev_pop(col1(e))
+      // exact interpolated percentile (SQL PERCENTILE_CONT / DuckDB
+      // quantile_cont semantics — one sort-based aggregate, mergeable)
+      case ("percentilecont", Some(e)) =>
+        val p = a.arg2.getOrElse(sys.error("percentileCont(x, p) needs p"))
+        percentile(col1(e), constCol(p))
       case other => sys.error(s"unsupported aggregate $other")
     }
+
+    /** Resolved type of a compiled column against the CURRENT frame —
+      * pure analysis (no job). NullType when unresolvable (e.g. the
+      * column contains an aggregate, selectable only through groupBy). */
+    private def dtypeOf(c: Column): org.apache.spark.sql.types.DataType =
+      scala.util.Try(df.select(c).schema.head.dataType)
+        .getOrElse(org.apache.spark.sql.types.NullType)
+
+    private def isStringy(c: Column): Boolean =
+      dtypeOf(c).isInstanceOf[org.apache.spark.sql.types.StringType]
 
     private def col1(e: Expr): Column = e match {
       case Prop(v, f) => col(v).getField(f)
@@ -784,9 +996,48 @@ object CypherLite {
       case Cmp("<=", l, r) => col1(l) <= col1(r)
       case Cmp(">", l, r) => col1(l) > col1(r)
       case Cmp(">=", l, r) => col1(l) >= col1(r)
+      case Cmp("startsWith", l, r) => col1(l).startsWith(col1(r))
+      case Cmp("endsWith", l, r) => col1(l).endsWith(col1(r))
+      case Cmp("contains", l, r) => col1(l).contains(col1(r))
+      // `x IN list` over both list literals and bound list columns —
+      // array_contains codegens either way
+      case Cmp("in", l, r) => array_contains(col1(r), col1(l))
+      case Cmp("regex", l, r) => r match {
+        // Cypher `=~` matches the WHOLE string — anchor the pattern
+        // (rlike alone is a substring search)
+        case Lit(p: String) => col1(l).rlike("^(?:" + p + ")$")
+        case other => sys.error(s"=~ needs a string-literal pattern, got $other")
+      }
       case And(l, r) => col1(l) && col1(r)
       case Or(l, r) => col1(l) || col1(r)
       case Not(x) => !col1(x)
+      case IsNull(x, false) => col1(x).isNull
+      case IsNull(x, true) => col1(x).isNotNull
+      case Arith(op, l, r) =>
+        val lc = col1(l); val rc = col1(r)
+        op match {
+          // Cypher `+` concatenates when either side is a string —
+          // resolved from the frame's schema at compile time
+          case "+" if isStringy(lc) || isStringy(rc) =>
+            concat(lc.cast("string"), rc.cast("string"))
+          case "+" => lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          // true division (double), Spark's and DuckDB's shared `/`
+          // semantics; Neo4j's int/int truncation is NOT reproduced —
+          // use toInteger(a / b) to ask for it explicitly
+          case "/" => lc / rc
+          case "%" => lc % rc
+        }
+      case Neg(x) => negate(col1(x))
+      case ListLit(items) => array(items.map(col1): _*)
+      case CaseExpr(whens, dflt) =>
+        val head = when(col1(whens.head._1), col1(whens.head._2))
+        val chained = whens.tail.foldLeft(head) { (acc, wt) =>
+          acc.when(col1(wt._1), col1(wt._2))
+        }
+        dflt.map(d => chained.otherwise(col1(d))).getOrElse(chained)
+      case FnN(fn, args) => fnCol(fn, args)
       case Fn1("length", x) => size(col1(x)) - 1
       case Fn1("relationships", x) =>
         // relationships(p) over a shortestPath binding: the path's

@@ -193,6 +193,56 @@ object ReferenceQueries {
     CypherLite.run(coocGraph(spark, dir), ShortestPathQuery,
       Map("src" -> src, "dst" -> dst))
 
+  /** r10 expression-language breadth: searched CASE inside an
+    * aggregate, DISTINCT aggregation, and aggregate arithmetic
+    * (`sum(x) * 1.0 / count(*)`) — the whitelist residue a
+    * Cypher-fluent user hits once the r9 traversal walls are gone.
+    * Gated on its own DuckDB oracle (not a twin reuse: no hand-built
+    * operator computes this shape). */
+  val CaseAgg: String =
+    """MATCH (u:User)-[r:RATED]->(b:Book)
+      |WITH b.book_type AS book_type,
+      |  sum(CASE WHEN r.rating >= 8 THEN 1 ELSE 0 END) AS high_ratings,
+      |  count(DISTINCT u.id) AS raters,
+      |  count(*) AS n,
+      |  sum(r.rating) * 1.0 / count(*) AS avg_rating
+      |RETURN book_type, high_ratings, raters, n, avg_rating
+      |ORDER BY book_type""".stripMargin
+
+  def caseAggCompiled(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(graph(spark, dir), CaseAgg)
+
+  /** r10: string predicates (`STARTS WITH`, `IN [list]`), scalar
+    * string functions (toLower / substring / size), arithmetic with
+    * precedence, and a scalar CASE — all row-level, so the whole RETURN
+    * stays one whole-stage-codegen projection over the node scan. */
+  val StringFuncs: String =
+    """MATCH (u:User)
+      |WHERE u.segment STARTS WITH 'BU' AND u.id % 10 IN [0, 3, 7]
+      |RETURN u.id AS user_id, toLower(u.segment) AS seg,
+      |  substring(u.name, 0, 8) AS name8, size(u.name) AS name_len,
+      |  u.id * 2 + 1 AS odd_id,
+      |  CASE WHEN u.community >= 12 THEN 'high' ELSE 'low' END AS tier
+      |ORDER BY user_id""".stripMargin
+
+  def stringFuncsCompiled(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(graph(spark, dir), StringFuncs)
+
+  /** r10: the statistics aggregates — exact interpolated
+    * `percentileCont` (one sort-based aggregate, mergeable) and
+    * `stDevP`, 6dp-rounded through round()-arithmetic so the DuckDB
+    * replay is boundary-stable. */
+  val SegmentStats: String =
+    """MATCH (u:User)-[r:RATED]->(b:Book)
+      |WITH u.segment AS segment, count(DISTINCT b.id) AS distinct_books,
+      |  percentileCont(r.rating, 0.5) AS median_rating,
+      |  round(stDevP(r.rating) * 1000000) / 1000000.0 AS sd6
+      |RETURN segment, distinct_books, median_rating, sd6
+      |ORDER BY segment""".stripMargin
+
+  def segmentStatsCompiled(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(graph(spark, dir), SegmentStats)
+
   /** `data/load_data.py:23-28` load_users — VERBATIM (backticked CSV
     * header, empty-string → NULL age CASE). */
   val LoadUsers: String =

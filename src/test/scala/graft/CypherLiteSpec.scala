@@ -294,4 +294,180 @@ class CypherLiteSpec extends AnyFunSuite {
         |RETURN n.node_id AS node_id""".stripMargin)
     assert(rows(unreachable).isEmpty)
   }
+
+  // ---- r10 expression-language whitelist --------------------------
+
+  test("arithmetic: precedence, unary minus, string concat, parens") {
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User {id: 1})
+        |RETURN u.id + 2 * 3 AS a, -u.id AS b, (u.id + 2) * 3 AS c,
+        |  u.id % 2 AS m, u.id * 1.0 / 4 AS d, u.name + '!' AS s""".stripMargin)
+    assert(rows(out) == Seq(Seq(7L, -1L, 9L, 1L, 0.25, "ann!")))
+  }
+
+  test("string predicates, IN, =~ whole-string anchor, IS NULL cascade") {
+    val preds = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |WHERE u.name STARTS WITH 'a' OR u.name ENDS WITH 't'
+        |  OR u.name CONTAINS 'o'
+        |RETURN u.id AS id ORDER BY id""".stripMargin)
+    assert(rows(preds) == Seq(Seq(1L), Seq(2L), Seq(3L)))
+    val inq = CypherLite.run(fixtureGraph,
+      "MATCH (u:User) WHERE u.id IN [1, 3] RETURN u.id AS id ORDER BY id")
+    assert(rows(inq) == Seq(Seq(1L), Seq(3L)))
+    // Neo4j's =~ matches the WHOLE string: 'an' misses 'ann', 'an.' hits
+    assert(rows(CypherLite.run(fixtureGraph,
+      "MATCH (u:User) WHERE u.name =~ 'an' RETURN u.id AS id")).isEmpty)
+    assert(rows(CypherLite.run(fixtureGraph,
+      "MATCH (u:User) WHERE u.name =~ 'an.' RETURN u.id AS id")) ==
+      Seq(Seq(1L)))
+    // IS NULL composes with the OPTIONAL MATCH null cascade: only users
+    // without outgoing SIMILAR_TO survive
+    val nulls = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[s:SIMILAR_TO]->(v:User)
+        |WHERE v.id IS NULL
+        |RETURN u.id AS id ORDER BY id""".stripMargin)
+    assert(rows(nulls) == Seq(Seq(2L), Seq(3L)))
+    val notNulls = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[s:SIMILAR_TO]->(v:User)
+        |WHERE v.id IS NOT NULL
+        |RETURN DISTINCT u.id AS id ORDER BY id""".stripMargin)
+    assert(rows(notNulls) == Seq(Seq(1L)))
+  }
+
+  test("scalar whitelist: strings, numerics, lists — exact values") {
+    val r = CypherLite.run(fixtureGraph,
+      """MATCH (u:User {id: 1})
+        |RETURN toUpper(u.name) AS up, toLower('ABC') AS lo,
+        |  substring(u.name, 1) AS sub1, substring(u.name, 0, 2) AS sub2,
+        |  size(u.name) AS len, reverse(u.name) AS rev,
+        |  replace(u.name, 'n', 'm') AS rep, split('a,b,c', ',') AS parts,
+        |  head(split('a,b,c', ',')) AS h, last(split('a,b,c', ',')) AS l,
+        |  left(u.name, 2) AS lf, right(u.name, 2) AS rt,
+        |  coalesce(NULL, u.name) AS co, abs(-3) AS ab, sign(-2) AS sg,
+        |  round(2.375, 2) AS r2, floor(2.7) AS fl, ceil(2.2) AS ce,
+        |  toInteger('42') AS ti, toString(7) AS ts,
+        |  range(1, 3) AS rng, size(range(1, 3)) AS rnglen""".stripMargin)
+      .collect().head
+    assert(r.getAs[String]("up") == "ANN")
+    assert(r.getAs[String]("lo") == "abc")
+    assert(r.getAs[String]("sub1") == "nn" && r.getAs[String]("sub2") == "an")
+    assert(r.getAs[Long]("len") == 3L)
+    assert(r.getAs[String]("rev") == "nna")
+    assert(r.getAs[String]("rep") == "amm")
+    assert(r.getAs[scala.collection.Seq[String]]("parts").toSeq ==
+      Seq("a", "b", "c"))
+    assert(r.getAs[String]("h") == "a" && r.getAs[String]("l") == "c")
+    assert(r.getAs[String]("lf") == "an" && r.getAs[String]("rt") == "nn")
+    assert(r.getAs[String]("co") == "ann")
+    assert(r.getAs[Long]("ab") == 3L && r.getAs[Long]("sg") == -1L)
+    assert(r.getAs[Double]("r2") == 2.38)
+    assert(r.getAs[Long]("fl") == 2L && r.getAs[Long]("ce") == 3L)
+    assert(r.getAs[Long]("ti") == 42L && r.getAs[String]("ts") == "7")
+    assert(r.getAs[scala.collection.Seq[Long]]("rng").toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(r.getAs[Long]("rnglen") == 3L)
+  }
+
+  test("CASE + DISTINCT aggregates + aggregate arithmetic group exactly") {
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |WITH b.id AS book,
+        |  sum(CASE WHEN r.rating >= 8 THEN 1 ELSE 0 END) AS high,
+        |  count(DISTINCT u.community) AS comms,
+        |  collect(DISTINCT u.community) AS commList,
+        |  sum(r.rating) * 1.0 / count(*) AS avg_r
+        |RETURN book, high, comms, commList, avg_r
+        |ORDER BY book""".stripMargin)
+    assert(rows(out) == Seq(
+      Seq(100L, 1L, 1L, Seq(10L), 8.0),
+      Seq(200L, 1L, 2L, Seq(10L, 20L), 6.5)))
+  }
+
+  test("stDev / stDevP / percentileCont: exact closed-form values") {
+    val r = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |RETURN count(*) AS n, stDevP(r.rating) AS sp, stDev(r.rating) AS ss,
+        |  percentileCont(r.rating, 0.5) AS med""".stripMargin)
+      .collect().head
+    // ratings 9,7,8,5: mean 7.25, pop var 2.1875, samp var 8.75/3
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("sp") - math.sqrt(2.1875)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ss") - math.sqrt(8.75 / 3)) < 1e-12)
+    // sorted 5,7,8,9 → (n-1)·0.5 = 1.5 → 7 + 0.5·(8−7)
+    assert(r.getAs[Double]("med") == 7.5)
+  }
+
+  test("XOR, boolean literals, CASE ELSE default") {
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |WHERE (u.id = 1) XOR (u.community = 10)
+        |RETURN u.id AS id,
+        |  CASE WHEN u.community >= 20 THEN 'x' ELSE 'y' END AS t
+        |ORDER BY id""".stripMargin)
+    // id=1: true XOR true = false; id=2: false XOR true = true; id=3:
+    // false XOR false = false
+    assert(rows(out) == Seq(Seq(2L, "y")))
+    val bools = CypherLite.run(fixtureGraph,
+      "MATCH (u:User {id: 1}) RETURN TRUE AS t, FALSE AS f")
+    assert(rows(bools) == Seq(Seq(true, false)))
+  }
+
+  test("unknown scalar functions still fail fast, with the arity") {
+    val e = intercept[RuntimeException] {
+      CypherLite.run(fixtureGraph, "MATCH (u:User) RETURN foo(u.id) AS x")
+    }
+    assert(e.getMessage.contains("unsupported function foo/1"))
+  }
+
+  test("compiled cypher_case_agg ≡ hand-built twin on real data") {
+    val got = rows(ReferenceQueries.caseAggCompiled(spark, sf))
+    val ratings = graft.graph.RatingsGraph.ratings(spark, sf)
+    val books = graft.graph.RatingsGraph.ratedBooks(spark, sf)
+    val want = rows(ratings.join(books, Seq("book_id"))
+      .groupBy(col("book_type"))
+      .agg(
+        sum(when(col("rating") >= 8, 1L).otherwise(0L)).as("high_ratings"),
+        countDistinct(col("user_id")).as("raters"),
+        count(lit(1)).as("n"),
+        (sum(col("rating")) * lit(1.0) / count(lit(1))).as("avg_rating"))
+      .orderBy("book_type"))
+    assert(got == want, s"compiled ${got.take(2)} vs twin ${want.take(2)}")
+    assert(got.nonEmpty)
+  }
+
+  test("compiled cypher_string_funcs ≡ hand-built twin on real data") {
+    val got = rows(ReferenceQueries.stringFuncsCompiled(spark, sf))
+    val users = graft.graph.RatingsGraph.activeUsers(spark, sf)
+    val want = rows(users
+      .filter(col("segment").startsWith("BU") &&
+        (col("user_id") % 10).isin(0, 3, 7))
+      .select(col("user_id"),
+        lower(col("segment")).as("seg"),
+        col("name").substr(lit(1), lit(8)).as("name8"),
+        length(col("name")).cast("bigint").as("name_len"),
+        (col("user_id") * 2 + 1).as("odd_id"),
+        when(col("community") >= 12, "high").otherwise("low").as("tier"))
+      .orderBy("user_id"))
+    assert(got == want, s"compiled ${got.take(2)} vs twin ${want.take(2)}")
+    assert(got.nonEmpty)
+  }
+
+  test("compiled cypher_segment_stats ≡ hand-built twin on real data") {
+    val got = rows(ReferenceQueries.segmentStatsCompiled(spark, sf))
+    val ratings = graft.graph.RatingsGraph.ratings(spark, sf)
+    val users = graft.graph.RatingsGraph.activeUsers(spark, sf)
+    val want = rows(ratings
+      .join(users.select(col("user_id"), col("segment")), Seq("user_id"))
+      .groupBy(col("segment"))
+      .agg(countDistinct(col("book_id")).as("distinct_books"),
+        percentile(col("rating"), lit(0.5)).as("median_rating"),
+        (round(stddev_pop(col("rating")) * lit(1000000L), 0) /
+          lit(1000000.0)).as("sd6"))
+      .orderBy("segment"))
+    assert(got == want, s"compiled $got vs twin $want")
+    assert(got.nonEmpty)
+  }
 }

@@ -709,4 +709,55 @@ class GdsSessionSpec extends AnyFunSuite {
     assert(est.getString(4).contains("Bytes"))
     intercept[RuntimeException] { g.writeEstimate("userGraph", "nope") }
   }
+
+  test("gds.graph.export: parquet round-trip of topology + mutated state") {
+    import spark.implicits._
+    val users = Seq((1L, "u1"), (2L, "u2"), (3L, "u3")).toDF("id", "name")
+    val books = Seq((10L, "t"), (11L, "t"), (12L, "t")).toDF("id", "title")
+    val rated = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 12L)).toDF("src", "dst")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("User" -> users, "Book" -> books),
+      edges = Map("RATED" -> rated)))
+    g.graphProject("fix", Seq("User", "Book"), "RATED")
+    // export must carry MUTATED state: a node property (wcc components)
+    // and a mutate-added relationship type (nodeSimilarity SIMILAR)
+    g.wccMutate("fix")
+    g.nodeSimilarityMutate("fix")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export_spec").toString
+    val meta = g.graphExport("fix", out).head()
+    assert(meta.getString(0) == "fix")
+    assert(meta.getLong(1) == 6L, "6 projected nodes")
+    assert(meta.getLong(2) == 12L + 10L,
+      "12 undirected RATED rows + 10 SIMILAR rows")
+    assert(meta.getLong(3) == 2L, "two relationship types")
+    assert(meta.getLong(4) == 1L, "one node property (componentId)")
+
+    val nodes = spark.read.parquet(s"$out/nodes")
+    assert(nodes.count() == 6L)
+    assert(nodes.columns.toSeq == Seq("id", "componentId"))
+    assert(nodes.select("componentId").distinct().count() == 1L,
+      "the fixture is one connected component")
+
+    val rels = spark.read.parquet(s"$out/relationships")
+    assert(rels.columns.toSet ==
+      Set("relationshipType", "src", "dst", "similarity"))
+    assert(rels.groupBy("relationshipType").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("RATED" -> 12L, "SIMILAR" -> 10L))
+    // base-type rows null-fill the mutate property; SIMILAR rows carry
+    // the similarity values nodeSimilarityStream computes
+    assert(rels.filter(col("relationshipType") === "RATED" &&
+      col("similarity").isNotNull).count() == 0L)
+    val exported = rels.filter(col("relationshipType") === "SIMILAR")
+      .select(col("src").as("node1"), col("dst").as("node2"),
+        col("similarity"))
+    val streamed = g.nodeSimilarityStream("fix")
+    assert(exported.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(exported).isEmpty,
+      "exported SIMILAR edges diverged from the stream mode")
+    // a missing graph fails fast, like GDS
+    intercept[RuntimeException] { g.graphExport("nope", out) }
+  }
 }

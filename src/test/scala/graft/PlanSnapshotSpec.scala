@@ -222,8 +222,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // GDS-breadth streams
     "cypher_bfs_hops", "cypher_shortest_path",
     "gds_wcc_stream", "gds_degree_stream", "gds_nodesim_stream",
-    // r10: personalized pageRank through the GDS front door
-    "gds_ppr_stream")
+    // r10: personalized pageRank through the GDS front door, the
+    // expression-language entries, and the export YIELD row
+    "gds_ppr_stream",
+    "cypher_case_agg", "cypher_string_funcs", "cypher_segment_stats",
+    "gds_export_stats")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
