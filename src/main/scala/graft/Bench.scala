@@ -213,8 +213,18 @@ object Bench {
       else {
         System.err.println(s"[bench] silver phase contested (1-min load > $silverLoadThreshold during a build) — re-measuring in a fresh session")
         val s2 = spark.newSession()
+        // newSession() shares the SparkContext but NOT the per-session
+        // function registry, and it does not switch the thread's ACTIVE
+        // session — Column-only call sites (Md5Bits.md5Bits(col, n))
+        // register on SparkSession.active, so without this the md5-draw
+        // silvers (node2vec walks) fail analysis in pass 2 with
+        // UNRESOLVED_ROUTINE graft_md5_bits (observed in the r10 trail).
+        org.apache.spark.sql.SparkSession.setActiveSession(s2)
+        graft.plans.Md5Bits.register(s2)
+        graft.plans.CosineSim.register(s2)
         val r = runSilvers(s2)
         graft.Cache.clear(s2) // free the duplicate silver storage
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
         Some(r)
       }
     val silverResults = silverPass1.map { case (name, sec1, ok1, l1) =>

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   * evidence that the one previously-unbounded operator is now bounded
   * by code, not by documentation.
   *
-  * Shape: `scale`·20k users each rating 10 pool books (posting width
-  * ≈ 10 — the linear background), plus one hub book rated by
-  * `hubDegree` users. nodeSimilarity over the single-label NATURAL
-  * projection compares users over their book sets.
+  * Shape: `scale`·20k users; each rates one GENRE book shared by its
+  * group of 8 (posting width exactly 8 — the linear, cap-surviving
+  * similarity structure: 7 true pairs per user at every scale), 9
+  * PRIVATE books (width 1), and — for the first `hubDegree` users —
+  * one HUB book whose posting width grows with scale. nodeSimilarity
+  * over the single-label NATURAL projection compares users over their
+  * book sets: uncapped runs pay the hub's d² pairs; capped runs drop
+  * the hub posting (exact-or-underestimate df-cap), keep every genre
+  * pair, and must stay flat per unit of |E|.
   *
   * Usage: runMain graft.NodeSimProbe <scale> <hubDegree> [cap]
   */
@@ -35,18 +40,19 @@ object NodeSimProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val nUsers = 20000L * scale
-    val booksPer = 10
     val hubBook = 2000000000L
-    // background: user u rates books nUsers + (u·7919 + i·104729) mod
-    // nUsers — prime strides spread ratings so every pool book's
-    // posting width stays ≈ booksPer (the linear regime)
-    val bg = spark.range(nUsers * booksPer).select(
+    val genreBase = 3000000000L
+    // genre tier: user u rates genre book u/8 (posting width 8)
+    val genre = spark.range(nUsers).select(
+      col("id").as("src"),
+      (lit(genreBase) + (col("id") / 8L).cast("bigint")).as("dst"))
+    // private tier: 9 books of posting width 1 each
+    val priv = spark.range(nUsers * 9).select(
       (col("id") % nUsers).as("src"),
-      (lit(nUsers) + pmod(col("id") % nUsers * 7919L +
-        (col("id") / nUsers) * 104729L, lit(nUsers))).as("dst"))
+      (lit(nUsers) + col("id")).as("dst"))
     val hubEdges = spark.range(hubDegree)
       .select(col("id").as("src"), lit(hubBook).as("dst"))
-    val rels = bg.unionAll(hubEdges).localCheckpoint()
+    val rels = genre.unionAll(priv).unionAll(hubEdges).localCheckpoint()
     val nodes = rels.select(col("src").as("id"))
       .unionAll(rels.select(col("dst").as("id"))).distinct().localCheckpoint()
 

@@ -497,6 +497,11 @@ object CypherLite {
     /** Bound variables: struct columns (nodes/rels/list elements) or
       * plain scalar columns introduced by WITH aliases. */
     private var structVars = Set.empty[String]
+    /** Compile-time provenance for `labels(v)` / `type(r)`: node var →
+      * label, rel var → relationship type — known statically (each
+      * binding names its frame), so both functions fold to literals. */
+    private var varLabels = Map.empty[String, String]
+    private var varTypes = Map.empty[String, String]
     private var df: DataFrame = _
     private var fresh = 0
 
@@ -564,6 +569,7 @@ object CypherLite {
       df = df.join(edgeDf(rel.relType, rv, rel.undirected),
         col(prev).getField("id") === col(rv).getField(fromField))
       structVars += rv
+      varTypes += rv -> rel.relType
       bindChainTarget(node, col(rv).getField(toField))
     }
 
@@ -581,6 +587,7 @@ object CypherLite {
             sys.error(s"new node '$v' in a chain needs a :Label"))
           df = df.join(nodeDf(label, v), col(v).getField("id") === idCol)
           structVars += v
+          varLabels += v -> label
           applyProps(v, node.props)
           v
       }
@@ -605,6 +612,7 @@ object CypherLite {
       rel.v.foreach { rv =>
         df = df.withColumn(rv, struct(col("__vl_hops").as("hops")))
         structVars += rv
+        varTypes += rv -> rel.relType
       }
       val v = bindChainTarget(node, col("__vl_node"))
       df = df.drop("__vl_source", "__vl_node", "__vl_hops")
@@ -753,6 +761,7 @@ object CypherLite {
           rel.v.foreach { rv =>
             ext = ext.withColumn(rv, struct(col("__vl_hops").as("hops")))
             newVars ::= rv
+            varTypes += rv -> rel.relType
           }
           ext = ext.join(nodeDf(label, v),
             col(v).getField("id") === col("__vl_node"))
@@ -765,6 +774,7 @@ object CypherLite {
           ext = ext.join(edgeDf(rel.relType, rv, rel.undirected),
             prevIdCol === col(rv).getField(fromField))
           newVars ::= rv
+          varTypes += rv -> rel.relType
           ext = ext.join(nodeDf(label, v),
             col(v).getField("id") === col(rv).getField(toField))
         }
@@ -772,6 +782,7 @@ object CypherLite {
           ext = ext.filter(col(v).getField(k) === constCol(e))
         }
         newVars ::= v
+        varLabels += v -> label
         prevIdCol = col(v).getField("id")
       }
       df = df.join(ext, col(head).getField("id") === col("__opt_head"),
@@ -786,6 +797,7 @@ object CypherLite {
       val v = n.v.getOrElse(freshName())
       if (structVars.contains(v)) { applyProps(v, n.props); return }
       val label = n.label.getOrElse(sys.error(s"node '$v' needs a :Label"))
+      varLabels += v -> label
       var nd = nodeDf(label, v)
       // literal/param props filter the node table BEFORE any join
       val (joinProps, filterProps) = n.props.partition {
@@ -882,6 +894,13 @@ object CypherLite {
         case (n, Ident(v)) if structVars.contains(v) => n
         case (n, Agg("collect", _, _, _)) => n
       }.toSet
+      // provenance survives a WITH only for carried variables
+      varLabels = named.collect {
+        case (n, Ident(v)) if varLabels.contains(v) => n -> varLabels(v)
+      }.toMap
+      varTypes = named.collect {
+        case (n, Ident(v)) if varTypes.contains(v) => n -> varTypes(v)
+      }.toMap
       if (distinct) df = df.distinct()
       where.foreach(e => df = df.filter(col1(e)))
       if (order.nonEmpty)
@@ -944,6 +963,18 @@ object CypherLite {
       // range(a, b[, step]) — inclusive both ends, like Cypher
       case ("range", Seq(a, b)) => sequence(col1(a), col1(b))
       case ("range", Seq(a, b, st)) => sequence(col1(a), col1(b), col1(st))
+      // labels(v) / type(r): each binding names its frame, so both fold
+      // to literals at compile time — but stay NULL-correct under the
+      // OPTIONAL MATCH cascade (an unmatched row's var is null, and
+      // Cypher's labels(null)/type(null) is null)
+      case ("labels", Seq(Ident(v))) =>
+        val label = varLabels.getOrElse(v,
+          sys.error(s"labels(): '$v' is not a labelled node variable"))
+        when(col(v).isNotNull, array(lit(label)))
+      case ("type", Seq(Ident(v))) =>
+        val t = varTypes.getOrElse(v,
+          sys.error(s"type(): '$v' is not a relationship variable"))
+        when(col(v).isNotNull, lit(t))
       case _ => sys.error(s"unsupported function $fn/${args.length}")
     }
 

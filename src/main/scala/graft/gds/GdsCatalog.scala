@@ -215,6 +215,50 @@ final class GdsSession(initial: CypherLite.Graph) {
         "relationshipTypeCount", "nodePropertyCount")
   }
 
+  /** `gds.graph.sample.rwr(to, from, {startNode, samplingRatio})` —
+    * GDS's random-walk-with-restarts subgraph sampler: cut a
+    * representative slice of a graph too big to process whole,
+    * registered as a NEW named projection. Routes onto the engine's
+    * deterministic RWR kernel (md5 hash-draw walkers — the `rwr_sample`
+    * oracle's exact machinery), keeps the `ceil(ratio·|V|)`
+    * most-visited nodes (visit-count desc, node-id tiebreak; bounded by
+    * the fixed walker×step budget — a DOCUMENTED deviation from GDS's
+    * walk-until-ratio loop: the budget keeps driver state O(walkers)
+    * and the whole draw replayable), and induces the subgraph
+    * (both-endpoint semi-joins — two hash joins, no shuffle of the
+    * node payload). YIELDs the GDS row. */
+  def graphSampleRwr(graphName: String, fromGraphName: String,
+      startNode: Long, samplingRatio: Double = 0.5,
+      walkers: Int = 6, steps: Int = 6): DataFrame = {
+    require(!projections.contains(graphName),
+      s"graph '$graphName' already exists")
+    require(samplingRatio > 0 && samplingRatio <= 1.0,
+      s"samplingRatio must be in (0, 1], got $samplingRatio")
+    val p = projOf(fromGraphName)
+    val visits = graft.graph.Algorithms.rwrSample(
+      p.rels.select(col("src"), col("dst")), startNode, walkers, steps,
+      symmetric = true) // projections store their orientation explicitly
+    val target = math.max(1L,
+      math.ceil(samplingRatio * p.nodes.count()).toLong)
+    val sampled = visits
+      .orderBy(col("n_visits").desc, col("node_id"))
+      .limit(target.toInt)
+      .select(col("node_id").as("id"))
+    val nodes = p.nodes.join(sampled, Seq("id"), "left_semi")
+      .localCheckpoint()
+    val rels = p.rels
+      .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(p.rels.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint()
+    projections.put(graphName, Projection(p.labels, nodes, rels, p.relType))
+    val s = spark
+    import s.implicits._
+    Seq((graphName, fromGraphName, nodes.count(), rels.count(), 1L))
+      .toDF("graphName", "fromGraphName", "nodeCount",
+        "relationshipCount", "startNodeCount")
+  }
+
   /** `gds.fastRP.write(name, {writeProperty, embeddingDimension})`
     * (`Alg_KNN_FastRP.py:63-76`): FastRP over the projection's rels
     * (weight = `relationshipWeightProperty`, 1.0 when absent — the
@@ -552,6 +596,53 @@ final class GdsSession(initial: CypherLite.Graph) {
       f.select(col("src").as("sourceNodeId"), col("dst").as("targetNodeId"),
         lit(t).as("relationshipType"))
     }.reduce(_ unionByName _)
+  }
+
+  /** `gds.graph.nodeProperties.write(name, [properties]) YIELD
+    * propertiesWritten` — in-memory node properties (projected or
+    * `.mutate`-added) pushed back to the db, decoded per label by the
+    * same fold every `.write` procedure uses. The GDS idiom this
+    * completes: `algo.mutate → … → nodeProperties.write` — compute a
+    * whole chain in memory, persist ONCE at the end (one db write
+    * instead of per-procedure write→re-project round-trips — the
+    * pattern that matters when the store write is a 100 TB sink). */
+  def graphNodePropertiesWrite(graphName: String,
+      nodeProperties: Seq[String], writeLabel: String = "User"): DataFrame = {
+    val p = projOf(graphName)
+    val written = nodeProperties.map { prop =>
+      require(p.nodes.columns.contains(prop),
+        s"projection carries no node property '$prop'")
+      writeNodeProp(p,
+        p.nodes.filter(col(prop).isNotNull).select(col("id"), col(prop)),
+        prop, writeLabel)
+    }.sum
+    metaLong("propertiesWritten" -> written)
+  }
+
+  /** `gds.graph.relationships.write(name, relationshipType) YIELD
+    * relationshipsWritten` — a `.mutate`-added relationship frame
+    * installed into the db edge store; multi-label endpoints decode to
+    * raw per-label ids + label columns (the write-back-to-original-ids
+    * contract [[nodeSimilarityWrite]] pins). */
+  def graphRelationshipsWrite(graphName: String,
+      relationshipType: String): DataFrame = {
+    val p = projOf(graphName)
+    val raw = p.mutRels.getOrElse(relationshipType, sys.error(
+      s"projection carries no mutated relationship type '$relationshipType'"))
+    val edges = (if (p.labels.length > 1) {
+      val l = p.labels.length.toLong
+      val labArr = array(p.labels.map(lit): _*)
+      def decId(c: org.apache.spark.sql.Column) =
+        ((c - pmod(c, lit(l))) / lit(l)).cast("bigint")
+      def labOf(c: org.apache.spark.sql.Column) =
+        element_at(labArr, (pmod(c, lit(l)) + 1).cast("int"))
+      raw.select(Seq(decId(col("src")).as("src"),
+        labOf(col("src")).as("srcLabel"),
+        decId(col("dst")).as("dst"), labOf(col("dst")).as("dstLabel")) ++
+        raw.columns.filterNot(c => c == "src" || c == "dst").map(col): _*)
+    } else raw).localCheckpoint()
+    db = db.copy(edges = db.edges + (relationshipType -> edges))
+    metaLong("relationshipsWritten" -> edges.count())
   }
 
   // ————— algorithm breadth: the GDS procedures a reference user would

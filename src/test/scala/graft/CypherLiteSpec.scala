@@ -415,6 +415,31 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(rows(bools) == Seq(Seq(true, false)))
   }
 
+  test("labels(v) / type(r): compile-time provenance, null under OPTIONAL") {
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User {id: 1})-[r:RATED]->(b:Book)
+        |RETURN labels(u) AS ul, labels(b) AS bl, type(r) AS rt
+        |ORDER BY b.id LIMIT 1""".stripMargin)
+    assert(rows(out) == Seq(Seq(Seq("User"), Seq("Book"), "RATED")))
+    // provenance survives a WITH carry
+    val carried = CypherLite.run(fixtureGraph,
+      """MATCH (u:User {id: 1})
+        |WITH u AS person
+        |RETURN labels(person) AS l""".stripMargin)
+    assert(rows(carried) == Seq(Seq(Seq("User"))))
+    // Cypher's labels(null)/type(null) is null under the OPTIONAL cascade
+    val opt = CypherLite.run(fixtureGraph,
+      """MATCH (u:User {id: 3})
+        |OPTIONAL MATCH (u)-[s:SIMILAR_TO]->(v:User)
+        |RETURN labels(v) AS vl, type(s) AS st""".stripMargin)
+    assert(rows(opt) == Seq(Seq(null, null)))
+    // a non-node variable fails fast
+    intercept[RuntimeException] {
+      CypherLite.run(fixtureGraph,
+        "MATCH (u:User) RETURN labels(nope) AS x")
+    }
+  }
+
   test("unknown scalar functions still fail fast, with the arity") {
     val e = intercept[RuntimeException] {
       CypherLite.run(fixtureGraph, "MATCH (u:User) RETURN foo(u.id) AS x")

@@ -760,4 +760,98 @@ class GdsSessionSpec extends AnyFunSuite {
     // a missing graph fails fast, like GDS
     intercept[RuntimeException] { g.graphExport("nope", out) }
   }
+
+  test("mutate → nodeProperties.write / relationships.write: persist once") {
+    import spark.implicits._
+    val users = Seq((1L, "u1"), (2L, "u2"), (3L, "u3")).toDF("id", "name")
+    val books = Seq((10L, "t"), (11L, "t"), (12L, "t")).toDF("id", "title")
+    val rated = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 12L)).toDF("src", "dst")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("User" -> users, "Book" -> books),
+      edges = Map("RATED" -> rated)))
+    g.graphProject("fix", Seq("User", "Book"), "RATED")
+    // the GDS compute-in-memory idiom: two mutates, then one persist each
+    g.wccMutate("fix")
+    g.nodeSimilarityMutate("fix")
+    val nProps = g.graphNodePropertiesWrite("fix", Seq("componentId"))
+      .head().getLong(0)
+    assert(nProps == 6L, "componentId written for all 6 nodes")
+    // decoded back to RAW per-label ids: every user and book row carries
+    // the property, and the fixture is one component
+    assert(g.db.nodes("User").filter(col("componentId").isNotNull)
+      .count() == 3L)
+    assert(g.db.nodes("Book").filter(col("componentId").isNotNull)
+      .count() == 3L)
+    assert(g.db.nodes("User").select("componentId")
+      .unionAll(g.db.nodes("Book").select("componentId"))
+      .distinct().count() == 1L)
+
+    val nRels = g.graphRelationshipsWrite("fix", "SIMILAR").head().getLong(0)
+    assert(nRels == 10L)
+    val written = g.db.edges("SIMILAR")
+    assert(written.columns.toSeq ==
+      Seq("src", "srcLabel", "dst", "dstLabel", "similarity"))
+    // endpoints decoded: user–user pairs (1,2) at 2/3 and book–book
+    // (10,11) at 1.0 from the hand Jaccards
+    val m = written.collect().map(r => (r.getString(1), r.getLong(0),
+      r.getString(3), r.getLong(2)) -> r.getDouble(4)).toMap
+    assert(m(("User", 1L, "User", 2L)) == 0.666667)
+    assert(m(("Book", 10L, "Book", 11L)) == 1.0)
+    // unknown property / type fail fast
+    intercept[RuntimeException] {
+      g.graphNodePropertiesWrite("fix", Seq("nope"))
+    }
+    intercept[RuntimeException] { g.graphRelationshipsWrite("fix", "nope") }
+  }
+
+  test("gds.graph.sample.rwr: deterministic community-local subgraph") {
+    import spark.implicits._
+    // two 4-cliques bridged by one edge: a walk budget from node 1
+    // stays community-local, so the half-ratio sample is clique A
+    val cliqueA = Seq(1L, 2L, 3L, 4L)
+    val cliqueB = Seq(11L, 12L, 13L, 14L)
+    def cliqueEdges(ns: Seq[Long]) =
+      for { a <- ns; b <- ns if a != b } yield (a, b)
+    val edges = (cliqueEdges(cliqueA) ++ cliqueEdges(cliqueB) ++
+      Seq((4L, 11L), (11L, 4L))).toDF("src", "dst")
+    val nodes = (cliqueA ++ cliqueB).map(Tuple1(_)).toDF("id")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("full", Seq("N"), "E", orientation = "NATURAL")
+    val meta = g.graphSampleRwr("sampled", "full", startNode = 1L,
+      samplingRatio = 0.5, walkers = 8, steps = 12).head()
+    assert(meta.getString(0) == "sampled" && meta.getString(1) == "full")
+    assert(meta.getLong(2) == 4L, "half-ratio sample = 4 of 8 nodes")
+    assert(g.graphExists("sampled").head().getBoolean(0))
+    val sampledIds = g.graphNodePropertiesStream("sampled", "id")
+      .select("nodeId").collect().map(_.getLong(0)).toSet
+    // the most-visited 4 from a clique-A start must be clique-A-heavy:
+    // every sampled node reachable, bridge nodes allowed, clique B's
+    // far side is not
+    assert(sampledIds.contains(1L))
+    assert(sampledIds.intersect(Set(12L, 13L, 14L)).size <= 1,
+      s"sample leaked deep into clique B: $sampledIds")
+    // induced edges: both endpoints sampled
+    val rels = g.graphRelationshipsStream("sampled")
+    val ids = sampledIds
+    assert(rels.collect().forall(r =>
+      ids(r.getLong(0)) && ids(r.getLong(1))))
+    assert(meta.getLong(3) == rels.count())
+    // the downstream procedure chain runs on the sample
+    assert(g.degreeStream("sampled").count() == 4L)
+    // deterministic: the same draw replays identically
+    g.graphDrop("sampled")
+    val meta2 = g.graphSampleRwr("sampled", "full", startNode = 1L,
+      samplingRatio = 0.5, walkers = 8, steps = 12).head()
+    assert(meta2.getLong(2) == meta.getLong(2) &&
+      meta2.getLong(3) == meta.getLong(3))
+    // dup name / bad ratio fail fast
+    intercept[IllegalArgumentException] {
+      g.graphSampleRwr("sampled", "full", startNode = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      g.graphSampleRwr("s2", "full", startNode = 1L, samplingRatio = 0.0)
+    }
+  }
 }
