@@ -114,8 +114,11 @@ object CypherLite {
   private[cypher] case class Order(expr: Expr, asc: Boolean)
 
   private[cypher] sealed trait Clause
+  /** `where` is the OPTIONAL MATCH-attached WHERE — Cypher applies it
+    * INSIDE the optional pattern (an unmatched-or-filtered head keeps
+    * its row with nulls), which is NOT the same as a post-filter. */
   private[cypher] case class Match(chains: Seq[Chain],
-      optional: Boolean = false) extends Clause
+      optional: Boolean = false, where: Option[Expr] = None) extends Clause
   /** `MATCH p = shortestPath((a)-[:T*..k]-(b))` — binds `p` to the
     * node sequence of THE shortest path (deterministic min-parent
     * tie-break, [[graft.graph.Algorithms.shortestPathNodesOn]]). */
@@ -220,7 +223,12 @@ object CypherLite {
           val cs = Seq.newBuilder[Chain]
           cs += chain()
           while (peek == ",") { next(); cs += chain() }
-          Match(cs.result(), optional = true)
+          // a WHERE here belongs to the OPTIONAL pattern (Cypher
+          // semantics), not to the row stream — parsing it as a
+          // separate post-filter clause would silently drop the
+          // null-extended rows Cypher keeps
+          val w = if (peek == "WHERE") { next(); Some(expr()) } else None
+          Match(cs.result(), optional = true, w)
         case "WHERE" => Where(expr())
         case "UNWIND" =>
           val e = expr(); expect("AS"); Unwind(e, next())
@@ -507,7 +515,10 @@ object CypherLite {
 
     def compile(clauses: Seq[Clause]): DataFrame = {
       clauses.foreach {
-        case m: Match if m.optional => m.chains.foreach(optionalChain)
+        case m: Match if m.optional =>
+          require(m.where.isEmpty || m.chains.length == 1,
+            "WHERE on a multi-chain OPTIONAL MATCH is unsupported")
+          m.chains.foreach(c => optionalChain(c, m.where))
         case m: Match => m.chains.foreach(matchChain)
         case sp: ShortestPath => compileShortestPath(sp)
         case Where(e) => applyPredicate(e)
@@ -732,8 +743,14 @@ object CypherLite {
       * `hops`; per-path row multiplicity stays out of scope, and a
       * query needing it fails at the binding site like everywhere
       * else (there is no relationship-LIST binding to fail here — the
-      * segment var is the hops struct by construction). */
-    private def optionalChain(c: Chain): Unit = {
+      * segment var is the hops struct by construction). An attached
+      * `where` filters the chain extension BEFORE the left_outer —
+      * Cypher's semantics: a head whose matches are all filtered away
+      * keeps its row, null-extended (a post-filter would drop it). The
+      * predicate may reference the chain's NEW variables; referencing
+      * the head struct fails analysis (only its id travels into the
+      * extension). */
+    private def optionalChain(c: Chain, where: Option[Expr] = None): Unit = {
       val head = c.first.v.getOrElse(
         sys.error("OPTIONAL MATCH needs a named, bound head node"))
       require(structVars.contains(head),
@@ -785,6 +802,7 @@ object CypherLite {
         varLabels += v -> label
         prevIdCol = col(v).getField("id")
       }
+      where.foreach(e => ext = ext.filter(col1(e)))
       df = df.join(ext, col(head).getField("id") === col("__opt_head"),
         "left_outer").drop("__opt_head")
       structVars ++= newVars

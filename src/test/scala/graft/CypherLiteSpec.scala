@@ -321,20 +321,38 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(rows(CypherLite.run(fixtureGraph,
       "MATCH (u:User) WHERE u.name =~ 'an.' RETURN u.id AS id")) ==
       Seq(Seq(1L)))
-    // IS NULL composes with the OPTIONAL MATCH null cascade: only users
-    // without outgoing SIMILAR_TO survive
+    // IS NULL composes with the OPTIONAL MATCH null cascade via the
+    // Cypher find-unmatched idiom (WITH … WHERE — a WHERE directly on
+    // the OPTIONAL MATCH belongs to the pattern, tested separately):
+    // only users without outgoing SIMILAR_TO survive
     val nulls = CypherLite.run(fixtureGraph,
       """MATCH (u:User)
         |OPTIONAL MATCH (u)-[s:SIMILAR_TO]->(v:User)
+        |WITH u, v
         |WHERE v.id IS NULL
         |RETURN u.id AS id ORDER BY id""".stripMargin)
     assert(rows(nulls) == Seq(Seq(2L), Seq(3L)))
     val notNulls = CypherLite.run(fixtureGraph,
       """MATCH (u:User)
         |OPTIONAL MATCH (u)-[s:SIMILAR_TO]->(v:User)
+        |WITH u, v
         |WHERE v.id IS NOT NULL
         |RETURN DISTINCT u.id AS id ORDER BY id""".stripMargin)
     assert(rows(notNulls) == Seq(Seq(1L)))
+  }
+
+  test("OPTIONAL MATCH-attached WHERE: filtered heads survive null-extended") {
+    // WHERE r.rating >= 8 belongs to the OPTIONAL pattern: user 3's only
+    // rating (5) is filtered away but the row SURVIVES with nulls — the
+    // semantics a post-filter parse would silently get wrong (it would
+    // drop user 3 entirely)
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[r:RATED]->(b:Book)
+        |WHERE r.rating >= 8
+        |RETURN u.id AS id, b.id AS book ORDER BY id, book""".stripMargin)
+    assert(rows(out) ==
+      Seq(Seq(1L, 100L), Seq(2L, 200L), Seq(3L, null)))
   }
 
   test("scalar whitelist: strings, numerics, lists — exact values") {
