@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions._
   *    `stDev(x)`, `stDevP(x)`, `percentileCont(x, p)`, plus trailing
   *    `WHERE` / `ORDER BY` / `LIMIT`;
   *  - `UNWIND list AS v`;
-  *  - `RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n]`;
+  *  - `RETURN [DISTINCT] items [ORDER BY ...] [SKIP n] [LIMIT n]`
+  *    (SKIP/LIMIT also on WITH — Cypher's pagination trio);
   *  - var-length segments `-[r:T*min..max]->` / `-[:T*..k]-` (bounded
   *    BFS; `r.hops` = minimal hop distance — see [[Compiler]] for the
   *    documented DISTINCT-endpoint semantics), inside plain AND
@@ -126,18 +127,20 @@ object CypherLite {
       chain: Chain) extends Clause
   private[cypher] case class Where(expr: Expr) extends Clause
   private[cypher] case class With(items: Seq[Item], distinct: Boolean,
-      where: Option[Expr], order: Seq[Order], limit: Option[Long]) extends Clause
+      where: Option[Expr], order: Seq[Order], limit: Option[Long],
+      skip: Option[Long] = None) extends Clause
   private[cypher] case class Unwind(expr: Expr, alias: String) extends Clause
   private[cypher] case class Return(items: Seq[Item], distinct: Boolean,
-      order: Seq[Order], limit: Option[Long]) extends Clause
+      order: Seq[Order], limit: Option[Long],
+      skip: Option[Long] = None) extends Clause
 
   // ------------------------------------------------------------- Parser
 
   private object Parser {
     private val Keywords = Set("MATCH", "OPTIONAL", "WHERE", "WITH", "UNWIND",
       "RETURN", "AS", "AND", "OR", "XOR", "NOT", "DISTINCT", "ORDER", "BY",
-      "LIMIT", "ASC", "DESC", "STARTS", "ENDS", "CONTAINS", "IN", "IS",
-      "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "TRUE", "FALSE")
+      "LIMIT", "SKIP", "ASC", "DESC", "STARTS", "ENDS", "CONTAINS", "IN",
+      "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "TRUE", "FALSE")
 
     def parse(q: String): Seq[Clause] = new P(tokenize(q)).clauses()
 
@@ -235,12 +238,12 @@ object CypherLite {
         case "WITH" =>
           val (d, its) = itemList()
           val w = if (peek == "WHERE") { next(); Some(expr()) } else None
-          val (o, l) = orderLimit()
-          With(its, d, w, o, l)
+          val (o, sk, l) = orderLimit()
+          With(its, d, w, o, l, sk)
         case "RETURN" =>
           val (d, its) = itemList()
-          val (o, l) = orderLimit()
-          Return(its, d, o, l)
+          val (o, sk, l) = orderLimit()
+          Return(its, d, o, l, sk)
         case other => sys.error(s"unsupported clause '$other'")
       }
 
@@ -258,7 +261,9 @@ object CypherLite {
         if (peek == "AS") { next(); Item(e, Some(next())) } else Item(e, None)
       }
 
-      private def orderLimit(): (Seq[Order], Option[Long]) = {
+      /** `[ORDER BY …] [SKIP n] [LIMIT n]` — Cypher's trailing
+        * pagination trio, in its fixed order. */
+      private def orderLimit(): (Seq[Order], Option[Long], Option[Long]) = {
         val o = if (peek == "ORDER") {
           next(); expect("BY")
           val os = Seq.newBuilder[Order]
@@ -275,8 +280,9 @@ object CypherLite {
           while (peek == ",") { next(); one() }
           os.result()
         } else Nil
+        val sk = if (peek == "SKIP") { next(); Some(next().toLong) } else None
         val l = if (peek == "LIMIT") { next(); Some(next().toLong) } else None
-        (o, l)
+        (o, sk, l)
       }
 
       def chain(): Chain = {
@@ -522,11 +528,13 @@ object CypherLite {
         case m: Match => m.chains.foreach(matchChain)
         case sp: ShortestPath => compileShortestPath(sp)
         case Where(e) => applyPredicate(e)
-        case w: With => project(w.items, w.distinct, w.where, w.order, w.limit)
+        case w: With =>
+          project(w.items, w.distinct, w.where, w.order, w.limit, w.skip)
         case Unwind(e, v) =>
           df = df.withColumn(v, explode(col1(e)))
           structVars += v
-        case r: Return => project(r.items, r.distinct, None, r.order, r.limit)
+        case r: Return =>
+          project(r.items, r.distinct, None, r.order, r.limit, r.skip)
       }
       df
     }
@@ -888,7 +896,8 @@ object CypherLite {
     }
 
     private def project(items: Seq[Item], distinct: Boolean,
-        where: Option[Expr], order: Seq[Order], limit: Option[Long]): Unit = {
+        where: Option[Expr], order: Seq[Order], limit: Option[Long],
+        skip: Option[Long] = None): Unit = {
       val named = items.map { it =>
         val name = it.alias.getOrElse(it.expr match {
           case Ident(n) => n
@@ -924,6 +933,9 @@ object CypherLite {
       if (order.nonEmpty)
         df = df.orderBy(order.map(o =>
           if (o.asc) col1(o.expr).asc else col1(o.expr).desc): _*)
+      // Cypher SKIP n LIMIT m = rows n+1..n+m; Dataset.offset composes
+      // with limit exactly that way (Limit over Offset in the plan)
+      skip.foreach(n => df = df.offset(n.toInt))
       limit.foreach(n => df = df.limit(n.toInt))
     }
 

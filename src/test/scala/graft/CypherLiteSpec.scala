@@ -458,6 +458,29 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("SKIP n LIMIT m: rows n+1..n+m after the sort") {
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |RETURN u.id AS uid, b.id AS book
+        |ORDER BY uid, book SKIP 1 LIMIT 2""".stripMargin)
+    // full order: (1,100),(2,100),(2,200),(3,200) → skip 1, take 2
+    assert(rows(out) == Seq(Seq(2L, 100L), Seq(2L, 200L)))
+    // SKIP alone, and SKIP past the end
+    assert(rows(CypherLite.run(fixtureGraph,
+      """MATCH (u:User) RETURN u.id AS id ORDER BY id SKIP 2""".stripMargin))
+      == Seq(Seq(3L)))
+    assert(rows(CypherLite.run(fixtureGraph,
+      """MATCH (u:User) RETURN u.id AS id ORDER BY id SKIP 9""".stripMargin))
+      .isEmpty)
+    // WITH-level pagination feeds the next clause
+    val via = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |WITH u ORDER BY u.id SKIP 1 LIMIT 1
+        |MATCH (u)-[r:RATED]->(b:Book)
+        |RETURN b.id AS book ORDER BY book""".stripMargin)
+    assert(rows(via) == Seq(Seq(100L), Seq(200L)))
+  }
+
   test("unknown scalar functions still fail fast, with the arity") {
     val e = intercept[RuntimeException] {
       CypherLite.run(fixtureGraph, "MATCH (u:User) RETURN foo(u.id) AS x")
