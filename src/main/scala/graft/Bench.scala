@@ -220,12 +220,16 @@ object Bench {
         // silvers (node2vec walks) fail analysis in pass 2 with
         // UNRESOLVED_ROUTINE graft_md5_bits (observed in the r10 trail).
         org.apache.spark.sql.SparkSession.setActiveSession(s2)
-        graft.plans.Md5Bits.register(s2)
-        graft.plans.CosineSim.register(s2)
-        val r = runSilvers(s2)
-        graft.Cache.clear(s2) // free the duplicate silver storage
-        org.apache.spark.sql.SparkSession.setActiveSession(spark)
-        Some(r)
+        // restore the active session even when the re-measure throws —
+        // otherwise the rest of the process plans against s2 and
+        // re-triggers the very UNRESOLVED_ROUTINE class this pass fixes
+        try {
+          graft.plans.Md5Bits.register(s2)
+          graft.plans.CosineSim.register(s2)
+          val r = runSilvers(s2)
+          graft.Cache.clear(s2) // free the duplicate silver storage
+          Some(r)
+        } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
       }
     val silverResults = silverPass1.map { case (name, sec1, ok1, l1) =>
       silverPass2.flatMap(_.find(_._1 == name)) match {

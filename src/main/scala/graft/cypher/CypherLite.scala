@@ -755,9 +755,14 @@ object CypherLite {
       * `where` filters the chain extension BEFORE the left_outer —
       * Cypher's semantics: a head whose matches are all filtered away
       * keeps its row, null-extended (a post-filter would drop it). The
-      * predicate may reference the chain's NEW variables; referencing
-      * the head struct fails analysis (only its id travels into the
-      * extension). */
+      * predicate may reference the chain's NEW variables and (r11) the
+      * HEAD's properties — the `WHERE b.year > a.year` idiom: the head
+      * struct is carried into the extension next to its id seed (it is
+      * functionally dependent on the id, so the distinct is unchanged)
+      * and dropped again before the join back. Any OTHER pre-bound
+      * variable still fails fast — the extension re-attaches on the
+      * head alone, so non-head context would need a different join
+      * shape. */
     private def optionalChain(c: Chain, where: Option[Expr] = None): Unit = {
       val head = c.first.v.getOrElse(
         sys.error("OPTIONAL MATCH needs a named, bound head node"))
@@ -766,11 +771,13 @@ object CypherLite {
       require(c.first.props.isEmpty,
         "props on the bound head of an OPTIONAL MATCH are unsupported")
       require(c.rest.nonEmpty, "OPTIONAL MATCH needs a relationship pattern")
+      val carryHead = where.exists(e => exprVars(e).contains(head))
       // the chain extension starts from the distinct head-id frame, so
       // every segment kind (single hop, var-length) composes uniformly
       // and the frame is joined back exactly once
       var ext: DataFrame = df
-        .select(col(head).getField("id").as("__opt_head"))
+        .select(col(head).getField("id").as("__opt_head") +:
+          (if (carryHead) Seq(col(head)) else Nil): _*)
         .filter(col("__opt_head").isNotNull).distinct()
       var prevIdCol: Column = col("__opt_head")
       var newVars = List.empty[String]
@@ -810,10 +817,46 @@ object CypherLite {
         varLabels += v -> label
         prevIdCol = col(v).getField("id")
       }
-      where.foreach(e => ext = ext.filter(col1(e)))
+      where.foreach { e =>
+        val foreign = exprVars(e) -- newVars.toSet - head
+        require(foreign.isEmpty,
+          "OPTIONAL MATCH WHERE may reference the head and this " +
+            s"pattern's variables only; got ${foreign.mkString(", ")}")
+        // type dispatch (string `+`, size()) must resolve against the
+        // EXTENSION frame while this predicate compiles — against the
+        // outer df, chain-local vars read as NullType and mis-dispatch
+        typeFrame = Some(ext)
+        try ext = ext.filter(col1(e)) finally typeFrame = None
+      }
+      if (carryHead) ext = ext.drop(head)
       df = df.join(ext, col(head).getField("id") === col("__opt_head"),
         "left_outer").drop("__opt_head")
       structVars ++= newVars
+    }
+
+    /** Variables an expression references (Prop targets + bare
+      * identifiers) — compile-time analysis for the OPTIONAL MATCH
+      * WHERE carry/fail-fast decision. */
+    private def exprVars(e: Expr): Set[String] = e match {
+      case Prop(v, _) => Set(v)
+      case Ident(n) => Set(n)
+      case Cmp(_, l, r) => exprVars(l) ++ exprVars(r)
+      case And(l, r) => exprVars(l) ++ exprVars(r)
+      case Or(l, r) => exprVars(l) ++ exprVars(r)
+      case Not(x) => exprVars(x)
+      case IsNull(x, _) => exprVars(x)
+      case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
+      case Neg(x) => exprVars(x)
+      case ListLit(items) => items.flatMap(exprVars).toSet
+      case CaseExpr(whens, d) =>
+        (whens.flatMap(w => exprVars(w._1) ++ exprVars(w._2)) ++
+          d.toSeq.flatMap(exprVars)).toSet
+      case Fn1(_, x) => exprVars(x)
+      case FnN(_, args) => args.flatMap(exprVars).toSet
+      case Agg(_, arg, _, arg2) =>
+        (arg.toSeq ++ arg2.toSeq).flatMap(exprVars).toSet
+      case PatPred(a, _, b) => Set(a, b)
+      case _ => Set.empty // Lit, Param
     }
 
     /** Bind a standalone (chain-head) node: fresh frame, equi-join on
@@ -934,9 +977,19 @@ object CypherLite {
         df = df.orderBy(order.map(o =>
           if (o.asc) col1(o.expr).asc else col1(o.expr).desc): _*)
       // Cypher SKIP n LIMIT m = rows n+1..n+m; Dataset.offset composes
-      // with limit exactly that way (Limit over Offset in the plan)
-      skip.foreach(n => df = df.offset(n.toInt))
-      limit.foreach(n => df = df.limit(n.toInt))
+      // with limit exactly that way (Limit over Offset in the plan).
+      // Both Dataset methods take Int — fail loudly on a >2³¹ count
+      // instead of silently truncating it
+      skip.foreach { n =>
+        require(n <= Int.MaxValue,
+          s"SKIP $n exceeds Int.MaxValue (Dataset.offset bound)")
+        df = df.offset(n.toInt)
+      }
+      limit.foreach { n =>
+        require(n <= Int.MaxValue,
+          s"LIMIT $n exceeds Int.MaxValue (Dataset.limit bound)")
+        df = df.limit(n.toInt)
+      }
     }
 
     /** The scalar-function whitelist (names arrive lowercased). Every
@@ -990,8 +1043,15 @@ object CypherLite {
       case ("right", Seq(x, n)) =>
         val c = col1(x); val k = col1(n).cast("int")
         c.substr(greatest(length(c) - k + lit(1), lit(1)), k)
-      // range(a, b[, step]) — inclusive both ends, like Cypher
-      case ("range", Seq(a, b)) => sequence(col1(a), col1(b))
+      // range(a, b[, step]) — inclusive both ends, like Cypher. Spark
+      // sequence(a, b) AUTO-DESCENDS when a > b; Cypher's default step
+      // is +1 and range(3, 1) is the EMPTY list — guard the two-arg
+      // form. Three-arg keeps sequence semantics (explicit negative
+      // step descends in both engines).
+      case ("range", Seq(a, b)) =>
+        val (ac, bc) = (col1(a), col1(b))
+        when(ac <= bc, sequence(ac, bc))
+          .otherwise(array().cast("array<bigint>"))
       case ("range", Seq(a, b, st)) => sequence(col1(a), col1(b), col1(st))
       // labels(v) / type(r): each binding names its frame, so both fold
       // to literals at compile time — but stay NULL-correct under the
@@ -1008,7 +1068,17 @@ object CypherLite {
       case _ => sys.error(s"unsupported function $fn/${args.length}")
     }
 
-    private def aggCol(a: Agg): Column = (a.fn, a.arg) match {
+    private def aggCol(a: Agg): Column = {
+      // the fail-fast whitelist philosophy applies to MODIFIERS too:
+      // DISTINCT on an aggregate that ignores it, or a second argument
+      // on a one-arg aggregate, must error — not return plausible
+      // numbers for a query the engine didn't actually run
+      require(!a.distinct ||
+        Set("count", "avg", "sum", "collect").contains(a.fn),
+        s"DISTINCT is unsupported for aggregate ${a.fn}()")
+      require(a.arg2.isEmpty || a.fn == "percentilecont",
+        s"${a.fn}() takes one argument")
+      (a.fn, a.arg) match {
       case ("count", None) => count(lit(1))
       case ("count", Some(e)) if a.distinct => count_distinct(col1(e))
       case ("count", Some(e)) => count(col1(e))
@@ -1034,13 +1104,21 @@ object CypherLite {
         val p = a.arg2.getOrElse(sys.error("percentileCont(x, p) needs p"))
         percentile(col1(e), constCol(p))
       case other => sys.error(s"unsupported aggregate $other")
+      }
     }
+
+    /** The frame [[dtypeOf]] resolves against — normally the main `df`;
+      * [[optionalChain]] pins it to the chain EXTENSION while the
+      * attached WHERE compiles (ADVICE r10: chain-local vars don't
+      * exist on the outer frame, so `+`/size() would mis-dispatch on a
+      * NullType read). */
+    private var typeFrame: Option[DataFrame] = None
 
     /** Resolved type of a compiled column against the CURRENT frame —
       * pure analysis (no job). NullType when unresolvable (e.g. the
       * column contains an aggregate, selectable only through groupBy). */
     private def dtypeOf(c: Column): org.apache.spark.sql.types.DataType =
-      scala.util.Try(df.select(c).schema.head.dataType)
+      scala.util.Try(typeFrame.getOrElse(df).select(c).schema.head.dataType)
         .getOrElse(org.apache.spark.sql.types.NullType)
 
     private def isStringy(c: Column): Boolean =

@@ -119,24 +119,30 @@ object Node2Vec {
     * (`Alg_KNN_FastRP.py:62-70` is the FastRP sibling). */
   def userEmbeddings(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
     graft.Cache.cached(spark, dir, s"node2vec_emb_$dim") {
-      val cooc = RatingsGraph.cooccurrenceEdges(spark, dir)
-        .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
-      // WEIGHTED draws (GDS node2vec's relationshipWeight): on the
-      // near-clique co-occurrence projection the unweighted structure
-      // is close to uniform — the co-rating signal lives in the edge
-      // weights, and unweighted walks would embed noise (the quality
-      // gate catches exactly this)
-      val walks = Algorithms.node2vecWalkCorpus(cooc,
-        walksPerNode = 4, steps = 4, symmetric = true, weighted = true)
-      val emb = embedWalks(walks, dim)
-      // a node whose every context lands at non-positive SPPMI drops
-      // out of the context graph; it still must embed (GDS returns a
-      // vector for every projected node) — fall back to its unit-norm
-      // base vector, so "one dim-64 unit vector per co-occurrence
-      // user" stays an EXACT invariant (the node2vec_norms oracle)
-      val nodes = cooc.select(col("src").as("node_id")).distinct()
-      val missing = nodes.join(emb.select(col("node_id")), Seq("node_id"), "left_anti")
-      emb.unionAll(FastRP.baseVectors(missing, dim, seed = 1337))
+      embedGraph(RatingsGraph.cooccurrenceEdges(spark, dir)
+          .select(col("u1").as("src"), col("u2").as("dst"), col("weight")), dim)
         .withColumnRenamed("node_id", "user_id")
     }
+
+  /** Full node2vec over any both-directions weighted edge frame
+    * (src, dst, weight) — the graph-in, (node_id, embedding)-out kernel
+    * the GDS front door ([[graft.gds.GdsSession]] `gds.beta.node2vec`)
+    * routes onto; [[userEmbeddings]] is this over the co-occurrence
+    * projection. WEIGHTED draws (GDS node2vec's relationshipWeight): on
+    * a near-clique projection the unweighted structure is close to
+    * uniform — the signal lives in the edge weights, and unweighted
+    * walks would embed noise (the quality gate catches exactly this). */
+  def embedGraph(edges: DataFrame, dim: Int = 64): DataFrame = {
+    val walks = Algorithms.node2vecWalkCorpus(edges,
+      walksPerNode = 4, steps = 4, symmetric = true, weighted = true)
+    val emb = embedWalks(walks, dim)
+    // a node whose every context lands at non-positive SPPMI drops
+    // out of the context graph; it still must embed (GDS returns a
+    // vector for every projected node) — fall back to its unit-norm
+    // base vector, so "one dim-64 unit vector per co-occurrence
+    // user" stays an EXACT invariant (the node2vec_norms oracle)
+    val nodes = edges.select(col("src").as("node_id")).distinct()
+    val missing = nodes.join(emb.select(col("node_id")), Seq("node_id"), "left_anti")
+    emb.unionAll(FastRP.baseVectors(missing, dim, seed = 1337))
+  }
 }

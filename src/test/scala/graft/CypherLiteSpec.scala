@@ -355,6 +355,92 @@ class CypherLiteSpec extends AnyFunSuite {
       Seq(Seq(1L, 100L), Seq(2L, 200L), Seq(3L, null)))
   }
 
+  test("r11 OPTIONAL MATCH WHERE may reference the HEAD's properties") {
+    // the common idiom the r10 verdict flagged: a cross-variable
+    // predicate between the bound head and the chain extension. The
+    // head struct travels into the extension, the predicate filters
+    // BEFORE the left_outer, and heads whose matches all fail keep
+    // their row null-extended.
+    //   u1 (community 10): rating 9 >= 8 → (1, 100)
+    //   u2 (community 10): 7 < 8, 8 >= 8 → (2, 200)
+    //   u3 (community 20): 5 < 18 → (3, null)
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[r:RATED]->(b:Book)
+        |WHERE r.rating >= u.community - 2
+        |RETURN u.id AS id, b.id AS book ORDER BY id, book""".stripMargin)
+    assert(rows(out) == Seq(Seq(1L, 100L), Seq(2L, 200L), Seq(3L, null)))
+
+    // string `+` dispatch resolves against the EXTENSION frame (r10
+    // ADVICE: against the outer df the chain var b reads as NullType
+    // and `+` would compile to numeric Add): head string + chain string
+    val s = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[r:RATED]->(b:Book)
+        |WHERE u.name + ':' + b.title = 'ann:dune'
+        |RETURN u.id AS id, b.id AS book ORDER BY id, book""".stripMargin)
+    assert(rows(s) == Seq(Seq(1L, 100L), Seq(2L, null), Seq(3L, null)))
+
+    // size() on a chain-local string var dispatches to length()
+    val sz = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[r:RATED]->(b:Book)
+        |WHERE size(b.title) + u.community = 14
+        |RETURN u.id AS id, b.id AS book ORDER BY id, book""".stripMargin)
+    assert(rows(sz) == Seq(Seq(1L, 100L), Seq(2L, 100L), Seq(2L, 200L),
+      Seq(3L, null)))
+
+    // a pre-bound NON-head variable still fails fast: the extension
+    // re-attaches on the head alone, so foreign context has no lane
+    intercept[IllegalArgumentException] {
+      CypherLite.run(fixtureGraph,
+        """MATCH (a:User {id: 1})
+          |MATCH (u:User)
+          |OPTIONAL MATCH (u)-[r:RATED]->(b:Book)
+          |WHERE r.rating > a.community
+          |RETURN u.id AS id""".stripMargin).collect()
+    }
+  }
+
+  test("r11 fail-fast modifiers: SKIP/LIMIT Int bound, agg DISTINCT/arity") {
+    // Dataset.offset/limit take Int — a >2³¹ SKIP must error loudly,
+    // not silently truncate to a wrong page
+    intercept[IllegalArgumentException] {
+      CypherLite.run(fixtureGraph,
+        "MATCH (u:User) RETURN u.id AS id SKIP 3000000000")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(fixtureGraph,
+        "MATCH (u:User) RETURN u.id AS id LIMIT 3000000000")
+    }
+    // DISTINCT on an aggregate that ignores it / a second argument on a
+    // one-arg aggregate: plausible-but-unrun queries must error
+    intercept[IllegalArgumentException] {
+      CypherLite.run(fixtureGraph,
+        """MATCH (u:User)-[r:RATED]->(b:Book)
+          |RETURN stDev(DISTINCT r.rating) AS s""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(fixtureGraph,
+        """MATCH (u:User)-[r:RATED]->(b:Book)
+          |RETURN count(u.id, r.rating) AS n""".stripMargin)
+    }
+  }
+
+  test("r11 range(): two-arg descend is EMPTY (Cypher), explicit step descends") {
+    val r = CypherLite.run(fixtureGraph,
+      """MATCH (u:User {id: 1})
+        |RETURN range(1, 3) AS up, range(3, 1) AS down,
+        |  range(3, 1, -1) AS explicit, size(range(3, 1)) AS dlen""".stripMargin)
+      .collect().head
+    assert(r.getAs[scala.collection.Seq[Long]]("up").toSeq == Seq(1L, 2L, 3L))
+    assert(r.getAs[scala.collection.Seq[Long]]("down").toSeq == Seq(),
+      "Cypher range(3, 1) with the default +1 step is the empty list")
+    assert(r.getAs[scala.collection.Seq[Long]]("explicit").toSeq ==
+      Seq(3L, 2L, 1L))
+    assert(r.getAs[Long]("dlen") == 0L)
+  }
+
   test("scalar whitelist: strings, numerics, lists — exact values") {
     val r = CypherLite.run(fixtureGraph,
       """MATCH (u:User {id: 1})

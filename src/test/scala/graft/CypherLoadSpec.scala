@@ -165,6 +165,54 @@ class CypherLoadSpec extends AnyFunSuite {
       "streamed view diverged from the batch re-run")
   }
 
+  test("IncrementalQueryView (S19b): delta-bound key patching ≡ batch re-run") {
+    val users = Seq(("1", "x", ""), ("2", "y", "30"))
+      .toDF("User-ID", "Location", "Age")
+    val books = Seq(("10", "t", "a", "1999", "p"), ("11", "t2", "a2", "2001", "p2"))
+      .toDF("ISBN", "Book-Title", "Book-Author", "Year-Of-Publication", "Publisher")
+    var st = CypherLoad.run(empty, ReferenceQueries.LoadUsers, Map("rows" -> users))
+    st = CypherLoad.run(st, ReferenceQueries.LoadBooks, Map("rows" -> books))
+    st = CypherLoad.run(st, ReferenceQueries.LoadRatings,
+      Map("rows" -> Seq.empty[(String, String, String)]
+        .toDF("User-ID", "ISBN", "Book-Rating")))
+    // KEY-LOCAL per-user aggregate (no ORDER BY — the incremental view
+    // maintains a row SET; order on read)
+    val readQ =
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |RETURN u.id AS user, count(*) AS n, max(r.rating) AS top""".stripMargin
+    val view = new CypherLoad.IncrementalQueryView(st,
+      ReferenceQueries.LoadRatings, readQ, keyLabel = "User",
+      viewKeyCol = "user", batchKeyCol = "User-ID")
+    assert(view.current.isEmpty)
+    def viewRows = view.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b1 = Seq(("1", "10", "5"), ("2", "11", "6"))
+    val b2 = Seq(("1", "10", "9"), ("1", "11", "7")) // touches user 1 ONLY
+    view.applyBatch(b1.toDF("User-ID", "ISBN", "Book-Rating"))
+    assert(viewRows == Seq((1L, 1L, 5L), (2L, 1L, 6L)))
+    assert(view.lastTouchedKeys == 2L && view.lastRecomputeRows == 2L)
+    // batch 2: a re-MERGE that RAISES (1,10) plus a new (1,11) edge —
+    // user 2's standing row is patched AROUND, never recomputed; the
+    // exposed counters make the delta bound an assertion, not a claim
+    view.applyBatch(b2.toDF("User-ID", "ISBN", "Book-Rating"))
+    assert(viewRows == Seq((1L, 2L, 9L), (2L, 1L, 6L)))
+    assert(view.lastTouchedKeys == 1L && view.lastRecomputeRows == 1L,
+      s"one-key batch must recompute exactly one key's rows, got " +
+        s"${view.lastRecomputeRows} over ${view.lastTouchedKeys} keys")
+    // ≡ the full batch re-run of the same query over the same folds
+    var bst = st
+    Seq(b1, b2).foreach { b =>
+      bst = CypherLoad.run(bst, ReferenceQueries.LoadRatings,
+        Map("rows" -> b.toDF("User-ID", "ISBN", "Book-Rating")))
+    }
+    val batchRows = CypherLite.run(bst.graph, readQ).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(viewRows == batchRows,
+      "incremental view diverged from the batch re-run")
+    // the streaming wiring shares StreamingLoader/foreachBatch with the
+    // S17/S19 attach paths already pinned above
+  }
+
   test("unsupported write constructs fail fast, never compile silently wrong") {
     val rows = Seq(("1", "x", "")).toDF("User-ID", "Location", "Age")
     // DELETE is outside the write subset

@@ -512,6 +512,11 @@ class GdsSessionSpec extends AnyFunSuite {
     val capStats = g.nodeSimilarityStats("fix",
       postingWidthCap = Some(2L)).head()
     assert(capStats.getLong(0) == 6L && capStats.getLong(1) == 6L)
+    // r11 observability: exactly ONE posting list (hub u2, width 3)
+    // was excluded from pair generation; uncapped runs report 0
+    assert(capStats.getLong(2) == 1L, "postingsDropped must count the hub")
+    assert(g.nodeSimilarityStats("fix").head().getLong(2) == 0L,
+      "no cap ⇒ postingsDropped 0")
   }
 
   test("pageRank sourceNodes (personalized) mode matrix + weight fail-fast") {
@@ -805,6 +810,234 @@ class GdsSessionSpec extends AnyFunSuite {
     intercept[RuntimeException] { g.graphRelationshipsWrite("fix", "nope") }
   }
 
+  // ————— r11: the remaining oracled kernels through the front door —————
+
+  /** The cypher cooc projection every hand-built community twin runs on
+    * — same edge frame, so route ≡ session-cached silver is the exact
+    * claim the driver-gate entries lean on. */
+  private def coocProjected: GdsSession = {
+    val g = fresh
+    g.graphProjectCypher("cooc", ReferenceQueries.ProjectUserNodes,
+      ReferenceQueries.ProjectUserSimilarityRels)
+    g
+  }
+
+  test("r11 leiden: route ≡ userCommunitiesLeiden, all four modes") {
+    val g = coocProjected
+    val cached = graph.Louvain.userCommunitiesLeiden(spark, sf)
+    // the UNSEEDED route (kernel through the catalog) must equal the
+    // session-cached silver the driver-gate entry hands in as
+    // precomputedLabels — the seam is the identity
+    val streamed = g.leidenStream("cooc")
+      .select(col("nodeId").as("node_id"), col("communityId").as("community"))
+    assert(streamed.exceptAll(cached).isEmpty &&
+      cached.exceptAll(streamed).isEmpty,
+      "gds.leiden route diverged from the cached Leiden silver")
+    val stats = g.leidenStats("cooc",
+      precomputedLabels = Some(cached)).head()
+    assert(stats.getLong(0) ==
+      cached.select(col("community")).distinct().count())
+    assert(stats.getDouble(1) > 0.0, "cooc Leiden modularity must be positive")
+    // mutate lands on the projection only; write lands on the db
+    g.leidenMutate("cooc", precomputedLabels = Some(cached))
+    assert(g.graphNodePropertiesStream("cooc", "community").count() ==
+      cached.count())
+    g.leidenWrite("cooc", precomputedLabels = Some(cached))
+    val back = g.db.nodes("User").filter(col("community").isNotNull)
+      .select(col("id").as("node_id"), col("community"))
+    assert(back.exceptAll(cached).isEmpty && cached.exceptAll(back).isEmpty,
+      "leiden.write read-back diverged")
+  }
+
+  test("r11 modularityOptimization + sllpa: routes ≡ hand-built twins") {
+    val g = coocProjected
+    val modopt = graph.Algorithms.userModOptCommunities(spark, sf)
+      .withColumnRenamed("label", "community")
+    val routed = g.modularityOptimizationStream("cooc")
+      .select(col("nodeId").as("node_id"), col("communityId").as("community"))
+    assert(routed.exceptAll(modopt).isEmpty && modopt.exceptAll(routed).isEmpty,
+      "gds.beta.modularityOptimization route diverged from the twin")
+    val stats = g.modularityOptimizationStats("cooc",
+      precomputedLabels = Some(modopt)).head()
+    assert(stats.getLong(0) ==
+      modopt.select(col("community")).distinct().count())
+
+    val sllpa = graph.Sllpa.userSllpa(spark, sf)
+    val sRouted = g.sllpaStream("cooc")
+      .select(col("nodeId").as("node_id"), col("communityId").as("community"),
+        col("strength"))
+    assert(sRouted.exceptAll(sllpa).isEmpty && sllpa.exceptAll(sRouted).isEmpty,
+      "gds.alpha.sllpa route diverged from the twin")
+    // write: sorted membership ARRAY per node (overlapping detector)
+    val wrote = g.sllpaWrite("cooc").head().getLong(0)
+    assert(wrote == sllpa.select(col("node_id")).distinct().count())
+    val arr = g.db.nodes("User").filter(col("pendingCommunities").isNotNull)
+    assert(arr.count() == wrote)
+    val one = arr.select(col("pendingCommunities")).head().getSeq[Long](0)
+    assert(one == one.sorted, "membership array must be sorted")
+    val sStats = g.sllpaStats("cooc").head()
+    assert(sStats.getLong(0) == wrote)
+  }
+
+  test("r11 kcore: fixed-k membership modes over a closed-form fixture") {
+    import spark.implicits._
+    // K4 {1,2,3,4} with a pendant 5—1: the 3-core is exactly the K4
+    // (each member has in-core degree 3); 5 peels out
+    val nodes = (1L to 5L).map(Tuple1(_)).toDF("id")
+    val edges = (for { a <- 1L to 4L; b <- 1L to 4L if a != b }
+      yield (a, b)).toDF("src", "dst")
+      .unionByName(Seq((5L, 1L), (1L, 5L)).toDF("src", "dst"))
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("fix", Seq("N"), "E", orientation = "NATURAL")
+    val streamed = g.kcoreStream("fix", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L),
+      "3-core must be the K4 with pendant excluded at coreValue 0")
+    val stats = g.kcoreStats("fix", k = 3).head()
+    assert(stats.getLong(0) == 4L && stats.getLong(1) == 5L)
+    g.kcoreMutate("fix", k = 3)
+    assert(g.graphNodePropertiesStream("fix", "coreValue").count() == 5L)
+    g.kcoreWrite("fix", k = 3, writeLabel = "N")
+    assert(g.db.nodes("N").filter(col("coreValue") > 0).count() == 4L)
+    // route ≡ the oracled twin on the cooc projection
+    val gc = coocProjected
+    val viaGds = gc.kcoreStream("cooc", k = 10)
+      .filter(col("coreValue") > 0)
+      .select(col("nodeId").as("node_id"), col("coreValue").as("core_degree"))
+    val twin = graph.Algorithms.userKcore(spark, sf, 10)
+    assert(viaGds.exceptAll(twin).isEmpty && twin.exceptAll(viaGds).isEmpty,
+      "gds.kcore route diverged from userKcore")
+  }
+
+  test("r11 kmeans: node-property clustering, fixture + route ≡ assign") {
+    import spark.implicits._
+    // two well-separated 2-D clusters; Array[Float] like the
+    // embeddings table's column
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.1f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f)),
+      (11L, Array(9.0f, 9.1f)), (12L, Array(9.1f, 9.0f)),
+      (13L, Array(9.0f, 9.0f))).toDF("id", "embedding")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("Vec" -> vecs), edges = Map.empty))
+    g.graphProject("fix", Seq("Vec"), "NONE",
+      nodeProperties = Seq("embedding"))
+    val assigned = g.kmeansStream("fix", k = 2, maxIterations = 2, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.keySet == Set(1L, 2L, 3L, 11L, 12L, 13L))
+    assert(Set(1L, 2L, 3L).map(assigned).size == 1 &&
+      Set(11L, 12L, 13L).map(assigned).size == 1 &&
+      assigned(1L) != assigned(11L),
+      s"separated clusters must split cleanly: $assigned")
+    val stats = g.kmeansStats("fix", k = 2, maxIterations = 2, dim = 2).head()
+    assert(stats.getLong(0) == 6L && stats.getLong(1) == 2L)
+    g.kmeansMutate("fix", k = 2, maxIterations = 2, dim = 2)
+    assert(g.graphNodePropertiesStream("fix", "communityId").count() == 6L)
+    g.kmeansWrite("fix", k = 2, maxIterations = 2, dim = 2,
+      writeLabel = "Vec")
+    assert(g.db.nodes("Vec").filter(col("communityId").isNotNull)
+      .count() == 6L)
+    // the driver-gate route: embeddings table as a node-property graph;
+    // UNSEEDED route ≡ the session-cached KMeans.assign silver
+    val emb = Tables.embeddings(spark, sf)
+    val ge = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("Vec" ->
+        emb.select(col("vec_id").as("id"), col("embedding"))),
+      edges = Map.empty))
+    ge.graphProject("vecGraph", Seq("Vec"), "NONE",
+      nodeProperties = Seq("embedding"))
+    val routed = ge.kmeansStream("vecGraph")
+      .select(col("nodeId").as("vec_id"), col("communityId").as("cluster"))
+    val twin = ann.KMeans.assign(spark, sf)
+    assert(routed.exceptAll(twin).isEmpty && twin.exceptAll(routed).isEmpty,
+      "gds.kmeans route diverged from KMeans.assign")
+  }
+
+  test("r11 node2vec: route ≡ userEmbeddings; write decodes to the db") {
+    val g = coocProjected
+    val cached = graph.Node2Vec.userEmbeddings(spark, sf)
+      .withColumnRenamed("user_id", "node_id")
+    // UNSEEDED route over the projection's weight column ≡ the silver
+    val routed = g.node2vecStream("cooc")
+      .select(col("nodeId").as("node_id"), col("embedding"))
+    assert(routed.exceptAll(cached).isEmpty && cached.exceptAll(routed).isEmpty,
+      "gds.beta.node2vec route diverged from userEmbeddings")
+    assert(g.node2vecStats("cooc", precomputed = Some(cached))
+      .head().getLong(0) == cached.count())
+    g.node2vecWrite("cooc", precomputed = Some(cached))
+    assert(g.db.nodes("User").filter(col("node2vec").isNotNull).count() ==
+      cached.count())
+    g.node2vecMutate("cooc", precomputed = Some(cached))
+    assert(g.graphNodePropertiesStream("cooc", "node2vec").count() ==
+      cached.count())
+  }
+
+  test("r11 shortestPath.yens: GDS YIELD shape over a closed-form fixture") {
+    import spark.implicits._
+    // diamond + long tail: 1→4 has exactly three loopless routes —
+    // 1-2-4 (cost 2), 1-3-4 (cost 3), 1-5-6-4 (cost 6)
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 4L, 1.0), (1L, 3L, 1.0), (3L, 4L, 2.0),
+      (1L, 5L, 2.0), (5L, 6L, 2.0), (6L, 4L, 2.0)).toDF("src", "dst", "w")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("fix", Seq("N"), "E", orientation = "NATURAL",
+      relProperties = Seq("w"))
+    val rows = g.shortestPathYensStream("fix", sourceNode = 1L,
+      targetNode = 4L, k = 3, relationshipWeightProperty = Some("w"))
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L),
+      "index must be 0-based ascending")
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(2.0, 3.0, 6.0),
+      "totalCost must be nondecreasing and exact")
+    assert(rows.map(_.getSeq[Long](4)).toSeq == Seq(
+      Seq(1L, 2L, 4L), Seq(1L, 3L, 4L), Seq(1L, 5L, 6L, 4L)),
+      "nodeIds must trace the three loopless routes")
+    assert(rows.forall(r => r.getLong(1) == 1L && r.getLong(2) == 4L))
+    // weight-property typo fails fast (requireWeightProp contract)
+    intercept[IllegalArgumentException] {
+      g.shortestPathYensStream("fix", 1L, 4L,
+        relationshipWeightProperty = Some("wieght"))
+    }
+  }
+
+  test("r11 graphImport: export → import round-trip incl. mutated state") {
+    val g = fresh
+    g.graphProject("userGraph", Seq("User", "Book"), "RATED",
+      relProperties = Seq("rating"))
+    val pre = Some(graph.FastRP.bipartiteEmbeddings(spark, sf))
+    g.fastRpMutate("userGraph", precomputed = pre)
+    g.nodeSimilarityMutate("userGraph")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_gds_roundtrip").toString
+    g.graphExport("userGraph", out)
+    val meta = g.graphImport("imported", out,
+      labels = Seq("User", "Book"), relType = Some("RATED")).head()
+    assert(meta.getString(0) == "imported")
+    // topology: base + mutated relationship types, row-identical
+    for (t <- Seq(None, Some("RATED"), Some("SIMILAR"))) {
+      val a = g.graphRelationshipsStream("userGraph", t)
+      val b = g.graphRelationshipsStream("imported", t)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"relationship stream diverged after round-trip ($t)")
+    }
+    // mutated node property rides the nodes frame
+    val a = g.graphNodePropertiesStream("userGraph", "embedding")
+    val b = g.graphNodePropertiesStream("imported", "embedding")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "mutated node property diverged after round-trip")
+    // downstream procedures run on the imported projection
+    assert(g.degreeStream("imported").count() ==
+      g.degreeStream("userGraph").count())
+    // unknown relType / dup name fail fast
+    intercept[IllegalArgumentException] {
+      g.graphImport("imported2", out, relType = Some("NOPE"))
+    }
+    intercept[IllegalArgumentException] { g.graphImport("imported", out) }
+  }
+
   test("gds.graph.sample.rwr: deterministic community-local subgraph") {
     import spark.implicits._
     // two 4-cliques bridged by one edge: a walk budget from node 1
@@ -837,7 +1070,10 @@ class GdsSessionSpec extends AnyFunSuite {
     val ids = sampledIds
     assert(rels.collect().forall(r =>
       ids(r.getLong(0)) && ids(r.getLong(1))))
-    assert(meta.getLong(3) == rels.count())
+    // r11 YIELD carries the requested target next to the achieved
+    // count so undersampling is visible at the call site
+    assert(meta.getLong(3) == 4L, "targetNodeCount = ceil(0.5 * 8)")
+    assert(meta.getLong(4) == rels.count())
     // the downstream procedure chain runs on the sample
     assert(g.degreeStream("sampled").count() == 4L)
     // deterministic: the same draw replays identically
@@ -845,7 +1081,7 @@ class GdsSessionSpec extends AnyFunSuite {
     val meta2 = g.graphSampleRwr("sampled", "full", startNode = 1L,
       samplingRatio = 0.5, walkers = 8, steps = 12).head()
     assert(meta2.getLong(2) == meta.getLong(2) &&
-      meta2.getLong(3) == meta.getLong(3))
+      meta2.getLong(4) == meta.getLong(4))
     // dup name / bad ratio fail fast
     intercept[IllegalArgumentException] {
       g.graphSampleRwr("sampled", "full", startNode = 1L)

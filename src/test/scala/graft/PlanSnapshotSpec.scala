@@ -226,7 +226,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // expression-language entries, and the export YIELD row
     "gds_ppr_stream",
     "cypher_case_agg", "cypher_string_funcs", "cypher_segment_stats",
-    "gds_export_stats")
+    "gds_export_stats",
+    // r11: the remaining kernels' GDS front doors
+    "gds_leiden_write", "gds_kcore_stream", "gds_sllpa_stream",
+    "gds_modopt_stream", "gds_kmeans_stream", "gds_node2vec_stream",
+    "gds_yens_stream")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
