@@ -56,6 +56,9 @@ object Bench {
       "oriented_adj" -> ((s: SparkSession) => graph.Algorithms.userOrientedAdj(s, sfDir).count(): Unit),
       "edge_support" -> ((s: SparkSession) => graph.Algorithms.userEdgeSupport(s, sfDir).count(): Unit),
       "kcore" -> ((s: SparkSession) => graph.Algorithms.userKcore(s, sfDir).count(): Unit),
+      // r11: shared by communities_sllpa + the gds.alpha.sllpa front
+      // door — surfaced here so neither entry carries the build
+      "sllpa" -> ((s: SparkSession) => graph.Sllpa.userSllpa(s, sfDir).count(): Unit),
       "bipartite_cc" -> ((s: SparkSession) => graph.Algorithms.userBipartiteCC(s, sfDir).count(): Unit),
       "msbfs" -> ((s: SparkSession) => graph.Algorithms.userCoocDistances(s, sfDir).count(): Unit),
       "toked_docs" -> ((s: SparkSession) => text.TextOps.tokedDocs(s, sfDir).count(): Unit),

@@ -228,7 +228,8 @@ object SparkEntry {
           rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
         // survivors only: the kcore_members oracle lists the core, and
         // stream-mode's 0-valued excluded nodes are the complement
-        g.kcoreStream("kcoreGraph", k = 10)
+        g.kcoreStream("kcoreGraph", k = 10,
+            precomputed = Some(graft.graph.Algorithms.userKcore(s, d)))
           .filter(col("coreValue") > 0)
           .select(col("nodeId").as("node_id"),
             col("coreValue").as("core_degree"))
@@ -241,7 +242,8 @@ object SparkEntry {
         val g = new graft.gds.GdsSession(rq.graph(s, d))
         g.graphProjectCypher("sllpaGraph",
           rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
-        g.sllpaStream("sllpaGraph")
+        g.sllpaStream("sllpaGraph",
+            precomputed = Some(graft.graph.Sllpa.userSllpa(s, d)))
           .select(col("nodeId").as("node_id"),
             col("communityId").as("community"), col("strength"))
       }.orderBy("node_id", "community")
@@ -309,7 +311,8 @@ object SparkEntry {
         // spur-loop replay oracle reads off unchanged
         g.shortestPathYensStream("yensGraph", sourceNode = 1L,
             targetNode = 42L, k = 3,
-            relationshipWeightProperty = Some("cost"), rounds = 6)
+            relationshipWeightProperty = Some("cost"), rounds = 6,
+            precomputedPaths = Some(yensPathsCached(s, d)))
           .select(col("index").as("path_rank"),
             col("totalCost").as("path_cost"), posexplode(col("nodeIds")))
           .select(col("path_rank"), col("pos").cast("bigint").as("step"),

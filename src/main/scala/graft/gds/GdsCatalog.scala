@@ -1602,12 +1602,13 @@ final class GdsSession(initial: CypherLite.Graph) {
 
   /** The (node_id, community, strength) frame all four sllpa modes
     * share — SLPA is an OVERLAPPING detector, one row per retained
-    * membership. */
+    * membership. `precomputed` is the materialised-silver seam (the
+    * louvain/fastRP pattern; unseeded ≡ seeded spec-pinned). */
   private def sllpaFrameOf(graphName: String, rounds: Int,
-      threshold: Double): DataFrame =
-    graft.graph.Sllpa.sllpa(
+      threshold: Double, precomputed: Option[DataFrame]): DataFrame =
+    precomputed.getOrElse(graft.graph.Sllpa.sllpa(
       projOf(graphName).rels.select(col("src"), col("dst")), rounds,
-      threshold)
+      threshold))
 
   /** `gds.alpha.sllpa.stream(name, {maxIterations,
     * minAssociationStrength}) YIELD nodeId, communityId, strength` —
@@ -1615,8 +1616,10 @@ final class GdsSession(initial: CypherLite.Graph) {
     * flattened to one row per retained membership (strength = memory
     * count), the `communities_sllpa` kernel's exact shape. */
   def sllpaStream(graphName: String, maxIterations: Int = 3,
-      minAssociationStrength: Double = 0.3): DataFrame =
-    sllpaFrameOf(graphName, maxIterations, minAssociationStrength)
+      minAssociationStrength: Double = 0.3,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    sllpaFrameOf(graphName, maxIterations, minAssociationStrength,
+      precomputed)
       .select(col("node_id").as("nodeId"), col("community").as("communityId"),
         col("strength"))
 
@@ -1626,8 +1629,10 @@ final class GdsSession(initial: CypherLite.Graph) {
   def sllpaWrite(graphName: String,
       writeProperty: String = "pendingCommunities", maxIterations: Int = 3,
       minAssociationStrength: Double = 0.3,
-      writeLabel: String = "User"): DataFrame = {
-    val f = sllpaFrameOf(graphName, maxIterations, minAssociationStrength)
+      writeLabel: String = "User",
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = sllpaFrameOf(graphName, maxIterations, minAssociationStrength,
+      precomputed)
       .groupBy(col("node_id"))
       .agg(sort_array(collect_list(col("community"))).as("value"))
       .localCheckpoint()
@@ -1637,8 +1642,10 @@ final class GdsSession(initial: CypherLite.Graph) {
 
   /** `gds.alpha.sllpa.stats YIELD nodeCount, communityCount`. */
   def sllpaStats(graphName: String, maxIterations: Int = 3,
-      minAssociationStrength: Double = 0.3): DataFrame = {
-    val f = sllpaFrameOf(graphName, maxIterations, minAssociationStrength)
+      minAssociationStrength: Double = 0.3,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = sllpaFrameOf(graphName, maxIterations, minAssociationStrength,
+      precomputed)
       .localCheckpoint()
     metaLong(
       "nodeCount" -> f.select(col("node_id")).distinct().count(),
@@ -1649,8 +1656,10 @@ final class GdsSession(initial: CypherLite.Graph) {
     * projection nodes. */
   def sllpaMutate(graphName: String,
       mutateProperty: String = "pendingCommunities", maxIterations: Int = 3,
-      minAssociationStrength: Double = 0.3): DataFrame = {
-    val f = sllpaFrameOf(graphName, maxIterations, minAssociationStrength)
+      minAssociationStrength: Double = 0.3,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = sllpaFrameOf(graphName, maxIterations, minAssociationStrength,
+      precomputed)
       .groupBy(col("node_id"))
       .agg(sort_array(collect_list(col("community"))).as("value"))
       .localCheckpoint()
@@ -1658,11 +1667,12 @@ final class GdsSession(initial: CypherLite.Graph) {
       mutateNodeProp(graphName, f, mutateProperty))
   }
 
-  private def kcoreModes(graphName: String, k: Int): NodeModes =
+  private def kcoreModes(graphName: String, k: Int,
+      precomputed: Option[DataFrame]): NodeModes =
     new NodeModes(graphName, "coreValue", () => {
       val p = projOf(graphName)
-      overAllNodes(p, graft.graph.Algorithms.kcore(
-        p.rels.select(col("src"), col("dst")), k), lit(0L))
+      overAllNodes(p, precomputed.getOrElse(graft.graph.Algorithms.kcore(
+        p.rels.select(col("src"), col("dst")), k)), lit(0L))
     })
 
   /** `gds.kcore.*` — FIXED-k core membership: coreValue is the node's
@@ -1671,19 +1681,22 @@ final class GdsSession(initial: CypherLite.Graph) {
     * (per-node max core id): the peeling kernel answers the membership
     * question the recommender asks ("who is in the dense core?") at one
     * fixpoint instead of degeneracy-many. */
-  def kcoreStream(graphName: String, k: Int = 10): DataFrame =
-    kcoreModes(graphName, k).stream()
+  def kcoreStream(graphName: String, k: Int = 10,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    kcoreModes(graphName, k, precomputed).stream()
   def kcoreWrite(graphName: String, writeProperty: String = "coreValue",
-      k: Int = 10, writeLabel: String = "User"): DataFrame =
-    kcoreModes(graphName, k).write(writeProperty, writeLabel)
-  def kcoreStats(graphName: String, k: Int = 10): DataFrame = {
-    val f = kcoreModes(graphName, k).stream().localCheckpoint()
+      k: Int = 10, writeLabel: String = "User",
+      precomputed: Option[DataFrame] = None): DataFrame =
+    kcoreModes(graphName, k, precomputed).write(writeProperty, writeLabel)
+  def kcoreStats(graphName: String, k: Int = 10,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = kcoreModes(graphName, k, precomputed).stream().localCheckpoint()
     metaLong("coreNodeCount" -> f.filter(col("coreValue") > 0).count(),
       "nodeCount" -> f.count())
   }
   def kcoreMutate(graphName: String, mutateProperty: String = "coreValue",
-      k: Int = 10): DataFrame =
-    kcoreModes(graphName, k).mutate(mutateProperty)
+      k: Int = 10, precomputed: Option[DataFrame] = None): DataFrame =
+    kcoreModes(graphName, k, precomputed).mutate(mutateProperty)
 
   /** The (node_id, cluster) frame the kmeans modes share — Lloyd's over
     * the projection nodes' `nodeProperty` vector column (the
@@ -1798,13 +1811,17 @@ final class GdsSession(initial: CypherLite.Graph) {
   def shortestPathYensStream(graphName: String, sourceNode: Long,
       targetNode: Long, k: Int = 3,
       relationshipWeightProperty: Option[String] = None,
-      rounds: Int = 6): DataFrame = {
+      rounds: Int = 6,
+      precomputedPaths: Option[DataFrame] = None): DataFrame = {
     val p = projOf(graphName)
-    val lengths = weightedRelsOf(p,
-      requireWeightProp(p, relationshipWeightProperty))
-      .select(col("src"), col("dst"), col("weight").as("len"))
-    graft.graph.Algorithms.yensPaths(lengths, sourceNode, targetNode, k,
-      rounds)
+    val paths = precomputedPaths.getOrElse {
+      val lengths = weightedRelsOf(p,
+        requireWeightProp(p, relationshipWeightProperty))
+        .select(col("src"), col("dst"), col("weight").as("len"))
+      graft.graph.Algorithms.yensPaths(lengths, sourceNode, targetNode, k,
+        rounds)
+    }
+    paths
       .groupBy(col("path_rank"))
       .agg(sort_array(collect_list(
           struct(col("step"), col("node_id")))).as("steps"),

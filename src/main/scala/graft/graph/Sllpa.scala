@@ -82,8 +82,13 @@ object Sllpa {
       .orderBy(col("node_id"), col("community"))
   }
 
-  /** SLPA overlapping communities of the co-occurrence graph. */
+  /** SLPA overlapping communities of the co-occurrence graph,
+    * session-cached (r11: the `communities_sllpa` entry and the
+    * `gds.alpha.sllpa` front door share the frame; the build surfaces
+    * in the bench silver phase like every shared detector). */
   def userSllpa(spark: SparkSession, dir: String): DataFrame =
-    sllpa(RatingsGraph.cooccurrenceEdges(spark, dir)
-      .select(col("u1").as("src"), col("u2").as("dst")))
+    graft.Cache.cached(spark, dir, "sllpa_communities") {
+      sllpa(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")))
+    }
 }
