@@ -319,6 +319,66 @@ object SparkEntry {
             col("col").as("node_id"), col("path_cost"))
       }.orderBy("path_rank", "step")
     }),
+    // r11 wave 2: optimization/feature procedures through the front
+    // door — same verbatim-oracle-reuse discipline
+    "gds_maxkcut_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_maxkcut_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("maxkcutGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        g.maxKCutStream("maxkcutGraph",
+            precomputed = Some(graft.graph.Algorithms.userMaxKCut(s, d)))
+          .select(col("nodeId").as("node_id"), col("communityId").as("cls"))
+      }.orderBy("node_id")
+    }),
+    "gds_influence_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_influence_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("celfGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        g.influenceMaximizationStream("celfGraph",
+            precomputed = Some(graft.graph.Influence.userInfluenceSeeds(s, d)))
+          .select(col("rank").as("seed_rank"), col("nodeId").as("node_id"),
+            col("spread").as("gain"))
+      }.orderBy("seed_rank")
+    }),
+    // scaleProperties scales PROJECTED features: deg/wdeg derive from
+    // the projection's rels, the Mean-scaled column from a node
+    // property — so the projection here carries each user's mean
+    // rating as `a` (what userScaledProperties computes inline)
+    "gds_scaleprops_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_scaleprops_stream") {
+        val users = RatingsGraph.ratings(s, d)
+          .groupBy(col("user_id").as("id"))
+          .agg((sum(col("rating")).cast("double") / count(lit(1))).as("a"))
+        val cooc = RatingsGraph.cooccurrenceEdges(s, d)
+          .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+        val g = new graft.gds.GdsSession(graft.cypher.CypherLite.Graph(
+          nodes = Map("User" -> users), edges = Map("COOC" -> cooc)))
+        g.graphProject("scaleGraph", Seq("User"), "COOC",
+          orientation = "NATURAL", relProperties = Seq("weight"),
+          nodeProperties = Seq("a"))
+        g.scalePropertiesStream("scaleGraph")
+          .withColumnRenamed("nodeId", "node_id")
+      }.orderBy("node_id")
+    }),
+    "gds_hashgnn_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_hashgnn_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("hashgnnGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        g.hashGnnStream("hashgnnGraph",
+            precomputed = Some(graft.graph.HashGnn.userHashGnn(s, d)))
+          .select(col("nodeId").as("node_id"), col("bit"))
+      }.orderBy("node_id", "bit")
+    }),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
@@ -3710,7 +3770,11 @@ object SparkEntry {
     "gds_sllpa_stream" -> oracleSqlBase("communities_sllpa"),
     "gds_kmeans_stream" -> oracleSqlBase("kmeans_clusters"),
     "gds_node2vec_stream" -> oracleSqlBase("node2vec_embeddings"),
-    "gds_yens_stream" -> oracleSqlBase("yens_paths"))
+    "gds_yens_stream" -> oracleSqlBase("yens_paths"),
+    "gds_maxkcut_stream" -> oracleSqlBase("maxkcut_classes"),
+    "gds_influence_stream" -> oracleSqlBase("influence_seeds"),
+    "gds_scaleprops_stream" -> oracleSqlBase("scale_properties"),
+    "gds_hashgnn_stream" -> oracleSqlBase("hashgnn_embeddings"))
 
   /** The CypherLite entries reuse their hand-built twins' oracles
     * VERBATIM: the compiler's output is spec-proved row-identical to

@@ -1832,6 +1832,207 @@ final class GdsSession(initial: CypherLite.Graph) {
       .orderBy(col("index"))
   }
 
+  // ————— r11 wave 2: the OPTIMIZATION / FEATURE procedures — maxkcut,
+  // influenceMaximization.celf, scaleProperties, hashgnn, graph.generate
+  // — same thin-adapter discipline onto the oracled kernels. —————
+
+  private def maxKCutFrame(graphName: String, k: Int, iterations: Int,
+      relationshipWeightProperty: Option[String],
+      precomputed: Option[DataFrame]): DataFrame =
+    precomputed.getOrElse {
+      val p = projOf(graphName)
+      graft.graph.Algorithms.maxKCut(
+        weightedRelsOf(p, relationshipWeightProperty), k, iterations)
+    }.toDF("node_id", "value")
+
+  /** `gds.alpha.maxkcut.*` — approximate maximum k-cut (the
+    * `maxkcut_classes` integer-exact local-search kernel); communityId
+    * is the cut class. */
+  def maxKCutStream(graphName: String, k: Int = 4, iterations: Int = 3,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputed: Option[DataFrame] = None): DataFrame =
+    new NodeModes(graphName, "communityId",
+      () => maxKCutFrame(graphName, k, iterations,
+        relationshipWeightProperty, precomputed)).stream()
+  def maxKCutWrite(graphName: String, writeProperty: String = "community",
+      k: Int = 4, iterations: Int = 3,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      writeLabel: String = "User",
+      precomputed: Option[DataFrame] = None): DataFrame =
+    new NodeModes(graphName, "communityId",
+      () => maxKCutFrame(graphName, k, iterations,
+        relationshipWeightProperty, precomputed))
+      .write(writeProperty, writeLabel)
+  def maxKCutStats(graphName: String, k: Int = 4, iterations: Int = 3,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = maxKCutFrame(graphName, k, iterations,
+      relationshipWeightProperty, precomputed).localCheckpoint()
+    metaLong("nodeCount" -> f.count(),
+      "communityCount" -> f.select(col("value")).distinct().count())
+  }
+  def maxKCutMutate(graphName: String, mutateProperty: String = "community",
+      k: Int = 4, iterations: Int = 3,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputed: Option[DataFrame] = None): DataFrame =
+    new NodeModes(graphName, "communityId",
+      () => maxKCutFrame(graphName, k, iterations,
+        relationshipWeightProperty, precomputed)).mutate(mutateProperty)
+
+  private def influenceFrame(graphName: String, sims: Int, depth: Int,
+      seedCount: Int, relationshipWeightProperty: Option[String],
+      precomputed: Option[DataFrame]): DataFrame =
+    precomputed.getOrElse {
+      val p = projOf(graphName)
+      graft.graph.Influence.influenceSeeds(
+        weightedRelsOf(p, relationshipWeightProperty), sims, depth,
+        seedCount)
+    }
+
+  /** `gds.beta.influenceMaximization.celf.stream(name, {seedSetSize})
+    * YIELD rank, nodeId, spread` — the reverse-influence-sampling
+    * kernel (`influence_seeds`); spread is the seed's marginal RR-set
+    * coverage (the CELF gain column). */
+  def influenceMaximizationStream(graphName: String, sims: Int = 64,
+      depth: Int = 3, seedSetSize: Int = 5,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputed: Option[DataFrame] = None): DataFrame =
+    influenceFrame(graphName, sims, depth, seedSetSize,
+      relationshipWeightProperty, precomputed)
+      .select(col("seed_rank").as("rank"), col("node_id").as("nodeId"),
+        col("gain").as("spread"))
+
+  /** `gds.beta.influenceMaximization.celf.stats YIELD seedCount,
+    * totalSpread`. */
+  def influenceMaximizationStats(graphName: String, sims: Int = 64,
+      depth: Int = 3, seedSetSize: Int = 5,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = influenceFrame(graphName, sims, depth, seedSetSize,
+      relationshipWeightProperty, precomputed).localCheckpoint()
+    metaLong("seedCount" -> f.count(),
+      "totalSpread" ->
+        f.agg(coalesce(sum(col("gain")), lit(0L))).head().getLong(0))
+  }
+
+  /** `gds.beta.influenceMaximization.celf.write/mutate` — the seeds'
+    * spread written as a node property (non-seeds stay null: GDS only
+    * writes the seed set). */
+  def influenceMaximizationWrite(graphName: String,
+      writeProperty: String = "spread", sims: Int = 64, depth: Int = 3,
+      seedSetSize: Int = 5,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      writeLabel: String = "User",
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = influenceFrame(graphName, sims, depth, seedSetSize,
+      relationshipWeightProperty, precomputed)
+    metaLong("nodePropertiesWritten" -> writeNodeProp(projOf(graphName),
+      f.select(col("node_id"), col("gain")).localCheckpoint(),
+      writeProperty, writeLabel))
+  }
+  def influenceMaximizationMutate(graphName: String,
+      mutateProperty: String = "spread", sims: Int = 64, depth: Int = 3,
+      seedSetSize: Int = 5,
+      relationshipWeightProperty: Option[String] = Some("weight"),
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = influenceFrame(graphName, sims, depth, seedSetSize,
+      relationshipWeightProperty, precomputed)
+    metaLong("nodePropertiesWritten" -> mutateNodeProp(graphName,
+      f.select(col("node_id"), col("gain")).localCheckpoint(),
+      mutateProperty))
+  }
+
+  /** `gds.scaleProperties.stream(name, {nodeProperties, scaler}) YIELD
+    * nodeId, scaled…` — the five-scaler family (`scale_properties`
+    * kernel) over PROJECTION-DERIVED features: deg / weighted deg from
+    * the rels (the properties a graph-scaler actually scales) plus one
+    * caller-named node property (`nodeProperty` → the Mean-scaled
+    * column). Population statistics come from integer aggregates
+    * (one scalar-row pull) — the kernel's exact-replay contract. */
+  def scalePropertiesStream(graphName: String, nodeProperty: String = "a",
+      relationshipWeightProperty: Option[String] = Some("weight")): DataFrame = {
+    val p = projOf(graphName)
+    require(p.nodes.columns.contains(nodeProperty),
+      s"projection carries no node property '$nodeProperty'")
+    val gprops = weightedRelsOf(p,
+      requireWeightProp(p, relationshipWeightProperty))
+      .groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("deg"),
+        sum(col("weight").cast("long")).as("wdeg"))
+    val stat = p.nodes.select(col("id").as("node_id"),
+      col(nodeProperty).cast("double").as("a"))
+    graft.graph.Algorithms.scaleProperties(gprops.join(stat, Seq("node_id")))
+      .withColumnRenamed("node_id", "nodeId")
+  }
+
+  private def hashGnnFrame(graphName: String, bitUniverse: Int, draws: Int,
+      iterations: Int, density: Double,
+      precomputed: Option[DataFrame]): DataFrame =
+    precomputed.getOrElse(graft.graph.HashGnn.embeddings(
+      projOf(graphName).rels.select(col("src"), col("dst")),
+      bitUniverse, draws, iterations, density))
+
+  /** `gds.hashgnn.stream(name, {embeddingDensity, iterations}) YIELD
+    * nodeId, bit` — one row per SET bit of the binary embedding (the
+    * `hashgnn_embeddings` kernel's exact shape; GDS streams the packed
+    * vector, here it is exploded — the sparse form a feature join
+    * consumes). */
+  def hashGnnStream(graphName: String, bitUniverse: Int = 32,
+      draws: Int = 8, iterations: Int = 2, density: Double = 0.25,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    hashGnnFrame(graphName, bitUniverse, draws, iterations, density,
+      precomputed)
+      .select(col("node_id").as("nodeId"), col("bit"))
+
+  /** `gds.hashgnn.write/mutate` — the SORTED set-bit array per node as
+    * the embedding property (the sllpa array-write shape). */
+  def hashGnnWrite(graphName: String, writeProperty: String = "hashgnn",
+      bitUniverse: Int = 32, draws: Int = 8, iterations: Int = 2,
+      density: Double = 0.25, writeLabel: String = "User",
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = hashGnnFrame(graphName, bitUniverse, draws, iterations,
+      density, precomputed)
+      .groupBy(col("node_id"))
+      .agg(sort_array(collect_list(col("bit"))).as("value"))
+      .localCheckpoint()
+    metaLong("nodePropertiesWritten" ->
+      writeNodeProp(projOf(graphName), f, writeProperty, writeLabel))
+  }
+  def hashGnnMutate(graphName: String, mutateProperty: String = "hashgnn",
+      bitUniverse: Int = 32, draws: Int = 8, iterations: Int = 2,
+      density: Double = 0.25,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = hashGnnFrame(graphName, bitUniverse, draws, iterations,
+      density, precomputed)
+      .groupBy(col("node_id"))
+      .agg(sort_array(collect_list(col("bit"))).as("value"))
+      .localCheckpoint()
+    metaLong("nodePropertiesWritten" ->
+      mutateNodeProp(graphName, f, mutateProperty))
+  }
+
+  /** `gds.beta.graph.generate(name, {scale, edgeCount, a, b, c})` —
+    * the R-MAT generator (`graph_generate_rmat` kernel: per-edge md5
+    * quadrant recursion, O(E), bit-replayable) registered as a NEW
+    * named projection, YIELDing (graphName, nodeCount,
+    * relationshipCount). Deterministic: the same parameters register
+    * the same graph in any session. */
+  def graphGenerate(graphName: String, scale: Int = 10,
+      edgeCount: Long = 10000L, a: Double = 0.57, b: Double = 0.19,
+      c: Double = 0.19): DataFrame = {
+    require(!projections.contains(graphName),
+      s"graph '$graphName' already exists")
+    val e = graft.graph.Algorithms.rmatEdges(spark, scale, edgeCount, a, b, c)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    projections.put(graphName, Projection(Nil, nodes, e, "REL"))
+    val s = spark
+    import s.implicits._
+    Seq((graphName, nodes.count(), e.count()))
+      .toDF("graphName", "nodeCount", "relationshipCount")
+  }
+
   /** `gds.<procedure>.write.estimate(name, {...}) YIELD nodeCount,
     * relationshipCount, bytesMin, bytesMax, requiredMemory` — a
     * DOCUMENTED planning heuristic (per-element working-set arithmetic

@@ -118,8 +118,12 @@ object HashGnn {
       .orderBy(col("node_id"), col("bit"))
   }
 
-  /** HashGNN embeddings of the user co-occurrence graph. */
+  /** HashGNN embeddings of the user co-occurrence graph,
+    * session-cached (r11: shared by the `hashgnn_embeddings` entry and
+    * the `gds.hashgnn` front door). */
   def userHashGnn(spark: SparkSession, dir: String): DataFrame =
-    embeddings(RatingsGraph.cooccurrenceEdges(spark, dir)
-      .select(col("u1").as("src"), col("u2").as("dst")))
+    graft.Cache.cached(spark, dir, "hashgnn_embeddings") {
+      embeddings(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")))
+    }
 }

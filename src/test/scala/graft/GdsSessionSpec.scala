@@ -1038,6 +1038,92 @@ class GdsSessionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { g.graphImport("imported", out) }
   }
 
+  test("r11 wave 2: maxkcut / influence / hashgnn routes ≡ hand-built twins") {
+    val g = coocProjected
+    val maxkcut = graph.Algorithms.userMaxKCut(spark, sf)
+    val mk = g.maxKCutStream("cooc")
+      .select(col("nodeId").as("node_id"), col("communityId").as("cls"))
+    assert(mk.exceptAll(maxkcut).isEmpty && maxkcut.exceptAll(mk).isEmpty,
+      "gds.alpha.maxkcut route diverged from userMaxKCut")
+    val mkStats = g.maxKCutStats("cooc",
+      precomputed = Some(maxkcut)).head()
+    assert(mkStats.getLong(0) == maxkcut.count() &&
+      mkStats.getLong(1) <= 4L && mkStats.getLong(1) >= 2L)
+
+    val inf = graph.Influence.userInfluenceSeeds(spark, sf)
+    val celf = g.influenceMaximizationStream("cooc")
+      .select(col("rank").as("seed_rank"), col("nodeId").as("node_id"),
+        col("spread").as("gain"))
+    assert(celf.exceptAll(inf).isEmpty && inf.exceptAll(celf).isEmpty,
+      "gds.beta.influenceMaximization route diverged from the twin")
+    val infStats = g.influenceMaximizationStats("cooc",
+      precomputed = Some(inf)).head()
+    assert(infStats.getLong(0) == 5L && infStats.getLong(1) > 0L)
+    g.influenceMaximizationWrite("cooc", precomputed = Some(inf))
+    assert(g.db.nodes("User").filter(col("spread").isNotNull).count() == 5L,
+      "write must land spread on the seed set only")
+
+    val hg = graph.HashGnn.userHashGnn(spark, sf)
+    val routed = g.hashGnnStream("cooc")
+      .select(col("nodeId").as("node_id"), col("bit"))
+    assert(routed.exceptAll(hg).isEmpty && hg.exceptAll(routed).isEmpty,
+      "gds.hashgnn route diverged from userHashGnn")
+    g.hashGnnMutate("cooc", precomputed = Some(hg))
+    val arr = g.graphNodePropertiesStream("cooc", "hashgnn")
+    assert(arr.count() == hg.select(col("node_id")).distinct().count())
+    val bits = arr.select(col("propertyValue")).head().getSeq[Int](0)
+    assert(bits == bits.sorted && bits.forall(b => b >= 0 && b < 32))
+  }
+
+  test("r11 wave 2: scaleProperties route ≡ userScaledProperties") {
+    import spark.implicits._
+    // projection carries the node property the Mean scaler consumes
+    // (each user's mean rating) + the cooc rels for deg/wdeg — the
+    // exact frames userScaledProperties derives inline
+    val users = graph.RatingsGraph.ratings(spark, sf)
+      .groupBy(col("user_id").as("id"))
+      .agg((sum(col("rating")).cast("double") / count(lit(1))).as("a"))
+    val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+      .select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("User" -> users), edges = Map("COOC" -> cooc)))
+    g.graphProject("scaleGraph", Seq("User"), "COOC",
+      orientation = "NATURAL", relProperties = Seq("weight"),
+      nodeProperties = Seq("a"))
+    val routed = g.scalePropertiesStream("scaleGraph")
+      .withColumnRenamed("nodeId", "node_id")
+    val twin = graph.Algorithms.userScaledProperties(spark, sf)
+    assert(routed.exceptAll(twin).isEmpty && twin.exceptAll(routed).isEmpty,
+      "gds.scaleProperties route diverged from userScaledProperties")
+    // a typo'd property fails fast
+    intercept[IllegalArgumentException] {
+      g.scalePropertiesStream("scaleGraph", nodeProperty = "nope")
+    }
+  }
+
+  test("r11 wave 2: gds.beta.graph.generate registers a deterministic projection") {
+    val g = fresh
+    val meta = g.graphGenerate("rmat", scale = 8, edgeCount = 500L).head()
+    assert(meta.getString(0) == "rmat")
+    val kernel = graph.Algorithms.rmatEdges(spark, 8, 500L)
+    assert(meta.getLong(2) == kernel.count(), "relationshipCount = E")
+    val kernelNodes = kernel.select(col("src").as("id"))
+      .unionAll(kernel.select(col("dst").as("id"))).distinct().count()
+    assert(meta.getLong(1) == kernelNodes, "nodeCount = |src ∪ dst|")
+    // the registered projection IS the kernel's edge set
+    val rels = g.graphRelationshipsStream("rmat")
+      .select(col("sourceNodeId").as("src"), col("targetNodeId").as("dst"))
+    val twin = kernel.select(col("src"), col("dst"))
+    assert(rels.exceptAll(twin).isEmpty && twin.exceptAll(rels).isEmpty)
+    // downstream procedures run on the generated graph
+    assert(g.degreeStream("rmat").count() == meta.getLong(1))
+    // deterministic: a second registration reproduces the counts
+    val meta2 = g.graphGenerate("rmat2", scale = 8, edgeCount = 500L).head()
+    assert(meta2.getLong(1) == meta.getLong(1) &&
+      meta2.getLong(2) == meta.getLong(2))
+    intercept[IllegalArgumentException] { g.graphGenerate("rmat") }
+  }
+
   test("gds.graph.sample.rwr: deterministic community-local subgraph") {
     import spark.implicits._
     // two 4-cliques bridged by one edge: a walk budget from node 1

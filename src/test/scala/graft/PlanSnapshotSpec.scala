@@ -144,7 +144,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // tokenize-once (the O(tokens²) interpreted-lambda fix) and a
     // multi-core scan
     ("dedup_embedding", 3, 0),
-    ("communities_sllpa", 1, 0),
+    // 1 → 2 in r11: userSllpa is session-cached now (shared with the
+    // gds.alpha.sllpa front door) — the warm plan carries the IMR's
+    // materialized stage line on top of the final orderBy exchange
+    ("communities_sllpa", 2, 0),
     ("dedup_minhash_pairs", 7, 1),
     ("dedup_simhash", 3, 0),
     ("bpe_encode", 0, 0),
@@ -230,7 +233,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // r11: the remaining kernels' GDS front doors
     "gds_leiden_write", "gds_kcore_stream", "gds_sllpa_stream",
     "gds_modopt_stream", "gds_kmeans_stream", "gds_node2vec_stream",
-    "gds_yens_stream")
+    "gds_yens_stream",
+    "gds_maxkcut_stream", "gds_influence_stream",
+    "gds_scaleprops_stream", "gds_hashgnn_stream")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
