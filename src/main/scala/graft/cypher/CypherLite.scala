@@ -522,9 +522,10 @@ object CypherLite {
     def compile(clauses: Seq[Clause]): DataFrame = {
       clauses.foreach {
         case m: Match if m.optional =>
-          require(m.where.isEmpty || m.chains.length == 1,
-            "WHERE on a multi-chain OPTIONAL MATCH is unsupported")
-          m.chains.foreach(c => optionalChain(c, m.where))
+          // one OPTIONAL MATCH = one pattern: comma-joined chains bind
+          // all-or-nothing (separate OPTIONAL MATCH clauses stay
+          // independent null cascades)
+          optionalChains(m.chains, m.where)
         case m: Match => m.chains.foreach(matchChain)
         case sp: ShortestPath => compileShortestPath(sp)
         case Where(e) => applyPredicate(e)
@@ -762,15 +763,28 @@ object CypherLite {
       * and dropped again before the join back. Any OTHER pre-bound
       * variable still fails fast — the extension re-attaches on the
       * head alone, so non-head context would need a different join
-      * shape. */
-    private def optionalChain(c: Chain, where: Option[Expr] = None): Unit = {
-      val head = c.first.v.getOrElse(
-        sys.error("OPTIONAL MATCH needs a named, bound head node"))
+      * shape. Comma-joined chains inside ONE OPTIONAL MATCH are a
+      * SINGLE pattern (r11): Cypher's all-or-nothing rule — every
+      * chain must bind (and the WHERE hold) for ANY of the new
+      * variables to be non-null, so they compose into one extension
+      * (each chain re-rooted at the shared head's id) and ONE
+      * left_outer. Chains with different heads fail fast (the
+      * re-attach key is the one head). */
+    private def optionalChains(cs: Seq[Chain],
+        where: Option[Expr] = None): Unit = {
+      val heads = cs.map(_.first.v.getOrElse(
+        sys.error("OPTIONAL MATCH needs a named, bound head node")))
+      require(heads.distinct.length == 1,
+        "multi-chain OPTIONAL MATCH must share ONE bound head, got " +
+          heads.distinct.mkString(", "))
+      val head = heads.head
       require(structVars.contains(head),
         s"OPTIONAL MATCH head '$head' must be bound by an earlier MATCH")
-      require(c.first.props.isEmpty,
-        "props on the bound head of an OPTIONAL MATCH are unsupported")
-      require(c.rest.nonEmpty, "OPTIONAL MATCH needs a relationship pattern")
+      cs.foreach { c =>
+        require(c.first.props.isEmpty,
+          "props on the bound head of an OPTIONAL MATCH are unsupported")
+        require(c.rest.nonEmpty, "OPTIONAL MATCH needs a relationship pattern")
+      }
       val carryHead = where.exists(e => exprVars(e).contains(head))
       // the chain extension starts from the distinct head-id frame, so
       // every segment kind (single hop, var-length) composes uniformly
@@ -781,6 +795,8 @@ object CypherLite {
         .filter(col("__opt_head").isNotNull).distinct()
       var prevIdCol: Column = col("__opt_head")
       var newVars = List.empty[String]
+      cs.foreach { c =>
+      prevIdCol = col("__opt_head") // each chain re-roots at the head
       c.rest.foreach { case (rel, node) =>
         val v = node.v.getOrElse(freshName())
         require(!structVars.contains(v),
@@ -816,6 +832,7 @@ object CypherLite {
         newVars ::= v
         varLabels += v -> label
         prevIdCol = col(v).getField("id")
+      }
       }
       where.foreach { e =>
         val foreign = exprVars(e) -- newVars.toSet - head

@@ -402,6 +402,38 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("r11 multi-chain OPTIONAL MATCH: one pattern, all-or-nothing binding") {
+    // comma-joined chains in ONE OPTIONAL MATCH are a single Cypher
+    // pattern: u2 has RATED edges but no SIMILAR_TO — the WHOLE pattern
+    // fails, so BOTH sides null (separate OPTIONAL MATCH clauses would
+    // have bound b for u2 independently)
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[r:RATED]->(b:Book), (u)-[s:SIMILAR_TO]->(v:User)
+        |RETURN u.id AS id, b.id AS book, v.id AS sim
+        |ORDER BY id, book, sim""".stripMargin)
+    assert(rows(out) == Seq(
+      Seq(1L, 100L, 2L), Seq(1L, 100L, 3L),
+      Seq(2L, null, null), Seq(3L, null, null)))
+    // attached WHERE spans BOTH chains' variables (plus the head)
+    val w = CypherLite.run(fixtureGraph,
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[r:RATED]->(b:Book), (u)-[s:SIMILAR_TO]->(v:User)
+        |WHERE r.rating >= 8 AND v.id = u.id + 2
+        |RETURN u.id AS id, b.id AS book, v.id AS sim
+        |ORDER BY id, book""".stripMargin)
+    assert(rows(w) == Seq(
+      Seq(1L, 100L, 3L), Seq(2L, null, null), Seq(3L, null, null)))
+    // chains with DIFFERENT heads have no single re-attach key
+    intercept[IllegalArgumentException] {
+      CypherLite.run(fixtureGraph,
+        """MATCH (a:User {id: 1})
+          |MATCH (u:User)
+          |OPTIONAL MATCH (u)-[r:RATED]->(b:Book), (a)-[s:SIMILAR_TO]->(v:User)
+          |RETURN u.id AS id""".stripMargin)
+    }
+  }
+
   test("r11 fail-fast modifiers: SKIP/LIMIT Int bound, agg DISTINCT/arity") {
     // Dataset.offset/limit take Int — a >2³¹ SKIP must error loudly,
     // not silently truncate to a wrong page
