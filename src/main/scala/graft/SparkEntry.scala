@@ -379,6 +379,23 @@ object SparkEntry {
           .select(col("nodeId").as("node_id"), col("bit"))
       }.orderBy("node_id", "bit")
     }),
+    // gds.graph.filter: the subgraph-then-analyze workflow — cooc
+    // projection filtered to strong edges (weight >= 3), degree over
+    // the filtered graph; isolated-after-filter users report 0.0 (the
+    // overAllNodes completion over the UNFILTERED node set)
+    "gds_filter_degree" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_filter_degree") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("coocGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        g.graphFilter("strongGraph", "coocGraph",
+          relationshipFilter = "weight >= 3")
+        g.degreeStream("strongGraph")
+          .select(col("nodeId").as("node_id"), col("score"))
+      }.orderBy("node_id")
+    }),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
     "recommend_knn" -> ((s, d) => Recommend.recommendKnn(s, d)),
     "recommend_community" -> ((s, d) => Recommend.recommendCommunity(s, d)),
@@ -3774,7 +3791,29 @@ object SparkEntry {
     "gds_maxkcut_stream" -> oracleSqlBase("maxkcut_classes"),
     "gds_influence_stream" -> oracleSqlBase("influence_seeds"),
     "gds_scaleprops_stream" -> oracleSqlBase("scale_properties"),
-    "gds_hashgnn_stream" -> oracleSqlBase("hashgnn_embeddings"))
+    "gds_hashgnn_stream" -> oracleSqlBase("hashgnn_embeddings"),
+    // graph.filter has no hand-built twin — its oracle replays the
+    // filtered-degree algebra directly: cooc (both directions, weight =
+    // co-rating count), weight-filtered, src-grouped counts LEFT-joined
+    // onto the FULL active-user set (0.0 for isolated-after-filter)
+    "gds_filter_degree" ->
+      s"""$RatingsCte, cooc AS (
+         |  SELECT a.user_id AS src, b.user_id AS dst,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), au AS (
+         |  SELECT c_custkey AS id FROM customer
+         |  WHERE c_custkey IN (SELECT user_id FROM ratings)
+         |), deg AS (
+         |  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS score
+         |  FROM cooc WHERE w >= 3 GROUP BY src
+         |)
+         |SELECT au.id AS node_id, COALESCE(deg.score, 0.0) AS score
+         |FROM au LEFT JOIN deg USING (id)
+         |ORDER BY node_id""".stripMargin)
 
   /** The CypherLite entries reuse their hand-built twins' oracles
     * VERBATIM: the compiler's output is spec-proved row-identical to

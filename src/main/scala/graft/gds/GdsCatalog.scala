@@ -2011,6 +2011,40 @@ final class GdsSession(initial: CypherLite.Graph) {
       mutateNodeProp(graphName, f, mutateProperty))
   }
 
+  /** `gds.graph.filter(to, from, nodeFilter, relationshipFilter)` —
+    * registers a FILTERED projection (GDS's subgraph procedure: cut the
+    * working graph down BEFORE running algorithms — the shape that
+    * matters when the full projection is 100 TB and the analysis wants
+    * one community). Filters are boolean SQL expressions over the
+    * frames' own columns (GDS's `n.`/`r.` prefixes dropped:
+    * `community = 5`, `weight >= 3`); `"*"` keeps everything.
+    * Surviving rels are additionally INDUCED on the surviving node set
+    * (both endpoints must pass the node filter — GDS's contract), via
+    * two semi-joins; mutated relationship frames do not carry over
+    * (filter, like sample.rwr, starts a fresh working graph —
+    * documented). YIELDs (graphName, fromGraphName, nodeCount,
+    * relationshipCount). */
+  def graphFilter(graphName: String, fromGraphName: String,
+      nodeFilter: String = "*",
+      relationshipFilter: String = "*"): DataFrame = {
+    require(!projections.contains(graphName),
+      s"graph '$graphName' already exists")
+    val p = projOf(fromGraphName)
+    val nodes = (if (nodeFilter == "*") p.nodes
+      else p.nodes.filter(expr(nodeFilter))).localCheckpoint()
+    val rels = (if (relationshipFilter == "*") p.rels
+      else p.rels.filter(expr(relationshipFilter)))
+      .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(p.rels.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint()
+    projections.put(graphName, Projection(p.labels, nodes, rels, p.relType))
+    val s = spark
+    import s.implicits._
+    Seq((graphName, fromGraphName, nodes.count(), rels.count()))
+      .toDF("graphName", "fromGraphName", "nodeCount", "relationshipCount")
+  }
+
   /** `gds.beta.graph.generate(name, {scale, edgeCount, a, b, c})` —
     * the R-MAT generator (`graph_generate_rmat` kernel: per-edge md5
     * quadrant recursion, O(E), bit-replayable) registered as a NEW

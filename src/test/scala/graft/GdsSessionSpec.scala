@@ -1101,6 +1101,36 @@ class GdsSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("r11 wave 2: gds.graph.filter — induced subgraph projection") {
+    import spark.implicits._
+    // path 1—2—3—4 with weights 1,5,5; node filter drops 4, rel filter
+    // drops the weight-1 edge; induction drops 3—4 (endpoint 4 gone)
+    val nodes = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L))
+      .toDF("id", "grp")
+    val rels = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (2L, 3L, 5.0),
+      (3L, 2L, 5.0), (3L, 4L, 5.0), (4L, 3L, 5.0)).toDF("src", "dst", "w")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> rels)))
+    g.graphProject("full", Seq("N"), "E", orientation = "NATURAL",
+      relProperties = Seq("w"))
+    val meta = g.graphFilter("sub", "full",
+      nodeFilter = "id <= 3", relationshipFilter = "w >= 2.0").head()
+    assert(meta.getString(0) == "sub" && meta.getString(1) == "full")
+    assert(meta.getLong(2) == 3L, "node filter keeps 1,2,3")
+    assert(meta.getLong(3) == 2L,
+      "rel filter keeps the weight-5 edges, induction drops 3—4")
+    val kept = g.graphRelationshipsStream("sub")
+      .select(col("sourceNodeId"), col("targetNodeId")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((2L, 3L), (3L, 2L)))
+    // downstream procedure over the filtered projection
+    assert(g.degreeStream("sub").count() == 3L)
+    // '*' keeps everything; dup name fails fast
+    val all = g.graphFilter("copy", "full").head()
+    assert(all.getLong(2) == 4L && all.getLong(3) == 6L)
+    intercept[IllegalArgumentException] { g.graphFilter("sub", "full") }
+  }
+
   test("r11 wave 2: gds.beta.graph.generate registers a deterministic projection") {
     val g = fresh
     val meta = g.graphGenerate("rmat", scale = 8, edgeCount = 500L).head()
