@@ -379,6 +379,23 @@ object SparkEntry {
           .select(col("nodeId").as("node_id"), col("bit"))
       }.orderBy("node_id", "bit")
     }),
+    // r11: the interchange round trip driver-gated end to end — export
+    // the reference projection to parquet, import it back as a NEW
+    // projection, YIELD the import row; counts replay in SQL exactly
+    // like the export row's
+    "gds_import_stats" -> ((s, d) => {
+      graft.Cache.cached(s, d, "gds_import_stats") {
+        val g = new graft.gds.GdsSession(
+          graft.cypher.ReferenceQueries.graph(s, d))
+        g.graphProject("roundtripGraph", Seq("User", "Book"), "RATED",
+          relProperties = Seq("rating"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_gds_import").toString
+        g.graphExport("roundtripGraph", out)
+        g.graphImport("importGraph", out,
+          labels = Seq("User", "Book"), relType = Some("RATED"))
+      }
+    }),
     // gds.graph.filter: the subgraph-then-analyze workflow — cooc
     // projection filtered to strong edges (weight >= 3), degree over
     // the filtered graph; isolated-after-filter users report 0.0 (the
@@ -3869,7 +3886,14 @@ object SparkEntry {
          |         + (SELECT COUNT(DISTINCT book_id) FROM ratings) AS nodeCount,
          |       2 * (SELECT COUNT(*) FROM ratings) AS relationshipCount,
          |       CAST(1 AS BIGINT) AS relationshipTypeCount,
-         |       CAST(0 AS BIGINT) AS nodePropertyCount""".stripMargin)
+         |       CAST(0 AS BIGINT) AS nodePropertyCount""".stripMargin,
+    // the import twin: same count algebra, the import YIELD shape
+    "gds_import_stats" ->
+      s"""$RatingsCte
+         |SELECT 'importGraph' AS graphName,
+         |       (SELECT COUNT(DISTINCT user_id) FROM ratings)
+         |         + (SELECT COUNT(DISTINCT book_id) FROM ratings) AS nodeCount,
+         |       2 * (SELECT COUNT(*) FROM ratings) AS relationshipCount""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,

@@ -235,7 +235,8 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "gds_modopt_stream", "gds_kmeans_stream", "gds_node2vec_stream",
     "gds_yens_stream",
     "gds_maxkcut_stream", "gds_influence_stream",
-    "gds_scaleprops_stream", "gds_hashgnn_stream", "gds_filter_degree")
+    "gds_scaleprops_stream", "gds_hashgnn_stream", "gds_filter_degree",
+    "gds_import_stats")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
