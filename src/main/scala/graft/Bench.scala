@@ -32,6 +32,21 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     } catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg
+    // co-tenant CPU signal (r11): 1-min loadavg on a saturating
+    // local[32] sweep is dominated by the bench's OWN threads, so a
+    // load stamp alone cannot distinguish self-load from contention
+    // (the r10 "quiet run" ambiguity — a solo box still stamps 10+).
+    // system CPU minus own-process CPU CAN: ~0 on a solo box however
+    // hard the sweep runs, > 0 exactly when someone else computes.
+    def othersCpu: Double = try {
+      val os = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      val sys = os.getCpuLoad
+      val own = os.getProcessCpuLoad
+      if (sys.isNaN || own.isNaN || sys < 0 || own < 0) -1.0
+      else math.max(0.0, sys - own)
+    } catch { case _: Throwable => -1.0 }
 
     // the silver phase: each build materialised (count) and timed, with
     // the 1-min load stamped per build (r10: silver verdicts must be as
@@ -160,6 +175,7 @@ object Bench {
       }
     }
     val resultsMut = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean, Double)]()
+    val othersMut = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       var best = Double.MaxValue
       var ok = true
@@ -177,6 +193,7 @@ object Bench {
         i += 1
       }
       resultsMut(name) = ((if (ok) best else -1.0, ok, loadAvg))
+      othersMut(name) = othersCpu
     }
     // Self-defending gate pass: a gate still over its 2× pin after the
     // sweep re-measures up to 5 more times at the END of the run (the
@@ -267,7 +284,10 @@ object Bench {
     // cpus stays a QUOTED string: the env accepts non-numeric Spark
     // master thread specs (e.g. "*"), which unquoted would corrupt
     // both JSON outputs
-    val loadJson = s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"host_uptime_sec":${r3(hostUptime)},"cpus":"$cpus""""
+    // cpu_others_max: the round's co-tenant verdict in one number —
+    // ~0 means every stamp above was self-load from the sweep itself
+    val othersMax = if (othersMut.isEmpty) -1.0 else othersMut.values.max
+    val loadJson = s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"cpu_others_max":${r3(othersMax)},"host_uptime_sec":${r3(hostUptime)},"cpus":"$cpus""""
     def timesJson(rs: Iterable[(String, Double)]) =
       rs.map { case (k, sec) => s"\"$k\":${r3(sec)}" }.mkString("{", ",", "}")
     val silverTotal = silverResults.collect { case (_, sec, true, _) => sec }.sum
@@ -291,6 +311,8 @@ object Bench {
     val gateSummary = s""""gates_pass":${gateRows.size - gateFails.size},"gates_total":${gateRows.size},"gates_fail":${failedJson(gateFails.toSeq)}"""
     val queryLoadJson = results.map { case (k, _, _, l) => s"\"$k\":${r3(l)}" }
       .mkString("{", ",", "}")
+    val queryOthersJson = othersMut.map { case (k, v) => s"\"$k\":${r3(v)}" }
+      .mkString("{", ",", "}")
     // Full per-query detail goes to a FILE — the one printed JSON line
     // must stay short: the driver captures only the tail of stdout, so
     // a multi-KB line gets its head truncated and fails to parse.
@@ -304,7 +326,7 @@ object Bench {
         s""","silver_contested":true,"silver_p1":${timesJson(silverPass1.map(t => (t._1, t._2)))},"silver_p2":${timesJson(p2.map(t => (t._1, t._2)))},"silver_p2_load":${p2.map { case (k, _, _, l) => s"\"$k\":${r3(l)}" }.mkString("{", ",", "}")}"""
       case None => s""","silver_contested":false"""
     }
-    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults.map(t => (t._1, t._2)))},"silver_total":${r3(silverTotal)},"silver_load":$silverLoadJson$silverDefenseJson,"queries_total":${r3(queriesTotal)},"queries":${timesJson(results.map(t => (t._1, t._2)))},"query_load":$queryLoadJson,"gates":$gatesJson,$gateSummary,"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults.map(t => (t._1, t._2)))},"silver_total":${r3(silverTotal)},"silver_load":$silverLoadJson$silverDefenseJson,"queries_total":${r3(queriesTotal)},"queries":${timesJson(results.map(t => (t._1, t._2)))},"query_load":$queryLoadJson,"query_cpu_others":$queryOthersJson,"gates":$gatesJson,$gateSummary,"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8")): Unit
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
