@@ -412,7 +412,21 @@ object CypherLite {
 
       private def primary(): Expr = {
         val t = peek
-        if (t == "(") {
+        if (t.equalsIgnoreCase("EXISTS") && peekAt(1) == "{") {
+          // Neo4j 5 existential subquery shorthand:
+          // EXISTS { (a)-[:T]->(b) } — the modern spelling of the bare
+          // pattern predicate (which Neo4j 5 deprecates), same
+          // single-hop bound-variable contract, same left_semi/left_anti
+          // lowering (NOT EXISTS { } composes through Not)
+          next(); next()
+          val c = chain()
+          require(c.rest.length == 1 && c.rest.head._2.v.isDefined &&
+            c.first.v.isDefined, "EXISTS { } supports (a)-[:T]->(b)")
+          val (rel, dst) = c.rest.head
+          require(rel.leftToRight, "EXISTS { } supports -> only")
+          expect("}")
+          PatPred(c.first.v.get, rel.relType, dst.v.get)
+        } else if (t == "(") {
           // '(' starts either a parenthesised expr or a PATTERN
           // predicate `(a)-[:T]->(b)`; patterns are `(ident)` followed
           // by `-[` or `<-` — look ahead FOUR tokens so parenthesised

@@ -97,6 +97,30 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(rows(out) == Seq(Seq(200L, 2L), Seq(200L, 3L)))
   }
 
+  test("r11 EXISTS { pattern }: the Neo4j-5 spelling of the pattern predicate") {
+    // NOT EXISTS { } ≡ the bare NOT (a)-[:T]->(b) anti-join
+    val out = CypherLite.run(fixtureGraph,
+      """MATCH (a:User {id: $u})-[:SIMILAR_TO]->(s:User)-[r:RATED]->(b:Book)
+        |WHERE NOT EXISTS { (a)-[:RATED]->(b) }
+        |RETURN b.id AS book_id, s.id AS via
+        |ORDER BY book_id, via""".stripMargin, Map("u" -> 1L))
+    assert(rows(out) == Seq(Seq(200L, 2L), Seq(200L, 3L)))
+    // positive form ≡ the left_semi
+    val pos = CypherLite.run(fixtureGraph,
+      """MATCH (a:User {id: $u})-[:SIMILAR_TO]->(s:User)-[r:RATED]->(b:Book)
+        |WHERE EXISTS { (a)-[:RATED]->(b) }
+        |RETURN b.id AS book_id, s.id AS via
+        |ORDER BY book_id, via""".stripMargin, Map("u" -> 1L))
+    assert(rows(pos) == Seq(Seq(100L, 2L)))
+    // same bound-variable contract as the bare form
+    intercept[IllegalArgumentException] {
+      CypherLite.run(fixtureGraph,
+        """MATCH (a:User {id: 1})
+          |WHERE EXISTS { (a)-[:RATED]->(:Book) }
+          |RETURN a.id AS id""".stripMargin)
+    }
+  }
+
   test("bound-scalar property map compiles to an equi-join") {
     val out = CypherLite.run(fixtureGraph,
       """MATCH (t:User {id: $u})
