@@ -176,6 +176,11 @@ object Bench {
     }
     val resultsMut = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean, Double)]()
     val othersMut = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // prime the CPU counters: HotSpot's getCpuLoad/getProcessCpuLoad
+    // measure the interval SINCE THE PREVIOUS CALL, so without this the
+    // first query's cpu_others stamp would span JVM-start→now (gates +
+    // silver phase included) and could skew cpu_others_max
+    othersCpu: Unit
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       var best = Double.MaxValue
       var ok = true

@@ -45,6 +45,10 @@ object SparkEntry {
       graft.cypher.ReferenceQueries.bfsHopsCompiled(s, d)),
     "cypher_shortest_path" -> ((s, d) =>
       graft.cypher.ReferenceQueries.shortestPathCompiled(s, d)),
+    // r12: per-PATH var-length (`MATCH p = (a)-[r:RATED*2..2]-(b)`) —
+    // one row per relationship-unique path, Cypher's multiplicity
+    "cypher_var_paths" -> ((s, d) =>
+      graft.cypher.ReferenceQueries.varPathsCompiled(s, d)),
     // — CypherLoad + GdsSession: the reference's WRITE path and GDS
     // workflow driven end to end, gated on the hand-built twins' own
     // oracles (ratings_edges / knn_similar_edges_ref / louvain). Each
@@ -235,6 +239,23 @@ object SparkEntry {
             col("coreValue").as("core_degree"))
       }.orderBy("node_id")
     }),
+    // gds.kCoreDecomposition front door (r12): coreValue = core NUMBER
+    // for every projection node — the GDS-faithful shape next to the
+    // fixed-k membership extension above, riding the same session
+    // silver through the precomputed seam
+    "gds_kcoredec_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_kcoredec_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("kcoreDecGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        g.kcoreDecompositionStream("kcoreDecGraph",
+            precomputed = Some(graft.graph.Algorithms.userCoreNumbers(s, d)))
+          .select(col("nodeId").as("node_id"),
+            col("coreValue").as("core_value"))
+      }.orderBy("node_id")
+    }),
     "gds_sllpa_stream" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.Cache.cached(s, d, "gds_sllpa_stream") {
@@ -307,16 +328,19 @@ object SparkEntry {
         g.graphProject("yensGraph", Seq("User"), "COOC",
           orientation = "NATURAL", relProperties = Seq("cost"))
         // unroll the GDS one-row-per-path YIELD back to the kernel's
-        // (path_rank, step, node_id, path_cost) layout — the yens_paths
-        // spur-loop replay oracle reads off unchanged
+        // (path_rank, step, node_id, path_cost, step_cost) layout — the
+        // yens_paths spur-loop replay oracle reads off unchanged (r12:
+        // the per-step `costs` array explodes alongside nodeIds)
         g.shortestPathYensStream("yensGraph", sourceNode = 1L,
             targetNode = 42L, k = 3,
             relationshipWeightProperty = Some("cost"), rounds = 6,
             precomputedPaths = Some(yensPathsCached(s, d)))
           .select(col("index").as("path_rank"),
-            col("totalCost").as("path_cost"), posexplode(col("nodeIds")))
+            col("totalCost").as("path_cost"),
+            posexplode(arrays_zip(col("nodeIds"), col("costs"))))
           .select(col("path_rank"), col("pos").cast("bigint").as("step"),
-            col("col").as("node_id"), col("path_cost"))
+            col("col").getField("nodeIds").as("node_id"), col("path_cost"),
+            col("col").getField("costs").as("step_cost"))
       }.orderBy("path_rank", "step")
     }),
     // r11 wave 2: optimization/feature procedures through the front
@@ -392,8 +416,8 @@ object SparkEntry {
         val out = java.nio.file.Files
           .createTempDirectory("graft_gds_import").toString
         g.graphExport("roundtripGraph", out)
-        g.graphImport("importGraph", out,
-          labels = Seq("User", "Book"), relType = Some("RATED"))
+        // r12: nothing restated — labels + base type ride the manifest
+        g.graphImport("importGraph", out)
       }
     }),
     // gds.graph.filter: the subgraph-then-analyze workflow — cooc
@@ -1010,6 +1034,13 @@ object SparkEntry {
     }),
     "kcore_members" -> ((s, d) =>
       graft.graph.Algorithms.userKcore(s, d).orderBy("node_id")),
+    // FULL core decomposition (gds.kCoreDecomposition answer shape):
+    // core_value = per-node core NUMBER via h-index iteration — the
+    // oracle unrolls the same update (a window rank, no arrays) past
+    // the fixpoint; extra rounds are idempotent, and a corpus that
+    // ever needed more would fail the hash compare loudly
+    "kcore_decomposition" -> ((s, d) =>
+      graft.graph.Algorithms.userCoreNumbers(s, d).orderBy("node_id")),
     "kcore_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val k = 10
@@ -1987,6 +2018,39 @@ object SparkEntry {
     * sorted triple → survivor decrement) are plain SQL — integer
     * counting end to end, so the compare is drift-free. Mirrors
     * [[graft.graph.Algorithms.trussDecayProfile]] k=25, rounds=3. */
+  /** Unrolled h-index core-decomposition oracle: est0 = degree, each
+    * round re-ranks neighbour estimates descending per node and takes
+    * MAX(LEAST(est, rank)) — the h-index — exactly
+    * [[graft.graph.Algorithms.coreDecomposition]]'s update, a window
+    * rank in both engines (no arrays). The Spark side runs to its
+    * fixpoint; 40 unrolled rounds sit past it at every test SF (sf0.1
+    * converges far earlier) and extra rounds are idempotent — a denser
+    * corpus that ever needed more would hash-mismatch loudly. */
+  private val coreDecompOracleRounds: Int = 40
+  private def coreDecompCtes: String = {
+    val base =
+      s"""$RatingsCte, cooc AS MATERIALIZED (
+         |  SELECT a.user_id AS src, b.user_id AS dst
+         |  FROM (SELECT * FROM ratings WHERE rating >= 6) a
+         |  JOIN (SELECT * FROM ratings WHERE rating >= 6) b USING (book_id)
+         |  WHERE a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |), est0 AS MATERIALIZED (
+         |  SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS est
+         |  FROM cooc GROUP BY src
+         |)""".stripMargin
+    val rounds = (1 to coreDecompOracleRounds).map { i =>
+      s""", est$i AS MATERIALIZED (
+         |  SELECT src AS node_id, MAX(LEAST(est, rk)) AS est FROM (
+         |    SELECT e.src, c.est,
+         |           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY c.est DESC) AS rk
+         |    FROM cooc e JOIN est${i - 1} c ON e.dst = c.node_id)
+         |  GROUP BY src
+         |)""".stripMargin
+    }.mkString("\n")
+    base + "\n" + rounds
+  }
+
   private def trussDecayOracle: String = {
     val k = 25
     val rounds = 3
@@ -2555,11 +2619,12 @@ object SparkEntry {
     }
     val out = (0 until k).map { r =>
       s"""  SELECT CAST($r AS BIGINT) AS path_rank, CAST(step AS BIGINT) AS step,
-         |    node_id, ROUND((SELECT arg_max(cum, step) FROM y_a$r), 6) AS path_cost
+         |    node_id, ROUND((SELECT arg_max(cum, step) FROM y_a$r), 6) AS path_cost,
+         |    ROUND(cum, 6) AS step_cost
          |  FROM y_a$r""".stripMargin
     }.mkString("\n  UNION ALL\n")
     sb ++= s"""
-      |SELECT path_rank, step, node_id, path_cost FROM (
+      |SELECT path_rank, step, node_id, path_cost, step_cost FROM (
       |$out
       |) ORDER BY path_rank, step""".stripMargin
     sb.toString
@@ -3801,6 +3866,16 @@ object SparkEntry {
     "gds_leiden_write" -> oracleSqlBase("communities_leiden"),
     "gds_modopt_stream" -> oracleSqlBase("communities_modopt"),
     "gds_kcore_stream" -> oracleSqlBase("kcore_members"),
+    // gds.kCoreDecomposition completes over ALL projection nodes (the
+    // active-user universe = DISTINCT ratings.user_id joined to
+    // customer, an FK no-op) with core 0 for cooc-less users
+    "gds_kcoredec_stream" ->
+      s"""$coreDecompCtes
+         |SELECT u.user_id AS node_id,
+         |       CAST(COALESCE(c.est, 0) AS BIGINT) AS core_value
+         |FROM (SELECT DISTINCT user_id FROM ratings) u
+         |LEFT JOIN est$coreDecompOracleRounds c ON u.user_id = c.node_id
+         |ORDER BY node_id""".stripMargin,
     "gds_sllpa_stream" -> oracleSqlBase("communities_sllpa"),
     "gds_kmeans_stream" -> oracleSqlBase("kmeans_clusters"),
     "gds_node2vec_stream" -> oracleSqlBase("node2vec_embeddings"),
@@ -3842,6 +3917,15 @@ object SparkEntry {
     "cypher_recommend_knn" -> oracleSqlBase("recommend_knn"),
     "cypher_large_groups" -> oracleSqlBase("users_in_large_groups"),
     "cypher_bfs_hops" -> oracleSqlBase("bfs_hops"),
+    // one row per user1—book—coRater path in the 2u/2b+1 encoding: the
+    // ratings self-join IS the path enumeration (rel-uniqueness only
+    // excludes the backtrack to user 1, which reuses the hop-1 edge)
+    "cypher_var_paths" ->
+      s"""$RatingsCte
+         |SELECT b.user_id * 2 AS node_id, CAST(2 AS INTEGER) AS hops
+         |FROM ratings a JOIN ratings b USING (book_id)
+         |WHERE a.user_id = 1 AND b.user_id <> 1
+         |ORDER BY node_id""".stripMargin,
     "cypher_shortest_path" -> oracleSqlBase("shortest_path_nodes"),
     // r10 expression-language entries: NOT twin reuses — each oracle
     // restates the compiled query in ANSI SQL over the raw tables
@@ -5812,6 +5896,11 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS one_row_per_node,
         |       CAST(1 AS BIGINT) AS core_degrees_ge_k,
         |       CAST(1 AS BIGINT) AS members_have_global_deg_ge_k""".stripMargin,
+
+    "kcore_decomposition" ->
+      s"""$coreDecompCtes
+         |SELECT node_id, est AS core_value FROM est$coreDecompOracleRounds
+         |ORDER BY node_id""".stripMargin,
 
     // the 10-core itself, bit-exact: the peel is deterministic, so 4
     // unrolled rounds reach the fixpoint (sf0.01 converges in 1, sf0.1

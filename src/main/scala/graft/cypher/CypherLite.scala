@@ -125,6 +125,13 @@ object CypherLite {
     * tie-break, [[graft.graph.Algorithms.shortestPathNodesOn]]). */
   private[cypher] case class ShortestPath(pathVar: String,
       chain: Chain) extends Clause
+  /** `MATCH p = (a)-[r:T*min..max]->(b)` — PER-PATH var-length match:
+    * one row per relationship-unique path (Cypher's multiplicity, not
+    * the bare var-length segment's DISTINCT-endpoint contract). `p`
+    * binds the shortestPath node-sequence shape; `r` binds the
+    * relationship list. */
+  private[cypher] case class PathMatch(pathVar: String,
+      chain: Chain) extends Clause
   private[cypher] case class Where(expr: Expr) extends Clause
   private[cypher] case class With(items: Seq[Item], distinct: Boolean,
       where: Option[Expr], order: Seq[Order], limit: Option[Long],
@@ -215,6 +222,10 @@ object CypherLite {
             val c = chain()
             expect(")")
             ShortestPath(pv, c)
+          } else if (isIdent(peek) && peekAt(1) == "=") {
+            // `MATCH p = (a)-[r:T*min..max]->(b)` — per-path binding
+            val pv = next(); next()
+            PathMatch(pv, chain())
           } else {
             val cs = Seq.newBuilder[Chain]
             cs += chain()
@@ -542,6 +553,7 @@ object CypherLite {
           optionalChains(m.chains, m.where)
         case m: Match => m.chains.foreach(matchChain)
         case sp: ShortestPath => compileShortestPath(sp)
+        case pm: PathMatch => compilePathMatch(pm)
         case Where(e) => applyPredicate(e)
         case w: With =>
           project(w.items, w.distinct, w.where, w.order, w.limit, w.skip)
@@ -690,6 +702,109 @@ object CypherLite {
       dist.filter(col("__vl_hops") >= minH.toLong)
     }
 
+    /** `MATCH p = (a)-[r:T*min..max]->(b)` — per-PATH var-length
+      * binding (r12, closing the DISTINCT-endpoint gap): one output
+      * row per relationship-unique path, Cypher's multiplicity. `p`
+      * binds `array<struct<step, node_id>>` (the shortestPath shape,
+      * so `nodes(p)` / `length(p)` / `relationships(p)` compose
+      * unchanged); a named segment variable binds the path's
+      * RELATIONSHIP LIST as `array<struct<src, dst>>` in traversal
+      * order — topology only: rel PROPERTIES are not carried
+      * (documented; property access on the list fails in analysis,
+      * never silently). Exactly one var-length segment is supported —
+      * a mixed chain fails fast. Enumeration is frame-wise BFS keyed
+      * on the bound head (one edge join + array-append per hop, no
+      * driver state); path count is bounded by maxH and the
+      * relationship-uniqueness filter (Cypher's own rule), which also
+      * guarantees termination for any bounds. Under an UNDIRECTED
+      * segment, uniqueness canonicalises each edge to (min, max)
+      * endpoint order — stored twin edges (u→v AND v→u) count as one
+      * relationship, marginally stricter than Neo4j on such graphs
+      * (documented deviation; the engine's graphs store one row per
+      * logical edge). */
+    private def compilePathMatch(pm: PathMatch): Unit = {
+      val c = pm.chain
+      require(c.rest.length == 1 && c.rest.head._1.varLength.isDefined,
+        "MATCH p = ... supports exactly one var-length segment " +
+          "(a)-[r:T*min..max]->(b); for the single shortest path use " +
+          "shortestPath((...))")
+      bindNode(c.first)
+      val head = c.first.v.getOrElse(
+        sys.error("path pattern needs a named source node"))
+      val (rel, node) = c.rest.head
+      require(!structVars.contains(pm.pathVar),
+        s"re-binding path variable '${pm.pathVar}' is unsupported")
+      val paths = varLengthPathsEnum(
+        df.select(col(head).getField("id").as("__vl_source")), rel)
+      df = df.join(paths, col(head).getField("id") === col("__vl_source"))
+      rel.v.foreach { rv =>
+        require(!structVars.contains(rv),
+          s"re-binding relationship variable '$rv' is unsupported")
+        df = df.withColumn(rv, col("__vl_rels"))
+        structVars += rv
+      }
+      df = df.withColumn(pm.pathVar, col("__vl_nodes"))
+      structVars += pm.pathVar
+      bindChainTarget(node, col("__vl_node")): Unit
+      df = df.drop("__vl_source", "__vl_node", "__vl_hops", "__vl_rels",
+        "__vl_nodes")
+    }
+
+    /** The per-path BFS core for [[compilePathMatch]]: given a frame of
+      * source ids, one row per relationship-unique path within the hop
+      * bounds — (__vl_source, __vl_node, __vl_hops, __vl_rels,
+      * __vl_nodes). Each hop is one equi-join + an array-append; the
+      * uniqueness check is an `array_contains` on the path's canonical
+      * edge list (≤ maxH elements — a bounded scalar filter, not a
+      * join), and lineage is cut per hop. */
+    private def varLengthPathsEnum(sourcesRaw: DataFrame,
+        rel: RelPat): DataFrame = {
+      val (minH, maxH) = rel.varLength.get
+      require(0 <= minH && minH <= maxH && maxH >= 1,
+        s"bad var-length bounds *$minH..$maxH")
+      val dir0 = edgeFrame(rel.relType).select(col("src"), col("dst"))
+      val step =
+        (if (rel.undirected)
+          dir0.unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
+        else if (rel.leftToRight) dir0
+        else dir0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint()
+      // canonical edge identity for the uniqueness rule: traversal
+      // order for directed segments, (min, max) for undirected ones
+      def canon(s: Column, d: Column): Column =
+        if (rel.undirected) struct(least(s, d).as("src"), greatest(s, d).as("dst"))
+        else struct(s.as("src"), d.as("dst"))
+      val sources = sourcesRaw.toDF("__vl_source")
+        .filter(col("__vl_source").isNotNull).distinct().localCheckpoint()
+      var frontier = sources.select(
+        col("__vl_source"), col("__vl_source").as("__vl_node"),
+        lit(0L).as("__vl_hops"),
+        array().cast("array<struct<src:bigint,dst:bigint>>").as("__vl_rels"),
+        array().cast("array<struct<src:bigint,dst:bigint>>").as("__vl_seen"),
+        array(struct(lit(0).as("step"), col("__vl_source").as("node_id")))
+          .as("__vl_nodes"))
+      var all = frontier
+      for (h <- 1 to maxH) {
+        frontier = step
+          .join(frontier.select(col("__vl_source"),
+            col("__vl_node").as("src"), col("__vl_rels"), col("__vl_seen"),
+            col("__vl_nodes")), Seq("src"))
+          .filter(!array_contains(col("__vl_seen"), canon(col("src"), col("dst"))))
+          .select(col("__vl_source"), col("dst").as("__vl_node"),
+            lit(h.toLong).as("__vl_hops"),
+            concat(col("__vl_rels"),
+              array(struct(col("src"), col("dst")))).as("__vl_rels"),
+            concat(col("__vl_seen"),
+              array(canon(col("src"), col("dst")))).as("__vl_seen"),
+            concat(col("__vl_nodes"),
+              array(struct(lit(h).as("step"), col("dst").as("node_id"))))
+              .as("__vl_nodes"))
+          .localCheckpoint()
+        all = all.unionAll(frontier)
+      }
+      all.filter(col("__vl_hops") >= minH.toLong).drop("__vl_seen")
+    }
+
     /** `MATCH p = shortestPath((a {id: s})-[:T*..k]-(b {id: t}))`:
       * endpoints must pin `id` to a literal/param (the idiom's shape —
       * anything else fails fast); lowers onto
@@ -815,6 +930,14 @@ object CypherLite {
         val v = node.v.getOrElse(freshName())
         require(!structVars.contains(v),
           s"re-binding '$v' inside OPTIONAL MATCH is unsupported")
+        // comma-joined chains re-using one new variable would be a
+        // same-node equality constraint in Cypher; unguarded it adds a
+        // duplicate column and dies later as an opaque Spark
+        // ambiguous-reference error — fail fast in-dialect instead
+        require(!newVars.contains(v),
+          s"shared non-head variable '$v' across OPTIONAL MATCH chains is unsupported")
+        rel.v.foreach(rv => require(!newVars.contains(rv) && !structVars.contains(rv),
+          s"shared relationship variable '$rv' across OPTIONAL MATCH chains is unsupported"))
         val label = node.label.getOrElse(
           sys.error(s"new node '$v' in a chain needs a :Label"))
         if (rel.varLength.isDefined) {
@@ -1079,10 +1202,13 @@ object CypherLite {
       // is +1 and range(3, 1) is the EMPTY list — guard the two-arg
       // form. Three-arg keeps sequence semantics (explicit negative
       // step descends in both engines).
+      // null bound → null (Cypher: range(null, x) IS NULL, not []):
+      // neither `when` matches under a null comparison, so the chain
+      // falls through to its implicit null — no explicit guard needed
       case ("range", Seq(a, b)) =>
         val (ac, bc) = (col1(a), col1(b))
         when(ac <= bc, sequence(ac, bc))
-          .otherwise(array().cast("array<bigint>"))
+          .when(ac > bc, array().cast("array<bigint>"))
       case ("range", Seq(a, b, st)) => sequence(col1(a), col1(b), col1(st))
       // labels(v) / type(r): each binding names its frame, so both fold
       // to literals at compile time — but stay NULL-correct under the

@@ -210,6 +210,97 @@ object CypherLoad {
         .foreachBatch((batch: DataFrame, _: Long) => applyBatch(batch))
   }
 
+  /** S20 generalised (r12): a standing DECOMPOSABLE-AGGREGATE view —
+    * GROUP BY over key-local DETAIL rows where the VIEW rows are NOT
+    * key-local (many keys fold into one group row: per-segment stats,
+    * global counters — the shape [[IncrementalQueryView]] rejects).
+    * The detail query never re-runs whole; per batch the key radius is
+    * recomputed TWICE — against the pre-fold and post-fold graphs —
+    * the two radius aggregates difference into per-group deltas
+    * (Δcount, Δsum per value column), and the view patches additively.
+    * count/sum/avg are delta-foldable because each decomposes into
+    * (sum, count); min/max are NOT (a retraction/update can strand
+    * them) and are rejected at construction, like every other
+    * fail-fast in this file. Exactness argument: the MERGE lowering
+    * only creates/updates rows keyed by the batch's keys (the same
+    * key-locality contract as IncrementalQueryView, but on the DETAIL,
+    * not the view), so detail outside the radius is identical in both
+    * graphs and `after − before` telescopes to the full re-derive.
+    * Group rows whose count reaches 0 drop out (Cypher groups are
+    * existence-dependent). Per-batch work: two radius-pruned detail
+    * runs + one |view|-sized re-sum — no full detail scan; the
+    * `lastTouchedKeys` / `lastDeltaGroups` counters make that
+    * assertable, mirroring S20.
+    *
+    * `aggs` rows are (outputColumn, fn, detailValueColumn) with fn ∈
+    * {count, sum, avg}; count ignores the value column. Double sums
+    * are exact for integer-valued measures (the rating domain) up to
+    * 2⁵³ — the same contract the generic view's re-derive has. */
+  final class DecomposableAggView(init: LoadState, loadStatement: String,
+      detailQuery: String, keyLabel: String, batchKeyCol: String,
+      groupCols: Seq[String], aggs: Seq[(String, String, String)],
+      readParams: Map[String, Any] = Map.empty, paramName: String = "rows") {
+    require(aggs.nonEmpty &&
+      aggs.forall(a => Seq("count", "sum", "avg").contains(a._2)),
+      "decomposable aggregates are count/sum/avg; min/max need the " +
+        "generic StreamingQueryView re-derive")
+    private val loader = new StreamingLoader(init, loadStatement, paramName)
+    private val sumCols =
+      aggs.collect { case (_, fn, c) if fn != "count" => c }.distinct
+    private def partial(g: CypherLite.Graph,
+        touched: Option[DataFrame]): DataFrame = {
+      val gg = touched match {
+        case Some(t) => CypherLite.Graph(
+          g.nodes + (keyLabel -> g.nodes(keyLabel)
+            .join(t, col("id") === col("__k"), "left_semi")), g.edges)
+        case None => g
+      }
+      CypherLite.run(gg, detailQuery, readParams)
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          sumCols.map(c => sum(col(c).cast("double")).as(s"__sum_$c")): _*)
+    }
+    private def resum(df: DataFrame): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(sum(col("__n")).as("__n"),
+          sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")): _*)
+    @volatile private var state: DataFrame =
+      partial(init.graph, None).localCheckpoint()
+    @volatile var lastTouchedKeys: Long = 0L
+    @volatile var lastDeltaGroups: Long = 0L
+    def graph: CypherLite.Graph = loader.current.graph
+    /** The user-facing view: one column per requested aggregate. */
+    def current: DataFrame =
+      state.select(groupCols.map(col) ++ aggs.map {
+        case (out, "count", _) => col("__n").as(out)
+        case (out, "sum", c) => col(s"__sum_$c").as(out)
+        case (out, "avg", c) => (col(s"__sum_$c") / col("__n")).as(out)
+      }: _*)
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val gOld = loader.current.graph
+      loader.applyBatch(batch)
+      val gNew = loader.current.graph
+      val touched = batch
+        .select(col(batchKeyCol).cast("bigint").as("__k"))
+        .filter(col("__k").isNotNull).distinct().localCheckpoint()
+      val before = partial(gOld, Some(touched))
+      val after = partial(gNew, Some(touched))
+      val negBefore = before.select(groupCols.map(col) ++
+        ((-col("__n")).as("__n") +:
+          sumCols.map(c => (-col(s"__sum_$c")).as(s"__sum_$c"))): _*)
+      val delta = resum(after.unionByName(negBefore)).localCheckpoint()
+      lastTouchedKeys = touched.count()
+      lastDeltaGroups = delta.count()
+      state = resum(state.unionByName(delta))
+        .filter(col("__n") > 0L).localCheckpoint()
+    }
+    /** Wire a CSV-shaped row stream into the view; caller starts it. */
+    def attach(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) => applyBatch(batch))
+  }
+
   private def rowsOf(params: Map[String, Any], name: String): DataFrame =
     params.getOrElse(name, sys.error(s"missing parameter $$$name")) match {
       case df: org.apache.spark.sql.Dataset[_] => df.toDF()

@@ -168,6 +168,21 @@ object ReferenceQueries {
   def bfsHopsCompiled(spark: SparkSession, dir: String): DataFrame =
     CypherLite.run(bipartiteGraph(spark, dir), BfsHops)
 
+  /** Per-PATH var-length matching (r12): every relationship-unique
+    * 2-hop path user1—book—co-rater over the ENCODED bipartite graph
+    * (the bfs_hops substrate — raw user/book ids collide, so
+    * label-crossing traversal needs the 2u / 2b+1 encoding), ONE ROW
+    * PER PATH — the row multiplicity (shared-book count per co-rater)
+    * is exactly what the DISTINCT-endpoint segment form cannot
+    * express. Gated on a plain ratings self-join oracle. */
+  val VarPaths: String =
+    """MATCH p = (a:BNode {id: 2})-[r:LINKED*2..2]-(b:BNode)
+      |RETURN b.id AS node_id, length(p) AS hops
+      |ORDER BY node_id""".stripMargin
+
+  def varPathsCompiled(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(bipartiteGraph(spark, dir), VarPaths)
+
   /** The user co-occurrence graph binding for the shortestPath idiom —
     * COOC edges come from the session-cached bidirectional silver
     * (`Algorithms.userCoocBidir`), the same substrate the

@@ -209,6 +209,15 @@ final class GdsSession(initial: CypherLite.Graph) {
     rels.write.mode("overwrite").parquet(s"$path/relationships")
     val s = spark
     import s.implicits._
+    // self-describing export (r12): a one-row metadata sidecar carrying
+    // what the parquet schemas cannot — the label universe and which
+    // relationshipType is the BASE projection vs a `.mutate` addition —
+    // so graphImport needs no caller-restated arguments (GDS's own
+    // export is self-describing). Written/read as a Spark json dataset:
+    // no hand-rolled parser, works on any Hadoop-compatible path.
+    Seq((p.labels, relType, p.mutRels.keys.toSeq.sorted))
+      .toDF("labels", "relType", "mutatedRelTypes")
+      .coalesce(1).write.mode("overwrite").json(s"$path/manifest")
     Seq((graphName, p.nodes.count(), rels.count(),
         (1 + p.mutRels.size).toLong, (p.nodes.columns.length - 1).toLong))
       .toDF("graphName", "nodeCount", "relationshipCount",
@@ -221,11 +230,13 @@ final class GdsSession(initial: CypherLite.Graph) {
     * verdict flagged: export → import → stream ≡ original (spec-pinned,
     * including mutated node properties, which ride the nodes frame
     * as-is). Every relationshipType beyond the base rehydrates into
-    * `mutRels` (where `.mutate` procedures put it pre-export). The
-    * export stores no label/type metadata file (GDS's own does —
-    * documented seam), so the caller re-states `labels` when the id
-    * space was label-encoded and may pin `relType`; default base = the
-    * alphabetically first type, which is exact for single-type exports.
+    * `mutRels` (where `.mutate` procedures put it pre-export). Labels
+    * and the base relationshipType come from the export's
+    * `manifest.json` sidecar (r12 — the export is self-describing like
+    * GDS's own), so a round trip restates NOTHING; explicit `labels` /
+    * `relType` arguments override the manifest, and a manifest-less
+    * directory (pre-r12 export, foreign parquet) falls back to the old
+    * contract: caller-stated labels, alphabetically first type as base.
     * Union-widening at export may have added all-null property columns
     * to frames that never carried them; they import as-written (nulls
     * don't perturb topology or property streams). */
@@ -235,18 +246,30 @@ final class GdsSession(initial: CypherLite.Graph) {
     require(!projections.contains(graphName),
       s"graph '$graphName' already exists")
     val s = spark
+    val manifest: Option[org.apache.spark.sql.Row] =
+      try Some(s.read.json(s"$path/manifest").head())
+      catch { case _: Exception => None }
+    def manifestLabels: Seq[String] = manifest.toSeq.flatMap { m =>
+      // an empty labels array may infer as a non-string element type —
+      // read defensively: absent/empty both mean "no label encoding"
+      try m.getAs[scala.collection.Seq[String]]("labels").toSeq
+      catch { case _: Exception => Nil }
+    }
+    val effLabels = if (labels.nonEmpty) labels else manifestLabels
     val nodes = s.read.parquet(s"$path/nodes").localCheckpoint()
     val relsAll = s.read.parquet(s"$path/relationships").localCheckpoint()
     val types = relsAll.select(col("relationshipType")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     require(types.nonEmpty, s"no relationships at $path/relationships")
-    val base = relType.getOrElse(types.head)
+    val base = relType
+      .orElse(manifest.map(_.getAs[String]("relType")))
+      .getOrElse(types.head)
     require(types.contains(base),
       s"relationshipType '$base' not in export (carried: ${types.mkString(", ")})")
     def ofType(t: String) =
       relsAll.filter(col("relationshipType") === t).drop("relationshipType")
         .localCheckpoint()
-    val p = Projection(labels, nodes, ofType(base), base,
+    val p = Projection(effLabels, nodes, ofType(base), base,
       (types.toSet - base).map(t => t -> ofType(t)).toMap)
     projections.put(graphName, p)
     import s.implicits._
@@ -1675,12 +1698,12 @@ final class GdsSession(initial: CypherLite.Graph) {
         p.rels.select(col("src"), col("dst")), k)), lit(0L))
     })
 
-  /** `gds.kcore.*` — FIXED-k core membership: coreValue is the node's
-    * degree WITHIN the k-core (≥ k by definition), 0 for nodes peeled
-    * out. DOCUMENTED deviation from GDS's full kCoreDecomposition
-    * (per-node max core id): the peeling kernel answers the membership
-    * question the recommender asks ("who is in the dense core?") at one
-    * fixpoint instead of degeneracy-many. */
+  /** Fixed-k core membership (graft EXTENSION, not the GDS procedure):
+    * coreValue is the node's degree WITHIN the k-core (≥ k by
+    * definition), 0 for nodes peeled out — the membership question the
+    * recommender asks ("who is in the dense core?") at one fixpoint.
+    * For GDS's actual `gds.kCoreDecomposition` answer shape (per-node
+    * core NUMBER) use `kcoreDecompositionStream` below. */
   def kcoreStream(graphName: String, k: Int = 10,
       precomputed: Option[DataFrame] = None): DataFrame =
     kcoreModes(graphName, k, precomputed).stream()
@@ -1697,6 +1720,40 @@ final class GdsSession(initial: CypherLite.Graph) {
   def kcoreMutate(graphName: String, mutateProperty: String = "coreValue",
       k: Int = 10, precomputed: Option[DataFrame] = None): DataFrame =
     kcoreModes(graphName, k, precomputed).mutate(mutateProperty)
+
+  private def kcoreDecompositionModes(graphName: String,
+      precomputed: Option[DataFrame]): NodeModes =
+    new NodeModes(graphName, "coreValue", () => {
+      val p = projOf(graphName)
+      overAllNodes(p, precomputed.getOrElse(
+        graft.graph.Algorithms.coreDecomposition(
+          p.rels.select(col("src"), col("dst")))), lit(0L))
+    })
+
+  /** `gds.kCoreDecomposition.*` (aka `gds.kcore`) — GDS-faithful FULL
+    * decomposition: coreValue is each node's core NUMBER (the max k it
+    * survives peeling to), 0 for edgeless nodes. h-index-iteration
+    * kernel (`Algorithms.coreDecomposition`); the fixed-k membership
+    * family above stays as the documented graft extension for the
+    * "who is in the dense core?" recommender question. */
+  def kcoreDecompositionStream(graphName: String,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    kcoreDecompositionModes(graphName, precomputed).stream()
+  def kcoreDecompositionWrite(graphName: String,
+      writeProperty: String = "coreValue", writeLabel: String = "User",
+      precomputed: Option[DataFrame] = None): DataFrame =
+    kcoreDecompositionModes(graphName, precomputed).write(writeProperty, writeLabel)
+  def kcoreDecompositionStats(graphName: String,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = kcoreDecompositionModes(graphName, precomputed).stream()
+      .localCheckpoint()
+    metaLong("degeneracy" -> f.agg(max(col("coreValue"))).head().getLong(0),
+      "nodeCount" -> f.count())
+  }
+  def kcoreDecompositionMutate(graphName: String,
+      mutateProperty: String = "coreValue",
+      precomputed: Option[DataFrame] = None): DataFrame =
+    kcoreDecompositionModes(graphName, precomputed).mutate(mutateProperty)
 
   /** The (node_id, cluster) frame the kmeans modes share — Lloyd's over
     * the projection nodes' `nodeProperty` vector column (the
@@ -1800,11 +1857,11 @@ final class GdsSession(initial: CypherLite.Graph) {
 
   /** `gds.shortestPath.yens.stream(name, {sourceNode, targetNode, k,
     * relationshipWeightProperty}) YIELD index, sourceNode, targetNode,
-    * totalCost, nodeIds` — K shortest loopless paths over the oracled
-    * [[graft.graph.Algorithms.yensPaths]] kernel (its 0-based path_rank
-    * IS the GDS index). Per-node cumulative costs are not carried by the
-    * kernel's output shape, so the YIELD omits `costs` (documented
-    * deviation; totalCost is exact). Same bounded-horizon (`rounds`) and
+    * totalCost, nodeIds, costs` — K shortest loopless paths over the
+    * oracled [[graft.graph.Algorithms.yensPaths]] kernel (its 0-based
+    * path_rank IS the GDS index; `costs` is GDS's cumulative-cost-per-
+    * step array, position-aligned with nodeIds — r12, closing the last
+    * YIELD omission). Same bounded-horizon (`rounds`) and
     * no-weight-property-⇒-hop-cost-1.0 contract as
     * [[shortestPathDijkstraStream]]; fewer than k rows when the graph
     * has fewer loopless paths within the budget. */
@@ -1824,11 +1881,12 @@ final class GdsSession(initial: CypherLite.Graph) {
     paths
       .groupBy(col("path_rank"))
       .agg(sort_array(collect_list(
-          struct(col("step"), col("node_id")))).as("steps"),
+          struct(col("step"), col("node_id"), col("step_cost")))).as("steps"),
         max(col("path_cost")).as("totalCost"))
       .select(col("path_rank").as("index"), lit(sourceNode).as("sourceNode"),
         lit(targetNode).as("targetNode"), col("totalCost"),
-        transform(col("steps"), s => s.getField("node_id")).as("nodeIds"))
+        transform(col("steps"), s => s.getField("node_id")).as("nodeIds"),
+        transform(col("steps"), s => s.getField("step_cost")).as("costs"))
       .orderBy(col("index"))
   }
 
@@ -1961,7 +2019,12 @@ final class GdsSession(initial: CypherLite.Graph) {
         sum(col("weight").cast("long")).as("wdeg"))
     val stat = p.nodes.select(col("id").as("node_id"),
       col(nodeProperty).cast("double").as("a"))
-    graft.graph.Algorithms.scaleProperties(gprops.join(stat, Seq("node_id")))
+    // complete over ALL projection nodes (0 deg/wdeg for rel-less ones)
+    // — GDS returns scaled properties for every node, and every other
+    // node procedure here uses the same overAllNodes completion
+    val completed = stat.join(gprops, Seq("node_id"), "left_outer")
+      .na.fill(0L, Seq("deg", "wdeg"))
+    graft.graph.Algorithms.scaleProperties(completed)
       .withColumnRenamed("node_id", "nodeId")
   }
 
@@ -2058,8 +2121,10 @@ final class GdsSession(initial: CypherLite.Graph) {
       s"graph '$graphName' already exists")
     val e = graft.graph.Algorithms.rmatEdges(spark, scale, edgeCount, a, b, c)
       .select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // GDS's graph.generate registers the FULL requested node universe
+    // (nodeCount = 2^scale), including ids the sampler never hit — not
+    // just src ∪ dst of the drawn edges
+    val nodes = spark.range(1L << scale).select(col("id")).localCheckpoint()
     projections.put(graphName, Projection(Nil, nodes, e, "REL"))
     val s = spark
     import s.implicits._

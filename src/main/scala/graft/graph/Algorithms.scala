@@ -954,6 +954,60 @@ object Algorithms {
         assumeDistinct = true) // one row per user pair by construction
     }
 
+  /** FULL k-core decomposition: core_value = each node's core NUMBER
+    * (the max k such that the node survives k-peeling) — the answer
+    * shape of GDS `gds.kCoreDecomposition`, which the fixed-k `kcore`
+    * above deliberately does not give. Computed by h-index iteration
+    * (Montresor/De Pellegrini/Miorandi, "Distributed k-core
+    * decomposition"; Lü et al. 2016 prove convergence): every node
+    * starts at its degree and repeatedly takes the h-index of its
+    * neighbours' estimates — the largest h with ≥ h neighbours at
+    * estimate ≥ h. Estimates are integer, monotone non-increasing, and
+    * bounded below by the core number, so sum(est) strictly decreases
+    * until the fixpoint; convergence is checked on that one scalar.
+    *
+    * Scale shape: the edge set never changes (no peeling), so it is
+    * hash-partitioned by src ONCE; each round is one join against the
+    * |V|-row estimate frame (broadcast-able at any realistic node
+    * count ≪ |E|, AQE decides) + one degree-bounded window rank — the
+    * h-index of a neighbour list is max(min(est_i, i)) over the list
+    * sorted descending, a row_number window, NOT a collect_list (a
+    * hub's array never materialises). Rounds are bounded by the
+    * graph's coreness spread in practice (single digits on the cooc
+    * graph; worst case the longest est-propagation chain). Expects an
+    * undirected graph given as both directions, one row per (src,dst). */
+  def coreDecomposition(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    var est = e.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).cast("long").as("est")).localCheckpoint()
+    var total = est.agg(sum(col("est"))).head().getLong(0)
+    var converged = total == 0L
+    val w = Window.partitionBy(col("src")).orderBy(col("est").desc)
+    while (!converged) {
+      val next = e.join(est.withColumnRenamed("node_id", "dst"), Seq("dst"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("src"), least(col("est"), col("rk")).as("cap"))
+        .groupBy(col("src").as("node_id"))
+        .agg(max(col("cap")).as("est"))
+        .localCheckpoint()
+      val t = next.agg(sum(col("est"))).head().getLong(0)
+      converged = t == total
+      total = t
+      est = next
+    }
+    est.select(col("node_id"), col("est").as("core_value"))
+  }
+
+  /** Core numbers of the user co-occurrence graph, session-cached
+    * (the `kcore_decomposition` entry + the gds.kCoreDecomposition
+    * front door consume it). */
+  def userCoreNumbers(spark: SparkSession, dir: String): DataFrame =
+    graft.Cache.cached(spark, dir, "core_numbers") {
+      coreDecomposition(RatingsGraph.cooccurrenceEdges(spark, dir)
+        .select(col("u1").as("src"), col("u2").as("dst")))
+    }
+
   /** Bounded BFS: hop distance from a source node to every node within
     * `maxHops` (the generalisation of the reference's 2-hop
     * `get_graph_data` expansion). One join + min-aggregate per hop. */
@@ -1353,13 +1407,18 @@ object Algorithms {
         }
       }
     val paths = yensLoop(source, k, rounds, bfBatch)
+    // step_cost = the cumulative cost AT each step (GDS's per-step
+    // `costs` array, exploded): driver-leg cums are exact doubles, the
+    // distributed leg's are already 1e-6-rounded — the single output
+    // ROUND makes both legs emit identical values
     paths.zipWithIndex.flatMap { case ((p, cum), rank) =>
       p.zipWithIndex.map { case (node, step) =>
-        (rank.toLong, step.toLong, node, cum.last)
+        (rank.toLong, step.toLong, node, cum(step), cum.last)
       }
-    }.toDF("path_rank", "step", "node_id", "path_cost")
+    }.toDF("path_rank", "step", "node_id", "step_cost", "path_cost")
       .select(col("path_rank"), col("step"), col("node_id"),
-        round(col("path_cost"), 6).as("path_cost"))
+        round(col("path_cost"), 6).as("path_cost"),
+        round(col("step_cost"), 6).as("step_cost"))
       .orderBy(col("path_rank"), col("step"))
   }
 

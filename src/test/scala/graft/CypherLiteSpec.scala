@@ -263,6 +263,60 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(rows(one) == Seq(Seq(1L, 2L)))
   }
 
+  test("r12 MATCH p = (a)-[r:T*..k]->(b): one row per path, rel-list binding") {
+    // diamond 1→{2,3}→4: per-PATH multiplicity must yield TWO rows to
+    // node 4 (the DISTINCT-endpoint segment form collapses them to one)
+    val g = CypherLite.Graph(
+      nodes = Map("N" -> Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("id")),
+      edges = Map("T" -> Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("src", "dst")))
+    val out = CypherLite.run(g,
+      """MATCH p = (a:N {id: 1})-[r:T*2..2]->(b:N)
+        |RETURN b.id AS dst, length(p) AS hops, r AS rels, nodes(p) AS ns""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getLong(0), x.getLong(1))),
+        r.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(1))))
+      .sortBy(_._3.head._2)
+    assert(out.toSeq == Seq(
+      (4L, 2, Seq((1L, 2L), (2L, 4L)), Seq(1L, 2L, 4L)),
+      (4L, 2, Seq((1L, 3L), (3L, 4L)), Seq(1L, 3L, 4L))),
+      s"hand-enumerated diamond paths diverged: ${out.toSeq}")
+    // relationships(p) (zip of consecutive nodes) ≡ the bound rel list
+    val eq = CypherLite.run(g,
+      """MATCH p = (a:N {id: 1})-[r:T*1..2]->(b:N)
+        |WHERE r = relationships(p)
+        |RETURN b.id AS dst""".stripMargin)
+    assert(eq.count() == 4L, "r must equal relationships(p) on every path")
+    // relationship-uniqueness: 2-cycle {1→2, 2→1} stops after reusing
+    // no edge — [1,2] and [1,2,1], never [1,2,1,2]
+    val cyc = CypherLite.Graph(
+      nodes = Map("N" -> Seq(1L, 2L).map(Tuple1(_)).toDF("id")),
+      edges = Map("T" -> Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")))
+    val cy = CypherLite.run(cyc,
+      """MATCH p = (a:N {id: 1})-[r:T*1..3]->(b:N)
+        |RETURN b.id AS dst, length(p) AS hops ORDER BY hops""".stripMargin)
+    assert(rows(cy) == Seq(Seq(2L, 1), Seq(1L, 2)),
+      "edge-uniqueness must stop the cycle at 2 hops")
+    // UNDIRECTED canonical identity: a stored edge is ONE relationship
+    // in both directions — no 1—2—1 backtrack over the same edge
+    val und = CypherLite.run(cyc.copy(edges =
+      Map("T" -> Seq((1L, 2L)).toDF("src", "dst"))),
+      """MATCH p = (a:N {id: 1})-[r:T*1..2]-(b:N)
+        |RETURN b.id AS dst""".stripMargin)
+    assert(rows(und) == Seq(Seq(2L)))
+    // *0..k includes the zero-hop path (empty rel list, b = a)
+    val zero = CypherLite.run(g,
+      """MATCH p = (a:N {id: 1})-[r:T*0..1]->(b:N)
+        |RETURN b.id AS dst, size(r) AS n ORDER BY dst""".stripMargin)
+    assert(rows(zero) == Seq(Seq(1L, 0), Seq(2L, 1), Seq(3L, 1)))
+    // mixed chains fail fast (exactly one var-length segment)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(g,
+        """MATCH p = (a:N {id: 1})-[:T]->(m:N)-[r:T*1..2]->(b:N)
+          |RETURN b.id AS dst""".stripMargin)
+    }
+  }
+
   // ---- var-length + shortestPath (r9) ----------------------------
 
   test("var-length: directed, undirected, exact-k hop algebra on the fixture") {

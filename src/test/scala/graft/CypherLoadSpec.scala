@@ -213,6 +213,65 @@ class CypherLoadSpec extends AnyFunSuite {
     // S17/S19 attach paths already pinned above
   }
 
+  test("DecomposableAggView (S20b): non-key-local aggregate patched from deltas ≡ re-run") {
+    // three users at TWO locations: the view groups by u.location, so
+    // its rows are NOT owned by one user — the shape S20 rejects and
+    // this variant delta-folds (count/sum/avg decompose into sum+count)
+    val users = Seq(("1", "x", ""), ("2", "x", "30"), ("3", "y", "25"))
+      .toDF("User-ID", "Location", "Age")
+    val books = Seq(("10", "t", "a", "1999", "p"), ("11", "t2", "a2", "2001", "p2"))
+      .toDF("ISBN", "Book-Title", "Book-Author", "Year-Of-Publication", "Publisher")
+    var st = CypherLoad.run(empty, ReferenceQueries.LoadUsers, Map("rows" -> users))
+    st = CypherLoad.run(st, ReferenceQueries.LoadBooks, Map("rows" -> books))
+    st = CypherLoad.run(st, ReferenceQueries.LoadRatings,
+      Map("rows" -> Seq.empty[(String, String, String)]
+        .toDF("User-ID", "ISBN", "Book-Rating")))
+    val detailQ =
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |RETURN u.location AS loc, r.rating AS rating""".stripMargin
+    val view = new CypherLoad.DecomposableAggView(st,
+      ReferenceQueries.LoadRatings, detailQ, keyLabel = "User",
+      batchKeyCol = "User-ID", groupCols = Seq("loc"),
+      aggs = Seq(("n", "count", ""), ("total", "sum", "rating"),
+        ("mean", "avg", "rating")))
+    assert(view.current.isEmpty)
+    def viewRows = view.current.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val b1 = Seq(("1", "10", "5"), ("2", "11", "6"), ("3", "10", "4"))
+    val b2 = Seq(("1", "10", "9"), ("1", "11", "7")) // touches user 1 ONLY
+    view.applyBatch(b1.toDF("User-ID", "ISBN", "Book-Rating"))
+    assert(viewRows == Seq(("x", 2L, 11.0, 5.5), ("y", 1L, 4.0, 4.0)))
+    // batch 2: a re-MERGE raising (1,10) 5→9 plus a new (1,11) edge —
+    // location y's group row is never recomputed (Δ hits 'x' only),
+    // and the counters make the delta bound an assertion
+    view.applyBatch(b2.toDF("User-ID", "ISBN", "Book-Rating"))
+    assert(viewRows == Seq(("x", 3L, 22.0, 22.0 / 3.0), ("y", 1L, 4.0, 4.0)))
+    assert(view.lastTouchedKeys == 1L && view.lastDeltaGroups == 1L,
+      s"one-key batch must delta one group, got ${view.lastDeltaGroups} " +
+        s"groups over ${view.lastTouchedKeys} keys")
+    // ≡ the full re-derive (generic-view semantics) over the same folds
+    var bst = st
+    Seq(b1, b2).foreach { b =>
+      bst = CypherLoad.run(bst, ReferenceQueries.LoadRatings,
+        Map("rows" -> b.toDF("User-ID", "ISBN", "Book-Rating")))
+    }
+    val batchRows = CypherLite.run(bst.graph,
+      """MATCH (u:User)-[r:RATED]->(b:Book)
+        |RETURN u.location AS loc, count(*) AS n, sum(r.rating) AS total,
+        |avg(r.rating) AS mean""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2).toDouble,
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(viewRows == batchRows,
+      "delta-folded aggregate view diverged from the full re-run")
+    // min/max are not delta-foldable — rejected at construction
+    intercept[IllegalArgumentException] {
+      new CypherLoad.DecomposableAggView(st, ReferenceQueries.LoadRatings,
+        detailQ, "User", "User-ID", Seq("loc"),
+        Seq(("m", "max", "rating")))
+    }
+  }
+
   test("unsupported write constructs fail fast, never compile silently wrong") {
     val rows = Seq(("1", "x", "")).toDF("User-ID", "Location", "Age")
     // DELETE is outside the write subset

@@ -910,6 +910,50 @@ class GdsSessionSpec extends AnyFunSuite {
       "gds.kcore route diverged from userKcore")
   }
 
+  test("r12 kCoreDecomposition: full core numbers over a 4-value fixture") {
+    import spark.implicits._
+    // K5 {1..5} (core 4) — bridge 5—6 — triangle {6,7,8} (core 2) —
+    // pendant 8—9 (core 1) — isolated 10 (core 0): four DISTINCT
+    // coreValue levels, covering both the h-index fixpoint and the
+    // overAllNodes 0-completion for edgeless projection nodes
+    val nodes = (1L to 10L).map(Tuple1(_)).toDF("id")
+    def undirected(ps: Seq[(Long, Long)]) =
+      (ps ++ ps.map(_.swap)).toDF("src", "dst")
+    val edges = undirected(
+      (for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)) ++
+        Seq((5L, 6L), (6L, 7L), (6L, 8L), (7L, 8L), (8L, 9L)))
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("fix", Seq("N"), "E", orientation = "NATURAL")
+    val got = g.kcoreDecompositionStream("fix").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L,
+      6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 1L, 10L -> 0L)
+    assert(got == want, s"core numbers diverged: $got")
+    val stats = g.kcoreDecompositionStats("fix").head()
+    assert(stats.getLong(0) == 4L, "degeneracy = max core number")
+    assert(stats.getLong(1) == 10L, "stats covers every node")
+    g.kcoreDecompositionMutate("fix")
+    assert(g.graphNodePropertiesStream("fix", "coreValue").count() == 10L)
+    g.kcoreDecompositionWrite("fix", writeLabel = "N")
+    assert(g.db.nodes("N").filter(col("coreValue") === 4L).count() == 5L)
+    // route ≡ the oracled kernel twin on the cooc projection
+    val gc = coocProjected
+    val viaGds = gc.kcoreDecompositionStream("cooc")
+      .filter(col("coreValue") > 0)
+      .select(col("nodeId").as("node_id"), col("coreValue").as("core_value"))
+    val twin = graph.Algorithms.userCoreNumbers(spark, sf)
+    assert(viaGds.exceptAll(twin).isEmpty && twin.exceptAll(viaGds).isEmpty,
+      "gds.kCoreDecomposition route diverged from userCoreNumbers")
+    // consistency with the fixed-k extension: a node survives k-peeling
+    // iff its core number is ≥ k
+    val members = graph.Algorithms.userKcore(spark, sf, 10)
+      .select(col("node_id"))
+    val byCore = twin.filter(col("core_value") >= 10).select(col("node_id"))
+    assert(members.exceptAll(byCore).isEmpty && byCore.exceptAll(members).isEmpty,
+      "10-core membership must equal {core_value >= 10}")
+  }
+
   test("r11 kmeans: node-property clustering, fixture + route ≡ assign") {
     import spark.implicits._
     // two well-separated 2-D clusters; Array[Float] like the
@@ -996,6 +1040,20 @@ class GdsSessionSpec extends AnyFunSuite {
       Seq(1L, 2L, 4L), Seq(1L, 3L, 4L), Seq(1L, 5L, 6L, 4L)),
       "nodeIds must trace the three loopless routes")
     assert(rows.forall(r => r.getLong(1) == 1L && r.getLong(2) == 4L))
+    // r12: per-step `costs` (cumulative, aligned with nodeIds) — exact
+    // values on the fixture, and the GDS invariants: starts at 0, step
+    // deltas sum to totalCost (costs.last == totalCost), nondecreasing
+    val costs = rows.map(_.getSeq[Double](5)).toSeq
+    assert(costs == Seq(Seq(0.0, 1.0, 2.0), Seq(0.0, 1.0, 3.0),
+      Seq(0.0, 2.0, 4.0, 6.0)), s"cumulative costs diverged: $costs")
+    rows.zip(costs).foreach { case (r, cs) =>
+      assert(cs.length == r.getSeq[Long](4).length,
+        "costs must align with nodeIds")
+      assert(cs.head == 0.0 && cs.last == r.getDouble(3),
+        "costs must start at 0 and end at totalCost")
+      assert(cs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        "cumulative costs must be nondecreasing")
+    }
     // weight-property typo fails fast (requireWeightProp contract)
     intercept[IllegalArgumentException] {
       g.shortestPathYensStream("fix", 1L, 4L,
@@ -1013,8 +1071,10 @@ class GdsSessionSpec extends AnyFunSuite {
     val out = java.nio.file.Files
       .createTempDirectory("graft_gds_roundtrip").toString
     g.graphExport("userGraph", out)
-    val meta = g.graphImport("imported", out,
-      labels = Seq("User", "Book"), relType = Some("RATED")).head()
+    // r12: NOTHING restated — labels and the base relationshipType come
+    // from the export's manifest sidecar (multi-type export: RATED base
+    // + mutated SIMILAR must NOT resolve alphabetically)
+    val meta = g.graphImport("imported", out).head()
     assert(meta.getString(0) == "imported")
     // topology: base + mutated relationship types, row-identical
     for (t <- Seq(None, Some("RATED"), Some("SIMILAR"))) {
@@ -1031,7 +1091,15 @@ class GdsSessionSpec extends AnyFunSuite {
     // downstream procedures run on the imported projection
     assert(g.degreeStream("imported").count() ==
       g.degreeStream("userGraph").count())
-    // unknown relType / dup name fail fast
+    // labels round-trip through the manifest: the write mode's encoded
+    // id decode (label-striped) must behave identically on the import
+    g.wccWrite("userGraph", writeProperty = "ccA")
+    g.wccWrite("imported", writeProperty = "ccB")
+    assert(g.db.nodes("User")
+      .filter(not(col("ccA") <=> col("ccB"))).isEmpty,
+      "label-decoded write diverged — manifest labels did not round-trip")
+    // explicit arguments still override the manifest; unknown relType /
+    // dup name fail fast
     intercept[IllegalArgumentException] {
       g.graphImport("imported2", out, relType = Some("NOPE"))
     }
@@ -1137,9 +1205,8 @@ class GdsSessionSpec extends AnyFunSuite {
     assert(meta.getString(0) == "rmat")
     val kernel = graph.Algorithms.rmatEdges(spark, 8, 500L)
     assert(meta.getLong(2) == kernel.count(), "relationshipCount = E")
-    val kernelNodes = kernel.select(col("src").as("id"))
-      .unionAll(kernel.select(col("dst").as("id"))).distinct().count()
-    assert(meta.getLong(1) == kernelNodes, "nodeCount = |src ∪ dst|")
+    // the FULL requested universe, like GDS — not just src ∪ dst
+    assert(meta.getLong(1) == 256L, "nodeCount = 2^scale")
     // the registered projection IS the kernel's edge set
     val rels = g.graphRelationshipsStream("rmat")
       .select(col("sourceNodeId").as("src"), col("targetNodeId").as("dst"))

@@ -1305,15 +1305,19 @@ class NewOpsSpec extends AnyFunSuite {
       (1L, 2L, 1.0), (2L, 4L, 1.0), (1L, 3L, 1.0), (3L, 4L, 1.5),
       (2L, 3L, 0.5), (3L, 2L, 1.0), (1L, 4L, 4.0)).toDF("src", "dst", "len")
     def pathsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (rk, rows) =>
-        (rk, rows.sortBy(_._2).map(_._3).toSeq, rows.head._4) }
+        val sorted = rows.sortBy(_._2)
+        (rk, sorted.map(_._3).toSeq, rows.head._4, sorted.map(_._5).toSeq) }
     val got = pathsOf(Algorithms.yensPaths(edges, 1L, 4L, k = 3))
+    // r12: step_cost = cumulative cost at each step (0 at the source,
+    // path_cost at the target) — pinned closed-form per path
     assert(got == Seq(
-      (0L, Seq(1L, 2L, 4L), 2.0),
-      (1L, Seq(1L, 3L, 4L), 2.5),
-      (2L, Seq(1L, 2L, 3L, 4L), 3.0)), s"got $got")
+      (0L, Seq(1L, 2L, 4L), 2.0, Seq(0.0, 1.0, 2.0)),
+      (1L, Seq(1L, 3L, 4L), 2.5, Seq(0.0, 1.0, 2.5)),
+      (2L, Seq(1L, 2L, 3L, 4L), 3.0, Seq(0.0, 1.0, 1.5, 3.0))), s"got $got")
     // distributed leg (driverLimit = 0): same paths, same costs
     val dist = pathsOf(Algorithms.yensPaths(edges, 1L, 4L, k = 3, driverLimit = 0L))
     assert(dist == got, s"legs disagree: $dist vs $got")

@@ -236,7 +236,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "gds_yens_stream",
     "gds_maxkcut_stream", "gds_influence_stream",
     "gds_scaleprops_stream", "gds_hashgnn_stream", "gds_filter_degree",
-    "gds_import_stats")
+    "gds_import_stats",
+    // r12: the full core decomposition + its front door, and the
+    // per-path var-length compile
+    "kcore_decomposition", "gds_kcoredec_stream", "cypher_var_paths")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
