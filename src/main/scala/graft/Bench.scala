@@ -71,6 +71,10 @@ object Bench {
       "oriented_adj" -> ((s: SparkSession) => graph.Algorithms.userOrientedAdj(s, sfDir).count(): Unit),
       "edge_support" -> ((s: SparkSession) => graph.Algorithms.userEdgeSupport(s, sfDir).count(): Unit),
       "kcore" -> ((s: SparkSession) => graph.Algorithms.userKcore(s, sfDir).count(): Unit),
+      // r12: the full h-index core decomposition (42 fixpoint rounds at
+      // sf0.1) — shared by kcore_decomposition + the gds.kCoreDecomposition
+      // front door, surfaced here so neither entry carries the build
+      "core_numbers" -> ((s: SparkSession) => graph.Algorithms.userCoreNumbers(s, sfDir).count(): Unit),
       // r11: shared by communities_sllpa + the gds.alpha.sllpa front
       // door — surfaced here so neither entry carries the build
       "sllpa" -> ((s: SparkSession) => graph.Sllpa.userSllpa(s, sfDir).count(): Unit),

@@ -34,11 +34,19 @@ object ScaleProbe {
 
     if (out != src) generate(spark, src, out, copies)
 
+    // job counter (r12): Spark JOBS RUN per query — the observable for
+    // "iteration rounds stay constant across scale" (an iterative
+    // kernel whose convergence degrades at N× shows up here even when
+    // the final frame's plan signature is identical)
+    def jobsSoFar: Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val times = queries.map { q =>
+      val j0 = jobsSoFar
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, out)
       df.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      val jobs = jobsSoFar - j0
       // plan-shape signature AFTER timing (taking executedPlan first
       // would warm silvers and fake the cold time) — diffing this
       // between 1× and N× runs catches a size-adaptive threshold that
@@ -48,7 +56,7 @@ object ScaleProbe {
           "ShuffledHashJoin", "HashAggregate")
         .map(k => s""""$k":${plan.linesIterator.count(_.contains(k))}""")
         .mkString("{", ",", "}")
-      println(s"""[plan] {"q":"$q","sig":$sig}""")
+      println(f"""[plan] {"q":"$q","sec":$sec%.2f,"jobs":$jobs,"sig":$sig}""")
       q -> sec
     }
     println(times.map { case (q, s) => f""""$q":$s%.2f""" }

@@ -2023,10 +2023,11 @@ object SparkEntry {
     * MAX(LEAST(est, rank)) — the h-index — exactly
     * [[graft.graph.Algorithms.coreDecomposition]]'s update, a window
     * rank in both engines (no arrays). The Spark side runs to its
-    * fixpoint; 40 unrolled rounds sit past it at every test SF (sf0.1
-    * converges far earlier) and extra rounds are idempotent — a denser
-    * corpus that ever needed more would hash-mismatch loudly. */
-  private val coreDecompOracleRounds: Int = 40
+    * fixpoint; 64 unrolled rounds sit past it at every test SF
+    * (measured: sf0.1 reaches the fixpoint at round 42, sf0.01 well
+    * under) and extra rounds are idempotent — a denser corpus that
+    * ever needed more would hash-mismatch loudly. */
+  private val coreDecompOracleRounds: Int = 64
   private def coreDecompCtes: String = {
     val base =
       s"""$RatingsCte, cooc AS MATERIALIZED (
