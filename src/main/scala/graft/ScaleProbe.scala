@@ -44,7 +44,7 @@ object ScaleProbe {
       val j0 = jobsSoFar
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, out)
-      df.count()
+      val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val jobs = jobsSoFar - j0
       // plan-shape signature AFTER timing (taking executedPlan first
@@ -56,7 +56,12 @@ object ScaleProbe {
           "ShuffledHashJoin", "HashAggregate")
         .map(k => s""""$k":${plan.linesIterator.count(_.contains(k))}""")
         .mkString("{", ",", "}")
-      println(f"""[plan] {"q":"$q","sec":$sec%.2f,"jobs":$jobs,"sig":$sig}""")
+      // rows committed next to sec: on an N×-duplicated corpus the
+      // DEDUP outputs legitimately grow super-linearly (every doc gains
+      // N−1 cross-copy twins → Θ(N²) dup pairs per group) — the honest
+      // per-unit denominator for those entries is OUTPUT volume, not
+      // input volume, and the row count makes that readable off the line
+      println(f"""[plan] {"q":"$q","sec":$sec%.2f,"rows":$rows,"jobs":$jobs,"sig":$sig}""")
       q -> sec
     }
     println(times.map { case (q, s) => f""""$q":$s%.2f""" }
