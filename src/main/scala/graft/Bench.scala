@@ -118,7 +118,8 @@ object Bench {
       "gds_nodesim" -> ((s: SparkSession) => SparkEntry.queries("gds_nodesim_stream")(s, sfDir).count(): Unit),
       "dbscan" -> ((s: SparkSession) => ann.Dbscan.dbscan(s, sfDir).count(): Unit),
       "cooc_bidir" -> ((s: SparkSession) => graph.Algorithms.userCoocBidir(s, sfDir).count(): Unit))
-    def runSilvers(s: SparkSession): Seq[(String, Double, Boolean, Double)] =
+    def runSilvers(s: SparkSession): Seq[(String, Double, Boolean, Double, Double)] = {
+      othersCpu: Unit // prime: each sample's interval = exactly one build
       silverBuilds.map { case (name, build) =>
         val t0 = System.nanoTime()
         val ok =
@@ -129,8 +130,9 @@ object Bench {
               false
           }
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        (name, sec, ok, loadAvg)
+        (name, sec, ok, loadAvg, othersCpu)
       }
+    }
     val silverPass1 = runSilvers(spark)
 
     // BASELINE.md reference-analog pins (r5, sf0.1 warm): these 13 are
@@ -227,20 +229,30 @@ object Bench {
     }
     val results = resultsMut.toSeq.map { case (k, (sec, ok, l)) => (k, sec, ok, l) }
 
-    // Self-defending SILVER phase (r10): when any build ran under real
-    // contention (1-min load > 3.0 stamped at build time), the whole
-    // silver list re-measures ONCE in a fresh session at the END of the
-    // run (the box had the whole sweep to get quiet; fresh cache keys →
-    // true rebuilds, dependency order preserved). The artifact keeps
-    // both trails and reports the per-build MIN — a loaded driver run
-    // can no longer fake a silver breach, exactly the gates' min-of-N
-    // discipline. A quiet run never pays the second pass.
-    val silverLoadThreshold = 3.0
-    val silverContested = silverPass1.exists(_._4 > silverLoadThreshold)
-    val silverPass2: Option[Seq[(String, Double, Boolean, Double)]] =
-      if (!silverContested) None
-      else {
-        System.err.println(s"[bench] silver phase contested (1-min load > $silverLoadThreshold during a build) — re-measuring in a fresh session")
+    // Silver pass 2 (r10, re-framed r12): the silver list ALWAYS
+    // re-measures once in a fresh session at the END of the run (fresh
+    // cache keys → true rebuilds, dependency order preserved; box and
+    // JVM warm), and the artifact reports the per-build MIN over both
+    // passes. Under r10/r11's loadavg trigger this pass ran on EVERY
+    // solo sweep anyway — a saturating local[32] run stamps 1-min loads
+    // of 8+ however quiet the box (the r11-close run read load 8.97
+    // while cpu_others_max was 0.019) — so min-of-2 is the de-facto
+    // protocol every committed silver number and the 148.6 s BASELINE
+    // pin were calibrated on; making it UNCONDITIONAL removes the
+    // comparability hazard of a hypothetically quiet-loadavg run
+    // reporting cold one-pass numbers against min-of-2 neighbours.
+    // `silver_contested` stays in the artifact re-based on the honest
+    // co-tenancy signal — cpu_others (system CPU minus own process, ~0
+    // on a solo box, > 0 exactly when someone else computes; a sampler
+    // failure (-1) reads contested for safety) — as the per-run
+    // annotation, no longer as the pass-2 trigger.
+    val silverOthersThreshold = 0.05
+    val silverContested =
+      silverPass1.exists(t => t._5 > silverOthersThreshold || t._5 < 0)
+    val silverPass2: Option[Seq[(String, Double, Boolean, Double, Double)]] =
+      {
+        System.err.println("[bench] silver pass 2 (fresh session, min-of-2 protocol)" +
+          (if (silverContested) " — pass 1 was CONTESTED (cpu_others)" else ""))
         val s2 = spark.newSession()
         // newSession() shares the SparkContext but NOT the per-session
         // function registry, and it does not switch the thread's ACTIVE
@@ -260,11 +272,11 @@ object Bench {
           Some(r)
         } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
       }
-    val silverResults = silverPass1.map { case (name, sec1, ok1, l1) =>
+    val silverResults = silverPass1.map { case (name, sec1, ok1, l1, o1) =>
       silverPass2.flatMap(_.find(_._1 == name)) match {
-        case Some((_, sec2, ok2, _)) if ok2 && (!ok1 || sec2 < sec1) =>
-          (name, sec2, true, l1)
-        case _ => (name, sec1, ok1, l1)
+        case Some((_, sec2, ok2, _, _)) if ok2 && (!ok1 || sec2 < sec1) =>
+          (name, sec2, true, l1, o1)
+        case _ => (name, sec1, ok1, l1, o1)
       }
     }
     def r3(d: Double) = math.rint(d * 1000) / 1000
@@ -299,10 +311,10 @@ object Bench {
     val loadJson = s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"cpu_others_max":${r3(othersMax)},"host_uptime_sec":${r3(hostUptime)},"cpus":"$cpus""""
     def timesJson(rs: Iterable[(String, Double)]) =
       rs.map { case (k, sec) => s"\"$k\":${r3(sec)}" }.mkString("{", ",", "}")
-    val silverTotal = silverResults.collect { case (_, sec, true, _) => sec }.sum
+    val silverTotal = silverResults.collect { case (_, sec, true, _, _) => sec }.sum
     val queriesTotal = results.collect { case (_, sec, true, _) => sec }.sum
     val oks = results.map { case (k, _, ok, _) => s"\"$k\":$ok" }.mkString("{", ",", "}")
-    val failedSeq = silverResults.collect { case (k, _, false, _) => s"silver:$k" } ++
+    val failedSeq = silverResults.collect { case (k, _, false, _, _) => s"silver:$k" } ++
       results.collect { case (k, _, false, _) => k }
     def failedJson(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // BASELINE gate verdicts, computed IN the artifact (min-of-3 times
@@ -328,14 +340,16 @@ object Bench {
     // silver self-defense detail: per-build load stamps for pass 1, and
     // — when the contested re-measure ran — the raw pass-1/pass-2 maps
     // so the min is auditable
-    val silverLoadJson = silverPass1.map { case (k, _, _, l) =>
+    val silverLoadJson = silverPass1.map { case (k, _, _, l, _) =>
       s"\"$k\":${r3(l)}" }.mkString("{", ",", "}")
+    val silverOthersJson = silverPass1.map { case (k, _, _, _, o) =>
+      s"\"$k\":${r3(o)}" }.mkString("{", ",", "}")
     val silverDefenseJson = silverPass2 match {
       case Some(p2) =>
-        s""","silver_contested":true,"silver_p1":${timesJson(silverPass1.map(t => (t._1, t._2)))},"silver_p2":${timesJson(p2.map(t => (t._1, t._2)))},"silver_p2_load":${p2.map { case (k, _, _, l) => s"\"$k\":${r3(l)}" }.mkString("{", ",", "}")}"""
-      case None => s""","silver_contested":false"""
+        s""","silver_contested":$silverContested,"silver_p1":${timesJson(silverPass1.map(t => (t._1, t._2)))},"silver_p2":${timesJson(p2.map(t => (t._1, t._2)))},"silver_p2_others":${p2.map { case (k, _, _, _, o) => s"\"$k\":${r3(o)}" }.mkString("{", ",", "}")}"""
+      case None => s""","silver_contested":$silverContested"""
     }
-    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults.map(t => (t._1, t._2)))},"silver_total":${r3(silverTotal)},"silver_load":$silverLoadJson$silverDefenseJson,"queries_total":${r3(queriesTotal)},"queries":${timesJson(results.map(t => (t._1, t._2)))},"query_load":$queryLoadJson,"query_cpu_others":$queryOthersJson,"gates":$gatesJson,$gateSummary,"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults.map(t => (t._1, t._2)))},"silver_total":${r3(silverTotal)},"silver_load":$silverLoadJson,"silver_cpu_others":$silverOthersJson$silverDefenseJson,"queries_total":${r3(queriesTotal)},"queries":${timesJson(results.map(t => (t._1, t._2)))},"query_load":$queryLoadJson,"query_cpu_others":$queryOthersJson,"gates":$gatesJson,$gateSummary,"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8")): Unit
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
