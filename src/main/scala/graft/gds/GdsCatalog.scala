@@ -1747,7 +1747,9 @@ final class GdsSession(initial: CypherLite.Graph) {
       precomputed: Option[DataFrame] = None): DataFrame = {
     val f = kcoreDecompositionModes(graphName, precomputed).stream()
       .localCheckpoint()
-    metaLong("degeneracy" -> f.agg(max(col("coreValue"))).head().getLong(0),
+    // coalesce: max over an empty projection is null, not a degeneracy
+    metaLong("degeneracy" -> f
+      .agg(coalesce(max(col("coreValue")), lit(0L))).head().getLong(0),
       "nodeCount" -> f.count())
   }
   def kcoreDecompositionMutate(graphName: String,
