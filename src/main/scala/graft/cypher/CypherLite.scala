@@ -708,10 +708,11 @@ object CypherLite {
       * binds `array<struct<step, node_id>>` (the shortestPath shape,
       * so `nodes(p)` / `length(p)` / `relationships(p)` compose
       * unchanged); a named segment variable binds the path's
-      * RELATIONSHIP LIST as `array<struct<src, dst>>` in traversal
-      * order — topology only: rel PROPERTIES are not carried
-      * (documented; property access on the list fails in analysis,
-      * never silently). Exactly one var-length segment is supported —
+      * RELATIONSHIP LIST as `array<struct<src, dst, properties…>>` in
+      * traversal order — the edge frame's property columns ride along
+      * (r12b), so `UNWIND r AS e RETURN e.rating` path analytics work;
+      * under an undirected segment a reversed traversal keeps the
+      * stored edge's properties. Exactly one var-length segment is supported —
       * a mixed chain fails fast. Enumeration is frame-wise BFS keyed
       * on the bound head (one edge join + array-append per hop, no
       * driver state); path count is bounded by maxH and the
@@ -762,13 +763,28 @@ object CypherLite {
       val (minH, maxH) = rel.varLength.get
       require(0 <= minH && minH <= maxH && maxH >= 1,
         s"bad var-length bounds *$minH..$maxH")
-      val dir0 = edgeFrame(rel.relType).select(col("src"), col("dst"))
+      // the full edge frame, traversal-direction adjusted WITH its
+      // property columns (r12b): the rel-list elements carry the edge
+      // properties, so `UNWIND r AS e RETURN e.rating` path analytics
+      // work — reversal swaps src/dst and keeps properties (the edgeDf
+      // undirected convention)
+      val base = edgeFrame(rel.relType)
+      def reversed = base.select(base.columns.map {
+        case "src" => col("dst").as("src")
+        case "dst" => col("src").as("dst")
+        case c => col(c)
+      }.toIndexedSeq: _*)
       val step =
-        (if (rel.undirected)
-          dir0.unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
-        else if (rel.leftToRight) dir0
-        else dir0.select(col("dst").as("src"), col("src").as("dst")))
+        (if (rel.undirected) base.unionAll(reversed)
+        else if (rel.leftToRight) base
+        else reversed)
           .distinct().localCheckpoint()
+      // src first, then dst, then properties — a stable rel-struct shape
+      val relCols = "src" +: "dst" +: step.columns.filterNot(c =>
+        c == "src" || c == "dst").toIndexedSeq
+      val relStruct = struct(relCols.map(col): _*)
+      val emptyRels = array().cast(org.apache.spark.sql.types.ArrayType(
+        step.select(relCols.map(col): _*).schema))
       // canonical edge identity for the uniqueness rule: traversal
       // order for directed segments, (min, max) for undirected ones
       def canon(s: Column, d: Column): Column =
@@ -779,7 +795,7 @@ object CypherLite {
       var frontier = sources.select(
         col("__vl_source"), col("__vl_source").as("__vl_node"),
         lit(0L).as("__vl_hops"),
-        array().cast("array<struct<src:bigint,dst:bigint>>").as("__vl_rels"),
+        emptyRels.as("__vl_rels"),
         array().cast("array<struct<src:bigint,dst:bigint>>").as("__vl_seen"),
         array(struct(lit(0).as("step"), col("__vl_source").as("node_id")))
           .as("__vl_nodes"))
@@ -792,8 +808,7 @@ object CypherLite {
           .filter(!array_contains(col("__vl_seen"), canon(col("src"), col("dst"))))
           .select(col("__vl_source"), col("dst").as("__vl_node"),
             lit(h.toLong).as("__vl_hops"),
-            concat(col("__vl_rels"),
-              array(struct(col("src"), col("dst")))).as("__vl_rels"),
+            concat(col("__vl_rels"), array(relStruct)).as("__vl_rels"),
             concat(col("__vl_seen"),
               array(canon(col("src"), col("dst")))).as("__vl_seen"),
             concat(col("__vl_nodes"),

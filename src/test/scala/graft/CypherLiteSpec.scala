@@ -315,6 +315,25 @@ class CypherLiteSpec extends AnyFunSuite {
         """MATCH p = (a:N {id: 1})-[:T]->(m:N)-[r:T*1..2]->(b:N)
           |RETURN b.id AS dst""".stripMargin)
     }
+    // r12b: rel-list elements carry the edge PROPERTIES — per-path
+    // weight analytics via UNWIND; a reversed (undirected) traversal
+    // keeps the stored edge's weight
+    val gw = CypherLite.Graph(
+      nodes = Map("N" -> Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id")),
+      edges = Map("T" -> Seq((1L, 2L, 5L), (2L, 3L, 7L))
+        .toDF("src", "dst", "w")))
+    val wsum = CypherLite.run(gw,
+      """MATCH p = (a:N {id: 1})-[r:T*2..2]->(b:N)
+        |UNWIND r AS e
+        |RETURN b.id AS dst, sum(e.w) AS total""".stripMargin)
+    assert(rows(wsum) == Seq(Seq(3L, 12L)),
+      "edge properties must ride the relationship list")
+    val wrev = CypherLite.run(gw,
+      """MATCH p = (a:N {id: 3})-[r:T*1..1]-(b:N)
+        |UNWIND r AS e
+        |RETURN e.src AS s, e.dst AS d, e.w AS w""".stripMargin)
+    assert(rows(wrev) == Seq(Seq(3L, 2L, 7L)),
+      "reversed undirected traversal must keep the stored weight")
   }
 
   // ---- var-length + shortestPath (r9) ----------------------------
