@@ -186,6 +186,13 @@ object SparkEntry {
       graft.cypher.ReferenceQueries.stringFuncsCompiled(s, d)),
     "cypher_segment_stats" -> ((s, d) =>
       graft.cypher.ReferenceQueries.segmentStatsCompiled(s, d)),
+    // r12b: UNION — Neo4j's distinct-rows combinator (ORDER falls to
+    // the harness compare, which sorts rows)
+    "cypher_union" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.cypher.ReferenceQueries.unionCompiled(s, d)
+        .orderBy(col("user_id"), col("kind"))
+    }),
     // r10: gds.graph.export — the projection (topology + mutated state)
     // exported to parquet, YIELDing the GDS stats row; the entry returns
     // the YIELD row, oracled against the projection's own counts
@@ -435,6 +442,106 @@ object SparkEntry {
           relationshipFilter = "weight >= 3")
         g.degreeStream("strongGraph")
           .select(col("nodeId").as("node_id"), col("score"))
+      }.orderBy("node_id")
+    }),
+    // r12b: the last kernels without a catalog front door — hits,
+    // closeness, randomWalk, spanningTree, kSpanningTree — each routed
+    // through the GDS procedure and unrolled back to its hand-built
+    // twin's layout, so the twin's oracle applies verbatim (or with the
+    // standard completion/restriction wraps).
+    "gds_hits_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_hits_stream") {
+        val g = new graft.gds.GdsSession(
+          graft.cypher.ReferenceQueries.graph(s, d))
+        g.graphProject("hitsGraph", Seq("User", "Book"), "RATED",
+          orientation = "NATURAL", relProperties = Seq("rating"))
+        val f = g.hitsStream("hitsGraph", hitsIterations = 5,
+          relationshipWeightProperty = Some("rating")).localCheckpoint()
+        // decode the bipartite stripe (user → 2id, book → 2id+1) back
+        // to raw ids + the kernel's role column, top-10 per side — the
+        // hits_topk layout
+        def side(parity: Long, role: String, score: String) = f
+          .filter(pmod(col("nodeId"), lit(2L)) === parity)
+          .select(lit(role).as("role"),
+            ((col("nodeId") - parity) / 2L).cast("bigint").as("node_id"),
+            round(col(score), 6).as("score"))
+          .orderBy(col("score").desc, col("node_id")).limit(10)
+        side(0L, "hub", "hub").unionAll(side(1L, "authority", "auth"))
+      }.orderBy(col("role"), col("score").desc, col("node_id"))
+    }),
+    "gds_closeness_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_closeness_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("closenessGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        // sourceNodes pins the kernel's fixed Seq(1, 2, 3, 4) sample
+        // (user ids are 0-BASED on this corpus, so the lowest-4 default
+        // would be {0,1,2,3}); sources are the only nonzero rows, so
+        // dropping the 0.0 completion leaves the closeness_sample rows
+        g.closenessStream("closenessGraph",
+            sourceNodes = Seq(1L, 2L, 3L, 4L))
+          .filter(col("score") > 0.0)
+          .select(col("nodeId").as("node_id"), col("score"))
+      }.orderBy("node_id")
+    }),
+    "gds_randomwalk_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_randomwalk_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("walkGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        // walkLength counts NODES (GDS) = the kernel's 4 steps + 1;
+        // posexplode unrolls the per-walk nodeIds array back to the
+        // kernel's (walk_id, step, node_id) rows
+        g.randomWalkStream("walkGraph", sourceNodes = Seq(1L, 2L, 3L, 4L),
+            walkLength = 5, walksPerNode = 2)
+          .select(col("walkId").as("walk_id"), posexplode(col("nodeIds")))
+          .select(col("walk_id"), col("pos").cast("bigint").as("step"),
+            col("col").as("node_id"))
+      }.orderBy("walk_id", "step")
+    }),
+    "gds_spanningtree_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_spanningtree_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("mstGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        // MAXIMUM objective over the cooc weights = the mst_edges
+        // forest (riding its session silver); the rooted rows
+        // canonicalise back to undirected (src, dst, weight), and the
+        // oracle restricts the forest replay to source 1's component
+        // by recursive reachability
+        g.spanningTreeStream("mstGraph", sourceNode = 1L,
+            objective = "MAXIMUM",
+            relationshipWeightProperty = Some("weight"),
+            precomputedForest = Some(
+              graft.graph.Algorithms.userSpanningForest(s, d)))
+          .filter(col("nodeId") =!= col("parentId"))
+          .select(least(col("nodeId"), col("parentId")).as("src"),
+            greatest(col("nodeId"), col("parentId")).as("dst"),
+            col("weight"))
+      }.orderBy("src", "dst")
+    }),
+    "gds_kspan_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Cache.cached(s, d, "gds_kspan_stream") {
+        val rq = graft.cypher.ReferenceQueries
+        val g = new graft.gds.GdsSession(rq.graph(s, d))
+        g.graphProjectCypher("kspanGraph",
+          rq.ProjectUserNodes, rq.ProjectUserSimilarityRels)
+        // completes over the projection node set: active users with no
+        // cooc edges become their own singleton cluster (the oracle's
+        // COALESCE leg)
+        g.kSpanningTreeStream("kspanGraph", k = 5,
+            precomputed = Some(
+              graft.graph.Algorithms.kSpanningClusters(s, d, 5)))
+          .select(col("nodeId").as("node_id"),
+            col("communityId").as("cluster"))
       }.orderBy("node_id")
     }),
     "similar_users_cooc" -> ((s, d) => Recommend.similarUsersCooc(s, d)),
@@ -3885,6 +3992,46 @@ object SparkEntry {
     "gds_influence_stream" -> oracleSqlBase("influence_seeds"),
     "gds_scaleprops_stream" -> oracleSqlBase("scale_properties"),
     "gds_hashgnn_stream" -> oracleSqlBase("hashgnn_embeddings"),
+    // r12b front doors. hits/randomWalk reuse their twins verbatim;
+    // closeness re-aliases the kernel's (source, closeness) to the GDS
+    // YIELD names; spanningTree restricts the forest replay to source
+    // 1's component by recursive reachability; kSpanningTree completes
+    // the cluster replay over the active-user universe (the
+    // gds_kcoredec_stream COALESCE idiom).
+    "gds_hits_stream" -> oracleSqlBase("hits_topk"),
+    "gds_randomwalk_stream" -> oracleSqlBase("random_walks"),
+    "gds_closeness_stream" ->
+      s"""SELECT source AS node_id, closeness AS score
+         |FROM (${oracleSqlBase("closeness_sample")}) t
+         |ORDER BY node_id""".stripMargin,
+    // component restriction WITHOUT recursion (a recursive reach CTE
+    // re-inlines the Borůvka chain exponentially — the contractCte
+    // note's measured OOM): the keptComponentsCte doubling closure over
+    // ALL forest edges labels every node's component, and the answer is
+    // the forest edges sharing node 1's label
+    "gds_spanningtree_stream" ->
+      s"""${boruvkaForestCte(6)}, kept AS MATERIALIZED (
+         |  SELECT src, dst FROM forest
+         |)${keptComponentsCte(11)}
+         |SELECT f.src, f.dst, f.w AS weight
+         |FROM forest f
+         |JOIN kclus s ON f.src = s.node_id
+         |JOIN kclus r ON r.node_id = 1
+         |WHERE s.cluster = r.cluster
+         |ORDER BY src, dst""".stripMargin,
+    "gds_kspan_stream" ->
+      s"""${boruvkaForestCte(6)}, cut AS MATERIALIZED (
+         |  SELECT src, dst FROM forest ORDER BY w ASC, src, dst LIMIT 4
+         |), kept AS MATERIALIZED (
+         |  SELECT f.src, f.dst FROM forest f
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |                    WHERE c.src = f.src AND c.dst = f.dst)
+         |)${keptComponentsCte(11)}
+         |SELECT u.user_id AS node_id,
+         |       CAST(COALESCE(k.cluster, u.user_id) AS BIGINT) AS cluster
+         |FROM (SELECT DISTINCT user_id FROM ratings) u
+         |LEFT JOIN kclus k ON u.user_id = k.node_id
+         |ORDER BY node_id""".stripMargin,
     // graph.filter has no hand-built twin — its oracle replays the
     // filtered-degree algebra directly: cooc (both directions, weight =
     // co-rating count), weight-filtered, src-grouped counts LEFT-joined
@@ -3955,6 +4102,14 @@ object SparkEntry {
          |  AND c_mktsegment LIKE 'BU%'
          |  AND (c_custkey % 10) IN (0, 3, 7)
          |ORDER BY user_id""".stripMargin,
+    // r12b UNION: the two MATCH parts restate as two SELECTs over the
+    // deduped ratings frame; SQL UNION's distinct IS Cypher's
+    "cypher_union" ->
+      s"""$RatingsCte
+         |SELECT user_id, 'fan' AS kind FROM ratings WHERE rating >= 9
+         |UNION
+         |SELECT user_id, 'critic' AS kind FROM ratings WHERE rating <= 2
+         |ORDER BY user_id, kind""".stripMargin,
     "cypher_segment_stats" ->
       s"""$RatingsCte
          |SELECT c_mktsegment AS segment,

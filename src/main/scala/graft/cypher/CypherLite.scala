@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   *    (`+` concatenates when either side is a string; `/` is true
   *    division — Spark's and DuckDB's shared semantics, documented
   *    deviation from Neo4j's int/int truncation), searched `CASE WHEN
-  *    … THEN … [ELSE …] END`, list literals `[a, b, c]`, and the
+  *    … THEN … [ELSE …] END` and simple `CASE subj WHEN v THEN …`
+  *    (desugared to `=` branches — r12b), list literals `[a, b, c]`,
+  *    and the
   *    scalar whitelist (all codegen'd built-ins, no UDFs): toLower,
   *    toUpper, trim/ltrim/rtrim, reverse, toString, toInteger,
   *    toFloat, abs, round(x[, d]), ceil, floor, sqrt, sign, exp, log,
@@ -44,6 +46,16 @@ import org.apache.spark.sql.functions._
   *  - `UNWIND list AS v`;
   *  - `RETURN [DISTINCT] items [ORDER BY ...] [SKIP n] [LIMIT n]`
   *    (SKIP/LIMIT also on WITH — Cypher's pagination trio);
+  *  - `UNION [ALL]` between whole queries (same column names in the
+  *    same order, Neo4j's contract; mixing UNION and UNION ALL in one
+  *    query fails fast) — r12b;
+  *  - list expressions (r12b, all native Catalyst higher-order
+  *    functions — no UDFs): comprehensions `[x IN l WHERE p | e]`
+  *    (filter/transform), quantifiers `any/all/none/single(x IN l
+  *    WHERE p)` (exists/forall), and `reduce(acc = init, x IN l | e)`
+  *    (aggregate) — lambda bodies compile through the same expression
+  *    compiler, so the whole scalar whitelist and outer row columns
+  *    work inside, and nesting composes;
   *  - var-length segments `-[r:T*min..max]->` / `-[:T*..k]-` (bounded
   *    BFS; `r.hops` = minimal hop distance — see [[Compiler]] for the
   *    documented DISTINCT-endpoint semantics), inside plain AND
@@ -71,8 +83,24 @@ object CypherLite {
   case class Graph(nodes: Map[String, DataFrame], edges: Map[String, DataFrame])
 
   def run(graph: Graph, query: String,
-      params: Map[String, Any] = Map.empty): DataFrame =
-    new Compiler(graph, params).compile(Parser.parse(query))
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val (parts, all) = Parser.parseUnion(query)
+    val dfs = parts.map(p => new Compiler(graph, params).compile(p))
+    if (dfs.lengthCompare(1) == 0) dfs.head
+    else {
+      // Neo4j's UNION contract: every part returns the same column
+      // names in the same order; UNION dedups full rows, UNION ALL
+      // keeps them. unionAll on positionally-aligned parts is exactly
+      // that — one narrow concat, the optional distinct is the only
+      // shuffle.
+      val cols = dfs.head.columns.toSeq
+      dfs.tail.foreach(d => require(d.columns.toSeq == cols,
+        s"UNION parts must return the same columns in the same order: " +
+          s"$cols vs ${d.columns.toSeq}"))
+      val u = dfs.reduce(_ unionAll _)
+      if (all) u else u.distinct()
+    }
+  }
 
   // ---------------------------------------------------------------- AST
 
@@ -98,6 +126,15 @@ object CypherLite {
   private[cypher] case class Arith(op: String, l: Expr, r: Expr) extends Expr
   private[cypher] case class Neg(e: Expr) extends Expr
   private[cypher] case class ListLit(items: Seq[Expr]) extends Expr
+  /** `[x IN list WHERE pred | proj]` — filter and/or transform. */
+  private[cypher] case class ListComp(v: String, list: Expr,
+      where: Option[Expr], proj: Option[Expr]) extends Expr
+  /** `any/all/none/single(x IN list WHERE pred)`. */
+  private[cypher] case class ListQuant(q: String, v: String, list: Expr,
+      pred: Expr) extends Expr
+  /** `reduce(acc = init, x IN list | step)`. */
+  private[cypher] case class ReduceExpr(acc: String, init: Expr, v: String,
+      list: Expr, step: Expr) extends Expr
   private[cypher] case class CaseExpr(whens: Seq[(Expr, Expr)],
       default: Option[Expr]) extends Expr
   private[cypher] case class IsNull(e: Expr, negated: Boolean) extends Expr
@@ -147,9 +184,34 @@ object CypherLite {
     private val Keywords = Set("MATCH", "OPTIONAL", "WHERE", "WITH", "UNWIND",
       "RETURN", "AS", "AND", "OR", "XOR", "NOT", "DISTINCT", "ORDER", "BY",
       "LIMIT", "SKIP", "ASC", "DESC", "STARTS", "ENDS", "CONTAINS", "IN",
-      "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "TRUE", "FALSE")
+      "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "TRUE", "FALSE",
+      // ALL is deliberately NOT a keyword: `all(x IN l WHERE p)` is a
+      // quantifier call — unionAll() matches the trailing ALL by case-
+      // insensitive identifier instead
+      "UNION")
 
-    def parse(q: String): Seq[Clause] = new P(tokenize(q)).clauses()
+    def parse(q: String): Seq[Clause] = {
+      val p = new P(tokenize(q))
+      val cs = p.clauses()
+      p.expectEof("UNION is only supported through CypherLite.run")
+      cs
+    }
+
+    /** `part1 UNION [ALL] part2 [...]` — the per-part clause lists plus
+      * the ALL flag. Neo4j rejects mixing UNION and UNION ALL in one
+      * query; so does this. */
+    def parseUnion(q: String): (Seq[Seq[Clause]], Boolean) = {
+      val p = new P(tokenize(q))
+      val parts = Seq.newBuilder[Seq[Clause]]
+      val flags = Seq.newBuilder[Boolean]
+      parts += p.clauses()
+      while (p.atUnion) { flags += p.unionAll(); parts += p.clauses() }
+      p.expectEof("trailing tokens after the last UNION part")
+      val fs = flags.result()
+      require(fs.distinct.lengthCompare(1) <= 0,
+        "cannot mix UNION and UNION ALL in one query (Neo4j contract)")
+      (parts.result(), fs.headOption.getOrElse(false))
+    }
 
     /** Tokens: identifiers/keywords, numbers, 'strings', $params, and
       * the symbols ( ) [ ] { } : , . plus - > < = >= <= <>. */
@@ -210,9 +272,17 @@ object CypherLite {
 
       def clauses(): Seq[Clause] = {
         val out = Seq.newBuilder[Clause]
-        while (peek != "<eof>") out += clause()
+        while (peek != "<eof>" && peek != "UNION") out += clause()
         out.result()
       }
+
+      def atUnion: Boolean = peek == "UNION"
+      def unionAll(): Boolean = {
+        expect("UNION")
+        if (peek.equalsIgnoreCase("ALL")) { next(); true } else false
+      }
+      def expectEof(msg: String): Unit =
+        require(peek == "<eof>", s"unexpected token '$peek' — $msg")
 
       private def clause(): Clause = next() match {
         case "MATCH" =>
@@ -456,21 +526,43 @@ object CypherLite {
           }
         } else if (t == "[") {
           next()
-          val items = Seq.newBuilder[Expr]
-          if (peek != "]") {
-            items += expr()
-            while (peek == ",") { next(); items += expr() }
+          if (isIdent(peek) && peekAt(1) == "IN") {
+            // list comprehension `[x IN list (WHERE pred)? (| proj)?]`
+            // — Cypher gives the comprehension reading priority over a
+            // one-element literal of a boolean `x IN list`
+            val v = next()
+            expect("IN")
+            val listE = expr()
+            val w = if (peek == "WHERE") { next(); Some(expr()) } else None
+            val proj = if (peek == "|") { next(); Some(expr()) } else None
+            expect("]")
+            ListComp(v, listE, w, proj)
+          } else {
+            val items = Seq.newBuilder[Expr]
+            if (peek != "]") {
+              items += expr()
+              while (peek == ",") { next(); items += expr() }
+            }
+            expect("]")
+            ListLit(items.result())
           }
-          expect("]")
-          ListLit(items.result())
         } else if (t == "CASE") {
           // searched CASE: CASE WHEN cond THEN v [WHEN …] [ELSE v] END
+          // simple CASE:   CASE subj WHEN v THEN r [WHEN …] [ELSE d] END
+          // — desugars to searched with subj = v_i branches (Cypher's
+          // simple CASE is `=` comparison, so a null subject falls to
+          // ELSE exactly like the desugaring does)
           next()
+          val subject = if (peek == "WHEN") None else Some(expr())
           require(peek == "WHEN",
-            "only searched CASE (CASE WHEN cond THEN …) is supported")
+            "CASE needs WHEN (searched) or a subject expression (simple)")
           val whens = Seq.newBuilder[(Expr, Expr)]
           while (peek == "WHEN") {
-            next(); val c = expr(); expect("THEN"); whens += ((c, expr()))
+            next()
+            val c = expr()
+            expect("THEN")
+            val cond = subject.map(s => Cmp("=", s, c)).getOrElse(c)
+            whens += ((cond, expr()))
           }
           val dflt = if (peek == "ELSE") { next(); Some(expr()) } else None
           expect("END")
@@ -511,6 +603,32 @@ object CypherLite {
             next(); val e = expr(); expect(")"); Fn1("relationships", e)
           } else if (peek == "(" && fl == "length") {
             next(); val e = expr(); expect(")"); Fn1("length", e)
+          } else if (peek == "(" &&
+              Set("any", "all", "none", "single").contains(fl) &&
+              isIdent(peekAt(1)) && peekAt(2) == "IN") {
+            // list-predicate quantifiers `any(x IN list WHERE pred)`
+            next()
+            val v = next()
+            expect("IN")
+            val listE = expr()
+            expect("WHERE")
+            val pred = expr()
+            expect(")")
+            ListQuant(fl, v, listE, pred)
+          } else if (peek == "(" && fl == "reduce") {
+            // `reduce(acc = init, x IN list | step)`
+            next()
+            val acc = next()
+            expect("=")
+            val init = expr()
+            expect(",")
+            val v = next()
+            expect("IN")
+            val listE = expr()
+            expect("|")
+            val step = expr()
+            expect(")")
+            ReduceExpr(acc, init, v, listE, step)
           } else if (peek == "(") {
             // generic scalar call — compiled against the whitelist in
             // Compiler.col1 (unknown names still fail fast, at compile)
@@ -1017,6 +1135,13 @@ object CypherLite {
       case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
       case Neg(x) => exprVars(x)
       case ListLit(items) => items.flatMap(exprVars).toSet
+      // lambda-bound variables are NOT outer references
+      case ListComp(v, l, w, proj) =>
+        exprVars(l) ++
+          ((w.toSeq ++ proj.toSeq).flatMap(exprVars).toSet - v)
+      case ListQuant(_, v, l, p) => exprVars(l) ++ (exprVars(p) - v)
+      case ReduceExpr(acc, init, v, l, step) =>
+        exprVars(init) ++ exprVars(l) ++ (exprVars(step) - acc - v)
       case CaseExpr(whens, d) =>
         (whens.flatMap(w => exprVars(w._1) ++ exprVars(w._2)) ++
           d.toSeq.flatMap(exprVars)).toSet
@@ -1102,6 +1227,11 @@ object CypherLite {
       case Fn1(_, x) => isAgg(x)
       case FnN(_, args) => args.exists(isAgg)
       case ListLit(items) => items.exists(isAgg)
+      case ListComp(_, l, w, proj) =>
+        isAgg(l) || w.exists(isAgg) || proj.exists(isAgg)
+      case ListQuant(_, _, l, p) => isAgg(l) || isAgg(p)
+      case ReduceExpr(_, init, _, l, step) =>
+        isAgg(init) || isAgg(l) || isAgg(step)
       case CaseExpr(whens, d) =>
         whens.exists(w => isAgg(w._1) || isAgg(w._2)) || d.exists(isAgg)
       case _ => false
@@ -1296,9 +1426,47 @@ object CypherLite {
     private def isStringy(c: Column): Boolean =
       dtypeOf(c).isInstanceOf[org.apache.spark.sql.types.StringType]
 
+    /** Lambda bindings for list-expression variables (comprehensions,
+      * quantifiers, reduce) — consulted by col1 before frame columns,
+      * innermost binding wins, restored on exit (nesting composes). */
+    private var lambdaEnv: Map[String, Column] = Map.empty
+    private def withLambda[A](bs: (String, Column)*)(body: => A): A = {
+      val saved = lambdaEnv
+      lambdaEnv = lambdaEnv ++ bs
+      try body finally lambdaEnv = saved
+    }
+
     private def col1(e: Expr): Column = e match {
+      case Prop(v, f) if lambdaEnv.contains(v) => lambdaEnv(v).getField(f)
       case Prop(v, f) => col(v).getField(f)
+      case Ident(n) if lambdaEnv.contains(n) => lambdaEnv(n)
       case Ident(n) => col(n)
+      // list expressions — native Catalyst higher-order functions (no
+      // UDFs): the lambda body compiles through the SAME col1 with the
+      // element column bound, so the full scalar whitelist (and outer
+      // row columns) work inside
+      case ListComp(v, l, w, proj) =>
+        val base = col1(l)
+        val filtered = w.map(p =>
+          filter(base, (x: Column) => withLambda(v -> x)(col1(p))))
+          .getOrElse(base)
+        proj.map(pr =>
+          transform(filtered, (x: Column) => withLambda(v -> x)(col1(pr))))
+          .getOrElse(filtered)
+      case ListQuant(q, v, l, p) =>
+        val lc = col1(l)
+        def pred(x: Column) = withLambda(v -> x)(col1(p))
+        q match {
+          case "any" => exists(lc, pred _)
+          case "all" => forall(lc, pred _)
+          case "none" => !exists(lc, pred _)
+          case "single" => size(filter(lc, pred _)) === 1
+          case other => sys.error(s"unsupported quantifier $other")
+        }
+      case ReduceExpr(acc, init, v, l, step) =>
+        aggregate(col1(l), col1(init),
+          (a: Column, x: Column) =>
+            withLambda(acc -> a, v -> x)(col1(step)))
       case Param(p) => lit(params.getOrElse(p, sys.error(s"missing param $$$p")))
       case Lit(x) => lit(x)
       case Cmp("=", l, r) => col1(l) === col1(r)

@@ -258,6 +258,20 @@ object ReferenceQueries {
   def segmentStatsCompiled(spark: SparkSession, dir: String): DataFrame =
     CypherLite.run(graph(spark, dir), SegmentStats)
 
+  /** r12b: `UNION` — Neo4j's distinct-rows combinator over two
+    * same-shaped MATCH parts (fans vs critics of any book). Each part
+    * compiles independently; the combinator is one positional unionAll
+    * + the distinct Cypher's UNION requires. */
+  val UnionFansCritics: String =
+    """MATCH (u:User)-[r:RATED]->(b:Book) WHERE r.rating >= 9
+      |RETURN u.id AS user_id, 'fan' AS kind
+      |UNION
+      |MATCH (u:User)-[r:RATED]->(b:Book) WHERE r.rating <= 2
+      |RETURN u.id AS user_id, 'critic' AS kind""".stripMargin
+
+  def unionCompiled(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(graph(spark, dir), UnionFansCritics)
+
   /** `data/load_data.py:23-28` load_users — VERBATIM (backticked CSV
     * header, empty-string → NULL age CASE). */
   val LoadUsers: String =

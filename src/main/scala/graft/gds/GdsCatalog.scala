@@ -1757,6 +1757,320 @@ final class GdsSession(initial: CypherLite.Graph) {
       precomputed: Option[DataFrame] = None): DataFrame =
     kcoreDecompositionModes(graphName, precomputed).mutate(mutateProperty)
 
+  // ————— r12b: the last kernels without a catalog front door — hits,
+  // closeness, randomWalk, spanningTree / kSpanningTree — each a thin
+  // adapter onto the already-oracled kernel, never a second
+  // implementation. —————
+
+  /** The completed (nodeId, hub, auth) frame the hits modes share —
+    * the [[graft.graph.Algorithms.hitsSides]] mutual power loop over
+    * the projection's rels, left-completed over the full node set
+    * (a node with no out-rels has hub 0, no in-rels auth 0 — exactly
+    * what the loop's aggregates produce for every node they DO see). */
+  private def hitsFrame(graphName: String, hitsIterations: Int,
+      relationshipWeightProperty: Option[String]): DataFrame = {
+    val p = projOf(graphName)
+    val (hubs, auths) = graft.graph.Algorithms.hitsSides(
+      weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty)),
+      hitsIterations)
+    p.nodes.select(col("id").as("nodeId"))
+      .join(hubs.withColumnRenamed("node_id", "nodeId"), Seq("nodeId"), "left")
+      .join(auths.withColumnRenamed("node_id", "nodeId"), Seq("nodeId"), "left")
+      .select(col("nodeId"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("auth"))
+  }
+
+  /** `gds.alpha.hits.stream` — hubs & authorities over the projection
+    * as stored (NATURAL for the bipartite reference shape; an
+    * UNDIRECTED projection holds both directions, so hub ≡ auth there,
+    * which is HITS on an undirected graph). YIELDs flat `hub` / `auth`
+    * columns where GDS nests them under a `values` map — documented
+    * flattening, same numbers. */
+  def hitsStream(graphName: String, hitsIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = None): DataFrame =
+    hitsFrame(graphName, hitsIterations, relationshipWeightProperty)
+
+  /** `gds.alpha.hits.write` — both scores onto the db node frames as
+    * `<writeProperty>Hub` / `<writeProperty>Auth` (GDS prefixes its
+    * auth/hub property pair the same way). */
+  def hitsWrite(graphName: String, writeProperty: String = "hits",
+      hitsIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = None,
+      writeLabel: String = "User"): DataFrame = {
+    val p = projOf(graphName)
+    val f = hitsFrame(graphName, hitsIterations, relationshipWeightProperty)
+      .localCheckpoint()
+    metaLong("nodePropertiesWritten" ->
+      (writeNodeProp(p, f.select(col("nodeId"), col("hub")),
+        writeProperty + "Hub", writeLabel) +
+        writeNodeProp(p, f.select(col("nodeId"), col("auth")),
+          writeProperty + "Auth", writeLabel)))
+  }
+
+  def hitsStats(graphName: String, hitsIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = None): DataFrame =
+    metaLong("nodeCount" ->
+      hitsFrame(graphName, hitsIterations, relationshipWeightProperty).count(),
+      "hitsIterations" -> hitsIterations.toLong)
+
+  def hitsMutate(graphName: String, mutateProperty: String = "hits",
+      hitsIterations: Int = 5,
+      relationshipWeightProperty: Option[String] = None): DataFrame = {
+    val f = hitsFrame(graphName, hitsIterations, relationshipWeightProperty)
+      .localCheckpoint()
+    metaLong("nodePropertiesWritten" ->
+      (mutateNodeProp(graphName, f.select(col("nodeId"), col("hub")),
+        mutateProperty + "Hub") +
+        mutateNodeProp(graphName, f.select(col("nodeId"), col("auth")),
+          mutateProperty + "Auth")))
+  }
+
+  private def closenessModes(graphName: String, samplingSize: Int,
+      maxHops: Int, sourceNodes: Seq[Long]): NodeModes =
+    new NodeModes(graphName, "score", () => {
+      val p = projOf(graphName)
+      val sources =
+        if (sourceNodes.nonEmpty) sourceNodes
+        else sampleSources(p, samplingSize)
+      overAllNodes(p, graft.graph.Algorithms.closenessSample(
+        p.rels.select(col("src"), col("dst")),
+        sources, maxHops, symmetric = true)
+        .select(col("source").as("node_id"), col("closeness").as("value")),
+        lit(0.0))
+    })
+
+  /** `gds.closeness.*` — closeness centrality OF a deterministic
+    * source sample (the `samplingSize` lowest node ids, the
+    * betweenness/harmonic sampling deviation; `sourceNodes` overrides
+    * the sample explicitly — the pageRank-personalized precedent)
+    * within a bounded `maxHops` horizon; non-sample nodes complete
+    * with 0.0. GDS scores every node via full APSP — that never runs
+    * at 100 TB, so the sampled estimate is the documented deviation
+    * (the `closeness_sample` kernel, which the oracle pins). */
+  def closenessStream(graphName: String, samplingSize: Int = 8,
+      maxHops: Int = 3, sourceNodes: Seq[Long] = Nil): DataFrame =
+    closenessModes(graphName, samplingSize, maxHops, sourceNodes).stream()
+  def closenessWrite(graphName: String, writeProperty: String = "closeness",
+      samplingSize: Int = 8, maxHops: Int = 3,
+      sourceNodes: Seq[Long] = Nil, writeLabel: String = "User"): DataFrame =
+    closenessModes(graphName, samplingSize, maxHops, sourceNodes)
+      .write(writeProperty, writeLabel)
+  def closenessStats(graphName: String, samplingSize: Int = 8,
+      maxHops: Int = 3, sourceNodes: Seq[Long] = Nil): DataFrame =
+    closenessModes(graphName, samplingSize, maxHops, sourceNodes).stats()
+  def closenessMutate(graphName: String, mutateProperty: String = "closeness",
+      samplingSize: Int = 8, maxHops: Int = 3,
+      sourceNodes: Seq[Long] = Nil): DataFrame =
+    closenessModes(graphName, samplingSize, maxHops, sourceNodes)
+      .mutate(mutateProperty)
+
+  /** `gds.randomWalk.stream` — `walksPerNode` walks of `walkLength`
+    * NODES (GDS's length convention: steps = walkLength − 1) from each
+    * source, over the projection's rels as stored. Each YIELD row is
+    * one walk's ordered `nodeIds`; `walkId` rides along as a graft
+    * extension (the sampler is the seeded-hash-draw `randomWalks`
+    * kernel — bit-reproducible, so walks are identifiable, and the
+    * oracle unrolls them by id). A walk that strands on a node with no
+    * out-rels simply ends early (shorter array, GDS's behavior). */
+  def randomWalkStream(graphName: String, sourceNodes: Seq[Long],
+      walkLength: Int = 5, walksPerNode: Int = 2): DataFrame = {
+    require(walkLength >= 2, s"walkLength must be >= 2, got $walkLength")
+    val p = projOf(graphName)
+    graft.graph.Algorithms.randomWalks(
+      p.rels.select(col("src"), col("dst")), sourceNodes,
+      steps = walkLength - 1, walksPerSource = walksPerNode,
+      symmetric = true)
+      .groupBy(col("walk_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("step"), col("node_id")))),
+        e => e.getField("node_id")).as("nodeIds"))
+      .select(col("walk_id").as("walkId"), col("nodeIds"))
+  }
+
+  /** The projection's undirected weighted edge list, one row per pair
+    * (least/greatest canonicalisation collapses the UNDIRECTED
+    * store's direction twins) — the [[graft.graph.Algorithms
+    * .spanningForest]] input shape. */
+  private def undirectedPairsOf(p: Projection,
+      relationshipWeightProperty: Option[String]): DataFrame =
+    weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("weight"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Root the spanning forest at `source`: BFS over the tree edges of
+    * the source's component, emitting (nodeId, parentId, weight) per
+    * reached node — the source roots itself with weight 0. The forest
+    * is |V|−c rows and tree depth is unbounded (a path-shaped MST is
+    * |V| deep), so the rooting leg is driver-side under the repo's
+    * standard 5M-row gate and fails loudly above it — the rooted
+    * stream is a result-STREAMING shape (GDS walks the tree on one
+    * machine too); the distributed artifact at scale is the unrooted
+    * forest ([[graft.graph.Algorithms.spanningForest]] itself). */
+  private def rootForest(forest: DataFrame, source: Long): DataFrame = {
+    val spark = forest.sparkSession
+    import spark.implicits._
+    val edges = forest.select(col("src"), col("dst"),
+      col("weight").cast("double")).collect()
+    require(edges.length <= 5000000,
+      s"rooted spanningTree stream is driver-side and gated at 5M forest " +
+        s"edges, got ${edges.length}; use the unrooted forest at this scale")
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    edges.foreach { r =>
+      val (s, d, w) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += ((d, w))
+      adj.getOrElseUpdate(d, scala.collection.mutable.ArrayBuffer.empty) += ((s, w))
+    }
+    val out = scala.collection.mutable.ArrayBuffer((source, source, 0.0))
+    val seen = scala.collection.mutable.Set(source)
+    val queue = scala.collection.mutable.Queue(source)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      adj.getOrElse(u, Nil).foreach { case (v, w) =>
+        if (seen.add(v)) { out += ((v, u, w)); queue.enqueue(v) }
+      }
+    }
+    out.toSeq.toDF("nodeId", "parentId", "weight")
+  }
+
+  /** `gds.spanningTree.stream` — the `objective` (MAXIMUM/MINIMUM)
+    * spanning tree of `sourceNode`'s component, rooted at the source:
+    * one (nodeId, parentId, weight) row per reached node, the source
+    * parenting itself at weight 0. The forest is the deterministic
+    * Borůvka kernel (`mst_edges`' total-order uniqueness argument), so
+    * the rooted answer is unique too. `precomputedForest` is the
+    * materialised-silver seam (the fastRP pattern). */
+  def spanningTreeStream(graphName: String, sourceNode: Long,
+      objective: String = "MINIMUM",
+      relationshipWeightProperty: Option[String] = None,
+      precomputedForest: Option[DataFrame] = None): DataFrame =
+    rootForest(forestOf(graphName, objective, relationshipWeightProperty,
+      precomputedForest), sourceNode)
+
+  private def forestOf(graphName: String, objective: String,
+      relationshipWeightProperty: Option[String],
+      precomputedForest: Option[DataFrame]): DataFrame =
+    precomputedForest.getOrElse {
+      require(Seq("MINIMUM", "MAXIMUM").contains(objective.toUpperCase),
+        s"objective must be MINIMUM or MAXIMUM, got $objective")
+      graft.graph.Algorithms.spanningForest(
+        undirectedPairsOf(projOf(graphName), relationshipWeightProperty),
+        maximum = objective.equalsIgnoreCase("MAXIMUM"))
+    }
+
+  /** `gds.spanningTree.write` — the rooted tree installed into the db
+    * edge store as `writeRelationshipType` (parent → child, weight),
+    * YIELDing GDS's (effectiveNodeCount, relationshipsWritten,
+    * totalWeight). */
+  def spanningTreeWrite(graphName: String, sourceNode: Long,
+      writeRelationshipType: String = "MST",
+      objective: String = "MINIMUM",
+      relationshipWeightProperty: Option[String] = None,
+      precomputedForest: Option[DataFrame] = None): DataFrame = {
+    val rooted = spanningTreeStream(graphName, sourceNode, objective,
+      relationshipWeightProperty, precomputedForest).localCheckpoint()
+    val tree = rooted.filter(col("nodeId") =!= col("parentId"))
+      .select(col("parentId").as("src"), col("nodeId").as("dst"),
+        col("weight")).localCheckpoint()
+    db = db.copy(edges = db.edges + (writeRelationshipType -> tree))
+    val s = spark
+    import s.implicits._
+    Seq((rooted.count(), tree.count(),
+      tree.agg(coalesce(sum(col("weight")), lit(0.0))).head().getDouble(0)))
+      .toDF("effectiveNodeCount", "relationshipsWritten", "totalWeight")
+  }
+
+  def spanningTreeStats(graphName: String, sourceNode: Long,
+      objective: String = "MINIMUM",
+      relationshipWeightProperty: Option[String] = None,
+      precomputedForest: Option[DataFrame] = None): DataFrame = {
+    val rooted = spanningTreeStream(graphName, sourceNode, objective,
+      relationshipWeightProperty, precomputedForest).localCheckpoint()
+    val s = spark
+    import s.implicits._
+    Seq((rooted.count(),
+      rooted.agg(coalesce(sum(col("weight")), lit(0.0))).head().getDouble(0)))
+      .toDF("effectiveNodeCount", "totalWeight")
+  }
+
+  /** `gds.spanningTree.mutate` — the rooted tree onto the projection's
+    * `mutRels` (the knnMutate idiom). */
+  def spanningTreeMutate(graphName: String, sourceNode: Long,
+      mutateRelationshipType: String = "MST",
+      objective: String = "MINIMUM",
+      relationshipWeightProperty: Option[String] = None,
+      precomputedForest: Option[DataFrame] = None): DataFrame = {
+    val p = projOf(graphName)
+    val tree = spanningTreeStream(graphName, sourceNode, objective,
+      relationshipWeightProperty, precomputedForest)
+      .filter(col("nodeId") =!= col("parentId"))
+      .select(col("parentId").as("src"), col("nodeId").as("dst"),
+        col("weight")).localCheckpoint()
+    projections.put(graphName,
+      p.copy(mutRels = p.mutRels + (mutateRelationshipType -> tree)))
+    metaLong("relationshipsWritten" -> tree.count())
+  }
+
+  private def kSpanningTreeModes(graphName: String, k: Int,
+      objective: String, relationshipWeightProperty: Option[String],
+      precomputed: Option[DataFrame]): NodeModes =
+    new NodeModes(graphName, "communityId", () => {
+      val p = projOf(graphName)
+      overAllNodes(p, precomputed.getOrElse {
+        val forest = forestOf(graphName, objective,
+          relationshipWeightProperty, None).localCheckpoint()
+        // the k−1 weakest forest edges, (src, dst) tie-break — forest
+        // rows only (|V|−c), so the driver-side limit is bounded
+        val cut = forest
+          .orderBy(col("weight").asc, col("src"), col("dst")).limit(k - 1)
+        val kept = forest.join(cut.select(col("src"), col("dst")),
+          Seq("src", "dst"), "left_anti")
+        // maxIter 60: tree-shaped input is the worst CC diameter case,
+        // and below the size gate the adaptive driver leg skips the
+        // propagation entirely (the kSpanningClusters argument)
+        graft.graph.Algorithms.connectedComponentsAdaptive(
+          kept.select(col("src"), col("dst")), maxIter = 60)
+      }.toDF("node_id", "value"), col("node_id"))
+    })
+
+  /** `gds.kSpanningTree.*` — cut the k−1 weakest edges of the
+    * `objective` spanning forest: exactly c(G) + k − 1 internally
+    * connected clusters (the `k_spanning_clusters` kernel), every
+    * node labelled (cut-out and rel-less nodes become their own
+    * singleton cluster, GDS's every-node contract). */
+  def kSpanningTreeStream(graphName: String, k: Int = 5,
+      objective: String = "MAXIMUM",
+      relationshipWeightProperty: Option[String] = None,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    kSpanningTreeModes(graphName, k, objective, relationshipWeightProperty,
+      precomputed).stream()
+  def kSpanningTreeWrite(graphName: String, writeProperty: String = "community",
+      k: Int = 5, objective: String = "MAXIMUM",
+      relationshipWeightProperty: Option[String] = None,
+      writeLabel: String = "User",
+      precomputed: Option[DataFrame] = None): DataFrame =
+    kSpanningTreeModes(graphName, k, objective, relationshipWeightProperty,
+      precomputed).write(writeProperty, writeLabel)
+  def kSpanningTreeStats(graphName: String, k: Int = 5,
+      objective: String = "MAXIMUM",
+      relationshipWeightProperty: Option[String] = None,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val f = kSpanningTreeModes(graphName, k, objective,
+      relationshipWeightProperty, precomputed).stream().localCheckpoint()
+    metaLong("communityCount" ->
+      f.select(col("communityId")).distinct().count(),
+      "nodeCount" -> f.count())
+  }
+  def kSpanningTreeMutate(graphName: String,
+      mutateProperty: String = "community", k: Int = 5,
+      objective: String = "MAXIMUM",
+      relationshipWeightProperty: Option[String] = None,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    kSpanningTreeModes(graphName, k, objective, relationshipWeightProperty,
+      precomputed).mutate(mutateProperty)
+
   /** The (node_id, cluster) frame the kmeans modes share — Lloyd's over
     * the projection nodes' `nodeProperty` vector column (the
     * `kmeans_clusters` kernel, hash-seeded + 1e-6-snapped centroids).

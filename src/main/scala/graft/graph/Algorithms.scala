@@ -2465,41 +2465,62 @@ object Algorithms {
       .limit(k)
   }
 
-  /** HITS (hubs & authorities), the natural centrality of a BIPARTITE
-    * graph — here users are hubs, books authorities over the weighted
-    * RATED edges. Fixed-iteration mutual power method with per-side L2
-    * normalization (a ← Aᵀh/‖·‖, h ← Aa/‖·‖), exactly oracle-checkable
-    * unrolled (the eigenvector-oracle argument). Emits the top-k of
-    * each side with a role column. */
-  def hitsTopK(spark: SparkSession, dir: String, iterations: Int = 5,
-      topK: Int = 10): DataFrame = {
-    val e = RatingsGraph.ratings(spark, dir)
-      .select(col("user_id"), col("book_id"), col("rating").cast("double").as("w"))
+  /** The HITS mutual power loop (a ← Aᵀh/‖·‖, h ← Aa/‖·‖) over a
+    * weighted directed edge list `(src, dst, weight)`, src and dst
+    * treated as separate roles of the same id space: hubs live on the
+    * src side (seeded 1.0 on every distinct src), authorities on the
+    * dst side. Fixed-iteration with per-side L2 normalization, exactly
+    * oracle-checkable unrolled (the eigenvector-oracle argument).
+    * Returns `(hubs(node_id, h), auths(node_id, a))` — a node absent
+    * from a side has score 0 there by construction (it never enters
+    * that side's aggregate). Scale shape: 2 aggregate+join passes over
+    * the edge frame per iteration, score state is O(V). Factored from
+    * the bipartite `hitsTopK` (pure code motion — there src = user,
+    * dst = book) so `gds.alpha.hits` routes onto the same loop. */
+  def hitsSides(edges: DataFrame, iterations: Int): (DataFrame, DataFrame) = {
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    val e = edges
+      .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val users = e.select(col("user_id")).distinct().localCheckpoint()
-    var hubs = users.select(col("user_id"), lit(1.0).as("h"))
+    val srcs = e.select(col("src")).distinct().localCheckpoint()
+    var hubs = srcs.select(col("src"), lit(1.0).as("h"))
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = e.join(hubs, Seq("user_id"))
-        .groupBy(col("book_id"))
+      val aRaw = e.join(hubs, Seq("src"))
+        .groupBy(col("dst"))
         .agg(sum(col("w") * col("h")).as("raw"))
         .localCheckpoint()
       val aNorm = math.sqrt(aRaw.agg(sum(col("raw") * col("raw"))).head().getDouble(0))
-      auths = aRaw.select(col("book_id"), (col("raw") / aNorm).as("a"))
-      val hRaw = e.join(auths, Seq("book_id"))
-        .groupBy(col("user_id"))
+      auths = aRaw.select(col("dst"), (col("raw") / aNorm).as("a"))
+      val hRaw = e.join(auths, Seq("dst"))
+        .groupBy(col("src"))
         .agg(sum(col("w") * col("a")).as("raw"))
         .localCheckpoint()
       val hNorm = math.sqrt(hRaw.agg(sum(col("raw") * col("raw"))).head().getDouble(0))
-      hubs = hRaw.select(col("user_id"), (col("raw") / hNorm).as("h"))
+      hubs = hRaw.select(col("src"), (col("raw") / hNorm).as("h"))
     }
     e.unpersist(blocking = false)
+    (hubs.select(col("src").as("node_id"), col("h")),
+      auths.select(col("dst").as("node_id"), col("a")))
+  }
+
+  /** HITS (hubs & authorities), the natural centrality of a BIPARTITE
+    * graph — here users are hubs, books authorities over the weighted
+    * RATED edges (the [[hitsSides]] loop with src = user, dst = book).
+    * Emits the top-k of each side with a role column. */
+  def hitsTopK(spark: SparkSession, dir: String, iterations: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val (hubs, auths) = hitsSides(
+      RatingsGraph.ratings(spark, dir)
+        .select(col("user_id").as("src"), col("book_id").as("dst"),
+          col("rating").as("weight")),
+      iterations)
     val topHubs = hubs
-      .select(lit("hub").as("role"), col("user_id").as("node_id"),
+      .select(lit("hub").as("role"), col("node_id"),
         round(col("h"), 6).as("score"))
       .orderBy(col("score").desc, col("node_id")).limit(topK)
     val topAuths = auths
-      .select(lit("authority").as("role"), col("book_id").as("node_id"),
+      .select(lit("authority").as("role"), col("node_id"),
         round(col("a"), 6).as("score"))
       .orderBy(col("score").desc, col("node_id")).limit(topK)
     topHubs.unionAll(topAuths).orderBy(col("role"), col("score").desc, col("node_id"))

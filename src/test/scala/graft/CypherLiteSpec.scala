@@ -751,4 +751,103 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(got == want, s"compiled $got vs twin $want")
     assert(got.nonEmpty)
   }
+
+  test("r12b UNION: distinct rows, UNION ALL multiplicity, fail-fasts") {
+    // fixture: two users, one shared book — UNION dedups full rows,
+    // UNION ALL keeps both parts' duplicates
+    val nodes = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val g = CypherLite.Graph(
+      nodes = Map("User" -> nodes),
+      edges = Map.empty)
+    val union = CypherLite.run(g,
+      """MATCH (u:User) RETURN u.id AS id
+        |UNION
+        |MATCH (u:User) WHERE u.id = 1 RETURN u.id AS id""".stripMargin)
+    assert(union.columns.toSeq == Seq("id"))
+    assert(rows(union.orderBy("id")) == Seq(Seq(1L), Seq(2L)),
+      "UNION dedups the doubled row 1")
+    val unionAll = CypherLite.run(g,
+      """MATCH (u:User) RETURN u.id AS id
+        |UNION ALL
+        |MATCH (u:User) WHERE u.id = 1 RETURN u.id AS id""".stripMargin)
+    assert(rows(unionAll.orderBy("id")) == Seq(Seq(1L), Seq(1L), Seq(2L)),
+      "UNION ALL keeps both copies of row 1")
+    // three-part chain composes
+    val tri = CypherLite.run(g,
+      """MATCH (u:User) WHERE u.id = 1 RETURN u.name AS n
+        |UNION MATCH (u:User) WHERE u.id = 2 RETURN u.name AS n
+        |UNION MATCH (u:User) WHERE u.id = 1 RETURN u.name AS n""".stripMargin)
+    assert(rows(tri.orderBy("n")) == Seq(Seq("a"), Seq("b")))
+    // column mismatch and mixed combinators fail fast with named errors
+    val mismatch = intercept[IllegalArgumentException] {
+      CypherLite.run(g,
+        "MATCH (u:User) RETURN u.id AS id UNION " +
+          "MATCH (u:User) RETURN u.name AS name")
+    }
+    assert(mismatch.getMessage.contains("same columns"))
+    val mixed = intercept[IllegalArgumentException] {
+      CypherLite.run(g,
+        "MATCH (u:User) RETURN u.id AS id UNION " +
+          "MATCH (u:User) RETURN u.id AS id UNION ALL " +
+          "MATCH (u:User) RETURN u.id AS id")
+    }
+    assert(mixed.getMessage.contains("cannot mix"))
+  }
+
+  test("r12b simple CASE: subject desugars to = branches, null falls to ELSE") {
+    val nodes = Seq((1L, "BU"), (2L, "AU"), (3L, null))
+      .toDF("id", "seg")
+    val g = CypherLite.Graph(nodes = Map("User" -> nodes), edges = Map.empty)
+    val got = rows(CypherLite.run(g,
+      """MATCH (u:User)
+        |RETURN u.id AS id,
+        |  CASE u.seg WHEN 'BU' THEN 'biz' WHEN 'AU' THEN 'auto'
+        |    ELSE 'other' END AS kind
+        |ORDER BY id""".stripMargin))
+    assert(got == Seq(Seq(1L, "biz"), Seq(2L, "auto"), Seq(3L, "other")),
+      s"simple CASE diverged: $got")
+    // without ELSE, a missed (or null) subject yields NULL
+    val noElse = rows(CypherLite.run(g,
+      """MATCH (u:User)
+        |RETURN u.id AS id, CASE u.seg WHEN 'BU' THEN 1 END AS hit
+        |ORDER BY id""".stripMargin))
+    assert(noElse == Seq(Seq(1L, 1L), Seq(2L, null), Seq(3L, null)))
+  }
+
+  test("r12b list expressions: comprehension, quantifiers, reduce") {
+    val nodes = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq((1L, 2.0), (2L, 3.0))),
+      (2L, Seq(10L), Seq((9L, 1.5))))
+      .toDF("id", "xs", "es")
+    val g = CypherLite.Graph(nodes = Map("U" -> nodes), edges = Map.empty)
+    val got = rows(CypherLite.run(g,
+      """MATCH (u:U)
+        |RETURN u.id AS id,
+        |  [x IN u.xs WHERE x % 2 = 0 | x * 10] AS evens10,
+        |  [x IN u.xs WHERE x < 3] AS small,
+        |  any(x IN u.xs WHERE x > 3) AS has_big,
+        |  all(x IN u.xs WHERE x > 1) AS all_gt1,
+        |  none(x IN u.xs WHERE x = 99) AS no99,
+        |  single(x IN u.xs WHERE x = 2) AS one2,
+        |  reduce(acc = 0, x IN u.xs | acc + x) AS total,
+        |  reduce(s = 0.0, e IN u.es | s + e._2) AS wsum
+        |ORDER BY id""".stripMargin))
+    assert(got == Seq(
+      Seq(1L, Seq(20L, 40L), Seq(1L, 2L), true, false, true, true, 10L, 5.0),
+      Seq(2L, Seq(100L), Seq(), true, true, true, false, 10L, 1.5)),
+      s"list expressions diverged: $got")
+  }
+
+  test("r12b compiled cypher_union ≡ hand-built fan/critic union") {
+    val got = rows(ReferenceQueries.unionCompiled(spark, sf)
+      .orderBy(col("user_id"), col("kind")))
+    val ratings = graft.graph.RatingsGraph.ratings(spark, sf)
+    val want = rows(ratings.filter(col("rating") >= 9)
+      .select(col("user_id"), lit("fan").as("kind"))
+      .unionAll(ratings.filter(col("rating") <= 2)
+        .select(col("user_id"), lit("critic").as("kind")))
+      .distinct().orderBy(col("user_id"), col("kind")))
+    assert(got == want, s"compiled ${got.take(5)} vs twin ${want.take(5)}")
+    assert(got.nonEmpty)
+  }
 }

@@ -1273,4 +1273,217 @@ class GdsSessionSpec extends AnyFunSuite {
       g.graphSampleRwr("s2", "full", startNode = 1L, samplingRatio = 0.0)
     }
   }
+
+  test("r12b hits: Fibonacci fixture, all four modes, route ≡ hitsTopK") {
+    import spark.implicits._
+    // hubs {1, 2} → auths {10, 11}: 1→10, 1→11, 2→10 (unit weights).
+    // The mutual power recurrence walks the Fibonacci numbers: after
+    // iteration k, h ∝ (F(2k+2), F(2k+1)) and a ∝ (F(2k+1), F(2k)) —
+    // at k = 5 that is h = (144, 89)/√28657, a = (89, 55)/√10946.
+    // Node 12 is edgeless: both sides complete to 0.0.
+    val nodes = Seq(1L, 2L, 10L, 11L, 12L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("fix", Seq("N"), "E", orientation = "NATURAL")
+    val got = g.hitsStream("fix").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val (hn, an) = (math.sqrt(28657.0), math.sqrt(10946.0))
+    val want = Map(
+      1L -> (144.0 / hn, 0.0), 2L -> (89.0 / hn, 0.0),
+      10L -> (0.0, 89.0 / an), 11L -> (0.0, 55.0 / an),
+      12L -> (0.0, 0.0))
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (h, a)) =>
+      assert(math.abs(got(id)._1 - h) < 1e-9, s"hub($id)")
+      assert(math.abs(got(id)._2 - a) < 1e-9, s"auth($id)")
+    }
+    val stats = g.hitsStats("fix").head()
+    assert(stats.getLong(0) == 5L && stats.getLong(1) == 5L)
+    g.hitsMutate("fix")
+    assert(g.graphNodePropertiesStream("fix", "hitsHub").count() == 5L)
+    g.hitsWrite("fix", writeLabel = "N")
+    assert(g.db.nodes("N").filter(col("hitsAuth") > 0.8).count() == 1L,
+      "only auth 10 (89/√10946 ≈ 0.851) clears 0.8")
+    // route over the NATURAL bipartite reference projection, decoded
+    // to top-10 per side, ≡ the oracled hitsTopK kernel
+    val gr = fresh
+    gr.graphProject("hitsGraph", Seq("User", "Book"), "RATED",
+      orientation = "NATURAL", relProperties = Seq("rating"))
+    val f = gr.hitsStream("hitsGraph", hitsIterations = 5,
+      relationshipWeightProperty = Some("rating")).localCheckpoint()
+    def side(parity: Long, role: String, score: String) = f
+      .filter(pmod(col("nodeId"), lit(2L)) === parity)
+      .select(lit(role).as("role"),
+        ((col("nodeId") - parity) / 2L).cast("bigint").as("node_id"),
+        round(col(score), 6).as("score"))
+      .orderBy(col("score").desc, col("node_id")).limit(10)
+    val viaGds = side(0L, "hub", "hub").unionAll(side(1L, "authority", "auth"))
+    val twin = graph.Algorithms.hitsTopK(spark, sf)
+    assert(viaGds.exceptAll(twin).isEmpty && twin.exceptAll(viaGds).isEmpty,
+      "gds.alpha.hits route diverged from hitsTopK")
+  }
+
+  test("r12b closeness: path fixture + route ≡ userClosenessSample") {
+    import spark.implicits._
+    // path 1—2—3—4—5, samplingSize 2 → sources {1, 2}, horizon 3:
+    // closeness(1) = 3 reached / (1+2+3) = 0.5,
+    // closeness(2) = 4 reached / (1+1+2+3) = 4/7; non-sources 0.0
+    val nodes = (1L to 5L).map(Tuple1(_)).toDF("id")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("fix", Seq("N"), "E", orientation = "NATURAL")
+    val got = g.closenessStream("fix", samplingSize = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(1L) == 0.5 && got(2L) == 0.571429, s"sources: $got")
+    assert(Seq(3L, 4L, 5L).forall(got(_) == 0.0), "non-sample completes 0.0")
+    assert(g.closenessStats("fix", samplingSize = 2).head().getLong(0) == 5L)
+    g.closenessMutate("fix", samplingSize = 2)
+    assert(g.graphNodePropertiesStream("fix", "closeness").count() == 5L)
+    // route over the cooc projection with sourceNodes pinning the
+    // kernel's fixed sample (user ids are 0-based, so the lowest-4
+    // default would drift to {0,1,2,3}) ≡ the oracled kernel
+    val gc = coocProjected
+    val viaGds = gc.closenessStream("cooc",
+        sourceNodes = Seq(1L, 2L, 3L, 4L))
+      .filter(col("score") > 0.0)
+      .select(col("nodeId").as("source"), col("score").as("closeness"))
+    val twin = graph.Algorithms.userClosenessSample(spark, sf)
+      .select(col("source"), col("closeness"))
+    assert(viaGds.exceptAll(twin).isEmpty && twin.exceptAll(viaGds).isEmpty,
+      "gds.closeness route diverged from userClosenessSample")
+  }
+
+  test("r12b randomWalk.stream: walk-shape invariants + route ≡ randomWalks") {
+    import spark.implicits._
+    val nodes = (1L to 3L).map(Tuple1(_)).toDF("id")
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("fix", Seq("N"), "E", orientation = "NATURAL")
+    val walks = g.randomWalkStream("fix", sourceNodes = Seq(1L),
+      walkLength = 4, walksPerNode = 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(walks.keySet == Set(2L, 3L), "walk ids = source * walksPerNode + w")
+    val edgeSet = (tri ++ tri.map(_.swap)).toSet
+    walks.values.foreach { w =>
+      assert(w.length == 4 && w.head == 1L, s"walk shape: $w")
+      w.sliding(2).foreach { p =>
+        assert(edgeSet.contains((p(0), p(1))), s"non-edge step in $w") }
+    }
+    // deterministic: the seeded hash draw replays identically
+    val again = g.randomWalkStream("fix", sourceNodes = Seq(1L),
+      walkLength = 4, walksPerNode = 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(again == walks)
+    // route over the cooc projection, unrolled ≡ the oracled kernel
+    val gc = coocProjected
+    val viaGds = gc.randomWalkStream("cooc",
+        sourceNodes = Seq(1L, 2L, 3L, 4L), walkLength = 5, walksPerNode = 2)
+      .select(col("walkId").as("walk_id"), posexplode(col("nodeIds")))
+      .select(col("walk_id"), col("pos").cast("bigint").as("step"),
+        col("col").as("node_id"))
+    val twin = graph.Algorithms.randomWalks(
+      graph.RatingsGraph.cooccurrenceEdges(spark, sf)
+        .select(col("u1").as("src"), col("u2").as("dst")),
+      sources = Seq(1L, 2L, 3L, 4L), steps = 4, walksPerSource = 2,
+      symmetric = true)
+    assert(viaGds.exceptAll(twin).isEmpty && twin.exceptAll(viaGds).isEmpty,
+      "gds.randomWalk route diverged from the randomWalks kernel")
+  }
+
+  test("r12b spanningTree: rooted fixture, both objectives, all modes") {
+    import spark.implicits._
+    // triangle 1—2 (3), 2—3 (2), 1—3 (1) + pendant 3—4 (5), plus a
+    // disconnected pair 5—6 (1): MAXIMUM keeps {1-2, 2-3, 3-4} in
+    // source 1's component, MINIMUM keeps {1-3, 2-3, 3-4}; the pair
+    // never enters the rooted answer (effectiveNodeCount pins it)
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((1L, 2L, 3.0), (2L, 3L, 2.0), (1L, 3L, 1.0),
+      (3L, 4L, 5.0), (5L, 6L, 1.0))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("src", "dst", "w")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("fix", Seq("N"), "E", orientation = "NATURAL",
+      relProperties = Seq("w"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val maxT = rows(g.spanningTreeStream("fix", sourceNode = 1L,
+      objective = "MAXIMUM", relationshipWeightProperty = Some("w")))
+    assert(maxT == Set((1L, 1L, 0.0), (2L, 1L, 3.0), (3L, 2L, 2.0),
+      (4L, 3L, 5.0)), s"max tree: $maxT")
+    val minT = rows(g.spanningTreeStream("fix", sourceNode = 1L,
+      objective = "MINIMUM", relationshipWeightProperty = Some("w")))
+    assert(minT == Set((1L, 1L, 0.0), (3L, 1L, 1.0), (2L, 3L, 2.0),
+      (4L, 3L, 5.0)), s"min tree: $minT")
+    val stats = g.spanningTreeStats("fix", sourceNode = 1L,
+      objective = "MAXIMUM", relationshipWeightProperty = Some("w")).head()
+    assert(stats.getLong(0) == 4L && stats.getDouble(1) == 10.0)
+    val wr = g.spanningTreeWrite("fix", sourceNode = 1L,
+      objective = "MAXIMUM", relationshipWeightProperty = Some("w")).head()
+    assert(wr.getLong(0) == 4L && wr.getLong(1) == 3L && wr.getDouble(2) == 10.0)
+    assert(g.db.edges("MST").count() == 3L, "write installs the rel type")
+    g.spanningTreeMutate("fix", sourceNode = 1L, objective = "MAXIMUM",
+      relationshipWeightProperty = Some("w"))
+    assert(g.graphRelationshipsStream("fix", Some("MST")).count() == 3L)
+    // route (precomputedForest = the session silver) stays inside the
+    // oracled mst_edges forest and spans source 1's component
+    val gc = coocProjected
+    val forest = graph.Algorithms.userSpanningForest(spark, sf)
+    val rooted = gc.spanningTreeStream("cooc", sourceNode = 1L,
+      objective = "MAXIMUM", relationshipWeightProperty = Some("weight"),
+      precomputedForest = Some(forest))
+      .filter(col("nodeId") =!= col("parentId"))
+      .select(least(col("nodeId"), col("parentId")).as("src"),
+        greatest(col("nodeId"), col("parentId")).as("dst"), col("weight"))
+    assert(rooted.exceptAll(forest.select(col("src"), col("dst"),
+      col("weight"))).isEmpty, "rooted rows must be forest edges")
+  }
+
+  test("r12b kSpanningTree: cut fixture + route ≡ kSpanningClusters") {
+    import spark.implicits._
+    // MAXIMUM forest of the spanningTree fixture graph is {1-2 (3),
+    // 2-3 (2), 3-4 (5), 5-6 (1)}; k=2 cuts the weakest forest edge
+    // (5-6) → {1,2,3,4} + singletons {5}, {6}; k=3 also cuts 2-3 →
+    // {1,2}, {3,4}, {5}, {6}
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((1L, 2L, 3.0), (2L, 3L, 2.0), (1L, 3L, 1.0),
+      (3L, 4L, 5.0), (5L, 6L, 1.0))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("src", "dst", "w")
+    val g = new GdsSession(graft.cypher.CypherLite.Graph(
+      nodes = Map("N" -> nodes), edges = Map("E" -> edges)))
+    g.graphProject("fix", Seq("N"), "E", orientation = "NATURAL",
+      relProperties = Seq("w"))
+    def labels(k: Int) = g.kSpanningTreeStream("fix", k = k,
+      relationshipWeightProperty = Some("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L))
+    assert(labels(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 6L))
+    val stats = g.kSpanningTreeStats("fix", k = 3,
+      relationshipWeightProperty = Some("w")).head()
+    assert(stats.getLong(0) == 4L && stats.getLong(1) == 6L)
+    // route (precomputed silver) ≡ the oracled kernel, completed over
+    // the projection node set
+    val gc = coocProjected
+    val viaGds = gc.kSpanningTreeStream("cooc", k = 5,
+        precomputed = Some(graph.Algorithms.kSpanningClusters(spark, sf, 5)))
+      .select(col("nodeId").as("node_id"), col("communityId").as("cluster"))
+    val twin = graph.Algorithms.kSpanningClusters(spark, sf, 5)
+    // projection nodes without cooc edges complete to their own id
+    val completed = graph.RatingsGraph.activeUsers(spark, sf)
+      .select(col("user_id").as("node_id"))
+      .join(twin, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("cluster"), col("node_id")).as("cluster"))
+    assert(viaGds.exceptAll(completed).isEmpty &&
+      completed.exceptAll(viaGds).isEmpty,
+      "gds.kSpanningTree route diverged from kSpanningClusters")
+  }
 }
