@@ -239,7 +239,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "gds_import_stats",
     // r12: the full core decomposition + its front door, and the
     // per-path var-length compile
-    "kcore_decomposition", "gds_kcoredec_stream", "cypher_var_paths")
+    "kcore_decomposition", "gds_kcoredec_stream", "cypher_var_paths",
+    // r12b: the last kernels' front doors + the UNION compile
+    "gds_hits_stream", "gds_closeness_stream", "gds_randomwalk_stream",
+    "gds_spanningtree_stream", "gds_kspan_stream", "cypher_union")
     .foreach { name =>
     test(s"$name plans no CartesianProduct and no keyless window") {
       SparkEntry.queries(name)(spark, sf).count()
