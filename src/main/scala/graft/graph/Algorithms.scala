@@ -46,6 +46,30 @@ object Algorithms {
   private[graph] def checkpointFresh(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
 
+  /** r12 (guide §2.4, §3.1): pin a BROADCAST of the per-iteration STATE
+    * side of a loop join when its size is provably small. Loop states
+    * (ranks, core estimates, labels, frontiers) come out of
+    * localCheckpoint / [[checkpointFresh]], which carry DEFAULT stats
+    * (deliberately — the stats-squaring hazard above), so the planner
+    * can never choose the broadcast join itself: measured at r12, the
+    * initial plan of EVERY loop kernel was SortMergeJoin, re-sorting and
+    * re-exchanging the multi-million-row cached edge side once per
+    * round. The caller passes the row count it already knows (|V|-scale,
+    * counted once per build on an already-materialised frame) and a
+    * bytes-per-row estimate, so wide states (FastRP's 64 doubles) gate
+    * lower than (id, value) pairs. Over the byte budget
+    * (`graft.iter.broadcastBytes`, default 128 MB — executor-safe, well
+    * under the 8 GB broadcast cap) the frame is returned unchanged: the
+    * existing exchange-based shape stays the 100 TB fallback, and the
+    * gate is data-sized, not core-count-sized, so low-cpu driver runs
+    * take the same plans. */
+  private[graft] def iterState(df: DataFrame, rows: Long,
+      rowBytes: Long = 32L): DataFrame = {
+    val gate = df.sparkSession.conf.getOption("graft.iter.broadcastBytes")
+      .map(_.toLong).getOrElse(134217728L)
+    if (rows >= 0 && rows * rowBytes <= gate) broadcast(df) else df
+  }
+
   /** Size-adaptive connected components (the clusterClosure /
     * driver-Tarjan precedent): under `localThreshold` edges the
     * components are labelled by a driver union-find in microseconds —
@@ -78,6 +102,7 @@ object Algorithms {
     var labels = checkpointFresh(bidir.select(col("src").as("node_id"))
       .distinct()
       .withColumn("component", col("node_id")))
+    val nV = labels.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -87,7 +112,8 @@ object Algorithms {
       // the round-5+ shortcut self-joins this frame, which would square
       // carried-over stats every round — see [[checkpointFresh]]
       val prop = checkpointFresh(bidir
-        .join(labels.withColumnRenamed("node_id", "src"), Seq("src"))
+        .join(iterState(labels.withColumnRenamed("node_id", "src"), nV, 24L),
+          Seq("src"))
         .select(col("dst").as("node_id"), col("component"))
         .unionAll(labels)
         .groupBy(col("node_id"))
@@ -142,24 +168,27 @@ object Algorithms {
       .distinct()
       .withColumn("label", col("node_id"))
       .localCheckpoint()
+    val nV = labels.count()
     for (_ <- 1 to iterations) {
       // neighbour votes plus a zero-weight self-vote per node: isolated
       // nodes keep their label without a separate re-join, and the pick
       // happens in one aggregation+window pass
       val votes = edges
-        .join(labels.withColumnRenamed("node_id", "dst")
-          .withColumnRenamed("label", "nbr_label"), Seq("dst"))
+        .join(iterState(labels.withColumnRenamed("node_id", "dst")
+          .withColumnRenamed("label", "nbr_label"), nV, 24L), Seq("dst"))
         .select(col("src").as("node_id"), col("nbr_label"), col("weight"))
         .unionAll(labels.select(col("node_id"), col("label").as("nbr_label"),
           lit(0.0).as("weight")))
         .groupBy(col("node_id"), col("nbr_label"))
         .agg(sum(col("weight")).as("w"))
-      val pick = Window.partitionBy(col("node_id"))
-        .orderBy(col("w").desc, col("nbr_label"))
+      // r12: argmax via max_by on a totally-ordered struct (w desc,
+      // label asc — identical pick and tie order to the old row_number
+      // window) — a hash aggregate with map-side partials instead of an
+      // exchange + full sort per round (the Louvain localMoving idiom)
       labels = votes
-        .withColumn("rk", row_number().over(pick))
-        .filter(col("rk") === 1)
-        .select(col("node_id"), col("nbr_label").as("label"))
+        .groupBy(col("node_id"))
+        .agg(max_by(col("nbr_label"),
+          struct(col("w"), (-col("nbr_label")).as("nl"))).as("label"))
         .localCheckpoint()
     }
     edges.unpersist(blocking = false)
@@ -219,13 +248,14 @@ object Algorithms {
     val w2 = deg.agg(sum(col("k"))).head().getLong(0)
     var labels = deg.select(col("node_id"), col("node_id").as("label"))
       .localCheckpoint()
+    val nV = deg.count()
     for (i <- 1 to iterations) {
       val parity = i % 2
       val tot = labels.join(deg, Seq("node_id"))
         .groupBy(col("label")).agg(sum(col("k")).as("t"))
       val kuc = edges
-        .join(labels.select(col("node_id").as("dst"), col("label").as("c")),
-          Seq("dst"))
+        .join(iterState(labels.select(col("node_id").as("dst"),
+          col("label").as("c")), nV, 24L), Seq("dst"))
         .groupBy(col("src").as("node_id"), col("c"))
         .agg(sum(col("weight")).as("kuc"))
       // the stay row (kuc = 0) guarantees u's own community is always a
@@ -282,12 +312,13 @@ object Algorithms {
         concat(lit("kcut:"), col("node_id").cast("string")), 8), lit(k.toLong))
         .as("cls"))
       .localCheckpoint()
+    val nV = nodes.count()
     for (i <- 1 to iterations) {
       val parity = i % 2
       // Σw from each mover into every CURRENT class of its neighbours
       val nbrW = edges
-        .join(classes.select(col("node_id").as("dst"), col("cls").as("c")),
-          Seq("dst"))
+        .join(iterState(classes.select(col("node_id").as("dst"),
+          col("cls").as("c")), nV, 24L), Seq("dst"))
         .groupBy(col("src").as("node_id"), col("c"))
         .agg(sum(col("weight")).as("w"))
       // every class is a candidate — absent neighbour-classes cost 0
@@ -815,6 +846,13 @@ object Algorithms {
     val seeds = seedIds
       .withColumn("step", lit(0L))
       .withColumn("prev", col("node_id"))
+      .localCheckpoint()
+    // r12: the per-step frontier is one row per LIVE WALK (≤ |seeds|,
+    // monotone — a walk that dies never returns); broadcast it into the
+    // candidate join under the iterState gate so the edge side is never
+    // re-sorted/re-shuffled per step (measured: the frontier⋈edges SMJ
+    // was the dominant per-step cost of the corpus build)
+    val nWalks = seeds.count()
     var walk = seeds.select(col("walk_id"), col("step"), col("node_id"))
     var frontier = seeds.select(col("walk_id"), col("prev"), col("node_id"))
     for (t <- 1 to steps) {
@@ -822,8 +860,8 @@ object Algorithms {
         .when(col("is_nbr"), lit(wNbr))
         .otherwise(lit(wOut))
       val rawCands = bidir
-        .join(frontier.select(col("walk_id"), col("prev"), col("node_id").as("src")),
-          Seq("src"))
+        .join(iterState(frontier.select(col("walk_id"), col("prev"),
+          col("node_id").as("src")), nWalks, 32L), Seq("src"))
         .select(col("walk_id"), col("prev"), col("src"), col("dst").as("nxt"),
           col("weight"))
       val cands = nbrArr match {
@@ -931,8 +969,8 @@ object Algorithms {
     // shrinks the edge set, so rounds ≤ peeling depth ≤ |V| — no
     // iteration cap that could silently return a non-k-core
     while (!converged) {
-      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src"))
+      val alive = iterState(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src")), n, 16L)
       val pruned = e.join(alive, Seq("src"))
         .join(alive.select(col("src").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
@@ -977,26 +1015,161 @@ object Algorithms {
     * graph; worst case the longest est-propagation chain). Expects an
     * undirected graph given as both directions, one row per (src,dst). */
   def coreDecomposition(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // r12 size-adaptive driver leg (the connectedComponentsAdaptive /
+    // UnionFind precedent — "the check is not the operator"): under the
+    // threshold the whole edge set is pulled once and peeled with
+    // Batagelj–Zaveršnik bucket sort in O(|E|) — the 42-round h-index
+    // dataflow at sf0.1 cost ~31 s of almost pure per-round fixed
+    // overhead for a graph that peels locally in milliseconds. Core
+    // numbers are unique, so the two legs agree row-for-row (the
+    // h-index fixpoint IS the core number, Lü et al. 2016); the
+    // distributed loop below stays the 100 TB path.
+    val spark = edges.sparkSession
+    val eRaw = edges.select(col("src"), col("dst"))
+    val localThreshold = spark.conf.getOption("graft.core.localThreshold")
+      .map(_.toLong).getOrElse(5000000L)
+    if (localThreshold > 0) {
+      val probe = eRaw.localCheckpoint()
+      if (probe.count() <= localThreshold) {
+        val arr = probe.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        coreNumbersLocal(arr) match {
+          case Some(core) =>
+            import spark.implicits._
+            return core.toSeq.toDF("node_id", "core_value")
+          case None => // contract violation (a dst never seen as src) —
+          // fall through to the distributed loop, which defines the
+          // semantics for such inputs
+        }
+      }
+    }
+    val e = eRaw
       .repartition(col("src")).localCheckpoint()
     var est = e.groupBy(col("src").as("node_id"))
       .agg(count(lit(1)).cast("long").as("est")).localCheckpoint()
-    var total = est.agg(sum(col("est"))).head().getLong(0)
-    var converged = total == 0L
+    val nV = est.count()
     val w = Window.partitionBy(col("src")).orderBy(col("est").desc)
-    while (!converged) {
-      val next = e.join(est.withColumnRenamed("node_id", "dst"), Seq("dst"))
+    // r12 delta-activation (guide §2.3/§2.4 — don't recompute what
+    // cannot have moved): estimates are monotone non-increasing, so a
+    // node's h-index can only change when a NEIGHBOUR's estimate fell
+    // in the previous round. Each round recomputes only the nodes with
+    // ≥ 1 changed neighbour; everyone else keeps their row untouched.
+    // The fixpoint is identical to the full-recompute loop (same
+    // per-node h-index inputs whenever a node IS recomputed), the
+    // convergence test "no estimate changed" is the old sum-strictly-
+    // decreased test, and the first round recomputes every node — so
+    // results are bit-identical, only wasted rounds 2+ work is cut
+    // (measured 42 rounds at sf0.1, most touching a sliver of |V|).
+    // All delta frames are ≤ |V| rows and ride the iterState broadcast
+    // gate; above it the joins keep their exchange shape.
+    var changed = est.select(col("node_id"))
+    var nChanged = nV
+    var first = true
+    while (nChanged > 0) {
+      val scope =
+        if (first) e
+        else {
+          // nodes whose h-index inputs moved: neighbours of the changed
+          val affected = e
+            .join(iterState(changed.withColumnRenamed("node_id", "dst"),
+              nChanged, 16L), Seq("dst"), "left_semi")
+            .select(col("src")).distinct()
+          e.join(iterState(affected, nV, 16L), Seq("src"), "left_semi")
+        }
+      val recomputed = scope
+        .join(iterState(est.withColumnRenamed("node_id", "dst"), nV, 24L),
+          Seq("dst"))
         .withColumn("rk", row_number().over(w))
         .select(col("src"), least(col("est"), col("rk")).as("cap"))
         .groupBy(col("src").as("node_id"))
         .agg(max(col("cap")).as("est"))
+      val delta = recomputed
+        .join(iterState(est.withColumnRenamed("est", "old"), nV, 24L),
+          Seq("node_id"))
+        .filter(col("est") < col("old"))
+        .select(col("node_id"), col("est"))
         .localCheckpoint()
-      val t = next.agg(sum(col("est"))).head().getLong(0)
-      converged = t == total
-      total = t
-      est = next
+      nChanged = delta.count()
+      first = false
+      if (nChanged > 0) {
+        est = est
+          .join(iterState(delta.select(col("node_id")), nChanged, 16L),
+            Seq("node_id"), "left_anti")
+          .unionAll(delta)
+          .localCheckpoint()
+        changed = delta.select(col("node_id"))
+      }
     }
     est.select(col("node_id"), col("est").as("core_value"))
+  }
+
+  /** Batagelj–Zaveršnik bucket-sort core decomposition on the driver —
+    * the small-side leg of [[coreDecomposition]]. Input: both-directions
+    * edge rows (the kernel's documented contract — every node appears
+    * as a src). Returns None when the contract is violated (some dst is
+    * never a src), letting the caller fall back to the distributed
+    * loop rather than guessing semantics. O(|V| + |E|) time and memory. */
+  private def coreNumbersLocal(edges: Array[(Long, Long)]): Option[Array[(Long, Long)]] = {
+    val n0 = edges.length
+    val idx = new java.util.HashMap[Long, Integer](n0 / 2 + 16)
+    var n = 0
+    var i = 0
+    while (i < n0) {
+      if (idx.get(edges(i)._1) == null) { idx.put(edges(i)._1, n); n += 1 }
+      i += 1
+    }
+    val ids = new Array[Long](n)
+    idx.forEach((k, v) => ids(v.intValue) = k)
+    val deg = new Array[Int](n)
+    i = 0
+    while (i < n0) {
+      val ib = idx.get(edges(i)._2)
+      if (ib == null) return None // dst never a src: contract violated
+      deg(idx.get(edges(i)._1).intValue) += 1
+      i += 1
+    }
+    val start = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { start(i + 1) = start(i) + deg(i); i += 1 }
+    val adjn = new Array[Int](n0)
+    val fill = java.util.Arrays.copyOf(start, n)
+    i = 0
+    while (i < n0) {
+      val ia = idx.get(edges(i)._1).intValue
+      adjn(fill(ia)) = idx.get(edges(i)._2).intValue
+      fill(ia) += 1
+      i += 1
+    }
+    // bucket sort nodes by degree, then peel in degree order
+    val md = if (n == 0) 0 else deg.max
+    val bin = new Array[Int](md + 2)
+    i = 0; while (i < n) { bin(deg(i)) += 1; i += 1 }
+    var s = 0
+    i = 0; while (i <= md) { val c = bin(i); bin(i) = s; s += c; i += 1 }
+    val vert = new Array[Int](n)
+    val pos = new Array[Int](n)
+    i = 0
+    while (i < n) { pos(i) = bin(deg(i)); vert(pos(i)) = i; bin(deg(i)) += 1; i += 1 }
+    i = md; while (i >= 1) { bin(i) = bin(i - 1); i -= 1 }
+    bin(0) = 0
+    val cur = deg.clone()
+    i = 0
+    while (i < n) {
+      val v = vert(i)
+      var j = start(v)
+      while (j < start(v + 1)) {
+        val u = adjn(j)
+        if (cur(u) > cur(v)) {
+          val du = cur(u); val pu = pos(u); val pw = bin(du); val w = vert(pw)
+          if (u != w) { vert(pu) = w; pos(w) = pu; vert(pw) = u; pos(u) = pw }
+          bin(du) += 1
+          cur(u) -= 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    Some(Array.tabulate(n)(v => (ids(v), cur(v).toLong)))
   }
 
   /** Core numbers of the user co-occurrence graph, session-cached
@@ -1017,14 +1190,17 @@ object Algorithms {
       .distinct().localCheckpoint()
     var dist = bidir.sparkSession.range(1)
       .select(lit(source).as("node_id"), lit(0L).as("hops"))
+    var nDist = 1L
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1))
       val next = bidir
-        .join(frontier.select(col("node_id").as("src")), Seq("src"))
+        .join(iterState(frontier.select(col("node_id").as("src")), nDist, 16L),
+          Seq("src"))
         .select(col("dst").as("node_id"), lit(h.toLong).as("hops"))
       dist = dist.unionAll(next)
         .groupBy(col("node_id")).agg(min(col("hops")).as("hops"))
         .localCheckpoint()
+      if (h < maxHops) nDist = dist.count()
     }
     dist
   }
@@ -1113,14 +1289,20 @@ object Algorithms {
         .distinct().localCheckpoint()
     import spark.implicits._
     var dist = sources.map(s => (s, s, 0L)).toDF("source", "node_id", "hops")
+    // r12: broadcast-pin the frontier side under the iterState gate so
+    // the edge side is never re-sorted/re-shuffled per hop; the dist
+    // frame is checkpointed each hop, so the gate count is cheap
+    var nDist = sources.size.toLong
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1))
       val next = bidir
-        .join(frontier.select(col("source"), col("node_id").as("src")), Seq("src"))
+        .join(iterState(frontier.select(col("source"), col("node_id").as("src")),
+          nDist, 24L), Seq("src"))
         .select(col("source"), col("dst").as("node_id"), lit(h.toLong).as("hops"))
       dist = dist.unionAll(next)
         .groupBy(col("source"), col("node_id")).agg(min(col("hops")).as("hops"))
         .localCheckpoint()
+      if (h < maxHops) nDist = dist.count()
     }
     dist
   }
@@ -1138,15 +1320,17 @@ object Algorithms {
     import spark.implicits._
     val e = lengths.select(col("src"), col("dst"), col("len").cast("double"))
     var dist = Seq((source, 0.0)).toDF("node_id", "dist")
-    for (_ <- 1 to rounds) {
+    var nDist = 1L
+    for (r <- 1 to rounds) {
       dist = e
-        .join(dist.withColumnRenamed("node_id", "src")
-          .withColumnRenamed("dist", "d_src"), Seq("src"))
+        .join(iterState(dist.withColumnRenamed("node_id", "src")
+          .withColumnRenamed("dist", "d_src"), nDist, 24L), Seq("src"))
         .select(col("dst").as("node_id"), (col("d_src") + col("len")).as("dist"))
         .unionAll(dist)
         .groupBy(col("node_id"))
         .agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      if (r < rounds) nDist = dist.count()
     }
     dist
   }
@@ -1171,10 +1355,11 @@ object Algorithms {
     import spark.implicits._
     val e = lengths.select(col("src"), col("dst"), col("len").cast("double"))
     var dist = Seq((source, 0.0, -1L)).toDF("node_id", "dist", "parent")
-    for (_ <- 1 to rounds) {
+    var nDist = 1L
+    for (r <- 1 to rounds) {
       val cand = e
-        .join(dist.select(col("node_id").as("src"), col("dist").as("d_src")),
-          Seq("src"))
+        .join(iterState(dist.select(col("node_id").as("src"),
+          col("dist").as("d_src")), nDist, 24L), Seq("src"))
         .select(col("dst").as("node_id"),
           (col("d_src") + col("len")).as("dist"), col("src").as("parent"))
         .unionByName(dist)
@@ -1182,6 +1367,7 @@ object Algorithms {
         .agg(min(struct(col("dist"), col("parent"))).as("s"))
         .select(col("node_id"), col("s.dist").as("dist"), col("s.parent").as("parent"))
         .localCheckpoint()
+      if (r < rounds) nDist = dist.count()
     }
     val d = dist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1499,17 +1685,27 @@ object Algorithms {
       sources.map(s => (s, s, 1L)).toDF("source", "node_id", "sigma")
         .localCheckpoint())
     var seen = levels.head.select(col("source"), col("node_id"))
+    // r12: per-wave frames are (source, node)-keyed — ≤ |S|·|V| rows —
+    // and checkpointed, so the gate counts are cheap; pinning them
+    // keeps the edge side un-sorted/un-shuffled in both phases
+    var nPrev = sources.size.toLong
+    var nSeen = nPrev
+    var levelCounts = Vector(nPrev)
     for (h <- 1 to maxHops) {
       val prev = levels.last
       val next = bidir
-        .join(prev.select(col("source"), col("node_id").as("src"), col("sigma")), Seq("src"))
+        .join(iterState(prev.select(col("source"), col("node_id").as("src"),
+          col("sigma")), nPrev, 32L), Seq("src"))
         .select(col("source"), col("dst").as("node_id"), col("sigma"))
-        .join(seen, Seq("source", "node_id"), "left_anti")
+        .join(iterState(seen, nSeen, 24L), Seq("source", "node_id"), "left_anti")
         .groupBy(col("source"), col("node_id"))
         .agg(sum(col("sigma")).as("sigma"))
         .localCheckpoint()
       levels = levels :+ next
       seen = seen.unionAll(next.select(col("source"), col("node_id"))).localCheckpoint()
+      nPrev = next.count()
+      nSeen = nSeen + nPrev
+      levelCounts = levelCounts :+ nPrev
     }
     // backward: δ accumulates from the deepest level toward the sources.
     // A node v at level h is a BFS predecessor of w at level h+1 iff
@@ -1523,11 +1719,11 @@ object Algorithms {
         .select(col("source"), col("node_id").as("dst"),
           col("sigma").as("sigma_w"), coalesce(col("delta"), lit(0.0)).as("delta_w"))
       val contrib = bidir
-        .join(w, Seq("dst"))
+        .join(iterState(w, levelCounts(h), 40L), Seq("dst"))
         .select(col("source"), col("src").as("node_id"),
           col("sigma_w"), col("delta_w"))
-        .join(levels(h - 1).select(col("source"), col("node_id"), col("sigma")),
-          Seq("source", "node_id"))
+        .join(iterState(levels(h - 1).select(col("source"), col("node_id"),
+          col("sigma")), levelCounts(h - 1), 32L), Seq("source", "node_id"))
         .groupBy(col("source"), col("node_id"))
         .agg(sum(col("sigma").cast("double") / col("sigma_w") *
           (lit(1.0) + col("delta_w"))).as("delta"))
@@ -1570,10 +1766,12 @@ object Algorithms {
       .select(col("walk_id"), col("step"), col("node_id"))
     var walk = seeds
     var frontier = seeds
+    val nWalks = sources.size.toLong * walksPerSource
     for (t <- 1 to steps) {
       val score = md5(concat_ws(":", col("walk_id"), lit(t), col("dst")))
       val next = bidir
-        .join(frontier.select(col("walk_id"), col("node_id").as("src")), Seq("src"))
+        .join(iterState(frontier.select(col("walk_id"), col("node_id").as("src")),
+          nWalks, 24L), Seq("src"))
         .groupBy(col("walk_id"))
         .agg(min_by(col("dst"), score).as("node_id"))
         .withColumn("step", lit(t.toLong))
@@ -1615,7 +1813,8 @@ object Algorithms {
     for (t <- 1 to steps) {
       val moveScore = md5(concat_ws(":", col("walk_id"), lit(t), col("dst")))
       val cand = bidir
-        .join(frontier.select(col("walk_id"), col("node_id").as("src")), Seq("src"))
+        .join(iterState(frontier.select(col("walk_id"), col("node_id").as("src")),
+          walkers.toLong, 24L), Seq("src"))
         .groupBy(col("walk_id"))
         .agg(min_by(col("dst"), moveScore).as("nxt"))
       val restartFrac = conv(substring(
@@ -1725,8 +1924,11 @@ object Algorithms {
     }
     val curBidir = alive.select(col("u").as("s"), col("v").as("t"))
       .unionAll(alive.select(col("v").as("s"), col("u").as("t")))
-    val deadTri = removed
-      .join(curBidir.select(col("s").as("u"), col("t").as("w")), Seq("u"))
+    // r12: the removed set is small by this branch's own test
+    // (2·nRemoved ≤ nAlive) — pin its broadcast so the alive-edge scan
+    // is never sorted/shuffled for the dead-wedge join
+    val deadTri = curBidir.select(col("s").as("u"), col("t").as("w"))
+      .join(iterState(removed, nRemoved, 24L), Seq("u"))
       .join(curBidir.select(col("s").as("v"), col("t").as("w")), Seq("v", "w"),
         "left_semi")
       .select(array_sort(array(col("u"), col("v"), col("w"))).as("tri"))
@@ -1833,12 +2035,14 @@ object Algorithms {
   private def pprLoop(norm: DataFrame, nodes: DataFrame, sources: Seq[Long],
       iterations: Int, damping: Double): DataFrame = {
     require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
+    val nV = nodes.count() // nodes is materialised by every caller
     val base = 1.0 / sources.size
     def teleport = when(col("node_id").isin(sources: _*), lit(base)).otherwise(lit(0.0))
     var ranks = nodes.select(col("node_id"), teleport.as("rank"))
     for (_ <- 1 to iterations) {
       ranks = norm
-        .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
+        .join(iterState(ranks.withColumnRenamed("node_id", "src"), nV, 24L),
+          Seq("src"))
         .select(col("dst").as("node_id"), (col("share") * col("rank")).as("contrib"))
         .unionAll(nodes.select(col("node_id"), lit(0.0).as("contrib")))
         .groupBy(col("node_id"))
@@ -1873,10 +2077,12 @@ object Algorithms {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = nodesOf(e).localCheckpoint()
+    val nV = nodes.count()
     var x = nodes.select(col("node_id"), lit(1.0).as("score"))
     for (_ <- 1 to iterations) {
       val raw = e
-        .join(x.select(col("node_id").as("src"), col("score").as("xs")), Seq("src"))
+        .join(iterState(x.select(col("node_id").as("src"),
+          col("score").as("xs")), nV, 24L), Seq("src"))
         .select(col("dst").as("node_id"), (col("weight") * col("xs")).as("c"))
         .unionAll(nodes.select(col("node_id"), lit(0.0).as("c")))
         .groupBy(col("node_id"))
@@ -1916,12 +2122,15 @@ object Algorithms {
       .withColumn("comp", col("node_id"))
       .localCheckpoint()
     var forest = e.limit(0).localCheckpoint()
+    val nV = labels.count()
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       val cross = e
-        .join(labels.select(col("node_id").as("src"), col("comp").as("comp_s")), Seq("src"))
-        .join(labels.select(col("node_id").as("dst"), col("comp").as("comp_d")), Seq("dst"))
+        .join(iterState(labels.select(col("node_id").as("src"),
+          col("comp").as("comp_s")), nV, 24L), Seq("src"))
+        .join(iterState(labels.select(col("node_id").as("dst"),
+          col("comp").as("comp_d")), nV, 24L), Seq("dst"))
         .filter(col("comp_s") =!= col("comp_d"))
       // each component votes from both sides of its incident cross
       // edges; arg-min under the total order picks its hook edge
@@ -2483,16 +2692,18 @@ object Algorithms {
       .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcs = e.select(col("src")).distinct().localCheckpoint()
+    val nSrc = srcs.count()
+    val nDst = e.select(col("dst")).distinct().count()
     var hubs = srcs.select(col("src"), lit(1.0).as("h"))
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = e.join(hubs, Seq("src"))
+      val aRaw = e.join(iterState(hubs, nSrc, 24L), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("w") * col("h")).as("raw"))
         .localCheckpoint()
       val aNorm = math.sqrt(aRaw.agg(sum(col("raw") * col("raw"))).head().getDouble(0))
       auths = aRaw.select(col("dst"), (col("raw") / aNorm).as("a"))
-      val hRaw = e.join(auths, Seq("dst"))
+      val hRaw = e.join(iterState(auths, nDst, 24L), Seq("dst"))
         .groupBy(col("src"))
         .agg(sum(col("w") * col("a")).as("raw"))
         .localCheckpoint()
@@ -2793,6 +3004,7 @@ object Algorithms {
     * consume the same shares). */
   private def pageRankLoop(norm: DataFrame, nodes: DataFrame,
       iterations: Int, damping: Double, tol: Double): (DataFrame, Int) = {
+    val nV = nodes.count() // nodes is materialised by every caller
     var ranks = nodes.withColumn("rank", lit(1.0))
     var i = 0
     var converged = false
@@ -2803,7 +3015,8 @@ object Algorithms {
       // dropped, not redistributed — fine for the symmetric graphs used
       // here, where dangling nodes cannot exist
       val next = norm
-        .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
+        .join(iterState(ranks.withColumnRenamed("node_id", "src"), nV, 24L),
+          Seq("src"))
         .select(col("dst").as("node_id"), (col("share") * col("rank")).as("contrib"))
         .unionAll(nodes.select(col("node_id"), lit(0.0).as("contrib")))
         .groupBy(col("node_id"))
@@ -2815,7 +3028,8 @@ object Algorithms {
       // iteration count — skip the probe actions entirely
       if (tol > 0.0 && i % 2 == 1) {
         // max over an empty/NULL frame is NULL (empty graph) → converged
-        val row = next.join(ranks.withColumnRenamed("rank", "_prev"), Seq("node_id"))
+        val row = next.join(iterState(
+            ranks.withColumnRenamed("rank", "_prev"), nV, 24L), Seq("node_id"))
           .agg(max(abs(col("rank") - col("_prev")))).head()
         converged = row.isNullAt(0) || row.getDouble(0) < tol
       }
@@ -2856,10 +3070,12 @@ object Algorithms {
         (lit(1.0) / (col("deg").cast("double") + lit(avgDeg))).as("share"))
       .localCheckpoint()
     val nodes = deg.select(col("src").as("node_id"))
+    val nV = s.getLong(1) // node count, already on the avgDeg row
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       ranks = norm
-        .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
+        .join(iterState(ranks.withColumnRenamed("node_id", "src"), nV, 24L),
+          Seq("src"))
         .select(col("dst").as("node_id"), (col("share") * col("rank")).as("contrib"))
         .unionAll(nodes.select(col("node_id"), lit(0.0).as("contrib")))
         .groupBy(col("node_id"))

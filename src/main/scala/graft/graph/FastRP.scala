@@ -97,7 +97,10 @@ object FastRP {
       seed: Int = 42): FastRpState = {
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
     val nodes = e.select(col("src").as("node_id")).distinct().localCheckpoint()
-
+    // r12 note: a broadcast pin of the per-iteration state side was
+    // MEASURED as a net loss here (bipartite embed 11→21 s at sf0.1) —
+    // the 64-wide build-side rows make the hashed-relation probe copies
+    // cost more than the SMJ sort they save; the exchange shape stays.
     var state = normalized(
       nodes.select(col("node_id") +: eCols(dim).zipWithIndex.map {
         case (c, j) => baseEntry(col("node_id"), j, seed).as(c)

@@ -74,6 +74,12 @@ object Louvain {
           .select(col("node_id"),
             coalesce(col("comm"), col("node_id")).as("comm"), col("k"))
     })
+    // r12: pin the labels side of every per-sweep edge join (iterState
+    // broadcast gate — the |V|-row frame out of checkpointFresh has
+    // default stats, so the planner would otherwise SMJ and re-sort the
+    // persisted edge side each sweep)
+    val nV = labels.count()
+    def pinned(df: DataFrame): DataFrame = Algorithms.iterState(df, nV, 32L)
     var sweep = 1
     var zeroMoveSweeps = 0
     var tSweep = System.nanoTime()
@@ -98,9 +104,10 @@ object Louvain {
         // the shuffle onto src is reused by the argmax grouping.
         e.filter(col("src") =!= col("dst") &&
             pmod(col("src"), lit(2)) === parity)
-          .join(labels.select(col("node_id").as("dst"), col("k").as("k_dst")), Seq("dst"))
+          .join(pinned(labels.select(col("node_id").as("dst"),
+            col("k").as("k_dst"))), Seq("dst"))
           .select(col("src"), col("dst").as("cand"), col("weight"), col("k_dst"))
-          .join(labels.select(col("node_id").as("src"), col("k")), Seq("src"))
+          .join(pinned(labels.select(col("node_id").as("src"), col("k"))), Seq("src"))
           .select(col("src").as("node_id"), col("cand"),
             (col("weight") * m2 - col("k") * col("k_dst")).as("gain"))
           .unionAll(labels
@@ -124,7 +131,8 @@ object Louvain {
         val toComm = e
           .filter(col("src") =!= col("dst") &&
             pmod(col("src"), lit(2)) === parity)
-          .join(labels.select(col("node_id").as("dst"), col("comm").as("cand")), Seq("dst"))
+          .join(pinned(labels.select(col("node_id").as("dst"),
+            col("comm").as("cand"))), Seq("dst"))
           .select(col("src").as("node_id"), col("cand"), col("weight"))
           .unionAll(labels
             .filter(pmod(col("node_id"), lit(2)) === parity)
@@ -225,9 +233,12 @@ object Louvain {
         // self-loops (intra-community weight): Blondel et al. carry them,
         // and dropping them shrinks a supernode's k and the global m
         // non-proportionally, which can flip higher-level move decisions
+        val nL = labels.count()
         currentEdges = currentEdges
-          .join(labels.select(col("node_id").as("src"), col("comm").as("src_c")), Seq("src"))
-          .join(labels.select(col("node_id").as("dst"), col("comm").as("dst_c")), Seq("dst"))
+          .join(Algorithms.iterState(labels.select(col("node_id").as("src"),
+            col("comm").as("src_c")), nL, 24L), Seq("src"))
+          .join(Algorithms.iterState(labels.select(col("node_id").as("dst"),
+            col("comm").as("dst_c")), nL, 24L), Seq("dst"))
           .groupBy(col("src_c").as("src"), col("dst_c").as("dst"))
           .agg(sum(col("weight")).as("weight"))
           .localCheckpoint()
