@@ -138,37 +138,31 @@ object KMeans {
         val n = r.getLong(1).toDouble
         r.getInt(0) -> Array.tabulate(dim)(i => snap6(r.getDouble(2 + i) / n))
       }.toMap
-    val dist: Map[Int, org.apache.spark.sql.Column] = cents.map { case (j, c) =>
-      j -> sqrt((0 until dim).map { i =>
-        val diff = col("embedding").getItem(i).cast("double") - lit(c(i))
-        diff * diff
-      }.reduce(_ + _))
-    }
-    val ks = cents.keys.toSeq.sorted
-    val a = coalesce(ks.map(j => when(col("cluster") === j, dist(j))): _*)
-    val b = least(ks.map(j =>
-      when(col("cluster") === j, lit(Double.MaxValue)).otherwise(dist(j))): _*)
-    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    // r12: one native kernel call per row ([[graft.plans
+    // .CentroidSilhouette]]) instead of k inlined 64-term sqrt chains —
+    // same a/b/s algebra, same min semantics, codegen source stable
+    // across centroid values (no per-query Janino recompile)
+    val packed = cents.keys.toSeq.sorted
+      .map(j => j.toDouble +: cents(j).toSeq).map(_.toArray).toArray
+    val s = graft.plans.CentroidOps.silhouette(spark,
+      col("embedding"), col("cluster"), packed)
     joined.select(col("cluster"), s.as("s"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), round(avg(col("s")), 6).as("silhouette"))
       .orderBy(col("cluster"))
   }
 
-  /** Argmin-squared-distance assignment with centroid LITERALS: the
-    * distance for each centroid is an inlined codegen expression;
-    * argmin via least-of-structs (distance, cluster id — total order,
-    * deterministic ties). */
-  private def assignTo(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val dists = centroids.zipWithIndex.map { case (ctr, ci) =>
-      val d2 = (0 until ctr.length).map { i =>
-        val diff = col("embedding").getItem(i).cast("double") - lit(ctr(i))
-        diff * diff
-      }.reduce(_ + _)
-      struct(d2.as("d2"), lit(ci).as("cluster"))
-    }
-    emb.withColumn("cluster", least(dists: _*).getField("cluster"))
-  }
+  /** Argmin-squared-distance assignment via the native
+    * [[graft.plans.CentroidAssign]] kernel (r12): the centroid matrix
+    * rides as a codegen reference object, so the generated source — and
+    * its Janino compile — is shared across Lloyd iterations, where the
+    * old per-iteration literal chains (k·dim inlined terms) recompiled
+    * every round. Arithmetic and ties are identical (same ascending-i
+    * sum, same first-min cluster order — property-tested against the
+    * literal-chain form). */
+  private def assignTo(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    emb.withColumn("cluster",
+      graft.plans.CentroidOps.assign(emb.sparkSession, col("embedding"), centroids))
 
   /** SQL-oracle-able gates: every vector assigned exactly once, cluster
     * ids in range, no empty cluster at this data scale, and the

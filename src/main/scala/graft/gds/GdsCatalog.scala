@@ -1393,12 +1393,13 @@ final class GdsSession(initial: CypherLite.Graph) {
         Seq("node2"))
       .withColumn("similarity", round(simExpr, 6))
       .filter(col("similarity") >= similarityCutoff)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node1"))
-      .orderBy(col("similarity").desc, col("node2"))
-    val sims = scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
+    // r12: top-k per node1 via the bounded-heap TopKPerKey operator
+    // (X4) instead of a row_number window — same rows under the same
+    // total order (similarity desc, node2 asc), but one hash-partition
+    // pass with per-partition heaps instead of an exchange + full sort
+    // of every scored pair
+    val sims = graft.plans.TopKPerKey.topKPerKey(scored, Seq("node1"),
+        Seq(("similarity", false), ("node2", true)), topK)
       .select(col("node1"), col("node2"), col("similarity"))
     NodeSimParts(() => sizes.count(), postingsDropped, sims)
   }
