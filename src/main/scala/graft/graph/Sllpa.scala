@@ -50,20 +50,19 @@ object Sllpa {
     var mem = e.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("l"), lit(1L).as("c"))
       .localCheckpoint()
-    val nV = mem.count()
     for (t <- 1 to rounds) {
       // One array row per speaker, then the weighted draw inline per
       // edge: min over (ticket, l) of every (l, k≤c) memory copy —
       // identical tickets and tie order to the explode/groupBy shape
       // (struct min orders field-wise, ticket first), zero extra rows.
-      // r12: iterState-pinned — the speaker side is one array row per
-      // node (≤ rounds+1 entries), so the per-round edge join is
-      // map-side under the gate instead of relying on AQE's estimate
-      val memArr = graft.graph.Algorithms.iterState(
-        mem.groupBy(col("v"))
-          .agg(collect_list(struct(col("l"), col("c"))).as("ml"))
-          .withColumnRenamed("v", "src"),
-        nV, 24L + (rounds + 1) * 24L)
+      // r12 note: an explicit iterState broadcast pin here was a
+      // MEASURED loss (silver 7.5→10.2 s, both bench passes) — AQE
+      // already broadcasts the post-aggregate memory side from its
+      // materialised shuffle, and the pin only added a second
+      // collect; the AQE shape stays.
+      val memArr = mem.groupBy(col("v"))
+        .agg(collect_list(struct(col("l"), col("c"))).as("ml"))
+        .withColumnRenamed("v", "src")
       val spoken = e
         .join(memArr, Seq("src"))
         .withColumn("sp", expr(
