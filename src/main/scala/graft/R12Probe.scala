@@ -21,14 +21,47 @@ object R12Probe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+.config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // stage-level accounting (guide §1/§7): per timed block, where did
+    // the wall go — executor compute, GC, shuffle read/write, result
+    // ser — and how much was sheer stage count (scheduler overhead)
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      (0L, 0L, 0L, 0L, 0)) // runTime, gcTime, shufRead, shufWrite, nStages
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          stageLog.add((m.executorRunTime,
+            sc.stageInfo.name.take(90), sc.stageInfo.numTasks))
+          acc.updateAndGet { case (rt, gc, sr, sw, n) =>
+            (rt + m.executorRunTime, gc + m.jvmGCTime,
+              sr + m.shuffleReadMetrics.totalBytesRead,
+              sw + m.shuffleWriteMetrics.bytesWritten, n + 1)
+          }: Unit
+        }
+      })
+    def dumpStages(top: Int = 12): Unit = {
+      import scala.jdk.CollectionConverters._
+      val all = stageLog.asScala.toVector
+      stageLog.clear()
+      all.sortBy(-_._1).take(top).foreach { case (rt, name, nt) =>
+        println(f"[stage] ${rt / 1e3}%8.1fcs tasks=$nt%-4d $name") }
+    }
     def time[T](label: String)(f: => T): T = {
+      val before = acc.get()
       val t0 = System.nanoTime()
       val r = f
-      println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val after = acc.get()
+      val (rt, gc) = ((after._1 - before._1) / 1e3, (after._2 - before._2) / 1e3)
+      val (sr, sw) = ((after._3 - before._3) / 1e6, (after._4 - before._4) / 1e6)
+      val ns = after._5 - before._5
+      println(f"[probe] $label%-40s $wall%8.2fs  exec=${rt}%.1fcs gc=${gc}%.1fcs shufR=${sr}%.0fMB shufW=${sw}%.0fMB stages=$ns")
       r
     }
     def noop(df: DataFrame): Unit =
@@ -36,6 +69,28 @@ object R12Probe {
 
     val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, sfDir)
     time("warm: cooccurrence silver")(cooc.count())
+
+    if (sections("lpa")) {
+      // A/B the r12 iterState broadcast pin on label propagation: the
+      // bench read lpa_communities 6.5 s (pre-pin) → ~15 s (pinned),
+      // consistent across both silver passes — isolate whether the pin
+      // (conf-gated) or the max_by pick is the cost
+      val edges = cooc.select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
+      spark.conf.set("graft.iter.broadcastBytes", "0")
+      time("lpa: pin OFF (gate=0), run 1") {
+        noop(graph.Algorithms.labelPropagation(edges))
+      }
+      time("lpa: pin OFF (gate=0), run 2") {
+        noop(graph.Algorithms.labelPropagation(edges))
+      }
+      spark.conf.set("graft.iter.broadcastBytes", "134217728")
+      time("lpa: pin ON (default gate), run 1") {
+        noop(graph.Algorithms.labelPropagation(edges))
+      }
+      time("lpa: pin ON (default gate), run 2") {
+        noop(graph.Algorithms.labelPropagation(edges))
+      }
+    }
 
     if (sections("node2vec")) {
       spark.sparkContext.setJobDescription("probe: node2vec stages")
@@ -86,11 +141,76 @@ object R12Probe {
       }
     }
 
+    if (sections("fastrpAB")) {
+      // is the 17 s bipartite embed codegen-compile-bound (the k-means
+      // Janino precedent) or execution-bound? A/B whole-stage codegen
+      // and time two consecutive runs of each
+      val be = graph.Algorithms.bipartiteEdges(spark, sfDir)
+      be.count()
+      for (ws <- Seq("true", "false"); r <- 1 to 2) {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        time(s"fastrp bipartite embed wholeStage=$ws run $r") {
+          noop(graph.FastRP.embed(be))
+        }
+      }
+      // hypothesis: the 64-wide stage methods Janino-compile fine but
+      // exceed HotSpot's 8000-bytecode JIT HugeMethodLimit and run
+      // INTERPRETED — capping Spark's hugeMethodLimit at 8000 makes
+      // codegen fall back per-stage exactly where JIT would bail
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+      for (r <- 1 to 2)
+        time(s"fastrp bipartite embed hugeMethodLimit=8000 run $r") {
+          noop(graph.FastRP.embed(be))
+        }
+      spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
+    }
+
     if (sections("fastrp")) {
       spark.sparkContext.setJobDescription("probe: fastrp bipartite")
+      stageLog.clear()
       time("fastrp: bipartite embed") {
         noop(graph.FastRP.embed(graph.Algorithms.bipartiteEdges(spark, sfDir)))
       }
+      dumpStages()
+    }
+
+    if (sections("fastrp2")) {
+      // dissect one propagate step: which piece of the 40–130 cs/iter
+      // is the cost — the BHJ, the vecSum UDAF, or the checkpoint?
+      val be = graph.Algorithms.bipartiteEdges(spark, sfDir)
+      val e = be.select(col("src"), col("dst"), col("weight").cast("double"))
+        .repartition(col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("node_id")).distinct().localCheckpoint()
+      val nV = nodes.count()
+      val state = nodes.select(col("node_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => (col("node_id") + j).cast("double")).as("emb")).localCheckpoint()
+      state.count()
+      val joined = e.join(graph.Algorithms.iterState(
+        state.select(col("node_id").as("src"), col("emb")), nV, 536L), Seq("src"))
+      stageLog.clear()
+      time("step: join only (count weight)") {
+        noop(joined.groupBy(col("dst")).agg(sum(col("weight")).as("w")))
+      }
+      time("step: join + vecSum") {
+        noop(joined.groupBy(col("dst")).agg(sum(col("weight")).as("w"),
+          graft.functions.VectorOps.vecSum(64)(
+            transform(col("emb"), v => v * col("weight"))).as("semb")))
+      }
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      time("step: join + vecSum, no sort fallback") {
+        noop(joined.groupBy(col("dst")).agg(sum(col("weight")).as("w"),
+          graft.functions.VectorOps.vecSum(64)(
+            transform(col("emb"), v => v * col("weight"))).as("semb")))
+      }
+      spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      dumpStages(8)
+      val plan = joined.groupBy(col("dst")).agg(
+        graft.functions.VectorOps.vecSum(64)(
+          transform(col("emb"), v => v * col("weight"))).as("semb"))
+      println(plan.queryExecution.executedPlan.toString.take(3000))
     }
 
     if (sections("plans")) {

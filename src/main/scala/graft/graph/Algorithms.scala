@@ -829,12 +829,31 @@ object Algorithms {
     // gate sizes the broadcast: the grouped adjacency is ~16 B/edge of
     // array payload, so the 10M default is a ~160 MB broadcast — large
     // but executor-safe; raise via conf only with the memory to match
+    var tSetup = System.nanoTime()
+    def lap(label: String): Unit = {
+      System.err.println(f"[graft] n2v setup $label took ${(System.nanoTime() - tSetup) / 1e9}%.2fs")
+      tSetup = System.nanoTime()
+    }
     val nEdges = bidir.count()
+    lap("bidir count")
     val adjGate = bidir.sparkSession.conf
       .getOption("graft.node2vec.adjBroadcastEdges").map(_.toLong)
       .getOrElse(10000000L)
+    // r12: under the gate the WEIGHTED path draws natively — one
+    // [[graft.plans.Node2VecStep]] argmin loop per live walk over a
+    // CSR adjacency collected + broadcast ONCE (identical ES-clock
+    // arithmetic, spec-pinned), instead of exploding
+    // |frontier|·avg-degree candidate rows per step into a min_by
+    // shuffle (measured ~12.5 M rows/step at sf0.1). Each step is then
+    // a map-only projection of the frontier — no join, no per-step
+    // broadcast exchange.
+    val csrBc =
+      if (weighted && nEdges <= adjGate)
+        Some(graft.plans.Node2VecStep.buildCsr(bidir))
+      else None
+    lap("csr build")
     val nbrArr =
-      if (nEdges <= adjGate)
+      if (!weighted && nEdges <= adjGate)
         Some(bidir.groupBy(col("src").as("prev"))
           .agg(collect_list(col("dst")).as("nbrs")).localCheckpoint())
       else None
@@ -843,9 +862,18 @@ object Algorithms {
     // step 0: prev = the source itself — nxt == prev can't occur (no
     // self-loops) and every candidate is adjacent to prev, so the first
     // hop is uniform, matching node2vec's unbiased first step
+    // r12: spread the seed frame across the full parallelism with an
+    // EXPLICIT partition count (AQE coalesces the ~MB-sized frontier to
+    // 1–2 partitions otherwise, and with the native draw the per-step
+    // CPU — |frontier|·deg md5 clocks — runs ON the frontier
+    // partitions; thread dumps showed the whole step on 2 cores). The
+    // per-step projections are narrow, so one spread here parallelises
+    // every step.
     val seeds = seedIds
       .withColumn("step", lit(0L))
       .withColumn("prev", col("node_id"))
+      .repartition(bidir.sparkSession.sparkContext.defaultParallelism,
+        col("walk_id"))
       .localCheckpoint()
     // r12: the per-step frontier is one row per LIVE WALK (≤ |seeds|,
     // monotone — a walk that dies never returns); broadcast it into the
@@ -853,18 +881,20 @@ object Algorithms {
     // re-sorted/re-shuffled per step (measured: the frontier⋈edges SMJ
     // was the dominant per-step cost of the corpus build)
     val nWalks = seeds.count()
+    lap("seeds")
     var walk = seeds.select(col("walk_id"), col("step"), col("node_id"))
     var frontier = seeds.select(col("walk_id"), col("prev"), col("node_id"))
+    var tStep = System.nanoTime()
     for (t <- 1 to steps) {
       val classW = when(col("nxt") === col("prev"), lit(wBack))
         .when(col("is_nbr"), lit(wNbr))
         .otherwise(lit(wOut))
-      val rawCands = bidir
+      def rawCands = bidir
         .join(iterState(frontier.select(col("walk_id"), col("prev"),
           col("node_id").as("src")), nWalks, 32L), Seq("src"))
         .select(col("walk_id"), col("prev"), col("src"), col("dst").as("nxt"),
           col("weight"))
-      val cands = nbrArr match {
+      def cands = nbrArr match {
         case Some(arr) => rawCands
           .join(broadcast(arr), Seq("prev"))
           .withColumn("is_nbr", array_contains(col("nbrs"), col("nxt")))
@@ -873,7 +903,19 @@ object Algorithms {
           .join(adj, Seq("prev", "nxt"), "left")
           .withColumn("is_nbr", coalesce(col("nbr_flag"), lit(false)))
       }
-      val next = (if (weighted) {
+      val next = (if (weighted && csrBc.isDefined) {
+        // native per-walk argmin (see csrBc note above): a walk at a
+        // node with no adjacency slice draws null and strands via the
+        // filter — the same dead-walk semantics as the inner join
+        frontier
+          .select(col("walk_id"),
+            struct(
+              graft.plans.Node2VecStep.drawCol(bidir.sparkSession,
+                csrBc.get, col("walk_id"), col("prev"), col("node_id"),
+                t, wBack, wNbr, wOut).as("nxt"),
+              col("node_id").as("src")).as("pick"))
+          .filter(col("pick.nxt").isNotNull)
+      } else if (weighted) {
         // exact weighted categorical draw WITHOUT replica explosion
         // (Efraimidis–Spirakis exponential clocks): candidate score
         // −ln(u)/w with u a deterministic 48-bit uniform from
@@ -907,9 +949,15 @@ object Algorithms {
       })
         .select(col("walk_id"), lit(t.toLong).as("step"),
           col("pick.nxt").as("node_id"), col("pick.src").as("prev"))
-        .localCheckpoint()
+        // SER storage: the deserialized path samples every cached block
+        // with SizeEstimator, and a sampled row whose object graph
+        // reaches broadcast state walks it per sample (thread dumps
+        // showed 7 s tasks inside SizeEstimator.sampleArray)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       walk = walk.unionAll(next.select(col("walk_id"), col("step"), col("node_id")))
       frontier = next.select(col("walk_id"), col("prev"), col("node_id"))
+      System.err.println(f"[graft] n2v walk step $t took ${(System.nanoTime() - tStep) / 1e9}%.2fs")
+      tStep = System.nanoTime()
     }
     walk.orderBy(col("walk_id"), col("step"))
   }

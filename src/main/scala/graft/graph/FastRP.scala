@@ -23,59 +23,65 @@ import org.apache.spark.sql.functions._
   *     states (GDS default iterationWeights = [0.0, 1.0, 1.0, 1.0],
   *     which the reference uses implicitly by not overriding it).
   *
-  * Embeddings are laid out as `dim` WIDE DOUBLE COLUMNS (e0…e63), not an
-  * array: the propagation aggregate is then `dim` codegen'd `sum()`s with
-  * map-side partial aggregation — no per-row boxing, no UDAF, and the
-  * shuffle ships partial sums, not neighbour lists. Each step is one join
-  * + one groupBy on node id — linear in |E|, no driver state, no collect.
-  * The array form is materialised only in the final projection.
+  * Embeddings are laid out as ONE `array<double>` column (r12; they were
+  * `dim` wide double columns until this round). The wide form made the
+  * propagation aggregate `dim` codegen'd `sum()`s — but at dim 64 the
+  * fused whole-stage method exceeds HotSpot's 8000-bytecode JIT
+  * HugeMethodLimit and runs INTERPRETED (measured with the stage
+  * listener: 265 vs 88 executor-core-seconds on the sf0.1 bipartite
+  * build). The array form keeps every per-element operation in a tight
+  * loop — `transform`/`zip_with`/`aggregate` higher-order functions plus
+  * the [[graft.functions.VectorOps.vecSum]] element-wise aggregate — so
+  * generated methods stay small and JIT-compiled. Per-element arithmetic
+  * (fold order, round-at-6 snaps) is IDENTICAL to the wide form, so
+  * every downstream oracle hash is unchanged. Each step is one join +
+  * one groupBy on node id — linear in |E|, no driver state, no collect.
   */
 object FastRP {
 
   private val Sqrt3 = math.sqrt(3.0)
 
-  private def eCols(dim: Int): Seq[String] = (0 until dim).map(j => s"e$j")
-
-  /** Deterministic sparse base entry for dimension j — md5-based (r7:
-    * engine-replayable; xxhash64 is Spark-only): first 8 hex chars as a
-    * uint32, mod 6. The md5 swap plus the [[normalized]] snap make the
+  /** Deterministic sparse base VECTOR — md5-based (r7:
+    * engine-replayable; xxhash64 is Spark-only): entry j is derived
+    * from the first 8 hex chars of md5("<id>:<j>:<seed>") as a uint32
+    * mod 6. r12: computed by the native [[graft.plans.FastRpBase]]
+    * kernel (bit-exact to the old per-element conv/substring/md5
+    * chains, property-tested) — a dim-element CreateArray of md5
+    * chains is ONE expression whose generated method blows the
+    * Janino/JIT limits and silently falls back to interpreted eval.
+    * The md5 construction plus the [[normalizedArr]] snap make the
     * WHOLE FastRP pipeline — and everything downstream of it (KNN
     * edges, both operating points) — exactly DuckDB-oracle-able. */
-  private def baseEntry(nodeId: Column, j: Int, seed: Int): Column = {
-    val h = conv(substring(
-        md5(concat(nodeId.cast("string"), lit(s":$j:$seed"))), 1, 8), 16, 10)
-      .cast("long") % 6
-    when(h === 0, lit(Sqrt3)).when(h === 1, lit(-Sqrt3)).otherwise(lit(0.0))
-  }
+  private def baseArray(spark: org.apache.spark.sql.SparkSession,
+      nodeId: Column, dim: Int, seed: Int): Column =
+    graft.plans.FastRpBase.baseVec(spark, nodeId, dim, seed)
 
-  /** Two-step L2 normalisation over wide columns (norm computed once),
+  /** L2 normalisation of an `array<double>` column (norm computed once),
     * with the output SNAPPED to 6 decimals (r7): the propagation means
     * feeding this carry ~1e-11 reduction-order noise, and the snap
     * makes each iteration's state bit-identical across engines and
     * runs — the IVF/PQ/kmeans precedent. Unit norms survive to the
     * fastrp_norms gate's 1e-4 rounding (coordinate error ≤ 5e-7 →
-    * norm error ≤ ~4e-6). */
-  private def normalized(df: DataFrame, dim: Int): DataFrame = {
-    val normSq = eCols(dim).map(c => col(c) * col(c)).reduce(_ + _)
-    df.withColumn("_norm", sqrt(normSq))
-      .select(col("node_id") +: eCols(dim).map(c =>
-        when(col("_norm") > 0, round(col(c) / col("_norm"), 6))
-          .otherwise(lit(0.0)).as(c)): _*)
-  }
+    * norm error ≤ ~4e-6). Element arithmetic is the wide form's exactly:
+    * norm² = left fold of v·v (0.0 + v₀² ≡ v₀² in IEEE — squares are
+    * non-negative), each element `round(v/norm, 6)`, zero-norm rows
+    * all-0.0. */
+  private def normalizedArr(spark: org.apache.spark.sql.SparkSession,
+      emb: Column): Column =
+    graft.plans.VecKernels.norm6Col(spark, emb)
 
   /** The normalised iteration-0 state on its own: one deterministic
     * unit-norm sparse base vector per node of `nodes` (node_id).
     * [[graft.graph.Node2Vec]] uses it as the fallback identity for
     * nodes whose every walk context has non-positive SPPMI. */
   def baseVectors(nodes: DataFrame, dim: Int = 64, seed: Int = 42): DataFrame =
-    normalized(
-      nodes.select(col("node_id") +: eCols(dim).zipWithIndex.map {
-        case (c, j) => baseEntry(col("node_id"), j, seed).as(c)
-      }: _*), dim)
-      .select(col("node_id"), array(eCols(dim).map(col): _*).as("embedding"))
+    nodes.select(col("node_id"),
+      normalizedArr(nodes.sparkSession,
+        baseArray(nodes.sparkSession, col("node_id"), dim, seed))
+        .as("embedding"))
 
   /** The retained propagation states of one FastRP build: `states(k)`
-    * is the k-th iteration state as WIDE columns (node_id, e0…e{d-1}),
+    * is the k-th iteration state (node_id, emb: array<double>),
     * `embedding` the final packed (node_id, embedding) frame. The
     * per-iteration states are what [[mergeEmbeddings]] (T15) folds
     * deltas into — at 100 TB they are the (|iterationWeights|)×
@@ -90,60 +96,86 @@ object FastRP {
       iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0), seed: Int = 42): DataFrame =
     embedStates(edges, dim, iterationWeights, seed).embedding
 
+  /** One propagation step: weighted mean of in-neighbour states,
+    * normalised, completed over `nodes` with zero vectors. The edge
+    * side arrives hash-partitioned by dst and persisted (see
+    * [[embedStates]]), the state side rides the iterState broadcast
+    * gate — under the gate the whole step is BHJ + a partitioning-
+    * preserving aggregate, ZERO shuffled bytes. */
+  private def propagateStep(e: DataFrame, state: DataFrame, nodes: DataFrame,
+      nV: Long, dim: Int): DataFrame = {
+    val spark = e.sparkSession
+    val vk = graft.plans.VecKernels
+    val msgs = e.join(Algorithms.iterState(
+      state.select(col("node_id").as("src"), col("emb")), nV, 8L * dim + 24L),
+      Seq("src"))
+    val agg = msgs
+      .groupBy(col("dst").as("node_id"))
+      .agg(sum(col("weight")).as("_w"),
+        vk.wsumCol(spark, col("emb"), col("weight")).as("semb"))
+    val mean = agg.select(col("node_id"),
+      vk.divCol(spark, col("semb"), col("_w")).as("emb"))
+    mean.select(col("node_id"), normalizedArr(spark, col("emb")).as("emb"))
+      .join(nodes, Seq("node_id"), "right")
+      .select(col("node_id"),
+        coalesce(col("emb"), array_repeat(lit(0.0), dim)).as("emb"))
+  }
+
   /** [[embed]] with the per-iteration states retained (same
     * computation — embed IS this function's `.embedding`). */
   def embedStates(edges: DataFrame, dim: Int = 64,
       iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0, 1.0),
       seed: Int = 42): FastRpState = {
+    // r12 (guide §2.4/§3.1, measured with the stage listener): the old
+    // shape shuffled ~733 MB per bipartite build at sf0.1 — each
+    // iteration SMJ'd edges⋈state on src (re-shuffling both sides) and
+    // then exchanged the wide msgs again for the dst aggregate. The
+    // matrix-vector form fixes the layout instead: edges are
+    // hash-partitioned by dst ONCE and persisted; the |V|-row state side
+    // rides the iterState broadcast gate, so under the gate each
+    // iteration is BHJ (no edge shuffle) + a dst aggregate that reuses
+    // the persisted partitioning (no exchange). Above the gate (100 TB
+    // states) it degrades to exactly the old exchange shape. Reduction
+    // order changes are absorbed by the existing 6-decimal snap (see
+    // [[normalizedArr]]) — states stay bit-identical, oracle untouched.
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node_id")).distinct().localCheckpoint()
-    // r12 note: a broadcast pin of the per-iteration state side was
-    // MEASURED as a net loss here (bipartite embed 11→21 s at sf0.1) —
-    // the 64-wide build-side rows make the hashed-relation probe copies
-    // cost more than the SMJ sort they save; the exchange shape stays.
-    var state = normalized(
-      nodes.select(col("node_id") +: eCols(dim).zipWithIndex.map {
-        case (c, j) => baseEntry(col("node_id"), j, seed).as(c)
-      }: _*), dim).localCheckpoint()
+    val nV = nodes.count()
+    val spark = edges.sparkSession
+    val vk = graft.plans.VecKernels
+    var state = nodes.select(col("node_id"),
+      normalizedArr(spark,
+        baseArray(spark, col("node_id"), dim, seed)).as("emb"))
+      .localCheckpoint()
     val states = Seq.newBuilder[DataFrame]
     states += state
 
-    var combined = state.select(col("node_id") +: eCols(dim).map(c =>
-      (col(c) * iterationWeights.head).as(s"acc_$c")): _*)
+    var combined = state.select(col("node_id"),
+      vk.mulCol(spark, col("emb"), lit(iterationWeights.head)).as("acc"))
 
     for (k <- 1 until iterationWeights.length) {
-      val msgs = e.join(state.withColumnRenamed("node_id", "src"), Seq("src"))
-      val agg = msgs
-        .groupBy(col("dst").as("node_id"))
-        .agg(sum(col("weight")).as("_w"),
-          eCols(dim).map(c => sum(col(c) * col("weight")).as(c)): _*)
-      val mean = agg.select(col("node_id") +: eCols(dim).map(c => (col(c) / col("_w")).as(c)): _*)
-      state = normalized(mean, dim)
-        .join(nodes, Seq("node_id"), "right")
-        .na.fill(0.0, eCols(dim))
-        .localCheckpoint()
+      state = propagateStep(e, state, nodes, nV, dim).localCheckpoint()
       states += state
-      val w = iterationWeights(k)
       combined = combined.join(state, Seq("node_id"))
-        .select(col("node_id") +: eCols(dim).map(c =>
-          (col(s"acc_$c") + col(c) * w).as(s"acc_$c")): _*)
+        .select(col("node_id"),
+          vk.axpyCol(spark, col("acc"), col("emb"), iterationWeights(k)).as("acc"))
     }
 
-    FastRpState(states.result(), finishEmbedding(combined, dim))
+    val out = FastRpState(states.result(), finishEmbedding(combined))
+    // every retained state is an eager localCheckpoint, so the
+    // partitioned edge copy is no longer needed by any returned plan
+    e.unpersist(blocking = false)
+    out
   }
 
-  /** Final L2 normalise + pack into an array column; coordinates
-    * snapped at 6 like every iteration state (see normalized) so the
+  /** Final L2 normalise + rename into the embedding column; coordinates
+    * snapped at 6 like every iteration state (see normalizedArr) so the
     * embedding CONSUMERS (cosines, LSH sign bits) are bit-replayable. */
-  private def finishEmbedding(combined: DataFrame, dim: Int): DataFrame = {
-    val accNormSq = eCols(dim).map(c => col(s"acc_$c") * col(s"acc_$c")).reduce(_ + _)
-    combined.withColumn("_norm", sqrt(accNormSq))
-      .select(col("node_id"),
-        array(eCols(dim).map(c =>
-          when(col("_norm") > 0, round(col(s"acc_$c") / col("_norm"), 6))
-            .otherwise(lit(0.0))): _*)
-          .as("embedding"))
-  }
+  private def finishEmbedding(combined: DataFrame): DataFrame =
+    combined.select(col("node_id"),
+      normalizedArr(combined.sparkSession, col("acc")).as("embedding"))
 
   /** Incremental FastRP maintenance (T15 — the embedding member of the
     * T8/T9/T11/T12/T13/T14 incremental family): fold an edge delta
@@ -189,10 +221,12 @@ object FastRP {
     var affected = changedEdges.select(col("dst").as("node_id")).distinct()
       .join(nodes, Seq("node_id"), "left_semi").localCheckpoint()
 
-    var state = normalized(
-      nodes.select(col("node_id") +: eCols(dim).zipWithIndex.map {
-        case (c, j) => baseEntry(col("node_id"), j, seed).as(c)
-      }: _*), dim).localCheckpoint()
+    val spark = newEdges.sparkSession
+    val vk = graft.plans.VecKernels
+    var state = nodes.select(col("node_id"),
+      normalizedArr(spark,
+        baseArray(spark, col("node_id"), dim, seed)).as("emb"))
+      .localCheckpoint()
     val patched = scala.collection.mutable.ArrayBuffer[DataFrame](state)
 
     for (k <- 1 until levels) {
@@ -204,21 +238,23 @@ object FastRP {
           .distinct().localCheckpoint()
       val msgs = e
         .join(affected.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
-        .join(patched(k - 1).withColumnRenamed("node_id", "src"), Seq("src"))
+        .join(patched(k - 1).select(col("node_id").as("src"), col("emb")), Seq("src"))
       val agg = msgs
         .groupBy(col("dst").as("node_id"))
         .agg(sum(col("weight")).as("_w"),
-          eCols(dim).map(c => sum(col(c) * col("weight")).as(c)): _*)
-      val mean = agg.select(col("node_id") +: eCols(dim).map(c =>
-        (col(c) / col("_w")).as(c)): _*)
-      val recomputed = normalized(mean, dim)
+          vk.wsumCol(spark, col("emb"), col("weight")).as("semb"))
+      val recomputed = agg
+        .select(col("node_id"),
+          normalizedArr(spark,
+            vk.divCol(spark, col("semb"), col("_w"))).as("emb"))
         .join(affected, Seq("node_id"), "right")
-        .na.fill(0.0, eCols(dim))
+        .select(col("node_id"),
+          coalesce(col("emb"), array_repeat(lit(0.0), dim)).as("emb"))
       state = old.states(k)
         .join(nodes, Seq("node_id"), "left_semi")
         .join(affected, Seq("node_id"), "left_anti")
-        .select(col("node_id") +: eCols(dim).map(col): _*)
-        .unionAll(recomputed.select(col("node_id") +: eCols(dim).map(col): _*))
+        .select(col("node_id"), col("emb"))
+        .unionAll(recomputed.select(col("node_id"), col("emb")))
         .localCheckpoint()
       patched += state
     }
@@ -226,16 +262,17 @@ object FastRP {
     // re-combine the final embedding for the affected closure only —
     // the same left-to-right weight fold embedStates runs
     var combined = patched(0).join(affected, Seq("node_id"), "left_semi")
-      .select(col("node_id") +: eCols(dim).map(c =>
-        (col(c) * iterationWeights.head).as(s"acc_$c")): _*)
+      .select(col("node_id"),
+        vk.mulCol(spark, col("emb"), lit(iterationWeights.head)).as("acc"))
     for (k <- 1 until levels)
       combined = combined.join(patched(k), Seq("node_id"))
-        .select(col("node_id") +: eCols(dim).map(c =>
-          (col(s"acc_$c") + col(c) * iterationWeights(k)).as(s"acc_$c")): _*)
+        .select(col("node_id"),
+          vk.axpyCol(spark, col("acc"), col("emb"),
+            iterationWeights(k)).as("acc"))
     val embedding = old.embedding
       .join(nodes, Seq("node_id"), "left_semi")
       .join(affected, Seq("node_id"), "left_anti")
-      .unionAll(finishEmbedding(combined, dim))
+      .unionAll(finishEmbedding(combined))
     FastRpState(patched.toSeq, embedding)
   }
 

@@ -296,11 +296,8 @@ class R5Spec extends AnyFunSuite {
     }
     // the retained states must ALSO match — they are the silver the
     // NEXT delta folds into
-    val (fs, ms) = (toMap(full.states.last.select(col("node_id"),
-        array((0 until dim).map(j => col(s"e$j")): _*))),
-      toMap(merged.states.last.select(col("node_id"),
-        array((0 until dim).map(j => col(s"e$j")): _*)))
-    )
+    val (fs, ms) = (toMap(full.states.last.select(col("node_id"), col("emb"))),
+      toMap(merged.states.last.select(col("node_id"), col("emb"))))
     assert(ms.keySet == fs.keySet)
     fs.foreach { case (id, v) =>
       v.zip(ms(id)).foreach { case (a, b) =>
