@@ -47,6 +47,25 @@ object Bench {
       if (sys.isNaN || own.isNaN || sys < 0 || own < 0) -1.0
       else math.max(0.0, sys - own)
     } catch { case _: Throwable => -1.0 }
+    // r12: HYPERVISOR steal fraction per measurement interval —
+    // cpu_others is blind to it (the hypervisor steals cycles from this
+    // guest without any guest process computing), and r12 traced 4–6×
+    // same-code swings (e.g. one silver build at 73 s vs 4.8 s minutes
+    // apart, all threads RUNNABLE in the kernel the whole time) to
+    // exactly such bursts: /proc/stat's steal field moved while
+    // cpu_others stayed ~0. Sampled as Δsteal/Δtotal like othersCpu's
+    // interval semantics (prime before the loop, one sample per query).
+    var stealPrev: (Long, Long) = (0L, 0L)
+    def stealCpu: Double = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val total = cols.sum
+      val steal = if (cols.length > 7) cols(7) else 0L
+      val (pT, pS) = (stealPrev._1, stealPrev._2)
+      stealPrev = (total, steal)
+      if (pT == 0L || total <= pT) -1.0
+      else (steal - pS).toDouble / (total - pT)
+    } catch { case _: Throwable => -1.0 }
 
     // the silver phase: each build materialised (count) and timed, with
     // the 1-min load stamped per build (r10: silver verdicts must be as
@@ -186,11 +205,13 @@ object Bench {
     }
     val resultsMut = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean, Double)]()
     val othersMut = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stealMut = scala.collection.mutable.LinkedHashMap[String, Double]()
     // prime the CPU counters: HotSpot's getCpuLoad/getProcessCpuLoad
     // measure the interval SINCE THE PREVIOUS CALL, so without this the
     // first query's cpu_others stamp would span JVM-start→now (gates +
     // silver phase included) and could skew cpu_others_max
     othersCpu: Unit
+    stealCpu: Unit
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       var best = Double.MaxValue
       var ok = true
@@ -209,6 +230,7 @@ object Bench {
       }
       resultsMut(name) = ((if (ok) best else -1.0, ok, loadAvg))
       othersMut(name) = othersCpu
+      stealMut(name) = stealCpu
     }
     // Self-defending gate pass: a gate still over its 2× pin after the
     // sweep re-measures up to 5 more times at the END of the run (the
@@ -312,7 +334,8 @@ object Bench {
     // cpu_others_max: the round's co-tenant verdict in one number —
     // ~0 means every stamp above was self-load from the sweep itself
     val othersMax = if (othersMut.isEmpty) -1.0 else othersMut.values.max
-    val loadJson = s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"cpu_others_max":${r3(othersMax)},"host_uptime_sec":${r3(hostUptime)},"cpus":"$cpus""""
+    val stealMax = if (stealMut.isEmpty) -1.0 else stealMut.values.max
+    val loadJson = s""""load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"cpu_others_max":${r3(othersMax)},"cpu_steal_max":${r3(stealMax)},"host_uptime_sec":${r3(hostUptime)},"cpus":"$cpus""""
     def timesJson(rs: Iterable[(String, Double)]) =
       rs.map { case (k, sec) => s"\"$k\":${r3(sec)}" }.mkString("{", ",", "}")
     val silverTotal = silverResults.collect { case (_, sec, true, _, _) => sec }.sum
@@ -338,6 +361,8 @@ object Bench {
       .mkString("{", ",", "}")
     val queryOthersJson = othersMut.map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
+    val queryStealJson = stealMut.map { case (k, v) => s"\"$k\":${r3(v)}" }
+      .mkString("{", ",", "}")
     // Full per-query detail goes to a FILE — the one printed JSON line
     // must stay short: the driver captures only the tail of stdout, so
     // a multi-KB line gets its head truncated and fails to parse.
@@ -353,7 +378,7 @@ object Bench {
         s""","silver_contested":$silverContested,"silver_p1":${timesJson(silverPass1.map(t => (t._1, t._2)))},"silver_p2":${timesJson(p2.map(t => (t._1, t._2)))},"silver_p2_others":${p2.map { case (k, _, _, _, o) => s"\"$k\":${r3(o)}" }.mkString("{", ",", "}")}"""
       case None => s""","silver_contested":$silverContested"""
     }
-    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults.map(t => (t._1, t._2)))},"silver_total":${r3(silverTotal)},"silver_load":$silverLoadJson,"silver_cpu_others":$silverOthersJson$silverDefenseJson,"queries_total":${r3(queriesTotal)},"queries":${timesJson(results.map(t => (t._1, t._2)))},"query_load":$queryLoadJson,"query_cpu_others":$queryOthersJson,"gates":$gatesJson,$gateSummary,"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(queriesTotal)},"unit":"sec","silver":${timesJson(silverResults.map(t => (t._1, t._2)))},"silver_total":${r3(silverTotal)},"silver_load":$silverLoadJson,"silver_cpu_others":$silverOthersJson$silverDefenseJson,"queries_total":${r3(queriesTotal)},"queries":${timesJson(results.map(t => (t._1, t._2)))},"query_load":$queryLoadJson,"query_cpu_others":$queryOthersJson,"query_cpu_steal":$queryStealJson,"gates":$gatesJson,$gateSummary,"ok":$oks,"failed":${failedJson(failedSeq)},$loadJson,$densityJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8")): Unit
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }

@@ -85,7 +85,62 @@ object R12Plans {
       .agg(max(col("cap")).as("est"))
     write("round_core_hindex", fmt(coreRound))
 
+    // FastRP propagation iteration — the plan the embedStates loop
+    // builds (before: edges⋈64-wide state SMJ + a second exchange for
+    // the dst aggregate; after: dst-partitioned edges + broadcast
+    // array-state BHJ + exchange-free native-kernel aggregate)
+    write("round_fastrp_iteration", fmt(fastrpRound(spark, sfDir)))
+
+    // node2vec weighted step — the per-step draw (before: frontier ⋈
+    // edges ⋈ adjacency explode into a min_by exchange; after: map-only
+    // projection with the CSR-broadcast native draw)
+    write("round_n2v_step", fmt(n2vStep(spark, sfDir)))
+
     spark.stop()
+  }
+
+  /** One REAL FastRP iteration plan: run embedStates down to the first
+    * propagate step's frame on the bipartite graph. Uses the actual
+    * kernel code path of this tree, so before/after diffs are the
+    * kernels' own plans. */
+  private def fastrpRound(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = graph.Algorithms.bipartiteEdges(spark, sfDir)
+    // reproduce embedStates' iteration-1 inputs exactly, then return
+    // the un-checkpointed iteration frame so the plan is visible
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val nodes = e.select(col("src").as("node_id")).distinct().localCheckpoint()
+    val nV = nodes.count()
+    val state = graph.FastRP.baseVectors(nodes, 64)
+      .withColumnRenamed("embedding", "emb").localCheckpoint()
+    val vk = graft.plans.VecKernels
+    val msgs = e.join(graph.Algorithms.iterState(
+      state.select(col("node_id").as("src"), col("emb")), nV, 8L * 64 + 24L),
+      Seq("src"))
+    msgs.groupBy(col("dst").as("node_id"))
+      .agg(sum(col("weight")).as("_w"),
+        vk.wsumCol(spark, col("emb"), col("weight")).as("semb"))
+      .select(col("node_id"),
+        vk.norm6Col(spark, vk.divCol(spark, col("semb"), col("_w"))).as("emb"))
+  }
+
+  /** One REAL weighted node2vec step plan (the CSR draw projection). */
+  private def n2vStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, sfDir)
+    val bidir = cooc.select(col("u1").as("src"), col("u2").as("dst"),
+      col("weight").cast("double").as("weight"))
+    val csr = graft.plans.Node2VecStep.buildCsr(bidir)
+    val frontier = bidir.select(col("src").as("node_id")).distinct()
+      .select((col("node_id") * 4).as("walk_id"), col("node_id"),
+        col("node_id").as("prev"))
+      .repartition(32, col("walk_id")).localCheckpoint()
+    frontier.select(col("walk_id"),
+      struct(graft.plans.Node2VecStep.drawCol(spark, csr, col("walk_id"),
+        col("prev"), col("node_id"), 1, 1, 2, 4).as("nxt"),
+        col("node_id").as("src")).as("pick"))
+      .filter(col("pick.nxt").isNotNull)
   }
 
   /** On the optimized tree this pins the state broadcast exactly like

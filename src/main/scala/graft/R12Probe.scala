@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
 object R12Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val sections: Set[String] =
-      if (args.length > 1) args.tail.toSet else Set("node2vec", "core", "plans")
+    val sectionArgs: Seq[String] =
+      if (args.length > 1) args.tail.toSeq else Seq("node2vec", "core", "plans")
+    val sectionBodies = scala.collection.mutable.LinkedHashMap[String, () => Unit]()
+    def section(name: String)(body: => Unit): Unit =
+      sectionBodies(name) = () => body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,7 +73,7 @@ object R12Probe {
     val cooc = graph.RatingsGraph.cooccurrenceEdges(spark, sfDir)
     time("warm: cooccurrence silver")(cooc.count())
 
-    if (sections("lpa")) {
+    section("lpa") {
       // A/B the r12 iterState broadcast pin on label propagation: the
       // bench read lpa_communities 6.5 s (pre-pin) → ~15 s (pinned),
       // consistent across both silver passes — isolate whether the pin
@@ -92,7 +95,7 @@ object R12Probe {
       }
     }
 
-    if (sections("node2vec")) {
+    section("node2vec") {
       spark.sparkContext.setJobDescription("probe: node2vec stages")
       val edges = cooc.select(col("u1").as("src"), col("u2").as("dst"), col("weight"))
       val walks = time("n2v: walk corpus (4x4 weighted)") {
@@ -115,7 +118,53 @@ object R12Probe {
       }
     }
 
-    if (sections("core")) {
+    section("benchseq") {
+      // replicate the bench's silver PREFIX in order (real builders,
+      // session cache included) — the bench read lpa p1 at 73 s and
+      // louvain p1 at 38 s right after these, while both run in ~5 s
+      // isolated; find the poisoning step
+      time("s: ratings")(graph.RatingsGraph.ratings(spark, sfDir).count())
+      time("s: pair_stats")(graph.Algorithms.coRatedPairStats(spark, sfDir).count())
+      time("s: pair_stats_liked")(graph.Algorithms.coRatedPairStats(spark, sfDir, minRating = 6).count())
+      time("s: liked_norms")(graph.Algorithms.likedNorms(spark, sfDir).count())
+      time("s: cooccurrence")(graph.RatingsGraph.cooccurrenceEdges(spark, sfDir).count())
+      time("s: fastrp")(graph.FastRP.userEmbeddings(spark, sfDir).count())
+      time("s: node2vec_emb")(graph.Node2Vec.userEmbeddings(spark, sfDir).count())
+      time("s: knn_scored_pairs")(graph.Algorithms.userScoredPairs(spark, sfDir).count())
+      stageLog.clear()
+      time("s: lpa_communities")(graph.Algorithms.userCommunities(spark, sfDir).count())
+      dumpStages(8)
+      stageLog.clear()
+      time("s: louvain_communities")(graph.Louvain.userCommunities(spark, sfDir).count())
+      dumpStages(8)
+    }
+
+    section("seq2") {
+      // bisect benchseq: does fastrp (real silver) alone poison the
+      // following node2vec_emb build?
+      time("s: fastrp")(graph.FastRP.userEmbeddings(spark, sfDir).count())
+      stageLog.clear()
+      time("s: node2vec_emb")(graph.Node2Vec.userEmbeddings(spark, sfDir).count())
+      dumpStages(10)
+      time("s: lpa_communities")(graph.Algorithms.userCommunities(spark, sfDir).count())
+    }
+
+    section("seq3") {
+      // bisect benchseq: pair_stats family alone before node2vec_emb
+      time("s: pair_stats")(graph.Algorithms.coRatedPairStats(spark, sfDir).count())
+      time("s: pair_stats_liked")(graph.Algorithms.coRatedPairStats(spark, sfDir, minRating = 6).count())
+      time("s: node2vec_emb")(graph.Node2Vec.userEmbeddings(spark, sfDir).count())
+      time("s: lpa_communities")(graph.Algorithms.userCommunities(spark, sfDir).count())
+    }
+
+    section("n2vsilver") {
+      stageLog.clear()
+      time("s: node2vec_emb")(graph.Node2Vec.userEmbeddings(spark, sfDir).count())
+      dumpStages(10)
+      time("s: lpa_communities")(graph.Algorithms.userCommunities(spark, sfDir).count())
+    }
+
+    section("core") {
       spark.sparkContext.setJobDescription("probe: core decomposition")
       time("core: full decomposition") {
         noop(graph.Algorithms.coreDecomposition(
@@ -123,7 +172,7 @@ object R12Probe {
       }
     }
 
-    if (sections("pagerank")) {
+    section("pagerank") {
       spark.sparkContext.setJobDescription("probe: pagerank 10 iters")
       time("pagerank: 10 iters tol=1e-6") {
         noop(graph.Algorithms.pageRank(
@@ -132,7 +181,7 @@ object R12Probe {
       }
     }
 
-    if (sections("louvain")) {
+    section("louvain") {
       spark.sparkContext.setJobDescription("probe: louvain 2 levels")
       time("louvain: 2 levels x 6 sweeps") {
         noop(graph.Louvain.louvain(
@@ -141,7 +190,7 @@ object R12Probe {
       }
     }
 
-    if (sections("fastrpAB")) {
+    section("fastrpAB") {
       // is the 17 s bipartite embed codegen-compile-bound (the k-means
       // Janino precedent) or execution-bound? A/B whole-stage codegen
       // and time two consecutive runs of each
@@ -166,7 +215,7 @@ object R12Probe {
       spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
     }
 
-    if (sections("fastrp")) {
+    section("fastrp") {
       spark.sparkContext.setJobDescription("probe: fastrp bipartite")
       stageLog.clear()
       time("fastrp: bipartite embed") {
@@ -175,7 +224,7 @@ object R12Probe {
       dumpStages()
     }
 
-    if (sections("fastrp2")) {
+    section("fastrp2") {
       // dissect one propagate step: which piece of the 40–130 cs/iter
       // is the cost — the BHJ, the vecSum UDAF, or the checkpoint?
       val be = graph.Algorithms.bipartiteEdges(spark, sfDir)
@@ -213,7 +262,7 @@ object R12Probe {
       println(plan.queryExecution.executedPlan.toString.take(3000))
     }
 
-    if (sections("plans")) {
+    section("plans") {
       // ONE representative iteration join of each loop kernel: what join
       // strategy does the planner pick when the state side comes out of
       // localCheckpoint?
@@ -245,6 +294,12 @@ object R12Probe {
       norm.unpersist(blocking = false)
     }
 
+    sectionArgs.foreach { name =>
+      sectionBodies.get(name) match {
+        case Some(body) => body()
+        case None => System.err.println(s"[probe] unknown section $name")
+      }
+    }
     spark.stop()
   }
 }
